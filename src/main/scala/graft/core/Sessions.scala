@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Replaces the reference's ad-hoc `init_spark()`
+  * (reference: ETL_Airflow/dags/tasks/utils.py:10-31) with a single place
+  * that pins the settings that matter for determinism and scale:
+  *   - UTC session time zone (reference results depended on wall-clock/locale)
+  *   - AQE on (runtime skew-join + partition coalescing; the reference ran
+  *     stock defaults on a 2-core worker)
+  *   - shuffle partitions sized to the local core count, not 200.
+  */
+object Sessions {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            shufflePartitions: Option[Int] = None,
+            appName: String = "graft"): SparkSession = {
+    val sp = shufflePartitions.getOrElse(math.max(cores, 4))
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Injected load date ("run date") for snapshot stamping.
+  *
+  * The reference stamps `DAY_DT` with `current_date()` at load time
+  * (reference: ingestion_task.py:49), which made runs non-reproducible and
+  * forced whole-file forks for backfills
+  * (reference: adhoc_load_sales_20250707_file.py:48). Here the date is a
+  * pipeline parameter.
+  */
+final case class RunDate(value: java.time.LocalDate) {
+  def sqlDate: java.sql.Date = java.sql.Date.valueOf(value)
+  def minusDays(n: Long): RunDate = RunDate(value.minusDays(n))
+  override def toString: String = value.toString
+}
+
+object RunDate {
+  def apply(iso: String): RunDate = RunDate(java.time.LocalDate.parse(iso))
+  /** Fixed default for tests/benchmarks — never the wall clock. */
+  val default: RunDate = RunDate("2024-06-01")
+}
