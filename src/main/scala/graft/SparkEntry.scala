@@ -10,12 +10,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_supplier_performance" -> ((s, dir) => SupplierPerformance.build(s, dir))
+    "q_supplier_performance" -> ((s, dir) => SupplierPerformance.build(s, dir)),
+    "q_product_performance" -> ((s, dir) => ProductPerformance.build(s, dir)),
+    "q_customer_sales_report" -> ((s, dir) => CustomerSalesReport.build(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_supplier_performance" -> SupplierPerformance.oracle
+    "q_supplier_performance" -> SupplierPerformance.oracle,
+    "q_product_performance" -> ProductPerformance.oracle,
+    "q_customer_sales_report" -> CustomerSalesReport.oracle
   )
 }
