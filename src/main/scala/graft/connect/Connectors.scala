@@ -1,0 +1,147 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Connector surface (SURVEY §2.1/§2.2): JDBC, CSV, Parquet, REST-JSON,
+  * and the source router.
+  */
+
+/** Partitioned JDBC source/sink.
+  *
+  * The reference reads and writes every table over a SINGLE JDBC partition
+  * (reference: utils.py:162,185 — no partitionColumn/numPartitions), the
+  * #1 physical bottleneck at scale (SURVEY §4.2). Here partitioning is part
+  * of the API: pass a numeric `partitionColumn` + bounds and the scan fans
+  * out to `numPartitions` parallel range queries; writes inherit the
+  * upstream partitioning (one connection per partition).
+  */
+final case class JdbcConfig(url: String, user: String = "", password: String = "",
+                            driver: Option[String] = None,
+                            properties: Map[String, String] = Map.empty) {
+  def asOptions: Map[String, String] =
+    Map("url" -> url) ++
+      (if (user.nonEmpty) Map("user" -> user) else Map.empty) ++
+      (if (password.nonEmpty) Map("password" -> password) else Map.empty) ++
+      driver.map("driver" -> _).toMap ++ properties
+}
+
+object Jdbc {
+  def readTable(spark: SparkSession, cfg: JdbcConfig, table: String,
+                partitionColumn: Option[String] = None,
+                lowerBound: Long = 0, upperBound: Long = 0,
+                numPartitions: Int = 1): DataFrame = {
+    var r = spark.read.format("jdbc").options(cfg.asOptions)
+      .option("dbtable", table)
+    partitionColumn.foreach { c =>
+      r = r.option("partitionColumn", c)
+        .option("lowerBound", lowerBound).option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    }
+    r.load()
+  }
+
+  /** Query pushdown scan — the reference's `(q) as subquery` wrap
+    * (reference: Raptor.py:20-38) is what Spark's `query` option does. */
+  def readQuery(spark: SparkSession, cfg: JdbcConfig, sql: String): DataFrame =
+    spark.read.format("jdbc").options(cfg.asOptions).option("query", sql).load()
+
+  def write(df: DataFrame, cfg: JdbcConfig, table: String, mode: SaveMode): Unit =
+    df.write.format("jdbc").options(cfg.asOptions)
+      .option("dbtable", table).mode(mode).save()
+}
+
+object Csv {
+  /** Contract-first CSV scan: no inference (the reference's inferSchema
+    * double-reads every file — reference: ingestion_task.py:207-212). */
+  def read(spark: SparkSession, path: String, contract: StructType,
+           header: Boolean = true, sep: String = ","): DataFrame =
+    spark.read.schema(contract).option("header", header.toString)
+      .option("sep", sep).csv(path)
+
+  /** Inference variant kept for drift *detection* flows only. */
+  def readInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Date-templated path resolver, e.g. `{date}/sales_{date}.csv`
+    * (reference: ingestion_task.py:204-205 computes this from the wall
+    * clock; here the date is injected). */
+  def datedPath(template: String, date: java.time.LocalDate): String = {
+    val d = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    template.replace("{date}", d)
+  }
+}
+
+object ParquetIO {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Run SQL over a parquet file via a temp view (reference:
+    * Raptor.py:89-101). */
+  def sqlOver(spark: SparkSession, path: String, view: String, sql: String): DataFrame = {
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    spark.sql(sql)
+  }
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+            partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
+
+/** REST-JSON source (reference: utils.py:34-105): driver-side GET with
+  * optional OAuth2 password-grant Bearer auth, payload `{"data":[{...}]}`
+  * materialized as a DataFrame. The HTTP transport is pluggable so tests
+  * inject a fake; the real transport uses java.net.http. Rows land via
+  * spark.read.json on a Dataset[String] with an explicit contract — never
+  * inference (SURVEY §1.4).
+  */
+object Rest {
+  type Http = String => String // url -> body
+
+  def defaultHttp(headers: Map[String, String]): Http = { url =>
+    val client = java.net.http.HttpClient.newHttpClient()
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  /** Fetch `{"data":[...]}` and project the `data` array through a
+    * contract. JSON parsing is distributed (spark.read.json over a
+    * 1-element dataset is fine for API-sized payloads; large payloads can
+    * be split upstream). */
+  def readData(spark: SparkSession, url: String, contract: StructType,
+               http: Http, dataField: String = "data"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val body = http(url)
+    val env = new StructType().add(dataField,
+      org.apache.spark.sql.types.ArrayType(contract))
+    spark.read.schema(env).json(Seq(body).toDS())
+      .select(explode(col(dataField)).as("row"))
+      .select("row.*")
+  }
+
+  /** OAuth2 password-grant token fetch → Bearer header map (reference:
+    * utils.py:66-82). Kept driver-side and transport-pluggable. */
+  def bearer(token: String): Map[String, String] =
+    Map("Authorization" -> s"Bearer $token")
+}
+
+/** Source router (reference: Raptor.py:113-139): dispatch a logical source
+  * name to a reader factory. */
+final class SourceRegistry private (
+    factories: Map[String, (SparkSession, String) => DataFrame]) {
+  def withSource(name: String)(f: (SparkSession, String) => DataFrame): SourceRegistry =
+    new SourceRegistry(factories + (name -> f))
+  def read(spark: SparkSession, source: String, arg: String): DataFrame =
+    factories.getOrElse(source,
+      throw new IllegalArgumentException(
+        s"unknown source '$source'; known: ${factories.keys.mkString(", ")}"))(spark, arg)
+}
+
+object SourceRegistry {
+  def empty: SourceRegistry = new SourceRegistry(Map.empty)
+}
