@@ -12,7 +12,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_supplier_performance" -> ((s, dir) => SupplierPerformance.build(s, dir)),
     "q_product_performance" -> ((s, dir) => ProductPerformance.build(s, dir)),
-    "q_customer_sales_report" -> ((s, dir) => CustomerSalesReport.build(s, dir))
+    "q_customer_sales_report" -> ((s, dir) => CustomerSalesReport.build(s, dir)),
+    "q_text_stats" -> ((s, dir) => graft.ops.TextAnalysis.stats(s, dir)),
+    "q_text_langid" -> ((s, dir) => graft.ops.TextAnalysis.langid(s, dir)),
+    "q_text_quality" -> ((s, dir) => graft.ops.TextAnalysis.quality(s, dir)),
+    "q_text_fingerprint" -> ((s, dir) => graft.ops.TextAnalysis.fingerprint(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -20,6 +24,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_supplier_performance" -> SupplierPerformance.oracle,
     "q_product_performance" -> ProductPerformance.oracle,
-    "q_customer_sales_report" -> CustomerSalesReport.oracle
+    "q_customer_sales_report" -> CustomerSalesReport.oracle,
+    "q_text_stats" -> graft.ops.TextAnalysis.statsOracle,
+    "q_text_langid" -> graft.ops.TextAnalysis.langidOracle,
+    "q_text_quality" -> graft.ops.TextAnalysis.qualityOracle,
+    "q_text_fingerprint" -> graft.ops.TextAnalysis.fingerprintOracle
   )
 }

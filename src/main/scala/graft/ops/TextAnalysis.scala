@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Document-corpus text analysis: token statistics, quality scoring,
+  * language ID, and content fingerprinting — the per-document metrics a
+  * training-data pipeline computes before filtering/dedup.
+  *
+  * Every query is one narrow projection over a single scan of `documents`
+  * — no shuffle at all (purely per-row expressions), so throughput at
+  * 100 TB is scan-bound: Spark maps each parquet split to a task and the
+  * whole thing is one WholeStageCodegen stage. Column pruning reaches the
+  * scan (only `doc_id`/`text` are read).
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val toks: Column = tokens(col("text"))
+
+  // ---------------------------------------------------------------- stats
+  /** Per-document token statistics (whitespace + BPE-ish counts). */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      round(tokenLenSum(toks).cast("double") / size(toks), 6).as("avg_token_len"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("uniq_ratio"))
+
+  val statsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(length(text) AS INT) AS n_chars,
+      |       CAST(len(tk) AS INT) AS n_tokens,
+      |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+      |       CAST(len(list_distinct(tk)) AS INT) AS n_uniq_tokens,
+      |       round(list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk), 6) AS avg_token_len,
+      |       round(len(list_distinct(tk)) * 1.0 / len(tk), 6) AS uniq_ratio
+      |FROM t
+      |""".stripMargin
+
+  // --------------------------------------------------------------- langid
+  /** N-gram-free language ID: score each language by its function-word hit
+    * ratio; highest score wins, ties resolve alphabetically, zero
+    * everywhere → "und". */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols: Seq[Column] = Seq(col("doc_id"), col("lang").as("lang_actual")) ++
+      langProfiles.map { case (l, ws) => vocabRatio(toks, ws).as(s"s_$l") }
+    val scored = docs(spark, dir).select(scoreCols: _*)
+    val names = langProfiles.map(_._1)
+    // CASE chain in alphabetical order: first lang whose score ties-or-beats
+    // every later lang wins (deterministic argmax).
+    def gr(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head else greatest(cs: _*)
+    val pred = names.init.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (l, i)) =>
+        val cond = col(s"s_$l") >= gr(names.drop(i + 1).map(r => col(s"s_$r")))
+        Some(acc.fold(when(cond, l))(_.when(cond, l)))
+    }.get.otherwise(names.last)
+    val best = gr(names.map(l => col(s"s_$l")))
+    scored.select(
+      col("doc_id"), col("lang_actual"),
+      when(best > 0, pred).otherwise("und").as("lang_pred"),
+      round(best, 6).as("score"))
+  }
+
+  val langidOracle: String = {
+    val names = langProfiles.map(_._1)
+    def sql(l: String, ws: Seq[String]) =
+      s"len(list_filter(tk, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) * 1.0 / len(tk)"
+    val scores = langProfiles.map { case (l, ws) => s"${sql(l, ws)} AS s_$l" }
+    val caseArms = names.init.zipWithIndex.map { case (l, i) =>
+      val rest = names.drop(i + 1).map(r => s"s_$r")
+      s"WHEN s_$l >= greatest(${rest.mkString(",")}) THEN '$l'"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang AS lang_actual, ${scores.mkString(",\n         ")}
+       |  FROM t)
+       |SELECT doc_id, lang_actual,
+       |       CASE WHEN greatest(${names.map("s_" + _).mkString(",")}) > 0
+       |            THEN CASE ${caseArms.mkString(" ")} ELSE '${names.last}' END
+       |            ELSE 'und' END AS lang_pred,
+       |       round(greatest(${names.map("s_" + _).mkString(",")}), 6) AS score
+       |FROM s
+       |""".stripMargin
+  }
+
+  // -------------------------------------------------------------- quality
+  /** Quality score in [0,1]: mix of lexical diversity, length saturation,
+    * and English function-word density (heuristic filter for boilerplate /
+    * gibberish before training). */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val en = langProfiles.toMap.apply("en")
+    val uniq = size(array_distinct(toks)).cast("double") / size(toks)
+    val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
+    val stop = vocabRatio(toks, en)
+    docs(spark, dir).select(
+      col("doc_id"),
+      round(uniq, 6).as("uniq_ratio"),
+      round(lenScore, 6).as("length_score"),
+      round(stop, 6).as("stopword_ratio"),
+      round(uniq * 0.4 + lenScore * 0.3 + stop * 0.3, 6).as("quality_score"))
+  }
+
+  val qualityOracle: String = {
+    val en = langProfiles.toMap.apply("en").map("'" + _ + "'").mkString(",")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(list_distinct(tk)) * 1.0 / len(tk) AS uniq,
+       |         least(len(tk) * 1.0 / 100.0, 1.0) AS lens,
+       |         len(list_filter(tk, x -> list_contains([$en], x))) * 1.0 / len(tk) AS stp
+       |  FROM t)
+       |SELECT doc_id,
+       |       round(uniq, 6) AS uniq_ratio,
+       |       round(lens, 6) AS length_score,
+       |       round(stp, 6) AS stopword_ratio,
+       |       round(uniq * 0.4 + lens * 0.3 + stp * 0.3, 6) AS quality_score
+       |FROM m
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------- fingerprint
+  /** Content fingerprints: an exact fingerprint (md5 of the normalized
+    * token stream) and a shingle fingerprint (lexicographic min of the
+    * 3-shingle md5s — one minhash component, stable under small edits). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(concat_ws(" ", toks)).as("exact_fp"),
+      array_min(transform(shingles(toks, 3), s => md5(s))).as("shingle_fp"))
+
+  val fingerprintOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 3 THEN list_distinct(
+      |           list_transform(generate_series(1, len(tk) - 2),
+      |                          i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+      |              ELSE [] END AS sgl,
+      |         tk
+      |  FROM t)
+      |SELECT doc_id,
+      |       md5(array_to_string(tk, ' ')) AS exact_fp,
+      |       list_min(list_transform(sgl, s -> md5(s))) AS shingle_fp
+      |FROM sh
+      |""".stripMargin
+}
