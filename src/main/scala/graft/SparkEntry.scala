@@ -16,7 +16,12 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) => graft.ops.TextAnalysis.stats(s, dir)),
     "q_text_langid" -> ((s, dir) => graft.ops.TextAnalysis.langid(s, dir)),
     "q_text_quality" -> ((s, dir) => graft.ops.TextAnalysis.quality(s, dir)),
-    "q_text_fingerprint" -> ((s, dir) => graft.ops.TextAnalysis.fingerprint(s, dir))
+    "q_text_fingerprint" -> ((s, dir) => graft.ops.TextAnalysis.fingerprint(s, dir)),
+    "q_dedup_exact" -> ((s, dir) => graft.ops.Dedup.exact(s, dir)),
+    "q_dedup_jaccard" -> ((s, dir) => graft.ops.Dedup.jaccardPairs(s, dir)),
+    "q_dedup_minhash_lsh" -> ((s, dir) => graft.ops.Dedup.minhashLsh(s, dir)),
+    "q_dedup_simhash" -> ((s, dir) => graft.ops.Dedup.simhash(s, dir)),
+    "q_dedup_simhash_pairs" -> ((s, dir) => graft.ops.Dedup.simhashPairs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,6 +33,11 @@ object SparkEntry {
     "q_text_stats" -> graft.ops.TextAnalysis.statsOracle,
     "q_text_langid" -> graft.ops.TextAnalysis.langidOracle,
     "q_text_quality" -> graft.ops.TextAnalysis.qualityOracle,
-    "q_text_fingerprint" -> graft.ops.TextAnalysis.fingerprintOracle
+    "q_text_fingerprint" -> graft.ops.TextAnalysis.fingerprintOracle,
+    "q_dedup_exact" -> graft.ops.Dedup.exactOracle,
+    "q_dedup_jaccard" -> graft.ops.Dedup.jaccardPairsOracle,
+    "q_dedup_minhash_lsh" -> graft.ops.Dedup.minhashLshOracle,
+    "q_dedup_simhash" -> graft.ops.Dedup.simhashOracle,
+    "q_dedup_simhash_pairs" -> graft.ops.Dedup.simhashPairsOracle
   )
 }

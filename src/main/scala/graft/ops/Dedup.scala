@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash variants over the `documents` table.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-aggregate on a 32-byte fingerprint — the cheapest
+  *    possible full-corpus dedup; shuffle moves only (fp, doc_id).
+  *  - jaccardPairs: exact all-pairs via an inverted shingle index. The
+  *    shuffle is bounded by sum over shingles of df² — fine when shingle
+  *    doc-frequency is low, quadratic when not; at 100 TB you cap df
+  *    (drop stop-shingles) or go through LSH below.
+  *  - minhashLsh: the scale path. Signatures are computed per-row with
+  *    array HOFs (NO explode, NO shuffle), docs meet only inside small
+  *    LSH band buckets, and exact Jaccard verifies each candidate pair.
+  *    Shuffle volume = O(#docs × #bands), independent of document length.
+  *  - simhash: 60-bit TF-weighted fingerprint per doc (one projection),
+  *    near-dup pairs via 4×15-bit band buckets + Hamming verify.
+  *
+  * All hashing is md5-based so every stage is bit-identical in DuckDB —
+  * each operator ships with a full SQL oracle, not a rows-only check.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.8
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val toks: Column = tokens(col("text"))
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup on the normalized token stream: every doc labeled with its
+    * canonical (minimum) doc_id per fingerprint group. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docs(spark, dir)
+      .select(col("doc_id"), md5(concat_ws(" ", toks)).as("exact_fp"))
+    val canon = fp.groupBy(col("exact_fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    fp.join(canon, Seq("exact_fp"))
+      .select(col("doc_id"), col("exact_fp"), col("canonical_id"),
+              col("group_size"),
+              (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+  }
+
+  val exactOracle: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS exact_fp
+      |  FROM documents),
+      |canon AS (
+      |  SELECT exact_fp, min(doc_id) AS canonical_id,
+      |         CAST(count(*) AS BIGINT) AS group_size
+      |  FROM fp GROUP BY 1)
+      |SELECT f.doc_id, f.exact_fp, c.canonical_id, c.group_size,
+      |       f.doc_id <> c.canonical_id AS is_duplicate
+      |FROM fp f JOIN canon c USING (exact_fp)
+      |""".stripMargin
+
+  // ------------------------------------------------- exact n-gram Jaccard
+  /** Distinct word-3-gram shingle set per doc, with its size. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), shingles(toks, ShingleN).as("sgl"))
+
+  /** All-pairs exact n-gram Jaccard ≥ 0.8 via inverted shingle index:
+    * docs sharing a shingle meet once per shared shingle; the group count
+    * IS the intersection size (shingle sets are distinct). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val inv = sh.select(col("doc_id"), size(col("sgl")).as("n"),
+                        explode(col("sgl")).as("s"))
+    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 3 THEN list_distinct(
+      |           list_transform(generate_series(1, len(tk) - 2),
+      |                          i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+      |              ELSE [] END AS sgl
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |        FROM documents))""".stripMargin
+
+  val jaccardPairsOracle: String =
+    s"""WITH $shingleCte,
+       |inv AS (SELECT doc_id, len(sgl) AS n, unnest(sgl) AS s FROM sh)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(count(*) * 1.0 / (a.n + b.n - count(*)), 6) AS jaccard
+       |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, a.n, b.n
+       |HAVING round(count(*) * 1.0 / (a.n + b.n - count(*)), 6) >= $JaccardThreshold
+       |""".stripMargin
+
+  // ----------------------------------------------------------- MinHash+LSH
+  /** MinHash signature component i: lexicographic min of md5("i:shingle") —
+    * md5 acts as the i-th random permutation of shingle space. Computed as
+    * an array HOF: no explode, no shuffle, one pass over the row. */
+  private def minhashComponent(sgl: Column, i: Int): Column =
+    array_min(transform(sgl, s => md5(concat(lit(s"$i:"), s))))
+
+  /** MinHash+LSH near-dup pairs: 16-component signatures → 4 bands of 4 →
+    * candidates collide on any band key → exact-Jaccard verify ≥ 0.8.
+    * Output shape matches [[jaccardPairs]]; LSH may miss pairs (recall
+    * <1 by design) but never emits a false positive thanks to the verify. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).filter(size(col("sgl")) > 0)
+    val sig = (0 until NumHashes).foldLeft(sh) { (d, i) =>
+      d.withColumn(s"mh_$i", minhashComponent(col("sgl"), i))
+    }
+    val bandKeys = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"bk_$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandKeys: _*)
+      .select(col("doc_id"), explode(array((0 until Bands).map(b => col(s"bk_$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b")), Seq("doc_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+              (size(col("sgl_a")) + size(col("sgl_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val minhashLshOracle: String = {
+    val mh = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(sgl, s -> md5('$i:' || s))) AS mh_$i").mkString(",\n         ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (
+       |  SELECT doc_id, sgl,
+       |         $mh
+       |  FROM sh WHERE len(sgl) > 0),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_intersect(a.sgl, b.sgl)) * 1.0 /
+       |               (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))), 6) AS jaccard
+       |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+       |            JOIN sh b ON cand.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= $JaccardThreshold
+       |""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+  private val SimBits = 60
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands
+  private val MaxHamming = 8
+
+  /** 60-bit TF-weighted SimHash per document, in one shuffle-free
+    * projection: token hashes once into an array, then each output bit is
+    * the sign of a ±1 vote weighted by term frequency (votes are per token
+    * OCCURRENCE — distinct-token SimHash degenerates when the vocabulary
+    * is small relative to document length). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val hs = transform(toks, t => hash60(t))
+    val withVotes = (0 until SimBits).foldLeft(
+      docs(spark, dir).select(col("doc_id"), hs.as("hs"))) { (d, j) =>
+      d.withColumn(s"bs_$j",
+        aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))))
+    }
+    val sim = (0 until SimBits).map(j =>
+      when(col(s"bs_$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    withVotes.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  val simhashOracle: String = {
+    val votes = (0 until SimBits).map(j =>
+      s"list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) AS bs_$j")
+      .mkString(",\n         ")
+    val sim = (0 until SimBits).map(j =>
+      s"CASE WHEN bs_$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+       |           t -> CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT)) AS hs
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM t)
+       |SELECT doc_id, $sim AS simhash FROM v
+       |""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: docs collide when any of the 4 15-bit bands
+    * matches (guarantees recall for Hamming ≤ 3; probabilistic above),
+    * then the full Hamming distance verifies ≤ [[MaxHamming]]. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhash(spark, dir)
+    val bandCols = (0 until SimBands).map(b =>
+      struct(lit(b).as("band"),
+             shiftright(col("simhash"), b * SimBandBits)
+               .bitwiseAND(lit((1L << SimBandBits) - 1)).as("key")).as(s"b_$b"))
+    val banded = sim.select(col("doc_id") +: col("simhash") +: bandCols: _*)
+      .select(col("doc_id"), col("simhash"),
+              explode(array((0 until SimBands).map(b => col(s"b_$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+              col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+  }
+
+  val simhashPairsOracle: String = {
+    val bandSelects = (0 until SimBands).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SimBandBits}) & ${(1L << SimBandBits) - 1} AS key FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (${simhashOracle.stripSuffix("\n")}),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming
+       |""".stripMargin
+  }
+}
