@@ -21,7 +21,10 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) => graft.ops.Dedup.jaccardPairs(s, dir)),
     "q_dedup_minhash_lsh" -> ((s, dir) => graft.ops.Dedup.minhashLsh(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => graft.ops.Dedup.simhash(s, dir)),
-    "q_dedup_simhash_pairs" -> ((s, dir) => graft.ops.Dedup.simhashPairs(s, dir))
+    "q_dedup_simhash_pairs" -> ((s, dir) => graft.ops.Dedup.simhashPairs(s, dir)),
+    "q_sim_bruteforce" -> ((s, dir) => graft.ops.Similarity.bruteForceTopK(s, dir)),
+    "q_sim_ann_lsh" -> ((s, dir) => graft.ops.Similarity.lshTopK(s, dir)),
+    "q_dedup_embedding" -> ((s, dir) => graft.ops.Similarity.nearDupPairs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,6 +41,9 @@ object SparkEntry {
     "q_dedup_jaccard" -> graft.ops.Dedup.jaccardPairsOracle,
     "q_dedup_minhash_lsh" -> graft.ops.Dedup.minhashLshOracle,
     "q_dedup_simhash" -> graft.ops.Dedup.simhashOracle,
-    "q_dedup_simhash_pairs" -> graft.ops.Dedup.simhashPairsOracle
+    "q_dedup_simhash_pairs" -> graft.ops.Dedup.simhashPairsOracle,
+    "q_sim_bruteforce" -> graft.ops.Similarity.bruteForceOracle,
+    "q_sim_ann_lsh" -> graft.ops.Similarity.lshOracle,
+    "q_dedup_embedding" -> graft.ops.Similarity.nearDupOracle
   )
 }

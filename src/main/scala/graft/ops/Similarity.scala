@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Numeric discipline: floats are cast to double once, dot products fold
+  * elements IN ARRAY ORDER (`aggregate` over `zip_with`), and reported
+  * cosines round to 6 dp — this makes results bit-comparable with the
+  * DuckDB oracle, which evaluates the same sequential fold.
+  *
+  * Scale design: brute force is O(n²·d) — fine for a broadcast-sized probe
+  * set against a large corpus (broadcast the probes, stream the corpus),
+  * wrong for corpus×corpus. The LSH variant buckets vectors by the sign
+  * pattern of [[Planes]] fixed random hyperplanes so candidate pairs meet
+  * only inside buckets: shuffle volume drops from n² to Σ_b |b|², and
+  * the hyperplanes are derived from md5 so every engine (and every round)
+  * agrees on them. An IVF variant would replace the hash bucketing with
+  * learned centroids; the plumbing is identical.
+  */
+object Similarity {
+
+  private val K = 5
+  private val Planes = 6
+  private val Dim = 64
+  private val NearDupCosine = 0.4
+
+  /** ±1.0 hyperplane weights, deterministically derived: weight(p, j) =
+    * +1 iff the low bit of the first hex digit of md5("p:j") is set.
+    * Computed driver-side (plan literals); the oracle re-derives them in
+    * SQL from the same md5 — no RNG, no state. */
+  private[ops] def planeWeights(p: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to Dim).map { j =>
+      val hex = md.digest(s"$p:$j".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if ((((hex(0) >> 4) & 0xf) & 1) == 1) 1.0 else -1.0
+    }.toArray
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** vec_id, v (double[]), n2 (squared norm). */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+  private def cosine(): Column =
+    dot(col("a.v"), col("b.v")) / sqrt(col("a.n2") * col("b.n2"))
+
+  private def topK(pairs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("vec_id"), col("neighbor_id"),
+              round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
+  // ------------------------------------------------------------ brute force
+  /** Exact cosine top-K neighbors for every vector (self excluded). */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val n = vecs(spark, dir)
+    val pairs = n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+              cosine().as("cos"))
+    topK(pairs)
+  }
+
+  private val vecsCte: String =
+    """n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+      |  FROM embeddings)""".stripMargin
+
+  private val dotSql: String =
+    s"list_sum(list_transform(generate_series(1, $Dim), i -> a.v[i] * b.v[i]))"
+
+  val bruteForceOracle: String =
+    s"""WITH $vecsCte,
+       |p AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         $dotSql / sqrt(a.n2 * b.n2) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= $K
+       |""".stripMargin
+
+  // -------------------------------------------------------------- LSH (ANN)
+  /** Sign-pattern bucket id of a vector against the fixed hyperplanes. */
+  private def bucket(v: Column): Column =
+    (0 until Planes).map { p =>
+      when(dot(v, typedLit(planeWeights(p))) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-K: candidates are restricted to the same LSH bucket.
+    * Vectors in sparse buckets may return fewer than K neighbors — that is
+    * the ANN recall trade-off, measured against [[bruteForceTopK]]. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val n = vecs(spark, dir).withColumn("bucket", bucket(col("v")))
+    val pairs = n.as("a").join(n.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+              cosine().as("cos"))
+    topK(pairs)
+  }
+
+  val lshOracle: String = {
+    // The weight table re-derives the same md5-based ±1 hyperplanes in SQL.
+    s"""WITH $vecsCte,
+       |wt AS (
+       |  SELECT p, i,
+       |         CASE WHEN (CAST(('0x' || substr(md5(p || ':' || i), 1, 1)) AS INT) & 1) = 1
+       |              THEN 1.0 ELSE -1.0 END AS w
+       |  FROM unnest(generate_series(0, ${Planes - 1})) t1(p),
+       |       unnest(generate_series(1, $Dim)) t2(i)),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN s >= 0 THEN pw ELSE 0 END) AS INT) AS bucket
+       |  FROM (
+       |    SELECT n.vec_id, (1 << wt.p) AS pw, sum(n.v[wt.i] * wt.w) AS s
+       |    FROM n, wt
+       |    GROUP BY 1, 2) sb
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         $dotSql / sqrt(a.n2 * b.n2) AS cos
+       |  FROM (SELECT n.*, sig.bucket FROM n JOIN sig USING (vec_id)) a
+       |  JOIN (SELECT n.*, sig.bucket FROM n JOIN sig USING (vec_id)) b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= $K
+       |""".stripMargin
+  }
+
+  // ------------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-duplicate pairs (exact, thresholded). At real
+    * scale near-dups sit at cosine ≥ 0.99 and hyperplane LSH concentrates
+    * them into shared buckets; this corpus is near-random so the
+    * threshold is calibrated low to exercise the operator. */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = vecs(spark, dir)
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round(cosine(), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupCosine)
+  }
+
+  val nearDupOracle: String =
+    s"""WITH $vecsCte
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round($dotSql / sqrt(a.n2 * b.n2), 6) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE round($dotSql / sqrt(a.n2 * b.n2), 6) >= $NearDupCosine
+       |""".stripMargin
+}
