@@ -24,7 +24,9 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) => graft.ops.Dedup.simhashPairs(s, dir)),
     "q_sim_bruteforce" -> ((s, dir) => graft.ops.Similarity.bruteForceTopK(s, dir)),
     "q_sim_ann_lsh" -> ((s, dir) => graft.ops.Similarity.lshTopK(s, dir)),
-    "q_dedup_embedding" -> ((s, dir) => graft.ops.Similarity.nearDupPairs(s, dir))
+    "q_dedup_embedding" -> ((s, dir) => graft.ops.Similarity.nearDupPairs(s, dir)),
+    "q_events_windowed" -> ((s, dir) => graft.streaming.EventOps.windowedQuery(s, dir)),
+    "q_events_sessions" -> ((s, dir) => graft.streaming.EventOps.sessionQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,6 +46,8 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> graft.ops.Dedup.simhashPairsOracle,
     "q_sim_bruteforce" -> graft.ops.Similarity.bruteForceOracle,
     "q_sim_ann_lsh" -> graft.ops.Similarity.lshOracle,
-    "q_dedup_embedding" -> graft.ops.Similarity.nearDupOracle
+    "q_dedup_embedding" -> graft.ops.Similarity.nearDupOracle,
+    "q_events_windowed" -> graft.streaming.EventOps.windowedOracle,
+    "q_events_sessions" -> graft.streaming.EventOps.sessionOracle
   )
 }

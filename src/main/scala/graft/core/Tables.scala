@@ -19,7 +19,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark cannot represent (µs max). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as a
+    * nanos-since-epoch long; truncate to micros exactly like DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast does, keeping both engines identical. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer DIV, not `/`: ns epochs (~1.7e18) overflow double's exact range
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Event-stream analytics. The reference has no streaming surface at all
+  * (SURVEY §2.12 — "incremental" processing is simulated with daily batch
+  * snapshots); this module adds the streaming-shaped operators a modern
+  * pipeline needs, built so the SAME transform runs in batch and in
+  * Structured Streaming: each operator is a DataFrame→DataFrame function;
+  * batch callers apply it to a parquet scan, streaming callers to a
+  * `readStream` source with a watermark (see [[streamingWindowedAgg]]).
+  *
+  * Scale notes: the windowed aggregate is a standard partial+final hash
+  * agg keyed by (window, event_type) — no skew risk with bounded event
+  * types × time buckets. Sessionization shuffles once on user_id; in
+  * streaming it holds one small state object per active (user) group and
+  * evicts by event-time timeout, so state is O(active users), not O(events).
+  */
+object EventOps {
+
+  private val SessionGapSeconds = 1800L
+
+  /** Exact money accumulation (order-independent across engines). */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  // ----------------------------------------------------------- windowed agg
+  /** Tumbling 1-hour aggregate per event type: counts, exact value sum,
+    * and a JSON-extracted metric sum (`props.k`). Works unchanged on a
+    * streaming frame (append a watermark first). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(money(col("value"))), 2).cast("double").as("total_value"),
+           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"), col("sum_k"))
+
+  /** The same aggregate as a late-data-tolerant streaming query. */
+  def streamingWindowedAgg(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    windowedAgg(stream.withWatermark("ts", watermark))
+
+  def windowedQuery(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(spark, dir))
+
+  val windowedOracle: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events
+      |GROUP BY 1, 2
+      |""".stripMargin
+
+  // ---------------------------------------------------------- sessionization
+  /** Batch sessionization: a session is a run of events per user with
+    * gaps < 30 minutes. Computed with lag + a running sum of gap-breaks —
+    * two passes over one user-partitioned sort, no self-join. Gap compare
+    * is in integer microseconds, so engines can't disagree on boundaries. */
+  def sessionize(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapBreak = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >
+        SessionGapSeconds * 1000000L, 1).otherwise(lit(0))
+    // first event of a user has lag NULL -> comparison NULL -> otherwise(0):
+    // session numbering starts at 0 for every user.
+    events
+      .withColumn("brk", gapBreak)
+      .withColumn("session_id",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           round(sum(money(col("value"))), 2).cast("double").as("session_value"))
+  }
+
+  def sessionQuery(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir))
+
+  val sessionOracle: String =
+    s"""WITH o AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+       |         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > ${SessionGapSeconds}000000
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM o)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |       min(ts) AS session_start,
+       |       max(ts) AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
+       |FROM s GROUP BY 1, 2
+       |""".stripMargin
+}
