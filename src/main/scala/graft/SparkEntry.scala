@@ -26,7 +26,8 @@ object SparkEntry {
     "q_sim_ann_lsh" -> ((s, dir) => graft.ops.Similarity.lshTopK(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => graft.ops.Similarity.nearDupPairs(s, dir)),
     "q_events_windowed" -> ((s, dir) => graft.streaming.EventOps.windowedQuery(s, dir)),
-    "q_events_sessions" -> ((s, dir) => graft.streaming.EventOps.sessionQuery(s, dir))
+    "q_events_sessions" -> ((s, dir) => graft.streaming.EventOps.sessionQuery(s, dir)),
+    "q_multimodal_features" -> ((s, dir) => graft.ops.Multimodal.features(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,6 +49,7 @@ object SparkEntry {
     "q_sim_ann_lsh" -> graft.ops.Similarity.lshOracle,
     "q_dedup_embedding" -> graft.ops.Similarity.nearDupOracle,
     "q_events_windowed" -> graft.streaming.EventOps.windowedOracle,
-    "q_events_sessions" -> graft.streaming.EventOps.sessionOracle
+    "q_events_sessions" -> graft.streaming.EventOps.sessionOracle,
+    "q_multimodal_features" -> graft.ops.Multimodal.featuresOracle
   )
 }
