@@ -33,7 +33,7 @@ object Similarity {
     * +1 iff the low bit of the first hex digit of md5("p:j") is set.
     * Computed driver-side (plan literals); the oracle re-derives them in
     * SQL from the same md5 — no RNG, no state. */
-  private[ops] def planeWeights(p: Int): Array[Double] = {
+  private[graft] def planeWeights(p: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (1 to Dim).map { j =>
       val hex = md.digest(s"$p:$j".getBytes("UTF-8"))

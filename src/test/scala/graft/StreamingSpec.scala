@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{Event, EventOps, SessionStream}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch: Spark's initial watermark is 0, and events with
+  // event-time <= watermark are dropped as late — epoch-0 events vanish
+  private def ts(min: Long): Timestamp = new Timestamp((min + 100) * 60000L)
+
+  private def ckpt(): String =
+    "/tmp/graft_ckpt_" + System.nanoTime()
+
+  test("stateful session stream: gap closes a session across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionStream.sessions(input.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sess_gap")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.25),
+                    Event(2, ts(10), 1, "view", 2.25))
+      q.processAllAvailable()
+      // 50-minute gap: next event closes the open session in-batch
+      input.addData(Event(3, ts(60), 1, "click", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_gap")
+        .as[graft.streaming.Session].collect()
+      assert(closed.length == 1)
+      val s = closed(0)
+      assert(s.user_id == 1 && s.n_events == 2 &&
+        s.session_start == ts(0) && s.session_end == ts(10) &&
+        s.session_value == 3.5)
+    } finally q.stop()
+  }
+
+  test("stateful session stream: event-time timeout closes idle sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = SessionStream.sessions(input.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      // another user's far-future event advances the watermark past the
+      // 30-minute gap horizon; user 7's session must time out
+      input.addData(Event(2, ts(500), 8, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(1000), 8, "view", 1.0))
+      q.processAllAvailable()
+      val users = spark.table("sess_timeout")
+        .as[graft.streaming.Session].collect().map(_.user_id).toSet
+      assert(users.contains(7L))
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg emits the same closed windows as batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = input.toDS()
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value",
+                  "'{\"k\": 1}' AS props")
+    val q = EventOps.streamingWindowedAgg(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val batch1 = Seq(
+        Event(1, ts(5), 1, "click", 1.5), Event(2, ts(20), 1, "click", 2.5),
+        Event(3, ts(30), 2, "view", 4.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // advance watermark beyond hour 0 so its windows close
+      input.addData(Event(4, ts(200), 1, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(400), 1, "click", 9.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("win_agg")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventOps.windowedAgg(
+        batch1.toDF().withColumn("props",
+          org.apache.spark.sql.functions.lit("""{"k": 1}""")))
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // all batch-1 windows are past the final watermark, hence closed and
+      // emitted by the stream with identical aggregates
+      assert(batch.subsetOf(streamed))
+      assert(streamed.exists(_._2 == "click") && streamed.exists(_._2 == "view"))
+    } finally q.stop()
+  }
+
+  test("batch sessionize: session count and totals are consistent") {
+    val events = graft.core.Tables.events(spark, sf)
+    val sessions = EventOps.sessionize(events)
+    val nEvents = events.count()
+    val totals = sessions.agg(
+      org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(totals == nEvents) // every event lands in exactly one session
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.ops.Dedup
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lower-cases, trims, splits on runs of whitespace") {
+    val out = Seq("  Hello   World  ").toDF("text")
+      .select(tokens(col("text"))).collect()(0).getSeq[String](0)
+    assert(out == Seq("hello", "world"))
+  }
+
+  test("shingles: distinct n-grams; short docs give empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(shingles(tokens(col("text")), 3).as("s"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("hash60 equals driver-side md5 prefix and is non-negative") {
+    val h = Seq("token").toDF("t").select(hash60(col("t"))).collect()(0).getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("token".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == java.lang.Long.parseLong(hex.take(15), 16))
+    assert(h >= 0)
+  }
+
+  test("vocabRatio counts token occurrences, not distinct hits") {
+    val r = Seq("the cat the dog").toDF("text")
+      .select(vocabRatio(tokens(col("text")), Seq("the"))).collect()(0).getDouble(0)
+    assert(r == 0.5)
+  }
+
+  test("bpeTokenCount splits letter runs, digit runs, punctuation") {
+    val n = Seq("ab12 cd!").toDF("text")
+      .select(bpeTokenCount(col("text"))).collect()(0).getInt(0)
+    assert(n == 4) // ab | 12 | cd | !
+  }
+}
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup groups identical normalized texts on the corpus") {
+    val out = Dedup.exact(spark, sf)
+    // every doc appears exactly once and canonical <= doc_id
+    val rows = out.collect()
+    assert(rows.length == out.select("doc_id").distinct().count())
+    assert(rows.forall(r => r.getLong(r.fieldIndex("canonical_id")) <=
+      r.getLong(r.fieldIndex("doc_id"))))
+  }
+
+  test("minhash LSH finds the same high-similarity pairs as exact jaccard") {
+    val exact = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is a candidate filter + exact verify: subset of exact, and at
+    // this similarity threshold (0.8 with 4x4 bands) recall should be full
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact)
+  }
+
+  test("simhash of identical docs is identical; near-dup pairs are symmetric-free") {
+    val pairs = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+}
