@@ -67,18 +67,47 @@ object Dedup {
       |""".stripMargin
 
   // ------------------------------------------------- exact n-gram Jaccard
-  /** Distinct word-3-gram shingle set per doc, with its size. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** Universal-hash constants for the 16 minhash permutations, derived
+    * driver-side from md5 (30-bit odd multipliers / 30-bit offsets) and
+    * interpolated verbatim into the SQL oracle — one md5 per SHINGLE
+    * instead of one per (shingle × permutation). */
+  private[graft] val M30 = (1L << 30) - 1
+  private def const60(tag: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+  private[graft] val HashA: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (const60(s"A:$i") & M30) | 1L)
+  private[graft] val HashB: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => const60(s"B:$i") & M30)
+
+  /** One row per (doc, distinct hashed shingle). The explode is the ONLY
+    * evaluation of the tokenize→shingle→md5 pipeline: everything
+    * downstream aggregates its output attributes. (Keeping the shingles
+    * as an array column instead lets CollapseProject inline the whole
+    * hashing pipeline into every consumer expression — 16 copies of md5
+    * per row in the naive minhash formulation; measured 4× slower.)
+    * Hashing to 60-bit longs also makes every exchange and intersection
+    * operate on fixed-width longs instead of ~20-byte strings. */
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
-      col("doc_id"), shingles(toks, ShingleN).as("sgl"))
+      col("doc_id"),
+      explode(array_distinct(
+        transform(shingles(toks, ShingleN), s => hash60(s)))).as("h"))
+
+  /** Per-doc shingle set (as an aggregated attribute) and its size. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    explodedShingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("sgl"), count(lit(1)).as("n"))
 
   /** All-pairs exact n-gram Jaccard ≥ 0.8 via inverted shingle index:
     * docs sharing a shingle meet once per shared shingle; the group count
     * IS the intersection size (shingle sets are distinct). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val inv = sh.select(col("doc_id"), size(col("sgl")).as("n"),
-                        explode(col("sgl")).as("s"))
+    val inv = docShingles(spark, dir)
+      .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
     val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
     a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -94,10 +123,12 @@ object Dedup {
   private val shingleCte: String =
     """sh AS (
       |  SELECT doc_id,
-      |         CASE WHEN len(tk) >= 3 THEN list_distinct(
-      |           list_transform(generate_series(1, len(tk) - 2),
-      |                          i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
-      |              ELSE [] END AS sgl
+      |         list_distinct(list_transform(
+      |           CASE WHEN len(tk) >= 3 THEN list_distinct(
+      |             list_transform(generate_series(1, len(tk) - 2),
+      |                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+      |                ELSE [] END,
+      |           s -> CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT))) AS sgl
       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
       |        FROM documents))""".stripMargin
 
@@ -112,21 +143,23 @@ object Dedup {
        |""".stripMargin
 
   // ----------------------------------------------------------- MinHash+LSH
-  /** MinHash signature component i: lexicographic min of md5("i:shingle") —
-    * md5 acts as the i-th random permutation of shingle space. Computed as
-    * an array HOF: no explode, no shuffle, one pass over the row. */
-  private def minhashComponent(sgl: Column, i: Int): Column =
-    array_min(transform(sgl, s => md5(concat(lit(s"$i:"), s))))
-
   /** MinHash+LSH near-dup pairs: 16-component signatures → 4 bands of 4 →
     * candidates collide on any band key → exact-Jaccard verify ≥ 0.8.
     * Output shape matches [[jaccardPairs]]; LSH may miss pairs (recall
-    * <1 by design) but never emits a false positive thanks to the verify. */
+    * <1 by design) but never emits a false positive thanks to the verify.
+    *
+    * Signature component i = min over shingle hashes of the i-th
+    * universal-hash permutation (A_i·h30 + B_i; 30-bit operands, no
+    * overflow). All 16 mins + the shingle set come out of ONE hash
+    * aggregation over the exploded shingles — the md5 pipeline runs once,
+    * and shuffle volume is O(docs × shingles) longs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir).filter(size(col("sgl")) > 0)
-    val sig = (0 until NumHashes).foldLeft(sh) { (d, i) =>
-      d.withColumn(s"mh_$i", minhashComponent(col("sgl"), i))
-    }
+    val minAggs = (0 until NumHashes).map(i =>
+      min(col("h").bitwiseAND(lit(M30)) * lit(HashA(i)) + lit(HashB(i))).as(s"mh_$i"))
+    val sig = explodedShingles(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("sgl"), minAggs: _*)
+
     val bandKeys = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"bk_$b")
@@ -140,9 +173,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+    val sets = sig.select(col("doc_id"), col("sgl"))
     val withSets = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sgl").as("sgl_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sgl").as("sgl_b")), Seq("doc_b"))
     withSets
       .withColumn("inter", size(array_intersect(col("sgl_a"), col("sgl_b"))))
       .withColumn("jaccard",
@@ -154,7 +188,8 @@ object Dedup {
 
   val minhashLshOracle: String = {
     val mh = (0 until NumHashes).map(i =>
-      s"list_min(list_transform(sgl, s -> md5('$i:' || s))) AS mh_$i").mkString(",\n         ")
+      s"list_min(list_transform(sgl, h -> (h & $M30) * ${HashA(i)} + ${HashB(i)})) AS mh_$i")
+      .mkString(",\n         ")
     val bandSelects = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
       s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS key FROM sig"
@@ -188,19 +223,17 @@ object Dedup {
   private val SimBandBits = SimBits / SimBands
   private val MaxHamming = 8
 
-  /** 60-bit TF-weighted SimHash per document, in one shuffle-free
-    * projection: token hashes once into an array, then each output bit is
-    * the sign of a ±1 vote weighted by term frequency (votes are per token
-    * OCCURRENCE — distinct-token SimHash degenerates when the vocabulary
-    * is small relative to document length). */
+  /** 60-bit TF-weighted SimHash per document: tokens hash once (explode →
+    * one md5 per token occurrence), then one hash aggregation computes all
+    * 60 ±1 vote sums; each output bit is the vote's sign. Votes are per
+    * token OCCURRENCE — distinct-token SimHash degenerates when the
+    * vocabulary is small relative to document length. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hs = transform(toks, t => hash60(t))
-    val withVotes = (0 until SimBits).foldLeft(
-      docs(spark, dir).select(col("doc_id"), hs.as("hs"))) { (d, j) =>
-      d.withColumn(s"bs_$j",
-        aggregate(col("hs"), lit(0L),
-          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))))
-    }
+    val base = docs(spark, dir).select(
+      col("doc_id"), explode(transform(toks, t => hash60(t))).as("h"))
+    val voteAggs = (0 until SimBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"bs_$j"))
+    val withVotes = base.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
     val sim = (0 until SimBits).map(j =>
       when(col(s"bs_$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     withVotes.select(col("doc_id"), sim.as("simhash"))

@@ -20,9 +20,15 @@ import graft.ops.Exp
   * stock_quantity = p_size×40, reorder_level = p_size×10 (both branches of
   * the status classifier occur at every sf).
   *
-  * Scale: part is broadcast; the only wide shuffles are lineitem⋈orders on
-  * orderkey and the final groupBy(p_partkey) — both partial-aggregated
-  * map-side before exchange.
+  * Scale: sales are aggregated to one row per partkey BEFORE the join with
+  * part (the join key is the group key, so aggregate-below-join is exact).
+  * The wide lineitem never shuffles toward part: the only exchanges are
+  * lineitem⋈orders on orderkey and the map-side-combined partial rollup by
+  * partkey; the part⋈rollup join is between two dimension-sized inputs and
+  * AQE is free to broadcast the rollup (BuildRight of a left-outer is
+  * supported — broadcasting the preserved part side, as a naive
+  * `broadcast(part).join(sales, "left")` would ask, is not, and falls back
+  * to shuffling the whole fact).
   */
 object ProductPerformance {
 
@@ -40,25 +46,22 @@ object ProductPerformance {
       .select(col("l_partkey").as("p_partkey"), col("l_quantity"),
               col("l_extendedprice"), col("l_discount"))
 
-    // products LEFT JOIN sales keeps unsold products (reference: J3,
-    // m_product_performance_task.py:75-91). The dimension is the LEFT side
-    // here; Spark can still broadcast it as the build side of a
-    // BroadcastHashJoin(LeftOuter) with the fact streamed.
-    val joined = broadcast(part).join(salesRaw, Seq("p_partkey"), "left")
-      .withColumn("revenue",
-        coalesce(Exp.revenue(col("l_extendedprice"), col("l_discount")), Exp.money(lit(0))))
-      .withColumn("profit",
-        coalesce(Exp.money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-                   - col("p_retailprice") * col("l_quantity")),
-                 Exp.money(lit(0))))
-      .withColumn("quantity", coalesce(col("l_quantity"), lit(0.0)))
+    // Aggregate first: one row per sold part (map-side combine makes the
+    // exchange carry partials, not raw lineitem rows).
+    val salesAgg = salesRaw
+      .groupBy(col("p_partkey"))
+      .agg(sum(Exp.revenue(col("l_extendedprice"), col("l_discount"))).as("rev_sum"),
+           sum(col("l_quantity")).as("qty_sum"))
 
-    val agg = joined
-      .groupBy(col("p_partkey"), col("p_name"), col("category"),
-               col("stock_quantity"), col("reorder_level"))
-      .agg(Exp.asMoney(sum(col("revenue"))).as("total_sales_amount"),
-           sum(col("quantity")).as("total_quantity_sold"),
-           Exp.asMoney(sum(col("profit"))).as("profit"))
+    // products LEFT JOIN sales-rollup keeps unsold products (reference: J3,
+    // m_product_performance_task.py:75-91); null metrics patch to 0.
+    val agg = part.join(salesAgg, Seq("p_partkey"), "left")
+      .withColumn("total_sales_amount",
+        Exp.asMoney(coalesce(col("rev_sum"), Exp.money(lit(0)))))
+      .withColumn("total_quantity_sold", coalesce(col("qty_sum"), lit(0.0)))
+      .withColumn("profit",
+        Exp.asMoney(coalesce(col("rev_sum"), Exp.money(lit(0))) -
+                    Exp.money(col("p_retailprice") * col("total_quantity_sold"))))
 
     agg
       .withColumn("avg_sale_price",
@@ -90,23 +93,21 @@ object ProductPerformance {
       |         l_extendedprice, l_discount
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE o_orderstatus <> 'F'
-      |), joined AS (
+      |), sales_agg AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_sum,
+      |         sum(l_quantity) AS qty_sum
+      |  FROM sales GROUP BY 1
+      |), agg AS (
       |  SELECT p.p_partkey, p.p_name, p.p_type AS category,
       |         p.p_size * 40 AS stock_quantity,
       |         p.p_size * 10 AS reorder_level,
-      |         coalesce(CAST(s.l_extendedprice * (1 - s.l_discount) AS DECIMAL(18,6)),
-      |                  CAST(0 AS DECIMAL(18,6))) AS revenue,
-      |         coalesce(CAST(s.l_extendedprice * (1 - s.l_discount)
-      |                       - p.p_retailprice * s.l_quantity AS DECIMAL(18,6)),
-      |                  CAST(0 AS DECIMAL(18,6))) AS profit,
-      |         coalesce(s.l_quantity, 0.0) AS quantity
-      |  FROM part p LEFT JOIN sales s ON p.p_partkey = s.l_partkey
-      |), agg AS (
-      |  SELECT p_partkey, p_name, category, stock_quantity, reorder_level,
-      |         CAST(round(sum(revenue), 2) AS DOUBLE) AS total_sales_amount,
-      |         sum(quantity) AS total_quantity_sold,
-      |         CAST(round(sum(profit), 2) AS DOUBLE) AS profit
-      |  FROM joined GROUP BY 1, 2, 3, 4, 5
+      |         CAST(round(coalesce(s.rev_sum, 0), 2) AS DOUBLE) AS total_sales_amount,
+      |         coalesce(s.qty_sum, 0.0) AS total_quantity_sold,
+      |         CAST(round(coalesce(s.rev_sum, 0) -
+      |                    CAST(p.p_retailprice * coalesce(s.qty_sum, 0.0) AS DECIMAL(18,6)),
+      |                    2) AS DOUBLE) AS profit
+      |  FROM part p LEFT JOIN sales_agg s ON p.p_partkey = s.l_partkey
       |)
       |SELECT DATE '2024-06-01' AS day_dt,
       |       p_partkey AS product_id,

@@ -58,10 +58,11 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH is a candidate filter + exact verify: subset of exact, and at
-    // this similarity threshold (0.8 with 4x4 bands) recall should be full
+    // LSH is a candidate filter + exact verify: never a false positive
+    // (subset), and recall at J>=0.8 with 4x4 bands is
+    // 1-(1-J^4)^4 ~ 0.87+ per pair — assert a conservative floor
     assert(lsh.subsetOf(exact))
-    assert(lsh == exact)
+    assert(lsh.size.toDouble >= exact.size * 0.8)
   }
 
   test("simhash of identical docs is identical; near-dup pairs are symmetric-free") {
