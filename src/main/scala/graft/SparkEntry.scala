@@ -27,7 +27,10 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) => graft.ops.Similarity.nearDupPairs(s, dir)),
     "q_events_windowed" -> ((s, dir) => graft.streaming.EventOps.windowedQuery(s, dir)),
     "q_events_sessions" -> ((s, dir) => graft.streaming.EventOps.sessionQuery(s, dir)),
-    "q_multimodal_features" -> ((s, dir) => graft.ops.Multimodal.features(s, dir))
+    "q_multimodal_features" -> ((s, dir) => graft.ops.Multimodal.features(s, dir)),
+    "q_reconcile_diff" -> ((s, dir) => graft.ops.EngineQueries.reconcileDiff(s, dir)),
+    "q_validate_dups" -> ((s, dir) => graft.ops.EngineQueries.validateDups(s, dir)),
+    "q_schema_conform" -> ((s, dir) => graft.ops.EngineQueries.schemaConform(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,6 +53,9 @@ object SparkEntry {
     "q_dedup_embedding" -> graft.ops.Similarity.nearDupOracle,
     "q_events_windowed" -> graft.streaming.EventOps.windowedOracle,
     "q_events_sessions" -> graft.streaming.EventOps.sessionOracle,
-    "q_multimodal_features" -> graft.ops.Multimodal.featuresOracle
+    "q_multimodal_features" -> graft.ops.Multimodal.featuresOracle,
+    "q_reconcile_diff" -> graft.ops.EngineQueries.reconcileDiffOracle,
+    "q_validate_dups" -> graft.ops.EngineQueries.validateDupsOracle,
+    "q_schema_conform" -> graft.ops.EngineQueries.schemaConformOracle
   )
 }

@@ -52,7 +52,12 @@ object SupplierPerformance {
   }
 
   def build(spark: SparkSession, dir: String): DataFrame = {
+    // the product rollup feeds BOTH the supplier re-rollup and the top-1
+    // ranking branch — persist at the cut (it is dimension-sized: one row
+    // per (supplier, part) pair with sales) so the fact-table join+agg
+    // pipeline runs once
     val prod = productLevel(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // AGG supplier level — re-rollup of the product rollup (reference: A2,
     // m_supplier_performance_task.py:133-141).
