@@ -1,0 +1,40 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The reference's two-layer snapshot warehouse (SURVEY §1.1) as a
+  * storage-agnostic surface: `{entity}_pre` staging replaced per run,
+  * `{entity}` history appended per run keyed by the injected load date.
+  *
+  * The reference binds this to PostgreSQL over single-partition JDBC
+  * (utils.py:145-163) — its #1 bottleneck. This parquet implementation
+  * partitions history by `day_dt`, so every "today's snapshot" read
+  * (`DAY_DT = current_date()` in the reference,
+  * m_customer_sales_report_task.py:82-84) becomes a partition-pruned scan
+  * instead of a full-table filter; a JDBC-backed implementation plugs in
+  * through the same trait with partitioned writes.
+  */
+trait Warehouse {
+  def writeStaging(df: DataFrame, entity: String): Unit
+  def appendHistory(df: DataFrame, entity: String): Unit
+  def readStaging(spark: SparkSession, entity: String): DataFrame
+  def readHistory(spark: SparkSession, entity: String): DataFrame
+}
+
+final class ParquetWarehouse(root: String) extends Warehouse {
+  private def stagingPath(entity: String) = s"$root/raw/${entity}_pre"
+  private def historyPath(entity: String) = s"$root/legacy/$entity"
+
+  def writeStaging(df: DataFrame, entity: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(stagingPath(entity))
+
+  def appendHistory(df: DataFrame, entity: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy("day_dt")
+      .parquet(historyPath(entity))
+
+  def readStaging(spark: SparkSession, entity: String): DataFrame =
+    spark.read.parquet(stagingPath(entity))
+
+  def readHistory(spark: SparkSession, entity: String): DataFrame =
+    spark.read.parquet(historyPath(entity))
+}

@@ -31,7 +31,11 @@ final case class DiffResult(
     /** Rows whose PK exists only in the target. */
     targetOnly: DataFrame,
     /** (column_name, mismatch_count) summary. */
-    columnSummary: DataFrame)
+    columnSummary: DataFrame,
+    /** (metric, count) rows — the reference's reconciliation report
+      * header (source/target/common/extra/mismatched row counts,
+      * Raptor.py:271-438). */
+    rowCounts: DataFrame)
 
 object Reconcile {
 
@@ -71,10 +75,24 @@ object Reconcile {
     val summary = mismatches.groupBy(col("column_name"))
       .agg(count(lit(1)).as("mismatch_count"))
 
+    val sourceOnly = src.join(tgt.select(pk.map(col): _*), pk, "left_anti")
+    val targetOnly = tgt.join(src.select(pk.map(col): _*), pk, "left_anti")
+    def counted(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("count")).select(lit(label).as("metric"), col("count"))
+    val rowCounts =
+      counted("source_rows", src)
+        .union(counted("target_rows", tgt))
+        .union(counted("common_keys", joined))
+        .union(counted("source_only", sourceOnly))
+        .union(counted("target_only", targetOnly))
+        .union(counted("mismatched_rows",
+          mismatches.select(pk.map(col): _*).distinct()))
+
     DiffResult(
       cellMismatches = mismatches,
-      sourceOnly = src.join(tgt.select(pk.map(col): _*), pk, "left_anti"),
-      targetOnly = tgt.join(src.select(pk.map(col): _*), pk, "left_anti"),
-      columnSummary = summary)
+      sourceOnly = sourceOnly,
+      targetOnly = targetOnly,
+      columnSummary = summary,
+      rowCounts = rowCounts)
   }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import graft.connect.{Csv, ParquetWarehouse, Rest, SourceRegistry}
+import graft.core.RunDate
+import graft.pipelines.Ingestion
+import graft.validate.DuplicateException
+
+class ConnectSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val contract = StructType(Seq(
+    StructField("SALE_ID", LongType),
+    StructField("AMOUNT", DoubleType),
+    StructField("STATUS", StringType)))
+
+  test("contract-first CSV read: no inference, drifted headers conform by name") {
+    val dir = tmpDir("graft_csv")
+    Files.writeString(java.nio.file.Path.of(dir, "sales.csv"),
+      "sale id ,Amount,status,extra\n1,9.5,OK,x\n2,3.25,OK,y\n")
+    // schema-first read of the raw text shape
+    val raw = Csv.readInferred(spark, s"$dir/sales.csv")
+    val conformed = graft.schema.SchemaOps.conformByName(raw, contract)
+    val rows = conformed.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSet == Set((1L, 9.5, "OK"), (2L, 3.25, "OK")))
+  }
+
+  test("datedPath resolves {date} template") {
+    assert(Csv.datedPath("gs://bucket/{date}/sales_{date}.csv",
+      java.time.LocalDate.of(2024, 6, 1)) ==
+      "gs://bucket/20240601/sales_20240601.csv")
+  }
+
+  test("REST JSON source: fake transport, contract projection, bearer header") {
+    val body = """{"data":[{"SALE_ID":1,"AMOUNT":5.5,"STATUS":"OK"},
+                 |        {"SALE_ID":2,"AMOUNT":6.5,"STATUS":"OK"}]}""".stripMargin
+    val df = Rest.readData(spark, "http://fake/api", contract, _ => body)
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Rest.bearer("tok") == Map("Authorization" -> "Bearer tok"))
+  }
+
+  test("source registry dispatches and rejects unknown sources") {
+    val reg = SourceRegistry.empty
+      .withSource("corpus")((s, arg) => graft.core.Tables.load(s, sf, arg))
+    assert(reg.read(spark, "corpus", "region").count() > 0)
+    val e = intercept[IllegalArgumentException](reg.read(spark, "nope", "x"))
+    assert(e.getMessage.contains("corpus"))
+  }
+
+  test("ingestion: conform + gates + two-layer snapshot write, history accumulates") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(tmpDir("graft_wh"))
+    val day1 = Seq((1L, 5.0, "OK"), (2L, 6.0, "OK")).toDF("sale id", "amount", "status")
+    val day2 = Seq((3L, 7.0, "OK")).toDF("sale id", "amount", "status")
+
+    val r1 = Ingestion.ingest(day1, "sales", contract, Seq("SALE_ID"),
+      RunDate("2024-06-01"), wh)
+    assert(r1.rows == 2 && r1.drift.isClean)
+    Ingestion.ingest(day2, "sales", contract, Seq("SALE_ID"),
+      RunDate("2024-06-02"), wh)
+
+    // staging holds only the latest run; history accumulates both
+    assert(wh.readStaging(spark, "sales").count() == 1)
+    val hist = wh.readHistory(spark, "sales")
+    assert(hist.count() == 3)
+    // day_dt partition pruning: filter reads one partition
+    assert(hist.filter($"day_dt" === "2024-06-01").count() == 2)
+  }
+
+  test("ingestion: duplicate gate aborts before any write") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(tmpDir("graft_wh_dup"))
+    val dup = Seq((1L, 5.0, "OK"), (1L, 6.0, "OK")).toDF("sale_id", "amount", "status")
+    intercept[DuplicateException] {
+      Ingestion.ingest(dup, "sales", contract, Seq("SALE_ID"),
+        RunDate("2024-06-01"), wh)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      wh.readStaging(spark, "sales").collect() // nothing was written
+    }
+  }
+}

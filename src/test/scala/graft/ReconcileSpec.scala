@@ -27,6 +27,16 @@ class ReconcileSpec extends SparkSpec {
     assert(summary == Map("name" -> 1L, "amt" -> 1L))
   }
 
+  test("row-count summary matches the diff surfaces") {
+    val tgt = Seq((1, "alice", 10.0), (2, "bobby", 20.0), (4, "dave", 40.0))
+      .toDF("id", "name", "amt")
+    val counts = Reconcile.diff(src, tgt, Seq("id")).rowCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(
+      "source_rows" -> 3L, "target_rows" -> 3L, "common_keys" -> 2L,
+      "source_only" -> 1L, "target_only" -> 1L, "mismatched_rows" -> 1L))
+  }
+
   test("anti-join extras: keys only on one side") {
     val tgt = Seq((2, "bob", 20.0), (4, "dave", 40.0)).toDF("id", "name", "amt")
     val d = Reconcile.diff(src, tgt, Seq("id"))
