@@ -30,7 +30,8 @@ object SparkEntry {
     "q_multimodal_features" -> ((s, dir) => graft.ops.Multimodal.features(s, dir)),
     "q_reconcile_diff" -> ((s, dir) => graft.ops.EngineQueries.reconcileDiff(s, dir)),
     "q_validate_dups" -> ((s, dir) => graft.ops.EngineQueries.validateDups(s, dir)),
-    "q_schema_conform" -> ((s, dir) => graft.ops.EngineQueries.schemaConform(s, dir))
+    "q_schema_conform" -> ((s, dir) => graft.ops.EngineQueries.schemaConform(s, dir)),
+    "q_events_rollup" -> ((s, dir) => graft.streaming.EventOps.rollupQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,6 +57,7 @@ object SparkEntry {
     "q_multimodal_features" -> graft.ops.Multimodal.featuresOracle,
     "q_reconcile_diff" -> graft.ops.EngineQueries.reconcileDiffOracle,
     "q_validate_dups" -> graft.ops.EngineQueries.validateDupsOracle,
-    "q_schema_conform" -> graft.ops.EngineQueries.schemaConformOracle
+    "q_schema_conform" -> graft.ops.EngineQueries.schemaConformOracle,
+    "q_events_rollup" -> graft.streaming.EventOps.rollupOracle
   )
 }

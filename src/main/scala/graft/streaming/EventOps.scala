@@ -56,6 +56,36 @@ object EventOps {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  // ------------------------------------------------------------- rollup agg
+  /** Daily/event-type rollup with subtotals and a grand total (grouping
+    * sets). One hash aggregation; subtotal rows are computed by Spark's
+    * Expand, not extra scans. */
+  def rollupQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(money(col("value"))), 2).cast("double").as("total_value"))
+
+  val rollupOracle: String =
+    """SELECT event_type,
+      |       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY ROLLUP (event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE))
+      |""".stripMargin
+
+  // --------------------------------------------------------- streaming dedup
+  /** Streaming exact dedup: keeps the first event per key within the
+    * watermark horizon, state evicted as the watermark passes — the
+    * streaming twin of [[graft.ops.Dedup.exact]] for at-least-once
+    * sources. */
+  def streamingDedup(stream: DataFrame, keys: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ---------------------------------------------------------- sessionization
   /** Batch sessionization: a session is a run of events per user with
     * gaps < 30 minutes. Computed with lag + a running sum of gap-breaks —

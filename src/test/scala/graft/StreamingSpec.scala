@@ -97,6 +97,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate keys, keeps first") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventOps.streamingDedup(input.toDS().toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+                    Event(1, ts(1), 1, "click", 99.0), // dup key in-batch
+                    Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(3), 2, "view", 88.0)) // dup key cross-batch
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+        .map(r => (r.getLong(r.fieldIndex("event_id")),
+                   r.getDouble(r.fieldIndex("value"))))
+      assert(rows.toSet == Set((1L, 1.0), (2L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("rollup query: base rows + subtotals + grand total") {
+    val out = EventOps.rollupQuery(spark, sf)
+    val rows = out.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val base = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand(0).getLong(2) == base.map(_.getLong(2)).sum)
+  }
+
   test("batch sessionize: session count and totals are consistent") {
     val events = graft.core.Tables.events(spark, sf)
     val sessions = EventOps.sessionize(events)
