@@ -72,4 +72,15 @@ object Exp {
   /** Boolean surfaced as the *string* "true"/"false" — the reference's
     * TOP_PERFORMER type (reference: m_customer_sales_report_task.py:220-252). */
   def boolAsString(c: Column): Column = c.cast(StringType)
+
+  /** The reference's approxQuantile thresholds (Q1) for API parity:
+    * driver-side Greenwald–Khanna sketch, relErr 0.01 (reference:
+    * m_customer_sales_report_task.py:169-174). The customer-sales mart
+    * uses the in-plan exact `percentile` window instead (deterministic,
+    * no driver cut); this helper is for interactive profiling, where one
+    * pass over a 100 TB column beats an exact sort. */
+  def approxTiers(df: DataFrame, valueCol: String,
+                  probabilities: Array[Double] = Array(0.5, 0.8),
+                  relErr: Double = 0.01): Array[Double] =
+    df.stat.approxQuantile(valueCol, probabilities, relErr)
 }

@@ -86,6 +86,21 @@ object EventOps {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  // -------------------------------------------------------- warehouse sink
+  /** Continuously append a streaming frame's micro-batches into the
+    * two-layer warehouse history (foreachBatch: each batch is a normal
+    * DataFrame write, so the same [[graft.connect.Warehouse]] sink serves
+    * batch and streaming). Caller starts/stops the returned query. */
+  def toWarehouse(stream: DataFrame, warehouse: graft.connect.Warehouse,
+                  entity: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        warehouse.appendHistory(batch, entity)
+      }
+
   // ---------------------------------------------------------- sessionization
   /** Batch sessionization: a session is a run of events per user with
     * gaps < 30 minutes. Computed with lag + a running sum of gap-breaks —

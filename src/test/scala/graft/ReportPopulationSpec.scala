@@ -1,0 +1,53 @@
+package graft
+
+import graft.connect.ParquetWarehouse
+import graft.core.RunDate
+import graft.pipelines.Population
+import graft.reconcile.{Reconcile, Report}
+
+class ReportPopulationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reconciliation report renders counts, worst columns, and escaped samples") {
+    val src = Seq((1, "a<b"), (2, "y")).toDF("id", "v")
+    val tgt = Seq((1, "a>b"), (2, "y")).toDF("id", "v")
+    val html = Report.reconciliation(Reconcile.diff(src, tgt, Seq("id")))
+    assert(html.contains("<h3>Row counts</h3>"))
+    assert(html.contains("source_rows"))
+    assert(html.contains("a&lt;b") && html.contains("a&gt;b")) // escaped
+    assert(!html.contains("a<b"))
+  }
+
+  test("htmlTable bounds rows via limit") {
+    val html = Report.htmlTable(spark.range(1000).toDF("n"), n = 3)
+    assert(html.linesIterator.count(_.startsWith("<tr>")) == 4) // header + 3
+  }
+
+  test("population pipeline: REST fake -> backtick-safe rename -> guarded write") {
+    val body =
+      """{"data":[
+        |  {"ID Nation":"01000US","Nation":"United States","ID Year":2020,
+        |   "Year":"2020","Population":326569308,"Slug Nation":"united-states"},
+        |  {"ID Nation":"01000US","Nation":"United States","ID Year":2021,
+        |   "Year":"2021","Population":329725481,"Slug Nation":"united-states"}
+        |]}""".stripMargin
+    val wh = new ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_pop").toString)
+    val n = Population.run(spark, "http://fake/population", _ => body,
+      RunDate("2024-06-01"), wh)
+    assert(n == 2)
+    val out = wh.readStaging(spark, "population")
+    assert(out.columns.toSeq ==
+      Seq("id_nation", "nation", "id_year", "year", "population",
+          "slug_nation", "day_dt"))
+    assert(out.select("population").as[Long].collect().sorted.toSeq ==
+      Seq(326569308L, 329725481L))
+  }
+
+  test("approxTiers returns sketch quantiles within tolerance") {
+    val df = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    val Array(p50, p80) = graft.ops.Exp.approxTiers(df, "x")
+    assert(math.abs(p50 - 500) <= 1000 * 0.01 + 1)
+    assert(math.abs(p80 - 800) <= 1000 * 0.01 + 1)
+  }
+}

@@ -126,6 +126,23 @@ class StreamingSpec extends SparkSpec {
     assert(grand(0).getLong(2) == base.map(_.getLong(2)).sum)
   }
 
+  test("foreachBatch warehouse sink appends day_dt-stamped micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = new graft.connect.ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_stream_wh").toString)
+    val input = MemoryStream[Event]
+    val stamped = graft.ops.Exp.stampDayDt(
+      input.toDS().toDF(), graft.core.RunDate("2024-06-01"))
+    val q = EventOps.toWarehouse(stamped, wh, "events", ckpt()).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(wh.readHistory(spark, "events").count() == 2)
+    } finally q.stop()
+  }
+
   test("batch sessionize: session count and totals are consistent") {
     val events = graft.core.Tables.events(spark, sf)
     val sessions = EventOps.sessionize(events)
