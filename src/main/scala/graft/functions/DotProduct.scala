@@ -74,6 +74,7 @@ case class DotProduct(left: Expression, right: Expression)
   * a `spark.sql.extensions` config at session build time. Idempotent. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val ShingleName = "graft_shingle_hash"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -81,6 +82,11 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         DotName,
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        ShingleName,
+        (exprs: Seq[Expression]) => ShingleHash(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]),
         "built-in")
     }
   }

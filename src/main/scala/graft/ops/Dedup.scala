@@ -90,11 +90,13 @@ object Dedup {
     * per row in the naive minhash formulation; measured 4× slower.)
     * Hashing to 60-bit longs also makes every exchange and intersection
     * operate on fixed-width longs instead of ~20-byte strings. */
-  private def explodedShingles(spark: SparkSession, dir: String): DataFrame =
+  private def explodedShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     docs(spark, dir).select(
       col("doc_id"),
-      explode(array_distinct(
-        transform(shingles(toks, ShingleN), s => hash60(s)))).as("h"))
+      explode(call_function(graft.functions.GraftFunctions.ShingleName,
+        col("text"), lit(ShingleN))).as("h"))
+  }
 
   /** Per-doc shingle set (as an aggregated attribute) and its size. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
@@ -106,8 +108,13 @@ object Dedup {
     * docs sharing a shingle meet once per shared shingle; the group count
     * IS the intersection size (shingle sets are distinct). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // both sides of the self-join consume the inverted index; Spark does
+    // not reuse the exchange across the aliased sides (verified in the
+    // physical plan: 2 scans, 0 ReusedExchange), so persist the index —
+    // it is the operator's natural materialized artifact
     val inv = docShingles(spark, dir)
       .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
     a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -156,9 +163,13 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val minAggs = (0 until NumHashes).map(i =>
       min(col("h").bitwiseAND(lit(M30)) * lit(HashA(i)) + lit(HashB(i))).as(s"mh_$i"))
+    // sig feeds the band explode (self-joined) and both verification
+    // joins — 4 consumers, no exchange reuse across aliases: persist the
+    // signature table (the artifact an LSH pipeline materializes anyway)
     val sig = explodedShingles(spark, dir)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("sgl"), minAggs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandKeys = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
@@ -263,6 +274,7 @@ object Dedup {
     * then the full Hamming distance verifies ≤ [[MaxHamming]]. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sim = simhash(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until SimBands).map(b =>
       struct(lit(b).as("band"),
              shiftright(col("simhash"), b * SimBandBits)

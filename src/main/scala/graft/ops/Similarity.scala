@@ -113,7 +113,10 @@ object Similarity {
     * Vectors in sparse buckets may return fewer than K neighbors — that is
     * the ANN recall trade-off, measured against [[bruteForceTopK]]. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    // bucket signatures (6 dot products/row) feed both self-join sides;
+    // no exchange reuse across aliases — persist the bucketed table
     val n = vecs(spark, dir).withColumn("bucket", bucket(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = n.as("a").join(n.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),

@@ -137,13 +137,17 @@ object TextAnalysis {
 
   // ---------------------------------------------------------- fingerprint
   /** Content fingerprints: an exact fingerprint (md5 of the normalized
-    * token stream) and a shingle fingerprint (lexicographic min of the
-    * 3-shingle md5s — one minhash component, stable under small edits). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    * token stream) and a shingle fingerprint (minimum 60-bit-hashed
+    * 3-shingle — one minhash component, stable under small edits;
+    * computed by the native [[graft.functions.ShingleHash]] kernel). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     docs(spark, dir).select(
       col("doc_id"),
       md5(concat_ws(" ", toks)).as("exact_fp"),
-      array_min(transform(shingles(toks, 3), s => md5(s))).as("shingle_fp"))
+      array_min(call_function(graft.functions.GraftFunctions.ShingleName,
+        col("text"), lit(3))).as("shingle_fp"))
+  }
 
   val fingerprintOracle: String =
     """WITH t AS (
@@ -159,7 +163,8 @@ object TextAnalysis {
       |  FROM t)
       |SELECT doc_id,
       |       md5(array_to_string(tk, ' ')) AS exact_fp,
-      |       list_min(list_transform(sgl, s -> md5(s))) AS shingle_fp
+      |       list_min(list_transform(sgl,
+      |         s -> CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT))) AS shingle_fp
       |FROM sh
       |""".stripMargin
 }
