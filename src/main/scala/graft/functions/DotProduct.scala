@@ -75,6 +75,7 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_dot"
   val ShingleName = "graft_shingle_hash"
+  val SimHashName = "graft_simhash"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -87,6 +88,10 @@ object GraftFunctions {
         ShingleName,
         (exprs: Seq[Expression]) => ShingleHash(exprs(0),
           exprs(1).eval().asInstanceOf[Int]),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        SimHashName,
+        (exprs: Seq[Expression]) => SimHash60(exprs(0)),
         "built-in")
     }
   }

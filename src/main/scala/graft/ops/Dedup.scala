@@ -234,20 +234,17 @@ object Dedup {
   private val SimBandBits = SimBits / SimBands
   private val MaxHamming = 8
 
-  /** 60-bit TF-weighted SimHash per document: tokens hash once (explode →
-    * one md5 per token occurrence), then one hash aggregation computes all
-    * 60 ±1 vote sums; each output bit is the vote's sign. Votes are per
-    * token OCCURRENCE — distinct-token SimHash degenerates when the
-    * vocabulary is small relative to document length. */
+  /** 60-bit TF-weighted SimHash per document via the native
+    * [[graft.functions.SimHash60]] kernel (one pass over the tokens, no
+    * explode/shuffle). Votes are per token OCCURRENCE — distinct-token
+    * SimHash degenerates when the vocabulary is small relative to
+    * document length. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir).select(
-      col("doc_id"), explode(transform(toks, t => hash60(t))).as("h"))
-    val voteAggs = (0 until SimBits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"bs_$j"))
-    val withVotes = base.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val sim = (0 until SimBits).map(j =>
-      when(col(s"bs_$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    withVotes.select(col("doc_id"), sim.as("simhash"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    docs(spark, dir).select(
+      col("doc_id"),
+      call_function(graft.functions.GraftFunctions.SimHashName, col("text"))
+        .as("simhash"))
   }
 
   val simhashOracle: String = {
