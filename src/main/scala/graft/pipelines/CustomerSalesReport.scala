@@ -71,10 +71,6 @@ object CustomerSalesReport {
     val nation = Tables.nation(spark, dir)
       .select(col("n_nationkey"), col("n_name").as("city"))
 
-    // detail feeds BOTH the tier aggregation and the final join — persist
-    // at the cut so the scan+joins run once (the reference recomputed the
-    // shared upstream per action, SURVEY §3.3; caching here is the fix it
-    // itself applies in Raptor).
     val detail = sales
       .join(broadcast(part), sales("l_partkey") === part("p_partkey"), "left")
       .join(broadcast(cust), sales("o_custkey") === cust("c_custkey"), "inner")
@@ -83,11 +79,15 @@ object CustomerSalesReport {
               col("customer_name"), col("city"), col("product_name"),
               col("category"), col("sale_date"), col("l_quantity").as("quantity"),
               col("price"), col("sale_amount"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Per-customer aggregate; sale_amount is already rounded to cents, so
-    // accumulate as DECIMAL(18,2) — exact on both engines.
-    val agg = detail.groupBy(col("customer_id"))
+    // Per-customer aggregate from the NARROW pre-join sales frame, not
+    // from detail: tiers need only (custkey, sale_amount), so the second
+    // pass over the fact is a 2-column pruned scan instead of either
+    // recomputing the dimension joins or caching the wide detail frame
+    // (at 100 TB a pruned re-scan beats persisting detail). sale_amount
+    // is already rounded to cents — accumulate as DECIMAL(18,2), exact on
+    // both engines.
+    val agg = sales.groupBy(col("o_custkey").as("customer_id"))
       .agg(sum(col("sale_amount").cast("decimal(18,2)")).cast("double")
         .as("agg_sales_amount"))
 
@@ -143,9 +143,9 @@ object CustomerSalesReport {
       |  JOIN customer c ON s.o_custkey = c.c_custkey
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |), agg AS (
-      |  SELECT customer_id,
+      |  SELECT o_custkey AS customer_id,
       |         CAST(sum(CAST(sale_amount AS DECIMAL(18,2))) AS DOUBLE) AS agg_sales_amount
-      |  FROM detail GROUP BY 1
+      |  FROM sales GROUP BY 1
       |), q AS (
       |  SELECT quantile_cont(agg_sales_amount, 0.5) AS silver_tier,
       |         quantile_cont(agg_sales_amount, 0.8) AS gold_tier
