@@ -31,7 +31,9 @@ object SparkEntry {
     "q_reconcile_diff" -> ((s, dir) => graft.ops.EngineQueries.reconcileDiff(s, dir)),
     "q_validate_dups" -> ((s, dir) => graft.ops.EngineQueries.validateDups(s, dir)),
     "q_schema_conform" -> ((s, dir) => graft.ops.EngineQueries.schemaConform(s, dir)),
-    "q_events_rollup" -> ((s, dir) => graft.streaming.EventOps.rollupQuery(s, dir))
+    "q_events_rollup" -> ((s, dir) => graft.streaming.EventOps.rollupQuery(s, dir)),
+    "q_pii_scrub" -> ((s, dir) => graft.ops.PiiScrub.query(s, dir)),
+    "q_events_funnel" -> ((s, dir) => graft.ops.Funnel.query(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,6 +60,8 @@ object SparkEntry {
     "q_reconcile_diff" -> graft.ops.EngineQueries.reconcileDiffOracle,
     "q_validate_dups" -> graft.ops.EngineQueries.validateDupsOracle,
     "q_schema_conform" -> graft.ops.EngineQueries.schemaConformOracle,
-    "q_events_rollup" -> graft.streaming.EventOps.rollupOracle
+    "q_events_rollup" -> graft.streaming.EventOps.rollupOracle,
+    "q_pii_scrub" -> graft.ops.PiiScrub.oracle,
+    "q_events_funnel" -> graft.ops.Funnel.oracle
   )
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Sequential funnel analysis over the events table: for each user, the
+  * earliest time of each step where step N must occur strictly AFTER the
+  * user's step N-1 time (signup → click → purchase).
+  *
+  * Shape: one narrow scan per step joined on user_id — each step frame
+  * is a per-user aggregate (dimension-sized), so the joins are
+  * broadcast/small and the heavy input is scanned with only
+  * (user_id, event_type, ts) read. A single-pass alternative
+  * (collect per-user sorted event lists) trades shuffle volume for state
+  * size; at 100 TB the per-step aggregate form keeps memory flat.
+  */
+object Funnel {
+
+  val Steps = Seq("signup", "click", "purchase")
+
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+
+    // step 1: first signup per user
+    val s1 = ev.filter(col("event_type") === Steps(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    // step 2: first click after t1
+    val s2 = ev.filter(col("event_type") === Steps(1)).join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    // step 3: first purchase after t2
+    val s3 = ev.filter(col("event_type") === Steps(2)).join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+
+    s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+      .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+                + when(col("t3").isNotNull, 1).otherwise(0)).as("reached_step"))
+  }
+
+  val oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+      |       1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS reached_step
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |""".stripMargin
+}
