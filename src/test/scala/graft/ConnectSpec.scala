@@ -70,6 +70,30 @@ class ConnectSpec extends SparkSpec {
     assert(hist.filter($"day_dt" === "2024-06-01").count() == 2)
   }
 
+  test("marts materialize snapshots into warehouse history with gates") {
+    val wh = new ParquetWarehouse(tmpDir("graft_marts"))
+    val counts = graft.pipelines.Marts.runAll(spark, sf, RunDate("2024-06-01"), wh)
+    assert(counts.keySet == Set("supplier_performance", "product_performance",
+      "customer_sales_report"))
+    assert(counts.values.forall(_ > 0))
+    val sp = wh.readHistory(spark, "supplier_performance")
+    assert(sp.count() == counts("supplier_performance"))
+    assert(sp.columns.contains("day_dt"))
+  }
+
+  test("mart gate catches the corpus's planted duplicate sale keys") {
+    // the synthetic corpus contains duplicate (orderkey, linenumber)
+    // pairs by design — a SALE_ID-only snapshot key must abort the load
+    val wh = new ParquetWarehouse(tmpDir("graft_marts_dup"))
+    val csrWithRefKey = graft.pipelines.Marts.Mart(
+      "csr_refkey", Seq("sale_id"),
+      (s, d) => graft.pipelines.CustomerSalesReport.build(s, d))
+    intercept[DuplicateException] {
+      graft.pipelines.Marts.materialize(spark, sf, csrWithRefKey,
+        RunDate("2024-06-01"), wh)
+    }
+  }
+
   test("ingestion: duplicate gate aborts before any write") {
     import spark.implicits._
     val wh = new ParquetWarehouse(tmpDir("graft_wh_dup"))
