@@ -33,7 +33,8 @@ object SparkEntry {
     "q_schema_conform" -> ((s, dir) => graft.ops.EngineQueries.schemaConform(s, dir)),
     "q_events_rollup" -> ((s, dir) => graft.streaming.EventOps.rollupQuery(s, dir)),
     "q_pii_scrub" -> ((s, dir) => graft.ops.PiiScrub.query(s, dir)),
-    "q_events_funnel" -> ((s, dir) => graft.ops.Funnel.query(s, dir))
+    "q_events_funnel" -> ((s, dir) => graft.ops.Funnel.query(s, dir)),
+    "q_corpus_clean" -> ((s, dir) => graft.ops.CorpusClean.query(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +63,7 @@ object SparkEntry {
     "q_schema_conform" -> graft.ops.EngineQueries.schemaConformOracle,
     "q_events_rollup" -> graft.streaming.EventOps.rollupOracle,
     "q_pii_scrub" -> graft.ops.PiiScrub.oracle,
-    "q_events_funnel" -> graft.ops.Funnel.oracle
+    "q_events_funnel" -> graft.ops.Funnel.oracle,
+    "q_corpus_clean" -> graft.ops.CorpusClean.oracle
   )
 }
