@@ -135,6 +135,36 @@ object TextAnalysis {
        |""".stripMargin
   }
 
+  // ---------------------------------------------------------------- vocab
+  /** Corpus vocabulary: per token, document frequency, total occurrence
+    * count, and frequency rank. One explode + one hash aggregation; the
+    * rank window runs over the (bounded, dimension-sized) vocabulary,
+    * not the corpus. */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_count").desc, col("token"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+           count(lit(1)).as("total_count"))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  val vocabOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |agg AS (
+      |  SELECT token,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      |         CAST(count(*) AS BIGINT) AS total_count
+      |  FROM tok GROUP BY 1)
+      |SELECT token, doc_freq, total_count,
+      |       CAST(row_number() OVER (ORDER BY total_count DESC, token) AS INT) AS rank
+      |FROM agg
+      |""".stripMargin
+
   // ---------------------------------------------------------- fingerprint
   /** Content fingerprints: an exact fingerprint (md5 of the normalized
     * token stream) and a shingle fingerprint (minimum 60-bit-hashed

@@ -104,9 +104,13 @@ object CustomerSalesReport {
                 .otherwise("BRONZE").as("loyalty_tier"))
 
     // Top-selling product names (one per supplier) → TOP_PERFORMER flag.
-    val top = SupplierPerformance.build(spark, dir)
-      .select(col("top_selling_product"))
-      .filter(col("top_selling_product") =!= "No Sales")
+    // Only the product-level rollup + rank is needed — NOT the full
+    // supplier mart (its supplier-table joins and null patches are
+    // irrelevant here and the oracle's `top` CTE never had them).
+    val top = graft.ops.Rnk.topKPerGroup(
+        SupplierPerformance.productLevel(spark, dir),
+        Seq("l_suppkey"), col("product_revenue"), Seq(col("p_partkey")))
+      .select(col("p_name").as("top_selling_product"))
 
     val withTier = detail.join(broadcast(tiers), Seq("customer_id"), "left")
     val flagged = Jnr.flagJoin(withTier, top, "product_name",
