@@ -35,7 +35,8 @@ object SparkEntry {
     "q_pii_scrub" -> ((s, dir) => graft.ops.PiiScrub.query(s, dir)),
     "q_events_funnel" -> ((s, dir) => graft.ops.Funnel.query(s, dir)),
     "q_corpus_clean" -> ((s, dir) => graft.ops.CorpusClean.query(s, dir)),
-    "q_text_vocab" -> ((s, dir) => graft.ops.TextAnalysis.vocab(s, dir))
+    "q_text_vocab" -> ((s, dir) => graft.ops.TextAnalysis.vocab(s, dir)),
+    "q_sample_split" -> ((s, dir) => graft.ops.Sampling.query(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_pii_scrub" -> graft.ops.PiiScrub.oracle,
     "q_events_funnel" -> graft.ops.Funnel.oracle,
     "q_corpus_clean" -> graft.ops.CorpusClean.oracle,
-    "q_text_vocab" -> graft.ops.TextAnalysis.vocabOracle
+    "q_text_vocab" -> graft.ops.TextAnalysis.vocabOracle,
+    "q_sample_split" -> graft.ops.Sampling.oracle
   )
 }
