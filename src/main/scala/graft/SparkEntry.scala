@@ -36,7 +36,8 @@ object SparkEntry {
     "q_events_funnel" -> ((s, dir) => graft.ops.Funnel.query(s, dir)),
     "q_corpus_clean" -> ((s, dir) => graft.ops.CorpusClean.query(s, dir)),
     "q_text_vocab" -> ((s, dir) => graft.ops.TextAnalysis.vocab(s, dir)),
-    "q_sample_split" -> ((s, dir) => graft.ops.Sampling.query(s, dir))
+    "q_sample_split" -> ((s, dir) => graft.ops.Sampling.query(s, dir)),
+    "q_set_ops" -> ((s, dir) => graft.ops.EngineQueries.setOps(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_events_funnel" -> graft.ops.Funnel.oracle,
     "q_corpus_clean" -> graft.ops.CorpusClean.oracle,
     "q_text_vocab" -> graft.ops.TextAnalysis.vocabOracle,
-    "q_sample_split" -> graft.ops.Sampling.oracle
+    "q_sample_split" -> graft.ops.Sampling.oracle,
+    "q_set_ops" -> graft.ops.EngineQueries.setOpsOracle
   )
 }

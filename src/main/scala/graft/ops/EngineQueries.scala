@@ -58,6 +58,32 @@ object EngineQueries {
       |FROM u GROUP BY 1, 2 HAVING count(*) > 1
       |""".stripMargin
 
+  /** Set operations (SURVEY §2.9 — absent from the reference, present in
+    * the engine): customers who placed an order EXCEPT those with any
+    * cancelled-status order, INTERSECTed with high-balance customers.
+    * Distributed as hash-partitioned distinct/anti under the hood. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val withOrder = orders.select(col("o_custkey").as("c_custkey")).distinct()
+    val withCancelled = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val highBalance = cust.filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"))
+    withOrder.except(withCancelled).intersect(highBalance)
+  }
+
+  // INTERSECT binds tighter than EXCEPT in SQL — parenthesize to match
+  // the Spark (A except B) intersect C shape
+  val setOpsOracle: String =
+    """SELECT c_custkey FROM (
+      |  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      |""".stripMargin
+
   /** SchemaOps.conformByName against a drifted source: columns arrive
     * differently named/cased, one contract column is missing (typed null),
     * extra source columns are dropped, and types are cast. */

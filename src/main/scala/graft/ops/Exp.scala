@@ -83,4 +83,13 @@ object Exp {
                   probabilities: Array[Double] = Array(0.5, 0.8),
                   relErr: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(valueCol, probabilities, relErr)
+
+  /** HLL++ distinct-count sketch (one pass, fixed memory): the cardinality
+    * estimator to reach for before any exact COUNT(DISTINCT) at 100 TB.
+    * Engine-specific sketch — spec-verified against exact counts, not
+    * oracle-compared. */
+  def approxCardinality(df: DataFrame, valueCol: String,
+                        rsd: Double = 0.05): Long =
+    df.select(approx_count_distinct(col(valueCol), rsd))
+      .collect()(0).getLong(0)
 }

@@ -44,6 +44,13 @@ class ReportPopulationSpec extends SparkSpec {
       Seq(326569308L, 329725481L))
   }
 
+  test("approxCardinality is within rsd of the exact distinct count") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val exact = li.select("l_partkey").distinct().count()
+    val approx = graft.ops.Exp.approxCardinality(li, "l_partkey", rsd = 0.05)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+
   test("approxTiers returns sketch quantiles within tolerance") {
     val df = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS x")
     val Array(p50, p80) = graft.ops.Exp.approxTiers(df, "x")
