@@ -84,6 +84,33 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video-typed payloads: every `stride`-th
+    * `frameBytes`-sized block of the payload becomes one "frame" row
+    * (posexplode → (doc_id, frame_idx, frame)). A real codec would emit
+    * decoded frames at timestamps; the slicing, row explosion, schema,
+    * and ordering are exactly what that integration produces. */
+  def frameSample(media: DataFrame, frameBytes: Int = 32,
+                  stride: Int = 4): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, greatest(int(floor(length(payload) / $frameBytes)) - 1, 0), $stride),
+             |  i -> substring(payload, i * $frameBytes + 1, $frameBytes))""".stripMargin))
+          .as(Seq("frame_idx", "frame")))
+
+  /** Metadata-only resize: rescale width/height to fit a bounding box,
+    * preserving aspect ratio (nearest integer). The payload is untouched —
+    * a real implementation would re-encode; the metadata contract and
+    * the arithmetic are the real thing. */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW) / col("width"), lit(maxH) / col("height"),
+                      lit(1.0))
+    media
+      .withColumn("out_width", round(col("width") * scale).cast("int"))
+      .withColumn("out_height", round(col("height") * scale).cast("int"))
+  }
+
   /** Typed view of [[mediaTable]] for the decoder path. */
   def mediaDataset(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._

@@ -55,6 +55,33 @@ class MultimodalSpec extends SparkSpec {
     assert(dec == expr)
   }
 
+  test("frameSample slices video payloads into strided fixed-size frames") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 2)
+    val byDoc = frames.collect().groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rows =>
+      // frame positions are 0, 2, 4... and frames are <=16 bytes
+      val idxs = rows.map(_.getInt(1)).sorted.toSeq
+      assert(idxs == idxs.indices)
+      assert(rows.forall(_.getAs[Array[Byte]](2).length <= 16))
+    }
+    // only video rows produce frames
+    val videoIds = media.filter(org.apache.spark.sql.functions.col("media_type") === "video")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byDoc.keySet.subsetOf(videoIds))
+  }
+
+  test("resizeMeta preserves aspect ratio within the bounding box") {
+    val out = Multimodal.resizeMeta(Multimodal.mediaTable(spark, sf), 64, 64)
+      .select("width", "height", "out_width", "out_height").collect()
+    out.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(ow <= 64 && oh <= 64 && ow <= w && oh <= h)
+      if (w > 64 || h > 64) assert(ow == 64 || oh == 64) // touches the box
+    }
+  }
+
   test("media table: payload is binary, metadata typed") {
     val sch = Multimodal.mediaTable(spark, sf).schema
     assert(sch("payload").dataType.typeName == "binary")

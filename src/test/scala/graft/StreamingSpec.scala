@@ -143,6 +143,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful stream sessions equal batch sessionize on corpus events") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = graft.core.Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+    val input = MemoryStream[Event]
+    val q = SessionStream.sessions(input.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sess_corpus")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      // a far-future flush event advances the watermark past every gap
+      // horizon so all real sessions time out and emit
+      val flushTs = new Timestamp(events.last.ts.getTime + 365L * 86400 * 1000)
+      input.addData(Event(-1, flushTs, -1, "flush", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(-2, new Timestamp(flushTs.getTime + 86400000L), -1, "flush", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_corpus")
+        .as[graft.streaming.Session].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+                   s.n_events))
+        .toSet
+      val batch = EventOps.sessionize(graft.core.Tables.events(spark, sf))
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("user_id")),
+                   r.getTimestamp(r.fieldIndex("session_start")).getTime,
+                   r.getTimestamp(r.fieldIndex("session_end")).getTime,
+                   r.getLong(r.fieldIndex("n_events"))))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch sessionize: session count and totals are consistent") {
     val events = graft.core.Tables.events(spark, sf)
     val sessions = EventOps.sessionize(events)
