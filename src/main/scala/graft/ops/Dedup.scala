@@ -36,6 +36,40 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
 
+  /** Exact fingerprint per doc for an arbitrary (doc_id, text) frame. */
+  private[ops] def fingerprints(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), md5(concat_ws(" ", toks)).as("exact_fp"))
+
+  /** (doc_id, h) exploded hashed shingles for an arbitrary frame. */
+  private[ops] def explodedShinglesOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    d.select(
+      col("doc_id"),
+      explode(call_function(graft.functions.GraftFunctions.ShingleName,
+        col("text"), lit(ShingleN))).as("h"))
+  }
+
+  /** (doc_id, sgl, mh_0..mh_15) signatures for an arbitrary frame. */
+  private[ops] def signatures(spark: SparkSession, d: DataFrame): DataFrame = {
+    val minAggs = (0 until NumHashes).map(i =>
+      min(col("h").bitwiseAND(lit(M30)) * lit(HashA(i)) + lit(HashB(i))).as(s"mh_$i"))
+    explodedShinglesOf(spark, d)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("sgl"), minAggs: _*)
+  }
+
+  /** (doc_id, band, key) LSH band keys from a signature frame. */
+  private[ops] def bandKeysOf(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"bk_$b")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        explode(array((0 until Bands).map(b => col(s"bk_$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   private val toks: Column = tokens(col("text"))
 
   // ---------------------------------------------------------------- exact
@@ -161,23 +195,12 @@ object Dedup {
     * aggregation over the exploded shingles — the md5 pipeline runs once,
     * and shuffle volume is O(docs × shingles) longs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val minAggs = (0 until NumHashes).map(i =>
-      min(col("h").bitwiseAND(lit(M30)) * lit(HashA(i)) + lit(HashB(i))).as(s"mh_$i"))
     // sig feeds the band explode (self-joined) and both verification
     // joins — 4 consumers, no exchange reuse across aliases: persist the
     // signature table (the artifact an LSH pipeline materializes anyway)
-    val sig = explodedShingles(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("sgl"), minAggs: _*)
+    val sig = signatures(spark, docs(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val bandKeys = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"bk_$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandKeys: _*)
-      .select(col("doc_id"), explode(array((0 until Bands).map(b => col(s"bk_$b")): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandKeysOf(sig)
 
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, IncrementalDedup}
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  test("new batch classifies as exact_dup / near_dup / new against the index") {
+    val all = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 400)
+    val batch = all.filter(col("doc_id") >= 400)
+
+    val index = IncrementalDedup.buildIndex(spark, corpus)
+    val out = IncrementalDedup.classify(spark, batch, index)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+
+    // every batch doc got classified
+    assert(out.size == batch.count())
+
+    // cross-boundary near-dup pairs from the full-corpus exact jaccard:
+    // (old < 400, new >= 400) — the new side must be flagged near_dup of
+    // the old side (LSH recall caveat: require most, not all)
+    val crossPairs = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 400 && b >= 400 }
+    assert(crossPairs.nonEmpty, "corpus should have cross-boundary near-dups")
+    val byNewDoc = crossPairs.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    val flagged = byNewDoc.count { case (b, minA) =>
+      out(b)._1 == "near_dup" && out(b)._2 == minA
+    }
+    assert(flagged.toDouble / byNewDoc.size >= 0.7)
+
+    // a re-presented corpus doc is an exact_dup of itself
+    val represented = IncrementalDedup.classify(spark,
+      all.filter(col("doc_id") === 7), index).collect()(0)
+    assert(represented.getString(1) == "exact_dup" && represented.getLong(2) == 7L)
+
+    // docs with no high-similarity partner below 400 classify as new
+    val newOnes = out.filter(_._2._1 == "new")
+    assert(newOnes.nonEmpty)
+  }
+}
