@@ -37,7 +37,8 @@ object SparkEntry {
     "q_corpus_clean" -> ((s, dir) => graft.ops.CorpusClean.query(s, dir)),
     "q_text_vocab" -> ((s, dir) => graft.ops.TextAnalysis.vocab(s, dir)),
     "q_sample_split" -> ((s, dir) => graft.ops.Sampling.query(s, dir)),
-    "q_set_ops" -> ((s, dir) => graft.ops.EngineQueries.setOps(s, dir))
+    "q_set_ops" -> ((s, dir) => graft.ops.EngineQueries.setOps(s, dir)),
+    "q_dedup_incremental" -> ((s, dir) => graft.ops.IncrementalDedup.query(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,6 +71,7 @@ object SparkEntry {
     "q_corpus_clean" -> graft.ops.CorpusClean.oracle,
     "q_text_vocab" -> graft.ops.TextAnalysis.vocabOracle,
     "q_sample_split" -> graft.ops.Sampling.oracle,
-    "q_set_ops" -> graft.ops.EngineQueries.setOpsOracle
+    "q_set_ops" -> graft.ops.EngineQueries.setOpsOracle,
+    "q_dedup_incremental" -> graft.ops.IncrementalDedup.oracle
   )
 }

@@ -27,10 +27,10 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val RowsPerBand = NumHashes / Bands
-  private val ShingleN = 3
+  private[ops] val NumHashes = 16
+  private[ops] val Bands = 4
+  private[ops] val RowsPerBand = NumHashes / Bands
+  private[ops] val ShingleN = 3
   private val JaccardThreshold = 0.8
 
   private def docs(spark: SparkSession, dir: String): DataFrame =

@@ -69,4 +69,77 @@ object IncrementalDedup {
           .otherwise("new").as("status"),
         coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
   }
+
+  /** Oracle-checked query: index the docs with doc_id < [[SplitAt]],
+    * classify the rest as an incoming batch. */
+  val SplitAt = 400L
+
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val all = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < SplitAt)
+    val batch = all.filter(col("doc_id") >= SplitAt)
+    classify(spark, batch, buildIndex(spark, corpus))
+  }
+
+  val oracle: String = {
+    import Dedup.{Bands, HashA, HashB, M30, NumHashes, RowsPerBand}
+    def shingleCte(src: String, name: String): String =
+      s"""$name AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           CASE WHEN len(tk) >= 3 THEN list_distinct(
+         |             list_transform(generate_series(1, len(tk) - 2),
+         |                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+         |                ELSE [] END,
+         |           s -> CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT))) AS sgl
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+         |        FROM $src))""".stripMargin
+    def sigCte(sh: String, name: String): String = {
+      val mh = (0 until NumHashes).map(i =>
+        s"list_min(list_transform(sgl, h -> (h & $M30) * ${HashA(i)} + ${HashB(i)})) AS mh_$i")
+        .mkString(", ")
+      s"$name AS (SELECT doc_id, sgl, $mh FROM $sh WHERE len(sgl) > 0)"
+    }
+    def bandCte(sig: String, name: String): String = {
+      val sel = (0 until Bands).map { b =>
+        val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
+        s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS key FROM $sig"
+      }.mkString(" UNION ALL ")
+      s"$name AS ($sel)"
+    }
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < $SplitAt),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= $SplitAt),
+       |fp_c AS (SELECT doc_id, md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS exact_fp FROM corpus),
+       |fp_b AS (SELECT doc_id, md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS exact_fp FROM batch),
+       |exact AS (
+       |  SELECT b.doc_id, min(c.doc_id) AS exact_dup_of
+       |  FROM fp_b b JOIN fp_c c ON b.exact_fp = c.exact_fp GROUP BY 1),
+       |${shingleCte("corpus", "sh_c")},
+       |${shingleCte("batch", "sh_b")},
+       |${sigCte("sh_c", "sig_c")},
+       |${sigCte("sh_b", "sig_b")},
+       |${bandCte("sig_c", "band_c")},
+       |${bandCte("sig_b", "band_b")},
+       |cand AS (
+       |  SELECT b.doc_id, c.doc_id AS idx_doc_id
+       |  FROM band_b b JOIN band_c c ON b.band = c.band AND b.key = c.key
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT cand.doc_id, min(cand.idx_doc_id) AS near_dup_of
+       |  FROM cand
+       |  JOIN sig_b ON cand.doc_id = sig_b.doc_id
+       |  JOIN sig_c ON cand.idx_doc_id = sig_c.doc_id
+       |  WHERE len(list_intersect(sig_b.sgl, sig_c.sgl)) * 1.0 /
+       |        (len(sig_b.sgl) + len(sig_c.sgl) - len(list_intersect(sig_b.sgl, sig_c.sgl))) >= 0.8
+       |  GROUP BY 1)
+       |SELECT b.doc_id,
+       |       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+       |            WHEN n.near_dup_of IS NOT NULL THEN 'near_dup'
+       |            ELSE 'new' END AS status,
+       |       coalesce(e.exact_dup_of, n.near_dup_of) AS dup_of
+       |FROM batch b
+       |LEFT JOIN exact e ON b.doc_id = e.doc_id
+       |LEFT JOIN near n ON b.doc_id = n.doc_id
+       |""".stripMargin
+  }
 }
