@@ -26,6 +26,8 @@ object Bench {
       // the optimizer prune the projections entirely for narrow queries)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally spark.catalog.clearCache() // per-query isolation: persists
+                                         // don't leak memory into later queries
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -38,7 +38,8 @@ object SparkEntry {
     "q_text_vocab" -> ((s, dir) => graft.ops.TextAnalysis.vocab(s, dir)),
     "q_sample_split" -> ((s, dir) => graft.ops.Sampling.query(s, dir)),
     "q_set_ops" -> ((s, dir) => graft.ops.EngineQueries.setOps(s, dir)),
-    "q_dedup_incremental" -> ((s, dir) => graft.ops.IncrementalDedup.query(s, dir))
+    "q_dedup_incremental" -> ((s, dir) => graft.ops.IncrementalDedup.query(s, dir)),
+    "q_events_anomalies" -> ((s, dir) => graft.streaming.EventOps.anomalies(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,6 +73,7 @@ object SparkEntry {
     "q_text_vocab" -> graft.ops.TextAnalysis.vocabOracle,
     "q_sample_split" -> graft.ops.Sampling.oracle,
     "q_set_ops" -> graft.ops.EngineQueries.setOpsOracle,
-    "q_dedup_incremental" -> graft.ops.IncrementalDedup.oracle
+    "q_dedup_incremental" -> graft.ops.IncrementalDedup.oracle,
+    "q_events_anomalies" -> graft.streaming.EventOps.anomaliesOracle
   )
 }

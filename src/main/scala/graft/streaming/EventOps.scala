@@ -76,6 +76,33 @@ object EventOps {
       |GROUP BY ROLLUP (event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE))
       |""".stripMargin
 
+  // -------------------------------------------------------- anomaly scoring
+  /** Per-event z-score against its event type's global mean/stddev;
+    * events with |z| ≥ 3 are anomalies. Two-pass shape: a tiny per-type
+    * stats aggregate broadcast back onto the stream of events — at scale
+    * the stats side is bounded by the number of event types. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean_v"),
+           stddev_samp(col("value")).as("sd_v"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean_v")) / col("sd_v"))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+              round(col("z"), 6).as("z_score"))
+  }
+
+  val anomaliesOracle: String =
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS sd_v
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |       round((value - mean_v) / sd_v, 6) AS z_score
+      |FROM events e JOIN stats USING (event_type)
+      |WHERE abs((value - mean_v) / sd_v) >= 3.0
+      |""".stripMargin
+
   // --------------------------------------------------------- streaming dedup
   /** Streaming exact dedup: keeps the first event per key within the
     * watermark horizon, state evicted as the watermark passes — the
