@@ -128,6 +128,33 @@ object Rest {
     * utils.py:66-82). Kept driver-side and transport-pluggable. */
   def bearer(token: String): Map[String, String] =
     Map("Authorization" -> s"Bearer $token")
+
+  type HttpPost = (String, String) => String // (url, form body) -> response body
+
+  def defaultHttpPost: HttpPost = { (url, form) =>
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form))
+      .build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  /** Full password-grant flow: POST the form, extract `access_token` from
+    * the JSON response, return the Bearer header map (reference flow:
+    * utils.py:69-81 — token POST then authed GET). Transport-pluggable so
+    * tests inject a fake; token parsing is a targeted extraction, not a
+    * JSON framework dependency. */
+  def oauthPasswordGrant(tokenUrl: String, username: String, password: String,
+                         post: HttpPost = defaultHttpPost): Map[String, String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val body = post(tokenUrl,
+      s"grant_type=password&username=${enc(username)}&password=${enc(password)}")
+    val m = "\"access_token\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(body)
+      .getOrElse(throw new IllegalStateException(
+        s"no access_token in token response from $tokenUrl"))
+    bearer(m.group(1))
+  }
 }
 
 /** Source router (reference: Raptor.py:113-139): dispatch a logical source

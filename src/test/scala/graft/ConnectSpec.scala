@@ -42,6 +42,21 @@ class ConnectSpec extends SparkSpec {
     assert(Rest.bearer("tok") == Map("Authorization" -> "Bearer tok"))
   }
 
+  test("oauth password-grant extracts the bearer token from the form POST") {
+    var seen: (String, String) = null
+    val fake: Rest.HttpPost = { (url, form) =>
+      seen = (url, form)
+      """{"access_token": "tok123", "token_type": "bearer"}"""
+    }
+    val hdrs = Rest.oauthPasswordGrant("http://fake/token", "u ser", "p&w", fake)
+    assert(hdrs == Map("Authorization" -> "Bearer tok123"))
+    assert(seen._1 == "http://fake/token")
+    assert(seen._2 == "grant_type=password&username=u+ser&password=p%26w")
+    intercept[IllegalStateException] {
+      Rest.oauthPasswordGrant("http://fake/token", "u", "p", (_, _) => "{}")
+    }
+  }
+
   test("source registry dispatches and rejects unknown sources") {
     val reg = SourceRegistry.empty
       .withSource("corpus")((s, arg) => graft.core.Tables.load(s, sf, arg))

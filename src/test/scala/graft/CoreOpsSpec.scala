@@ -64,6 +64,13 @@ class SchemaOpsSpec extends SparkSpec {
     assert(rep.missing == Seq("SALE_ID") && rep.added == Seq("surprise"))
     assert(!rep.isClean && rep.typeChanged.isEmpty)
   }
+
+  test("drift flags a type change without failing the load") {
+    val df = Seq((7L, "oops")).toDF("sale_id", "amount") // amount arrives string
+    val rep = SchemaOps.drift(df, contract)
+    assert(rep.typeChanged == Seq(("AMOUNT", "double", "string")))
+    assert(rep.missing.isEmpty && rep.added.isEmpty && !rep.isClean)
+  }
 }
 
 class ExpSpec extends SparkSpec {
