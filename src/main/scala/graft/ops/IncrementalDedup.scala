@@ -70,6 +70,28 @@ object IncrementalDedup {
         coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
   }
 
+  /** Streaming classification: every micro-batch of documents is
+    * classified against the static index and appended to the warehouse.
+    * foreachBatch turns each micro-batch into a plain DataFrame, so the
+    * exact batch [[classify]] logic runs unchanged — stream-vs-batch
+    * parity by construction, no separate streaming code path. The index
+    * stays fixed for the stream's lifetime; rebuilding it (e.g. nightly,
+    * folding in the day's accepted docs) is a batch concern. */
+  def classifyStream(stream: DataFrame, index: Index,
+                     warehouse: graft.connect.Warehouse, entity: String,
+                     checkpoint: String, runDate: graft.core.RunDate)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val classified = graft.ops.Exp.stampDayDt(
+            classify(batch.sparkSession, batch, index), runDate)
+          warehouse.appendHistory(classified, entity)
+        }
+      }
+
   /** Oracle-checked query: index the docs with doc_id < [[SplitAt]],
     * classify the rest as an incoming batch. */
   val SplitAt = 400L

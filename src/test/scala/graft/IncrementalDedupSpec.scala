@@ -5,6 +5,40 @@ import graft.ops.{Dedup, IncrementalDedup}
 
 class IncrementalDedupSpec extends SparkSpec {
 
+  test("streaming classification equals batch classification micro-batch by micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 400)
+    val batchDocs = all.filter(col("doc_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val index = IncrementalDedup.buildIndex(spark, corpus)
+
+    val wh = new graft.connect.ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.classifyStream(
+      input.toDS().toDF("doc_id", "text"), index, wh, "dedup",
+      "/tmp/graft_ckpt_inc_" + System.nanoTime(),
+      graft.core.RunDate("2024-06-01")).start()
+    try {
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = wh.readHistory(spark, "dedup")
+      .select("doc_id", "status", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val batch = IncrementalDedup.classify(spark,
+        all.filter(col("doc_id") >= 400), index)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("new batch classifies as exact_dup / near_dup / new against the index") {
     val all = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = all.filter(col("doc_id") < 400)
