@@ -39,7 +39,9 @@ object SparkEntry {
     "q_sample_split" -> ((s, dir) => graft.ops.Sampling.query(s, dir)),
     "q_set_ops" -> ((s, dir) => graft.ops.EngineQueries.setOps(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => graft.ops.IncrementalDedup.query(s, dir)),
-    "q_events_anomalies" -> ((s, dir) => graft.streaming.EventOps.anomalies(s, dir))
+    "q_events_anomalies" -> ((s, dir) => graft.streaming.EventOps.anomalies(s, dir)),
+    "q_seq_packing" -> ((s, dir) => graft.ops.Packing.packQuery(s, dir)),
+    "q_source_mix" -> ((s, dir) => graft.ops.Packing.mixQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,6 +76,8 @@ object SparkEntry {
     "q_sample_split" -> graft.ops.Sampling.oracle,
     "q_set_ops" -> graft.ops.EngineQueries.setOpsOracle,
     "q_dedup_incremental" -> graft.ops.IncrementalDedup.oracle,
-    "q_events_anomalies" -> graft.streaming.EventOps.anomaliesOracle
+    "q_events_anomalies" -> graft.streaming.EventOps.anomaliesOracle,
+    "q_seq_packing" -> graft.ops.Packing.packOracle,
+    "q_source_mix" -> graft.ops.Packing.mixOracle
   )
 }
