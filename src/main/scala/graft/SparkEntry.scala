@@ -41,7 +41,8 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, dir) => graft.ops.IncrementalDedup.query(s, dir)),
     "q_events_anomalies" -> ((s, dir) => graft.streaming.EventOps.anomalies(s, dir)),
     "q_seq_packing" -> ((s, dir) => graft.ops.Packing.packQuery(s, dir)),
-    "q_source_mix" -> ((s, dir) => graft.ops.Packing.mixQuery(s, dir))
+    "q_source_mix" -> ((s, dir) => graft.ops.Packing.mixQuery(s, dir)),
+    "q_dedup_clusters" -> ((s, dir) => graft.ops.Dedup.clusters(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +79,7 @@ object SparkEntry {
     "q_dedup_incremental" -> graft.ops.IncrementalDedup.oracle,
     "q_events_anomalies" -> graft.streaming.EventOps.anomaliesOracle,
     "q_seq_packing" -> graft.ops.Packing.packOracle,
-    "q_source_mix" -> graft.ops.Packing.mixOracle
+    "q_source_mix" -> graft.ops.Packing.mixOracle,
+    "q_dedup_clusters" -> graft.ops.Dedup.clustersOracle
   )
 }

@@ -251,6 +251,65 @@ object Dedup {
        |""".stripMargin
   }
 
+  // ------------------------------------------------------------- clustering
+  /** Near-duplicate CLUSTERS from the pair graph: connected components by
+    * iterative min-label propagation, `cluster_id` = smallest doc_id in
+    * the component (the canonical survivor).
+    *
+    * Pairs only say "a ~ b"; dedup needs equivalence classes (a~b, b~c ⇒
+    * one cluster). The loop is driver-controlled label propagation —
+    * each round joins labels to the (symmetrized) edge list and takes the
+    * min neighbor label; it converges in O(component diameter) rounds,
+    * and near-dup components are tiny (pairs/chains), so 2–3 rounds at
+    * any corpus size. Each round is one shuffle join + one aggregation;
+    * `maxIters` bounds pathological chains. */
+  def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+                    .withColumnRenamed("cluster_id", "nbr_label"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+                  .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Oracle-checked query: components of the exact-Jaccard pair graph. */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    components(jaccardPairs(spark, dir))
+
+  val clustersOracle: String =
+    s"""WITH RECURSIVE pairs AS ($jaccardPairsOracle),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r
+       |  FROM edges e JOIN reach ON e.dst = reach.src)
+       |SELECT src AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY 1
+       |""".stripMargin
+
   // ---------------------------------------------------------------- SimHash
   private val SimBits = 60
   private val SimBands = 4

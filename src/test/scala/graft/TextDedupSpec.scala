@@ -65,6 +65,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size.toDouble >= exact.size * 0.8)
   }
 
+  test("components: transitive chains collapse to one cluster with min label") {
+    import spark.implicits._
+    // chain 1~2~3, pair 10~11, chain 20~21~22~23 (longer than one hop)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (22L, 23L), (21L, 22L),
+                    (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                      10L -> 10L, 11L -> 10L,
+                      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("simhash of identical docs is identical; near-dup pairs are symmetric-free") {
     val pairs = Dedup.simhashPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
