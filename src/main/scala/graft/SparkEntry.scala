@@ -42,7 +42,8 @@ object SparkEntry {
     "q_events_anomalies" -> ((s, dir) => graft.streaming.EventOps.anomalies(s, dir)),
     "q_seq_packing" -> ((s, dir) => graft.ops.Packing.packQuery(s, dir)),
     "q_source_mix" -> ((s, dir) => graft.ops.Packing.mixQuery(s, dir)),
-    "q_dedup_clusters" -> ((s, dir) => graft.ops.Dedup.clusters(s, dir))
+    "q_dedup_clusters" -> ((s, dir) => graft.ops.Dedup.clusters(s, dir)),
+    "q_text_tfidf" -> ((s, dir) => graft.ops.TextAnalysis.tfidf(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_events_anomalies" -> graft.streaming.EventOps.anomaliesOracle,
     "q_seq_packing" -> graft.ops.Packing.packOracle,
     "q_source_mix" -> graft.ops.Packing.mixOracle,
-    "q_dedup_clusters" -> graft.ops.Dedup.clustersOracle
+    "q_dedup_clusters" -> graft.ops.Dedup.clustersOracle,
+    "q_text_tfidf" -> graft.ops.TextAnalysis.tfidfOracle
   )
 }

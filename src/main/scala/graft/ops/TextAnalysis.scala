@@ -165,6 +165,50 @@ object TextAnalysis {
       |FROM agg
       |""".stripMargin
 
+  // ---------------------------------------------------------------- tf-idf
+  /** Top-3 characteristic terms per document by tf-idf
+    * (tf × ln(N / df)). Two aggregations — term frequencies per (doc,
+    * token) and document frequencies per token — joined and ranked per
+    * doc. The df table is vocabulary-sized, so its join side broadcasts;
+    * the heavy exchange is the (doc, token) rollup, which map-side
+    * combines. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // corpus size: one tiny action, a constant in the plan
+    val tf = d.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+              col("tfidf"), col("rank"))
+  }
+
+  val tfidfOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |df AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |         round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (token), n),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |              ORDER BY tfidf DESC, token) AS INT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+      |""".stripMargin
+
   // ---------------------------------------------------------- fingerprint
   /** Content fingerprints: an exact fingerprint (md5 of the normalized
     * token stream) and a shingle fingerprint (minimum 60-bit-hashed
