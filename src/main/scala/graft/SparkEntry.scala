@@ -43,7 +43,8 @@ object SparkEntry {
     "q_seq_packing" -> ((s, dir) => graft.ops.Packing.packQuery(s, dir)),
     "q_source_mix" -> ((s, dir) => graft.ops.Packing.mixQuery(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => graft.ops.Dedup.clusters(s, dir)),
-    "q_text_tfidf" -> ((s, dir) => graft.ops.TextAnalysis.tfidf(s, dir))
+    "q_text_tfidf" -> ((s, dir) => graft.ops.TextAnalysis.tfidf(s, dir)),
+    "q_events_attribution" -> ((s, dir) => graft.ops.Temporal.attribution(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_seq_packing" -> graft.ops.Packing.packOracle,
     "q_source_mix" -> graft.ops.Packing.mixOracle,
     "q_dedup_clusters" -> graft.ops.Dedup.clustersOracle,
-    "q_text_tfidf" -> graft.ops.TextAnalysis.tfidfOracle
+    "q_text_tfidf" -> graft.ops.TextAnalysis.tfidfOracle,
+    "q_events_attribution" -> graft.ops.Temporal.attributionOracle
   )
 }
