@@ -44,6 +44,42 @@ object Temporal {
           .as("gap_seconds"))
   }
 
+  /** Range-frame query: for every purchase, how many clicks the user made
+    * in the trailing hour — an interval join expressed as a RANGE window
+    * over microseconds (one sort per user, no self-join, no row
+    * explosion; frames are the engine-native way to do bounded-interval
+    * aggregation). */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    ev.withColumn("clicks_1h",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+              col("clicks_1h"))
+  }
+
+  val trailingWindowOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |         CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |win AS (
+      |  SELECT *,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts_us
+      |                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS clicks_1h
+      |  FROM ev)
+      |SELECT event_id, user_id, ts AS purchase_ts,
+      |       CAST(clicks_1h AS BIGINT) AS clicks_1h
+      |FROM win WHERE event_type = 'purchase'
+      |""".stripMargin
+
   val attributionOracle: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type,
