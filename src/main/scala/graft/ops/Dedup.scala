@@ -286,6 +286,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels.unpersist() // next is materialized by the convergence check
       labels = next
       iter += 1
     }
