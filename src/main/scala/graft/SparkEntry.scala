@@ -45,7 +45,8 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => graft.ops.Dedup.clusters(s, dir)),
     "q_text_tfidf" -> ((s, dir) => graft.ops.TextAnalysis.tfidf(s, dir)),
     "q_events_attribution" -> ((s, dir) => graft.ops.Temporal.attribution(s, dir)),
-    "q_events_trailing_window" -> ((s, dir) => graft.ops.Temporal.trailingWindow(s, dir))
+    "q_events_trailing_window" -> ((s, dir) => graft.ops.Temporal.trailingWindow(s, dir)),
+    "q_events_retention" -> ((s, dir) => graft.ops.Funnel.retention(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_dedup_clusters" -> graft.ops.Dedup.clustersOracle,
     "q_text_tfidf" -> graft.ops.TextAnalysis.tfidfOracle,
     "q_events_attribution" -> graft.ops.Temporal.attributionOracle,
-    "q_events_trailing_window" -> graft.ops.Temporal.trailingWindowOracle
+    "q_events_trailing_window" -> graft.ops.Temporal.trailingWindowOracle,
+    "q_events_retention" -> graft.ops.Funnel.retentionOracle
   )
 }

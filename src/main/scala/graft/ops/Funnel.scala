@@ -42,6 +42,37 @@ object Funnel {
                 + when(col("t3").isNotNull, 1).otherwise(0)).as("reached_step"))
   }
 
+  /** Cohort retention: users grouped by first-activity week, counted as
+    * retained in week k if they have any event k weeks after their cohort
+    * week. Two aggregates (first-activity, distinct user-week activity)
+    * and one join — the cohort table is user-sized, the matrix is
+    * (cohorts × weeks)-sized. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(604800L * 1000000L)).as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohort, Seq("user_id"))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000) AS BIGINT) AS week
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, week FROM ev)
+      |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+      |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |""".stripMargin
+
   val oracle: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
