@@ -16,12 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * loop over the two `ArrayData` (`doGenCode`), no allocation, inside
   * whole-stage codegen.
   *
-  * Semantics match the HOF formulation exactly: elements are multiplied
-  * and summed IN ARRAY ORDER (same sequential fold the DuckDB oracle
-  * performs), so swapping one for the other never changes results — only
-  * the plan. Null arrays → null; elements are assumed non-null (embedding
-  * vectors), matching `zip_with`'s behavior of propagating element nulls
-  * only if present.
+  * Semantics: elements are multiplied and summed IN ARRAY ORDER (the same
+  * sequential fold the DuckDB oracle performs), and a null array on either
+  * side yields null — identical to the HOF formulation on this kernel's
+  * intended domain of equal-length, non-null-element vectors. INTENTIONAL
+  * RESTRICTION outside that domain: unequal lengths sum over the first
+  * min(n) elements (zip_with would pad with null and return NULL), and a
+  * null ELEMENT reads as 0.0 via `ArrayData.getDouble` (zip_with would
+  * propagate NULL). Embedding columns are fixed-length non-null, and
+  * per-element null checks would put a branch in the fused n² inner loop,
+  * so the divergence is documented rather than guarded.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -86,8 +90,25 @@ object GraftFunctions {
         "built-in")
       reg.createOrReplaceTempFunction(
         ShingleName,
-        (exprs: Seq[Expression]) => ShingleHash(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]),
+        (exprs: Seq[Expression]) => {
+          // the shingle width must be a compile-time constant (it shapes
+          // the generated code); accept any foldable integral expression
+          // and fail with the expected signature otherwise
+          def bad(got: String) = throw new IllegalArgumentException(
+            s"$ShingleName(text STRING, k INT) requires a foldable integral" +
+              s" literal for k; got $got")
+          val k = exprs(1) match {
+            case e if e.foldable => e.eval() match {
+              case i: Int => i
+              case l: Long if l.isValidInt => l.toInt
+              case s: Short => s.toInt
+              case b: Byte => b.toInt
+              case other => bad(s"${e.dataType.simpleString} value $other")
+            }
+            case e => bad(s"non-foldable ${e.dataType.simpleString}")
+          }
+          ShingleHash(exprs(0), k)
+        },
         "built-in")
       reg.createOrReplaceTempFunction(
         SimHashName,

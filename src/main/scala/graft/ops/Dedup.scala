@@ -24,6 +24,14 @@ import graft.functions.TextFunctions._
   *
   * All hashing is md5-based so every stage is bit-identical in DuckDB —
   * each operator ships with a full SQL oracle, not a rows-only check.
+  *
+  * Caching contract: operators that persist an intermediate the returned
+  * (lazy) frame still depends on — the inverted index in [[jaccardPairs]],
+  * the signature table in [[minhashLsh]], the fingerprint table in
+  * [[simhashPairs]] — cannot unpersist it before the caller's action runs.
+  * Callers owning long-lived sessions must `spark.catalog.clearCache()`
+  * (or unpersist the specific frames) between operator invocations;
+  * `graft.Bench` and `graft.Verify` both do.
   */
 object Dedup {
 
@@ -262,7 +270,13 @@ object Dedup {
     * min neighbor label; it converges in O(component diameter) rounds,
     * and near-dup components are tiny (pairs/chains), so 2–3 rounds at
     * any corpus size. Each round is one shuffle join + one aggregation;
-    * `maxIters` bounds pathological chains. */
+    * `maxIters` bounds pathological chains — if the loop exits without
+    * converging (component diameter > maxIters) a warning is logged and
+    * the labels are only partially propagated.
+    *
+    * The returned frame is persisted (it was materialized by the final
+    * convergence check); callers owning long-lived sessions should
+    * `unpersist()` it when done. */
   def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -290,6 +304,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] WARN Dedup.components exited at maxIters=$maxIters without " +
+          "convergence — cluster labels are only partially propagated " +
+          "(pair-graph component diameter exceeds maxIters); raise maxIters " +
+          "or pre-collapse long chains")
+    // labels is already materialized, so the edge list is no longer needed
+    edges.unpersist()
     labels
   }
 

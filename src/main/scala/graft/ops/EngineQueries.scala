@@ -86,7 +86,11 @@ object EngineQueries {
 
   /** SchemaOps.conformByName against a drifted source: columns arrive
     * differently named/cased, one contract column is missing (typed null),
-    * extra source columns are dropped, and types are cast. */
+    * extra source columns are dropped, and types are cast. The conformance
+    * runs with a DECIMAL(12,2) contract; the oracle-facing output re-casts
+    * that column to double because decimal columns round-trip through the
+    * driver's two readers (pyarrow vs DuckDB) with different value
+    * representations and hash-mismatch even when bit-identical. */
   def schemaConform(spark: SparkSession, dir: String): DataFrame = {
     val drifted = Tables.supplier(spark, dir).select(
       col("s_suppkey").as(" s suppkey "),    // needs trim + underscore
@@ -99,12 +103,13 @@ object EngineQueries {
       StructField("S_ACCTBAL", DecimalType(12, 2)),
       StructField("S_REGION", StringType))) // missing: typed null
     SchemaOps.conformByName(drifted, contract)
+      .withColumn("S_ACCTBAL", col("S_ACCTBAL").cast("double"))
   }
 
   val schemaConformOracle: String =
     """SELECT s_suppkey AS S_SUPPKEY,
       |       s_name AS S_NAME,
-      |       CAST(s_acctbal AS DECIMAL(12,2)) AS S_ACCTBAL,
+      |       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS S_ACCTBAL,
       |       CAST(NULL AS VARCHAR) AS S_REGION
       |FROM supplier
       |""".stripMargin

@@ -90,14 +90,20 @@ object CustomerSalesReport {
     val agg = sales.groupBy(col("o_custkey").as("customer_id"))
       .agg(sum(col("sale_amount").cast("decimal(18,2)")).cast("double")
         .as("agg_sales_amount"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Exact quantile thresholds as a global window over the (small)
-    // customer-level aggregate: no second evaluation of the aggregate, no
-    // driver round-trip (the reference's approxQuantile action split the
-    // query into 3 jobs — SURVEY §3.3).
-    val tiers = agg
-      .withColumn("silver_tier", expr("percentile(agg_sales_amount, 0.5) OVER ()"))
-      .withColumn("gold_tier", expr("percentile(agg_sales_amount, 0.8) OVER ()"))
+    // Exact quantile thresholds as a percentile AGGREGATE over the (small,
+    // persisted) customer-level rollup, broadcast-cross-joined back — one
+    // row, no driver round-trip (the reference's approxQuantile action
+    // split the query into 3 jobs — SURVEY §3.3). A `percentile ... OVER ()`
+    // empty-frame window would compute the same values but forces ALL rows
+    // into a single WindowExec partition — fine at sf0.1, a straggler at
+    // 100M customers; the aggregate path keeps map-side partials
+    // distributed and only the merge runs on one reducer.
+    val thresholds = agg.agg(
+      expr("percentile(agg_sales_amount, 0.5)").as("silver_tier"),
+      expr("percentile(agg_sales_amount, 0.8)").as("gold_tier"))
+    val tiers = agg.crossJoin(broadcast(thresholds))
       .select(col("customer_id"),
               when(col("agg_sales_amount") > col("gold_tier"), "GOLD")
                 .when(col("agg_sales_amount").between(col("silver_tier"), col("gold_tier")), "SILVER")
