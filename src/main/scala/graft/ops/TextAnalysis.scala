@@ -50,16 +50,17 @@ object TextAnalysis {
       |""".stripMargin
 
   // --------------------------------------------------------------- langid
-  /** N-gram-free language ID: score each language by its function-word hit
-    * ratio; highest score wins, ties resolve alphabetically, zero
-    * everywhere → "und". */
-  def langid(spark: SparkSession, dir: String): DataFrame = {
-    val scoreCols: Seq[Column] = Seq(col("doc_id"), col("lang").as("lang_actual")) ++
-      langProfiles.map { case (l, ws) => vocabRatio(toks, ws).as(s"s_$l") }
-    val scored = docs(spark, dir).select(scoreCols: _*)
+  /** Per-language function-word hit-ratio score columns (`s_<lang>`), the
+    * raw material for [[langid]] — exposed so composed pipelines
+    * ([[CorpusClean]]) can fuse them into a shared single-scan profile. */
+  private[ops] def langScoreCols: Seq[Column] =
+    langProfiles.map { case (l, ws) => vocabRatio(toks, ws).as(s"s_$l") }
+
+  /** Deterministic argmax over the `s_<lang>` columns: CASE chain in
+    * alphabetical order — first lang whose score ties-or-beats every later
+    * lang wins; zero everywhere → "und". */
+  private[ops] def langPredExpr: Column = {
     val names = langProfiles.map(_._1)
-    // CASE chain in alphabetical order: first lang whose score ties-or-beats
-    // every later lang wins (deterministic argmax).
     def gr(cs: Seq[Column]): Column =
       if (cs.size == 1) cs.head else greatest(cs: _*)
     val pred = names.init.zipWithIndex.foldLeft(Option.empty[Column]) {
@@ -67,11 +68,25 @@ object TextAnalysis {
         val cond = col(s"s_$l") >= gr(names.drop(i + 1).map(r => col(s"s_$r")))
         Some(acc.fold(when(cond, l))(_.when(cond, l)))
     }.get.otherwise(names.last)
-    val best = gr(names.map(l => col(s"s_$l")))
-    scored.select(
+    when(langBestExpr > 0, pred).otherwise("und")
+  }
+
+  /** Best (maximum) language score across the `s_<lang>` columns. */
+  private[ops] def langBestExpr: Column = {
+    val cs = langProfiles.map(p => col(s"s_${p._1}"))
+    if (cs.size == 1) cs.head else greatest(cs: _*)
+  }
+
+  /** N-gram-free language ID: score each language by its function-word hit
+    * ratio; highest score wins, ties resolve alphabetically, zero
+    * everywhere → "und". */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols: Seq[Column] =
+      Seq(col("doc_id"), col("lang").as("lang_actual")) ++ langScoreCols
+    docs(spark, dir).select(scoreCols: _*).select(
       col("doc_id"), col("lang_actual"),
-      when(best > 0, pred).otherwise("und").as("lang_pred"),
-      round(best, 6).as("score"))
+      langPredExpr.as("lang_pred"),
+      round(langBestExpr, 6).as("score"))
   }
 
   val langidOracle: String = {
@@ -99,14 +114,20 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------- quality
+  /** (uniq-ratio, length-score, stopword-ratio) component expressions of
+    * the quality score — exposed for fusion into shared profiles. */
+  private[ops] def qualityParts: (Column, Column, Column) = {
+    val en = langProfiles.toMap.apply("en")
+    (size(array_distinct(toks)).cast("double") / size(toks),
+     least(size(toks).cast("double") / lit(100.0), lit(1.0)),
+     vocabRatio(toks, en))
+  }
+
   /** Quality score in [0,1]: mix of lexical diversity, length saturation,
     * and English function-word density (heuristic filter for boilerplate /
     * gibberish before training). */
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    val en = langProfiles.toMap.apply("en")
-    val uniq = size(array_distinct(toks)).cast("double") / size(toks)
-    val lenScore = least(size(toks).cast("double") / lit(100.0), lit(1.0))
-    val stop = vocabRatio(toks, en)
+    val (uniq, lenScore, stop) = qualityParts
     docs(spark, dir).select(
       col("doc_id"),
       round(uniq, 6).as("uniq_ratio"),
