@@ -46,7 +46,15 @@ object SparkEntry {
     "q_text_tfidf" -> ((s, dir) => graft.ops.TextAnalysis.tfidf(s, dir)),
     "q_events_attribution" -> ((s, dir) => graft.ops.Temporal.attribution(s, dir)),
     "q_events_trailing_window" -> ((s, dir) => graft.ops.Temporal.trailingWindow(s, dir)),
-    "q_events_retention" -> ((s, dir) => graft.ops.Funnel.retention(s, dir))
+    "q_events_retention" -> ((s, dir) => graft.ops.Funnel.retention(s, dir)),
+    "q_sim_ann_ivf" -> ((s, dir) => graft.ops.Similarity.ivfTopK(s, dir)),
+    "q_emb_centroids" -> ((s, dir) => graft.ops.Embeddings.labelCentroids(s, dir)),
+    "q_emb_label_stats" -> ((s, dir) => graft.ops.Embeddings.labelStats(s, dir)),
+    "q_stats_moments" -> ((s, dir) => graft.ops.Stats.moments(s, dir)),
+    "q_text_histogram" -> ((s, dir) => graft.ops.Stats.qualityHistogram(s, dir)),
+    "q_events_pivot" -> ((s, dir) => graft.ops.Reshape.eventPivot(s, dir)),
+    "q_part_unpivot" -> ((s, dir) => graft.ops.Reshape.partUnpivot(s, dir)),
+    "q_events_click_attr" -> ((s, dir) => graft.streaming.EventOps.clickPurchaseQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,6 +96,14 @@ object SparkEntry {
     "q_text_tfidf" -> graft.ops.TextAnalysis.tfidfOracle,
     "q_events_attribution" -> graft.ops.Temporal.attributionOracle,
     "q_events_trailing_window" -> graft.ops.Temporal.trailingWindowOracle,
-    "q_events_retention" -> graft.ops.Funnel.retentionOracle
+    "q_events_retention" -> graft.ops.Funnel.retentionOracle,
+    "q_sim_ann_ivf" -> graft.ops.Similarity.ivfOracle,
+    "q_emb_centroids" -> graft.ops.Embeddings.labelCentroidsOracle,
+    "q_emb_label_stats" -> graft.ops.Embeddings.labelStatsOracle,
+    "q_stats_moments" -> graft.ops.Stats.momentsOracle,
+    "q_text_histogram" -> graft.ops.Stats.qualityHistogramOracle,
+    "q_events_pivot" -> graft.ops.Reshape.eventPivotOracle,
+    "q_part_unpivot" -> graft.ops.Reshape.partUnpivotOracle,
+    "q_events_click_attr" -> graft.streaming.EventOps.clickPurchaseOracle
   )
 }

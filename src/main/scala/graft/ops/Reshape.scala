@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Wide↔long reshaping: pivot (one column per category value) and unpivot
+  * (one row per metric). Both are single-aggregation / single-projection
+  * plans — pivot with an EXPLICIT value list compiles to conditional
+  * aggregates in one shuffle (omitting the list adds a distinct-values
+  * driver job first, a full extra pass at 100 TB); unpivot is a
+  * projection + generator, no shuffle at all.
+  */
+object Reshape {
+
+  /** Event types pinned at compile time — the pivot contract. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event matrix: one row per day, one count column per event type
+    * (absent combinations are 0, not null, so downstream arithmetic is
+    * total-function). */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val counted = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(counted)((d, t) =>
+      d.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  val eventPivotOracle: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS $t")
+    s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |       ${cols.mkString(",\n       ")}
+       |FROM events GROUP BY 1
+       |""".stripMargin
+  }
+
+  /** Part metrics melted to long form: (p_partkey, metric, value) — the
+    * shape feature stores and metric sinks ingest. */
+  def partUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+              col("p_size").cast("double").as("p_size"),
+              col("p_retailprice").cast("double").as("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+               Array(col("p_size"), col("p_retailprice")),
+               "metric", "value")
+
+  val partUnpivotOracle: String =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+      |""".stripMargin
+}

@@ -156,6 +156,91 @@ object Similarity {
        |""".stripMargin
   }
 
+  // --------------------------------------------------------------- IVF (ANN)
+  private val Cents = 8
+  private val NProbe = 2
+
+  /** IVF-flat approximate top-K: vectors are partitioned into [[Cents]]
+    * inverted lists by nearest centroid; each query probes its [[NProbe]]
+    * closest lists and brute-forces only inside them.
+    *
+    * Centroid "training" is deterministic seeding — the [[Cents]] vectors
+    * with the smallest md5(vec_id) become the centroids (the same
+    * derivation the SQL oracle performs), so results are reproducible and
+    * engine-independent. A production build would run a few k-means
+    * refinement sweeps over the same plumbing: assignment is the identical
+    * cross-join + argmax, and the re-centering is a groupBy(mean) — both
+    * driver-coordinated like this seeding step.
+    *
+    * Scale: the centroid table is tiny and BROADCAST, so assignment is a
+    * map-only pass over the corpus (C dot products per row, no shuffle).
+    * The candidate join shuffles by centroid_id — Σ_c |probe_c|·|list_c|
+    * pair volume instead of n², with list sizes balanced by the seeding.
+    * Recall depends on NProbe/Cents and is measured against
+    * [[bruteForceTopK]] in the spec suite. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = vecs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic seeding: TakeOrdered over (md5(vec_id), vec_id) — an
+    // 8-row driver action (IVF training is inherently driver-coordinated)
+    val seeds = n.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(Cents)
+      .select(col("vec_id"), col("v"), col("n2")).collect()
+    val centroids = broadcast(
+      seeds.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1), r.getDouble(2))
+      }.toSeq.toDF("centroid_id", "cv", "cn2"))
+    val ranked = n.crossJoin(centroids)
+      .withColumn("ccos", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("crank") <= NProbe)
+      .select(col("vec_id"), col("v"), col("n2"), col("centroid_id"), col("crank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = ranked.filter(col("crank") === 1) // each vector lives in ONE list
+    val pairs = ranked.as("a").join(index.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+              cosine().as("cos"))
+      .distinct() // a neighbor can appear via both probed lists
+    topK(pairs)
+  }
+
+  val ivfOracle: String =
+    s"""WITH $vecsCte,
+       |cent AS (
+       |  SELECT centroid_id, v AS cv, n2 AS cn2 FROM (
+       |    SELECT vec_id, v, n2,
+       |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS centroid_id
+       |    FROM n) WHERE centroid_id < $Cents),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.n2, c.centroid_id,
+       |         list_sum(list_transform(generate_series(1, $Dim), i -> n.v[i] * c.cv[i]))
+       |           / sqrt(n.n2 * c.cn2) AS ccos
+       |  FROM n, cent c),
+       |assigned AS (
+       |  SELECT vec_id, v, n2, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ccos DESC, centroid_id) AS crank
+       |  FROM scored),
+       |probe AS (SELECT * FROM assigned WHERE crank <= $NProbe),
+       |idx AS (SELECT * FROM assigned WHERE crank = 1),
+       |p AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+       |         $dotSql / sqrt(a.n2 * b.n2) AS cos
+       |  FROM probe a JOIN idx b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= $K
+       |""".stripMargin
+
   // ------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-duplicate pairs (exact, thresholded). At real
     * scale near-dups sit at cosine ≥ 0.99 and hyperplane LSH concentrates

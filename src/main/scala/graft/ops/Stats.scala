@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Distributed descriptive statistics with ORDER-INDEPENDENT results.
+  *
+  * Spark's builtin `corr`/`stddev`/`variance` stream doubles through
+  * Welford-style updates whose result depends on partition order — fine
+  * for analytics, unusable for a bit-exact cross-engine gate and a source
+  * of run-to-run flap at 1000 executors. Here every moment is assembled
+  * from EXACT decimal power sums (the corpus stores money at 2 dp and
+  * quantities as integers, so x, x², xy are exact in decimal), and the
+  * closed-form moment formulas run on the driver side of the aggregation
+  * in double — deterministic at any parallelism, one shuffle of a few
+  * decimal cells per group.
+  */
+object Stats {
+
+  /** Per-returnflag moments over lineitem: count, means, population
+    * variance/stddev of extendedprice, and the quantity↔extendedprice
+    * Pearson correlation — all from exact decimal sums. */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(9,2)")          // integral ≤ 50
+    val y = col("l_extendedprice").cast("decimal(12,2)")    // exact at 2 dp
+    val sums = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).cast("double").as("sx"),
+           sum(col("y")).cast("double").as("sy"),
+           sum((col("x") * col("x")).cast("decimal(20,4)")).cast("double").as("sxx"),
+           sum((col("y") * col("y")).cast("decimal(27,4)")).cast("double").as("syy"),
+           sum((col("x") * col("y")).cast("decimal(23,4)")).cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    val varY = (col("syy") - col("sy") * col("sy") / n) / n
+    val corr = (n * col("sxy") - col("sx") * col("sy")) /
+      sqrt((n * col("sxx") - col("sx") * col("sx")) *
+           (n * col("syy") - col("sy") * col("sy")))
+    sums.select(
+      col("l_returnflag"), col("n"),
+      round(col("sx") / n, 6).as("mean_qty"),
+      round(col("sy") / n, 6).as("mean_price"),
+      round(varY, 6).as("var_price"),
+      round(sqrt(varY), 6).as("stddev_price"),
+      round(corr, 6).as("corr_qty_price"))
+  }
+
+  val momentsOracle: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(27,4))) AS DOUBLE) AS syy,
+      |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(23,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |       round(sx / n, 6) AS mean_qty,
+      |       round(sy / n, 6) AS mean_price,
+      |       round((syy - sy * sy / n) / n, 6) AS var_price,
+      |       round(sqrt((syy - sy * sy / n) / n), 6) AS stddev_price,
+      |       round((n * sxy - sx * sy) /
+      |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+      |FROM s
+      |""".stripMargin
+
+  /** Fixed-width histogram of the text quality score: 10 buckets over
+    * [0, 1], score 1.0 clamped into the top bucket. The input score is
+    * already rounded to 6 dp, so the bucket arithmetic is deterministic.
+    * One aggregation; output bounded by the bucket count. */
+  def qualityHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(spark, dir)
+      .select(least(floor(col("quality_score") * 10).cast("int"), lit(9)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", round(col("bucket").cast("double") / 10, 1))
+      .withColumn("hi", round((col("bucket") + 1).cast("double") / 10, 1))
+      .select(col("bucket"), col("lo"), col("hi"), col("n"))
+
+  val qualityHistogramOracle: String = {
+    def cte(sql: String) = sql.trim.stripSuffix(";")
+    s"""WITH q AS (${cte(TextAnalysis.qualityOracle)})
+       |SELECT bucket, round(CAST(bucket AS DOUBLE) / 10, 1) AS lo,
+       |       round(CAST(bucket + 1 AS DOUBLE) / 10, 1) AS hi,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT least(CAST(floor(quality_score * 10) AS INT), 9) AS bucket FROM q)
+       |GROUP BY 1
+       |""".stripMargin
+  }
+}

@@ -113,6 +113,62 @@ object EventOps {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  // ------------------------------------------------- stream-stream join
+  /** Click→purchase interval join: each purchase matched to every click by
+    * the same user in the preceding hour. One transform serves batch and
+    * streaming — the join condition is pure event-time arithmetic.
+    *
+    * In streaming (both inputs watermarked — see
+    * [[streamingClickPurchaseJoin]]) the event-time range bound is what
+    * lets Spark EVICT join state: each side buffers only the watermark
+    * horizon + 1 hour, so state is O(recent events), not O(stream). An
+    * equi-join without the time bound would grow state forever. Batch
+    * planning is an ordinary shuffle join on user_id with the range as a
+    * post-filter. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+                          col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+                             col("event_id").as("purchase_id"),
+                             col("ts").as("purchase_ts"),
+                             col("value").as("purchase_value"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** The same join as a streaming query (append mode): watermarks bound
+    * both sides' state; late events beyond the watermark are dropped. */
+  def streamingClickPurchaseJoin(clickStream: DataFrame,
+                                 purchaseStream: DataFrame,
+                                 watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoin(clickStream.withWatermark("ts", watermark),
+                      purchaseStream.withWatermark("ts", watermark))
+
+  def clickPurchaseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    clickPurchaseJoin(e.filter(col("event_type") === "click"),
+                      e.filter(col("event_type") === "purchase"))
+  }
+
+  val clickPurchaseOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+      |         value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts,
+      |       p.purchase_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      | AND p.purchase_ts >= c.click_ts
+      | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+      |""".stripMargin
+
   // -------------------------------------------------------- warehouse sink
   /** Continuously append a streaming frame's micro-batches into the
     * two-layer warehouse history (foreachBatch: each batch is a normal

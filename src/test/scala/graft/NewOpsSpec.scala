@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Embeddings, Reshape, Similarity, Stats}
+
+/** Specs for the round-2 operators: IVF ANN, embedding statistics,
+  * order-independent moments, histogram, pivot/unpivot. */
+class NewOpsSpec extends SparkSpec {
+
+  test("ivfTopK is sound: every reported cosine matches brute force") {
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // IVF never fabricates a pair: any (vec, neighbor) it reports with a
+      // cosine is the exact cosine (membership in bf map only holds for
+      // neighbors ranked <= K there, so compare when present)
+      bf.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("ivfTopK recall vs brute force is positive and rank-1 is exact-in-list") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = bf.count { case (v, n) => ivf.get(v).contains(n) }
+    // near-random embeddings make recall bucket-luck; assert the operator
+    // finds a nontrivial fraction of true top-1s rather than a threshold
+    assert(hits > 0, s"IVF found 0 of ${bf.size} true top-1 neighbors")
+  }
+
+  test("normalizeL2 produces unit vectors and preserves direction") {
+    val df = Embeddings.normalizeL2(
+      graft.core.Tables.embeddings(spark, sf).limit(50), "embedding")
+    val norms = df.select(
+      aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x).as("n2"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9))
+  }
+
+  test("labelCentroids covers labels x dims exactly once") {
+    val c = Embeddings.labelCentroids(spark, sf)
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select(countDistinct(col("label"))).collect()(0).getLong(0)
+    assert(c.count() == labels * 64)
+    assert(c.groupBy("label", "dim").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("moments matches Spark's builtin aggregates within tolerance") {
+    val m = Stats.moments(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice")).as("mean"),
+           var_pop(col("l_extendedprice")).as("vp"),
+           corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect()
+    ref.foreach { r =>
+      val mine = m(r.getString(0))
+      assert(math.abs(mine.getDouble(3) - r.getDouble(1)) < 1e-3) // mean_price
+      assert(math.abs(mine.getDouble(4) - r.getDouble(2)) / r.getDouble(2) < 1e-6) // var
+      assert(math.abs(mine.getDouble(6) - r.getDouble(3)) < 1e-6) // corr
+    }
+  }
+
+  test("qualityHistogram buckets partition all documents") {
+    val h = Stats.qualityHistogram(spark, sf).collect()
+    val total = h.map(_.getLong(3)).sum
+    assert(total == graft.core.Tables.documents(spark, sf).count())
+    h.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+    }
+  }
+
+  test("eventPivot: row per day, zero-filled cells, counts sum to corpus") {
+    val p = Reshape.eventPivot(spark, sf)
+    assert(p.columns.toSeq == "day" +: Reshape.EventTypes)
+    val total = p.select(Reshape.EventTypes.map(t => sum(col(t))).reduce(_ + _))
+      .collect()(0).getLong(0)
+    assert(total == graft.core.Tables.events(spark, sf).count())
+    assert(p.filter(Reshape.EventTypes.map(t => col(t).isNull).reduce(_ || _)).isEmpty)
+  }
+
+  test("stream-stream click-purchase join equals its batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, EventOps}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((min + 100) * 60000L)
+    val clicks = Seq(Event(1, ts(0), 1, "click", 0.0),
+                     Event(2, ts(30), 1, "click", 0.0),
+                     Event(3, ts(0), 2, "click", 0.0))
+    val purchases = Seq(Event(10, ts(45), 1, "purchase", 9.5), // joins clicks 1+2
+                        Event(11, ts(90), 1, "purchase", 3.0), // joins click 2 only
+                        Event(12, ts(200), 2, "purchase", 1.0)) // outside the hour
+    val cIn = MemoryStream[Event]; val pIn = MemoryStream[Event]
+    val q = EventOps.streamingClickPurchaseJoin(cIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("ss_join").outputMode("append")
+      .option("checkpointLocation", "/tmp/graft_ckpt_ssj_" + System.nanoTime())
+      .start()
+    try {
+      cIn.addData(clicks); pIn.addData(purchases)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join")
+        .select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventOps.clickPurchaseJoin(
+          clicks.toDF().filter($"event_type" === "click"),
+          purchases.toDF())
+        .select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch == Set((1L, 1L, 10L), (1L, 2L, 10L), (1L, 2L, 11L)))
+    } finally q.stop()
+  }
+
+  test("partUnpivot emits 2 rows per part with matched values") {
+    val parts = graft.core.Tables.part(spark, sf)
+    val u = Reshape.partUnpivot(spark, sf)
+    assert(u.count() == parts.count() * 2)
+    val size0 = parts.orderBy("p_partkey").select("p_size").collect()(0).getInt(0)
+    val got = u.filter(col("metric") === "p_size").orderBy("p_partkey")
+      .select("value").collect()(0).getDouble(0)
+    assert(got == size0.toDouble)
+  }
+}
