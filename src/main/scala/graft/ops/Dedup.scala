@@ -169,7 +169,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  private val shingleCte: String =
+  private[ops] val shingleCte: String =
     """sh AS (
       |  SELECT doc_id,
       |         list_distinct(list_transform(

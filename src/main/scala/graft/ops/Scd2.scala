@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Slowly-changing-dimension type-2 history maintenance: merge a new
+  * dimension snapshot into a history table where each key holds one OPEN
+  * row (`effective_to IS NULL`) plus closed rows for every prior version.
+  *
+  * The reference pipeline family overwrites dimensions in place on every
+  * daily run (staging truncate-and-load), losing history; SCD2 is the
+  * standard upgrade and a core ETL-engine capability.
+  *
+  * Plan shape: one full-outer join between the OPEN slice and the
+  * snapshot on the business key — the closed history is appended
+  * untouched (no read-modify-write of the whole table). Change detection
+  * is null-safe equality over the tracked columns only. At warehouse
+  * scale both sides are hash-partitioned by the key; the closed slice
+  * never shuffles at all. Deletes (key absent from the snapshot) close
+  * the open row when `closeMissing` is set — full snapshots want that,
+  * incremental feeds don't.
+  */
+object Scd2 {
+
+  /** Merge `snapshot` (current values per `key`) into `history` (SCD2
+    * table: same columns + effective_from/effective_to) as of `asOf`.
+    * Unchanged open rows carry forward; changed rows close at `asOf` and
+    * re-open from `asOf`; unseen keys insert; missing keys optionally
+    * close. Rows already closed pass through untouched. */
+  def merge(history: DataFrame, snapshot: DataFrame, key: Seq[String],
+            tracked: Seq[String], asOf: java.sql.Date,
+            closeMissing: Boolean = false): DataFrame = {
+    val open = history.filter(col("effective_to").isNull)
+    val closed = history.filter(col("effective_to").isNotNull)
+    val attrs = key ++ tracked
+    val o = open.select(attrs.map(c => col(c).as(s"o_$c")) :+
+      col("effective_from").as("o_from"): _*)
+    val s = snapshot.select(attrs.map(c => col(c).as(s"s_$c")): _*)
+    val keyMatch = key.map(k => col(s"o_$k") <=> col(s"s_$k")).reduce(_ && _)
+    val joined = o.join(s, keyMatch, "full_outer")
+    val changed = tracked.map(c => !(col(s"o_$c") <=> col(s"s_$c"))).reduce(_ || _)
+    val inO = key.map(k => col(s"o_$k").isNotNull).reduce(_ && _)
+    val inS = key.map(k => col(s"s_$k").isNotNull).reduce(_ && _)
+
+    def rows(prefix: String, from: Column, to: Column, cond: Column) =
+      joined.filter(cond).select(
+        attrs.map(c => col(s"${prefix}_$c").as(c)) ++
+          Seq(from.as("effective_from"), to.as("effective_to")): _*)
+
+    val keepOpen   = rows("o", col("o_from"), lit(null).cast("date"),
+                          inO && inS && !changed)
+    val closeOld   = rows("o", col("o_from"), lit(asOf),
+                          inO && inS && changed)
+    val reopenNew  = rows("s", lit(asOf), lit(null).cast("date"),
+                          inO && inS && changed)
+    val insertNew  = rows("s", lit(asOf), lit(null).cast("date"),
+                          !inO && inS)
+    val missing    = rows("o", col("o_from"),
+                          if (closeMissing) lit(asOf) else lit(null).cast("date"),
+                          inO && !inS)
+    Seq(keepOpen, closeOld, reopenNew, insertNew, missing, closed.select(
+      attrs.map(col) ++ Seq(col("effective_from"), col("effective_to")): _*))
+      .reduce(_ unionByName _)
+  }
+
+  private val Day1 = java.sql.Date.valueOf("2024-06-01")
+  private val Day2 = java.sql.Date.valueOf("2024-06-02")
+
+  /** Oracle scenario: the supplier table loaded on day 1 as the initial
+    * history, then a day-2 snapshot where 1-in-7 suppliers changed name
+    * and suppliers with key % 31 = 0 disappeared (full snapshot →
+    * closeMissing). Deterministic end-to-end. */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val history = base
+      .withColumn("effective_from", lit(Day1))
+      .withColumn("effective_to", lit(null).cast("date"))
+    val snapshot = base
+      .filter(col("s_suppkey") % 31 =!= 0)
+      .withColumn("s_name",
+        when(col("s_suppkey") % 7 === 0, concat(col("s_name"), lit("_v2")))
+          .otherwise(col("s_name")))
+    merge(history, snapshot, Seq("s_suppkey"), Seq("s_name", "s_acctbal"),
+          Day2, closeMissing = true)
+  }
+
+  val oracle: String =
+    """WITH snap AS (
+      |  SELECT s_suppkey,
+      |         CASE WHEN s_suppkey % 7 = 0 THEN s_name || '_v2' ELSE s_name END AS s_name,
+      |         s_acctbal
+      |  FROM supplier WHERE s_suppkey % 31 <> 0)
+      |SELECT s_suppkey, s_name, s_acctbal,
+      |       DATE '2024-06-01' AS effective_from,
+      |       CAST(NULL AS DATE) AS effective_to
+      |FROM supplier
+      |WHERE s_suppkey % 31 <> 0 AND s_suppkey % 7 <> 0       -- unchanged, kept open
+      |UNION ALL
+      |SELECT s_suppkey, s_name, s_acctbal, DATE '2024-06-01', DATE '2024-06-02'
+      |FROM supplier
+      |WHERE s_suppkey % 7 = 0 AND s_suppkey % 31 <> 0        -- changed, closed
+      |UNION ALL
+      |SELECT s_suppkey, s_name, s_acctbal, DATE '2024-06-02', CAST(NULL AS DATE)
+      |FROM snap
+      |WHERE s_suppkey % 7 = 0                                -- changed, re-opened
+      |UNION ALL
+      |SELECT s_suppkey, s_name, s_acctbal, DATE '2024-06-01', DATE '2024-06-02'
+      |FROM supplier
+      |WHERE s_suppkey % 31 = 0                               -- missing, closed
+      |""".stripMargin
+}

@@ -119,6 +119,45 @@ class NewOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2 merge is idempotent: re-merging the same snapshot changes nothing") {
+    import graft.ops.Scd2
+    val base = graft.core.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val day1 = java.sql.Date.valueOf("2024-06-01")
+    val day3 = java.sql.Date.valueOf("2024-06-03")
+    val history = base
+      .withColumn("effective_from", lit(day1))
+      .withColumn("effective_to", lit(null).cast("date"))
+    val once = Scd2.merge(history, base, Seq("s_suppkey"),
+      Seq("s_name", "s_acctbal"), day3)
+    // identical snapshot: every open row carries forward, nothing closes
+    assert(once.filter(col("effective_to").isNotNull).isEmpty)
+    assert(once.count() == base.count())
+    assert(once.filter(col("effective_from") =!= lit(day1)).isEmpty)
+  }
+
+  test("scd2 merge versions changed keys and preserves closed history") {
+    val out = graft.ops.Scd2.query(spark, sf).collect()
+    val byKey = out.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rows) =>
+      if (k % 31 == 0) assert(rows.length == 1 && rows(0).getDate(4) != null)
+      else if (k % 7 == 0) {
+        assert(rows.length == 2)
+        assert(rows.count(_.getDate(4) == null) == 1) // exactly one open row
+      } else assert(rows.length == 1 && rows(0).getDate(4) == null)
+    }
+  }
+
+  test("contamination is a fraction in [0,1] over test docs only") {
+    val c = graft.ops.Contamination.query(spark, sf).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1)) // shared <= total
+    }
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
