@@ -281,10 +281,14 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // seed with round 1 fused into the init aggregation: label(x) =
+    // min(x, min direct neighbor) — the first propagation round always
+    // changes every non-minimum node, so running it as a plain groupBy
+    // (no join, no convergence check) saves a full loop iteration
+    var cached = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -293,15 +297,18 @@ object Dedup {
                     .withColumnRenamed("cluster_id", "nbr_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr_label")).as("nbr_min"))
+      // carry the previous label through the join so convergence checking
+      // is a filter over the cached frame, not another join per round
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
                 least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-                  .as("cluster_id"))
+                  .as("cluster_id"),
+                col("cluster_id").as("prev"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels.unpersist() // next is materialized by the convergence check
-      labels = next
+      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      cached.unpersist() // next is materialized by the convergence check
+      cached = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     if (!converged)

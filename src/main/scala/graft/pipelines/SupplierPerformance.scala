@@ -42,13 +42,21 @@ object SupplierPerformance {
   def productLevel(spark: SparkSession, dir: String): DataFrame = {
     val sales = salesWithStatus(spark, dir)
     val part = Tables.part(spark, dir).select("p_partkey", "p_name")
-    Jnr.factDim(sales.withColumnRenamed("l_partkey", "p_partkey"),
-                part, Seq("p_partkey"))
-      .withColumn("revenue", Exp.revenue(col("l_extendedprice"), col("l_discount")))
-      .groupBy(col("l_suppkey"), col("p_partkey"), col("p_name"))
-      .agg(count(lit(1)).as("sale_cnt"),
-           sum(col("revenue")).as("product_revenue"),
-           sum(col("l_quantity")).as("qty"))
+    // aggregate BELOW the dimension join: the fact rolls up to one row per
+    // (supplier, part) first, and the broadcast part join probes only the
+    // rollup — p_name is functionally dependent on p_partkey, so the
+    // result is identical to joining first and grouping by name too,
+    // while the join input shrinks from per-lineitem to per-(supp, part)
+    Jnr.factDim(
+        sales
+          .withColumn("revenue", Exp.revenue(col("l_extendedprice"), col("l_discount")))
+          .groupBy(col("l_suppkey"), col("l_partkey").as("p_partkey"))
+          .agg(count(lit(1)).as("sale_cnt"),
+               sum(col("revenue")).as("product_revenue"),
+               sum(col("l_quantity")).as("qty")),
+        part, Seq("p_partkey"))
+      .select(col("l_suppkey"), col("p_partkey"), col("p_name"),
+              col("sale_cnt"), col("product_revenue"), col("qty"))
   }
 
   def build(spark: SparkSession, dir: String): DataFrame = {
