@@ -80,6 +80,8 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val ShingleName = "graft_shingle_hash"
   val SimHashName = "graft_simhash"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_might_contain"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -113,6 +115,24 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         SimHashName,
         (exprs: Seq[Expression]) => SimHash60(exprs(0)),
+        "built-in")
+      // Spark ships Bloom-filter build/probe expressions for its runtime
+      // join filters but does not register them as SQL functions; exposing
+      // them gives the engine a broadcastable membership sketch
+      // (graft_bloom_agg(x, items, bits) -> binary;
+      //  graft_might_contain(bf, x) -> boolean, x LONG)
+      reg.createOrReplaceTempFunction(
+        BloomAggName,
+        (exprs: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+            .toAggregateExpression(),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        BloomContainsName,
+        (exprs: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(exprs(0), exprs(1)),
         "built-in")
     }
   }

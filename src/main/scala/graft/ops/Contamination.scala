@@ -41,6 +41,36 @@ object Contamination {
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
   }
 
+  /** The scale path: identical shape to [[query]], but the train-shingle
+    * dimension collapses into a Bloom filter (`bloom_filter_agg`, one
+    * small binary blob) broadcast and probed map-side with
+    * `might_contain` — no distinct-dimension shuffle, no join. False
+    * positives OVERCOUNT `n_shared` by at most the configured fpp; false
+    * negatives are impossible, which the spec asserts against [[query]].
+    * Not oracle-checked (the filter's bit layout is engine-specific). */
+  def approxQuery(spark: SparkSession, dir: String,
+                  expectedItems: Long = 1000000L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.{BloomAggName, BloomContainsName}
+    val sh = Dedup.explodedShinglesOf(spark, Tables.documents(spark, dir))
+      .withColumn("split", Sampling.split(col("doc_id"), TrainPct, ValidPct))
+    // build the filter (one distributed aggregation) and inline the blob
+    // as a plan literal — might_contain requires a constant filter, and a
+    // literal is how Spark's own runtime join filters inject it; the probe
+    // is then a pure map-side projection over the test shingles
+    val bf: Array[Byte] = sh.filter(col("split") === "train")
+      .agg(call_function(BloomAggName, col("h"), lit(expectedItems),
+             lit((expectedItems * 8).max(1048576L))).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    sh.filter(col("split") === "test")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(call_function(BloomContainsName, lit(bf), col("h")), 1L)
+             .otherwise(0L)).as("n_shared"))
+      .withColumn("contamination",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   val oracle: String = {
     val D = 10000L
     s"""WITH ${Dedup.shingleCte},

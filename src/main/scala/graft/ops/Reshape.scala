@@ -18,16 +18,20 @@ object Reshape {
 
   /** Daily event matrix: one row per day, one count column per event type
     * (absent combinations are 0, not null, so downstream arithmetic is
-    * total-function). */
-  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
-    val counted = Tables.events(spark, dir)
+    * total-function).
+    *
+    * Written as direct conditional aggregates rather than
+    * `.pivot(col, values)`: RelationalGroupedDataset.pivot compiles to TWO
+    * aggregations (a (day, type) rollup shuffled twice, then pivotfirst) —
+    * the conditional-count form is a single partial+final hash aggregate,
+    * one shuffle keyed by day, which PlanGuardSpec pins. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("event_type"))
       .groupBy(col("day"))
-      .pivot("event_type", EventTypes)
-      .agg(count(lit(1)))
-    EventTypes.foldLeft(counted)((d, t) =>
-      d.withColumn(t, coalesce(col(t), lit(0L))))
-  }
+      .agg(count(when(col("event_type") === EventTypes.head, 1)).as(EventTypes.head),
+           EventTypes.tail.map(t =>
+             count(when(col("event_type") === t, 1)).as(t)): _*)
 
   val eventPivotOracle: String = {
     val cols = EventTypes.map(t =>

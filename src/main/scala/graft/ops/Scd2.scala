@@ -12,14 +12,19 @@ import graft.core.Tables
   * daily run (staging truncate-and-load), losing history; SCD2 is the
   * standard upgrade and a core ETL-engine capability.
   *
-  * Plan shape: one full-outer join between the OPEN slice and the
+  * Plan shape: ONE full-outer join between the OPEN slice and the
   * snapshot on the business key — the closed history is appended
   * untouched (no read-modify-write of the whole table). Change detection
-  * is null-safe equality over the tracked columns only. At warehouse
-  * scale both sides are hash-partitioned by the key; the closed slice
-  * never shuffles at all. Deletes (key absent from the snapshot) close
-  * the open row when `closeMissing` is set — full snapshots want that,
-  * incremental feeds don't.
+  * is null-safe equality over the tracked columns only. The output
+  * branches (carry-forward / close / re-open / insert / soft-delete) are
+  * emitted by exploding a per-row array of candidate rows computed in the
+  * SAME projection — filtering the joined frame once per branch instead
+  * would let the optimizer push each branch's predicate into its own copy
+  * of the join (measured: 5 joins, 6 scans of each input), which at
+  * warehouse scale means five shuffles of the dimension instead of one.
+  * PlanGuardSpec pins the single-join shape. Deletes (key absent from the
+  * snapshot) close the open row when `closeMissing` is set — full
+  * snapshots want that, incremental feeds don't.
   */
 object Scd2 {
 
@@ -42,26 +47,26 @@ object Scd2 {
     val changed = tracked.map(c => !(col(s"o_$c") <=> col(s"s_$c"))).reduce(_ || _)
     val inO = key.map(k => col(s"o_$k").isNotNull).reduce(_ && _)
     val inS = key.map(k => col(s"s_$k").isNotNull).reduce(_ && _)
+    val openTo = lit(null).cast("date")
 
-    def rows(prefix: String, from: Column, to: Column, cond: Column) =
-      joined.filter(cond).select(
-        attrs.map(c => col(s"${prefix}_$c").as(c)) ++
-          Seq(from.as("effective_from"), to.as("effective_to")): _*)
+    def mkRow(prefix: String, from: Column, to: Column): Column =
+      struct(attrs.map(c => col(s"${prefix}_$c").as(c)) ++
+        Seq(from.as("effective_from"), to.as("effective_to")): _*)
 
-    val keepOpen   = rows("o", col("o_from"), lit(null).cast("date"),
-                          inO && inS && !changed)
-    val closeOld   = rows("o", col("o_from"), lit(asOf),
-                          inO && inS && changed)
-    val reopenNew  = rows("s", lit(asOf), lit(null).cast("date"),
-                          inO && inS && changed)
-    val insertNew  = rows("s", lit(asOf), lit(null).cast("date"),
-                          !inO && inS)
-    val missing    = rows("o", col("o_from"),
-                          if (closeMissing) lit(asOf) else lit(null).cast("date"),
-                          inO && !inS)
-    Seq(keepOpen, closeOld, reopenNew, insertNew, missing, closed.select(
+    // every joined row yields 1 row (2 when a change closes + re-opens),
+    // selected by a CASE in one projection; `when` without `otherwise`
+    // gives a null struct, compacted away before the explode
+    val first = when(inO && inS && !changed, mkRow("o", col("o_from"), openTo))
+      .when(inO && inS && changed, mkRow("o", col("o_from"), lit(asOf)))
+      .when(!inO && inS, mkRow("s", lit(asOf), openTo))
+      .when(inO && !inS, mkRow("o", col("o_from"),
+                               if (closeMissing) lit(asOf) else openTo))
+    val second = when(inO && inS && changed, mkRow("s", lit(asOf), openTo))
+    val merged = joined
+      .select(explode(filter(array(first, second), r => r.isNotNull)).as("r"))
+      .select(col("r.*"))
+    merged.unionByName(closed.select(
       attrs.map(col) ++ Seq(col("effective_from"), col("effective_to")): _*))
-      .reduce(_ unionByName _)
   }
 
   private val Day1 = java.sql.Date.valueOf("2024-06-01")

@@ -158,6 +158,23 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom contamination never undercounts the exact join and stays close") {
+    val exact = graft.ops.Contamination.query(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.ops.Contamination.approxQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (doc, (n, shared)) =>
+      val (en, eshared) = exact(doc)
+      assert(n == en)
+      assert(shared >= eshared, s"bloom false negative on doc $doc")
+      // overcount bounded: fpp 1% over n shingles, generous slack for
+      // the tiny test corpus
+      assert(shared - eshared <= math.max(2L, (n * 0.05).toLong),
+        s"doc $doc overcounted: $shared vs $eshared of $n")
+    }
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)

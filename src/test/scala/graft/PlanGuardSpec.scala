@@ -54,4 +54,51 @@ class PlanGuardSpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).length == 1)
     assert(!p.contains("Exchange hashpartitioning"))
   }
+
+  test("ivf: centroid assignment is a broadcast nested loop, no shuffle before it") {
+    val p = plan(graft.ops.Similarity.ivfTopK(spark, sf))
+    // the 8-row centroid table must broadcast; the corpus side must not
+    // shuffle to meet it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids must be broadcast")
+  }
+
+  test("event pivot: one shuffle, no distinct-values pre-job") {
+    val p = plan(graft.ops.Reshape.eventPivot(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      "explicit pivot values must compile to a single-shuffle conditional agg")
+  }
+
+  test("unpivot: projection + generator, shuffle-free") {
+    val p = plan(graft.ops.Reshape.partUnpivot(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert("FileScan".r.findAllIn(p).length == 1)
+  }
+
+  test("scd2: closed history is appended, not joined") {
+    val base = graft.core.Tables.supplier(spark, sf)
+      .select(org.apache.spark.sql.functions.col("s_suppkey"),
+              org.apache.spark.sql.functions.col("s_name"))
+    val hist = base
+      .withColumn("effective_from",
+        org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2024-06-01")))
+      .withColumn("effective_to",
+        org.apache.spark.sql.functions.lit(null).cast("date"))
+    val p = plan(graft.ops.Scd2.merge(hist, base, Seq("s_suppkey"),
+      Seq("s_name"), java.sql.Date.valueOf("2024-06-02")))
+    // exactly the open-vs-snapshot join: one join in the whole plan
+    assert("Join".r.findAllIn(p).length <= "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length * 2, "sanity")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length == 1,
+      "scd2 must plan exactly one join (open slice vs snapshot)")
+  }
+
+  test("stats moments: one aggregation pass over a pruned 3-column scan") {
+    val p = plan(graft.ops.Stats.moments(spark, sf))
+    assert("FileScan".r.findAllIn(p).length == 1)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity")
+      && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate"), "scan must prune unused columns")
+  }
 }
