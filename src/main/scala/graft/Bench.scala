@@ -44,20 +44,28 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // each query runs REPS times and reports the fastest rep: single-shot
+    // timings on a shared JVM swing ±30% with GC pauses; min-of-N is the
+    // steady-state cost of the PLAN, which is what the bench compares
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces every column to be computed (count() would let
-      // the optimizer prune the projections entirely for narrow queries)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
-        }
-        finally spark.catalog.clearCache() // per-query isolation: persists
-                                           // don't leak memory into later queries
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: forces every column to be computed (count() would let
+        // the optimizer prune the projections entirely for narrow queries)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            false
+          }
+          finally spark.catalog.clearCache() // per-query isolation: persists
+                                             // don't leak memory into later queries
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
       // a failed query reports -1, never a fast fake timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -69,7 +77,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
