@@ -67,6 +67,29 @@ object Stats {
       |FROM s
       |""".stripMargin
 
+  /** Exact per-group quantiles via the `percentile` AGGREGATE (linear
+    * interpolation, same definition as DuckDB's quantile_cont). Groups
+    * aggregate independently — no global sort, no single-partition
+    * window; the per-group value buffer is the only memory cost, which
+    * is what `approx_percentile` trades away at larger group sizes
+    * (`Exp.approxTiers` is the sketch variant). */
+  def groupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+           round(expr("percentile(c_acctbal, 0.25)"), 6).as("q25"),
+           round(expr("percentile(c_acctbal, 0.5)"), 6).as("q50"),
+           round(expr("percentile(c_acctbal, 0.75)"), 6).as("q75"))
+
+  val groupQuantilesOracle: String =
+    """SELECT c_nationkey,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(quantile_cont(c_acctbal, 0.25), 6) AS q25,
+      |       round(quantile_cont(c_acctbal, 0.5), 6) AS q50,
+      |       round(quantile_cont(c_acctbal, 0.75), 6) AS q75
+      |FROM customer GROUP BY 1
+      |""".stripMargin
+
   /** Fixed-width histogram of the text quality score: 10 buckets over
     * [0, 1], score 1.0 clamped into the top bucket. The input score is
     * already rounded to 6 dp, so the bucket arithmetic is deterministic.

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Time-series shaping over the event log: dense gap-filled daily series,
+  * the full ranking/offset window-function family, and JSON property
+  * flattening.
+  *
+  * Scale design: [[gapFill]] builds the day spine with `sequence()` from
+  * a 1-row global min/max aggregate — the spine explode is per-user and
+  * bounded by the date range, never a driver loop; the left join streams
+  * the (user, day) rollup against it. [[windowFuncs]] is one
+  * user-partitioned sort shared by every window expression (same
+  * partition+order ⇒ one WindowExec). [[jsonFlatten]] is a shuffle-free
+  * projection with `from_json` (schema pinned — no sampling pass).
+  */
+object TimeSeries {
+
+  /** Dense per-(user, day) click counts: absent days appear with 0 —
+    * downstream rolling averages and burn-down charts need total series.
+    * Spine = every user × every day in the corpus's global range. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val perDay = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_clicks"))
+    // global range: one-row aggregate, broadcast into the per-user spine
+    val range = e.agg(to_date(min(col("ts"))).as("d0"),
+                      to_date(max(col("ts"))).as("d1"))
+    val spine = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("user_id"),
+              explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(perDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+              coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+
+  val gapFillOracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |r AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM e),
+      |days AS (
+      |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM r),
+      |spine AS (
+      |  SELECT u.user_id, CAST(days.d AS DATE) AS day
+      |  FROM (SELECT DISTINCT user_id FROM e) u, days),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_clicks
+      |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT s.user_id, s.day, coalesce(c.n_clicks, 0) AS n_clicks
+      |FROM spine s LEFT JOIN c USING (user_id, day)
+      |""".stripMargin
+
+  /** The ranking/offset/frame window families over one shared
+    * user-partitioned sort: lag/lead, row_number, ntile, cume_dist, and
+    * an exact-decimal running total. Every function orders by the unique
+    * (ts, event_id) pair, so results are deterministic. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        row_number().over(w).as("seq"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(sum(col("value").cast(DecimalType(18, 6)))
+          .over(w.rowsBetween(Long.MinValue, 0)), 2)
+          .cast("double").as("running_value"))
+  }
+
+  val windowFuncsOracle: String =
+    """SELECT user_id, event_id,
+      |       lag(event_id, 1) OVER w AS prev_event_id,
+      |       lead(event_id, 1) OVER w AS next_event_id,
+      |       CAST(row_number() OVER w AS INT) AS seq,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       round(cume_dist() OVER w, 6) AS cume,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      |         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |         ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |""".stripMargin
+
+  /** Typed JSON property extraction with a PINNED schema (`from_json`
+    * with inference would add a full sampling pass before the real scan). */
+  def jsonFlatten(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+              from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .withColumn("k_bucket", floor(col("k") / 10).cast("int"))
+
+  val jsonFlattenOracle: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |       CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_bucket
+      |FROM events
+      |""".stripMargin
+}

@@ -175,6 +175,46 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy linkage repairs every corrupted name at distance 1") {
+    val out = graft.ops.Linkage.query(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the perturbation drops one char, so the true source is at distance 1
+    // and argmin can never do worse
+    out.foreach(r => assert(r.getInt(2) <= 1))
+    // repairing the dirty name must reproduce a real vocabulary entry
+    val vocab = graft.core.Tables.part(spark, sf)
+      .select("p_name").distinct().collect().map(_.getString(0)).toSet
+    out.foreach(r => assert(vocab.contains(r.getString(1))))
+  }
+
+  test("gapFill yields a dense user x day matrix that preserves totals") {
+    val g = graft.ops.TimeSeries.gapFill(spark, sf)
+    val e = graft.core.Tables.events(spark, sf)
+    val users = e.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val days = e.select((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+      .cast("long")).collect()(0).getLong(0)
+    assert(g.count() == users * days)
+    val clicks = e.filter(col("event_type") === "click").count()
+    assert(g.agg(sum(col("n_clicks"))).collect()(0).getLong(0) == clicks)
+  }
+
+  test("windowFuncs: seq is a permutation and running total is monotone per user") {
+    val w = graft.ops.TimeSeries.windowFuncs(spark, sf)
+    val perUser = w.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("seq")).as("mx"),
+           countDistinct(col("seq")).as("d"))
+    assert(perUser.filter(col("n") =!= col("mx") || col("n") =!= col("d")).isEmpty)
+    assert(w.filter(col("quartile") < 1 || col("quartile") > 4).isEmpty)
+    assert(w.filter(col("cume") <= 0 || col("cume") > 1).isEmpty)
+  }
+
+  test("group quantiles are ordered and bracket the group range") {
+    val q = graft.ops.Stats.groupQuantiles(spark, sf).collect()
+    q.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+    }
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
