@@ -20,14 +20,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * sequential fold the DuckDB oracle performs), and a null array on either
   * side yields null — identical to the HOF formulation on this kernel's
   * intended domain of equal-length, non-null-element vectors. INTENTIONAL
-  * RESTRICTION outside that domain: unequal lengths sum over the first
-  * min(n) elements (zip_with would pad with null and return NULL), and a
-  * null ELEMENT reads as 0.0 via `ArrayData.getDouble` (zip_with would
-  * propagate NULL). Embedding columns are fixed-length non-null, and
-  * per-element null checks would put a branch in the fused n² inner loop,
-  * so the divergence is documented rather than guarded.
+  * RESTRICTION outside that domain (default `hofNulls = false`): unequal
+  * lengths sum over the first min(n) elements (zip_with would pad with
+  * null and return NULL), and a null ELEMENT reads as 0.0 via
+  * `ArrayData.getDouble` (zip_with would propagate NULL). Embedding
+  * columns are fixed-length non-null, and per-element null checks would
+  * put a branch in the fused n² inner loop, so the divergence is
+  * documented rather than guarded.
+  *
+  * `hofNulls = true` reproduces the zip_with+aggregate semantics EXACTLY
+  * (unequal lengths → null, any null element → null) at the cost of the
+  * length test and a per-element null branch — the mode
+  * [[graft.plans.FuseDotProduct]] uses so its rewrite is value-identical
+  * on every input.
   */
-case class DotProduct(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression,
+                      hofNulls: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -41,15 +49,24 @@ case class DotProduct(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = hofNulls || super.nullable
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (hofNulls && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (hofNulls) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     s
   }
 
@@ -58,14 +75,32 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
+      if (hofNulls)
+        s"""
+           |if ($x.numElements() != $y.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $x.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |    } else {
+           |      $s += $x.getDouble($i) * $y.getDouble($i);
+           |    }
+           |  }
+           |  ${ev.value} = $s;
+           |}
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $x.getDouble($i) * $y.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

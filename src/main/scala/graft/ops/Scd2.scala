@@ -69,6 +69,24 @@ object Scd2 {
       attrs.map(col) ++ Seq(col("effective_from"), col("effective_to")): _*))
   }
 
+  /** Point-in-time lookup against the SCD2 history: each fact row joins
+    * the dimension VERSION that was valid at its event date
+    * (`effective_from <= d < effective_to`, open rows unbounded).
+    *
+    * This is a key-equality join with a range residual — Spark shuffles
+    * both sides by the business key and evaluates the validity window as
+    * a join filter, so cost is O(versions-per-key) per fact row, not a
+    * range explosion; at warehouse scale versions-per-key is tiny. */
+  def asOfLookup(history: DataFrame, facts: DataFrame, key: Seq[String],
+                 dateCol: String): DataFrame = {
+    val h = history.columns.foldLeft(history)((d, c) => d.withColumnRenamed(c, s"h_$c"))
+    val cond = key.map(k => col(k) === col(s"h_$k")).reduce(_ && _) &&
+      col(dateCol) >= col("h_effective_from") &&
+      (col("h_effective_to").isNull || col(dateCol) < col("h_effective_to"))
+    facts.join(h, cond, "left")
+      .drop(key.map(k => s"h_$k"): _*)
+  }
+
   private val Day1 = java.sql.Date.valueOf("2024-06-01")
   private val Day2 = java.sql.Date.valueOf("2024-06-02")
 
@@ -90,6 +108,40 @@ object Scd2 {
     merge(history, snapshot, Seq("s_suppkey"), Seq("s_name", "s_acctbal"),
           Day2, closeMissing = true)
   }
+
+  /** Oracle query for [[asOfLookup]]: every supplier probed at day 1 and
+    * day 5 against the [[query]] history — day-1 probes resolve to the
+    * original version, day-5 probes to the v2 version (or no version at
+    * all for the soft-deleted keys). */
+  def lookupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"),
+              explode(array(lit(Day1), lit(java.sql.Date.valueOf("2024-06-05"))))
+                .as("probe_date"))
+    asOfLookup(query(spark, dir), probes, Seq("s_suppkey"), "probe_date")
+      .select(col("s_suppkey"), col("probe_date"),
+              col("h_s_name").as("s_name_then"),
+              col("h_effective_from").as("version_from"))
+  }
+
+  // lazy: references `oracle`, declared below (object vals init in order)
+  private def oraclePlain: String = oracle.trim
+  // the newline before the paren matters: the embedded SQL ends in a
+  // line comment that would otherwise swallow the rest of the line
+  lazy val lookupOracle: String =
+    s"""WITH hist AS ($oraclePlain
+       |),
+       |probes AS (
+       |  SELECT s_suppkey, CAST(d AS DATE) AS probe_date
+       |  FROM supplier, (VALUES (DATE '2024-06-01'), (DATE '2024-06-05')) v(d))
+       |SELECT p.s_suppkey, p.probe_date,
+       |       h.s_name AS s_name_then,
+       |       h.effective_from AS version_from
+       |FROM probes p LEFT JOIN hist h
+       |  ON p.s_suppkey = h.s_suppkey
+       | AND p.probe_date >= h.effective_from
+       | AND (h.effective_to IS NULL OR p.probe_date < h.effective_to)
+       |""".stripMargin
 
   val oracle: String =
     """WITH snap AS (

@@ -42,7 +42,50 @@ object NormalizeTrimJoins extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: installs graft's optimizer rule. Native functions
+/** Optimizer rule: fuse the HOF dot-product idiom
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)`
+  * into the native [[graft.functions.DotProduct]] kernel.
+  *
+  * The HOF form materializes a 64-element intermediate array per row pair
+  * and walks it twice; the kernel is one fused allocation-free loop
+  * (~10× at n² similarity volumes). The rewrite targets
+  * `DotProduct(hofNulls = true)`, which reproduces zip_with's null
+  * semantics exactly (unequal lengths → null, null element → null), so
+  * it is value-identical on EVERY input, not just well-formed embeddings
+  * — an optimizer rule must never change results.
+  */
+object FuseDotProduct extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  private def sameVars(args: Seq[Expression], l: Expression, r: Expression): Boolean = {
+    def id(e: Expression) = e match {
+      case v: NamedLambdaVariable => Some(v.exprId)
+      case _ => None
+    }
+    val expected = args.flatMap(id).toSet
+    expected.size == 2 && Set(id(l), id(r)).flatten == expected
+  }
+  private def isDoubleArray(e: Expression) = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), zipArgs, _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(al, ar, _), mergeArgs, _),
+          LambdaFunction(finBody: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
+        if isDoubleArray(a) && isDoubleArray(b) &&
+          sameVars(zipArgs, mx, my) &&        // product of exactly the two lambda vars
+          sameVars(mergeArgs, al, ar) &&      // merge is acc + elem (either order)
+          finBody.exprId == finArg.exprId =>  // finish is the identity lambda
+      graft.functions.DotProduct(a, b, hofNulls = true)
+  }
+}
+
+/** Session extensions: installs graft's optimizer rules. Native functions
   * register per-session via
   * [[graft.functions.GraftFunctions.ensureRegistered]]; config-driven
   * sessions can instead set
@@ -50,5 +93,6 @@ object NormalizeTrimJoins extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NormalizeTrimJoins)
+    ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }
