@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Physical data layout for scan efficiency: Z-order clustering keys,
+  * range-clustered writes, and small-file compaction.
+  *
+  * At 100 TB the scan is the cost, and the scan is only cheap if file-
+  * level min/max statistics let the reader SKIP files. Sorting by one
+  * column clusters one predicate dimension; interleaving the bits of two
+  * dimensions (Z-order) clusters both at once, so point/range predicates
+  * on EITHER column map to a bounded set of files. Compaction rewrites
+  * the many small files that incremental appends accumulate (each file
+  * costs a task + a footer fetch) into target-sized ones.
+  */
+object Layout {
+
+  private val Bits = 16
+
+  /** Z-order (Morton) key: the low [[Bits]] bits of `x` and `y`
+    * interleaved — x in the even positions, y in the odd. Pure integer
+    * arithmetic, identical in any engine. */
+  def zorderKey(x: Column, y: Column): Column = {
+    val xm = x.bitwiseAND(lit((1L << Bits) - 1))
+    val ym = y.bitwiseAND(lit((1L << Bits) - 1))
+    (0 until Bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Oracle query: the Z-key of (user_id, minute-of-month bucket) per
+    * event — the clustering key [[clusteredWrite]] lays files out by. */
+  def zorderQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+              // integer `div`, not `/`: double division + truncation can
+              // disagree with exact floor division at ulp boundaries
+              expr("unix_micros(ts) div 60000000").as("minute"))
+      .withColumn("zkey", zorderKey(col("user_id"), col("minute")))
+      .select(col("event_id"), col("user_id"), col("minute"), col("zkey"))
+
+  val zorderOracle: String = {
+    val terms = (0 until Bits).map { i =>
+      s"(((user_id & ${(1L << Bits) - 1}) >> $i & 1) << ${2 * i}) | " +
+        s"(((minute & ${(1L << Bits) - 1}) >> $i & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute
+       |  FROM events)
+       |SELECT event_id, user_id, minute, $terms AS zkey
+       |FROM e
+       |""".stripMargin
+  }
+
+  /** Write `df` clustered by `key` into `numFiles` range-partitioned,
+    * internally sorted files — the layout that gives file-level min/max
+    * statistics their skipping power. */
+  def clusteredWrite(df: DataFrame, key: Column, path: String,
+                     numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, key)
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Compact a parquet directory to ~`targetBytes` files: one coalesce
+    * (no shuffle) sized from the current on-disk footprint, written to
+    * `destPath`. Incremental-append warehouses run this out-of-band. */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+              targetBytes: Long): Long = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(src).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcPath).coalesce(files)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+    files.toLong
+  }
+}
