@@ -1,7 +1,7 @@
 package graft.connect
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Connector surface (SURVEY §2.1/§2.2): JDBC, CSV, Parquet, REST-JSON,
   * and the source router.
@@ -62,6 +62,30 @@ object Csv {
   /** Inference variant kept for drift *detection* flows only. */
   def readInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Contract-first scan that ROUTES malformed rows instead of silently
+    * nulling them (PERMISSIVE default) or dropping the task (FAILFAST):
+    * returns (clean rows, reject rows with the raw line). One pass —
+    * the corrupt-record column is captured during the same scan; the
+    * reject frame carries the raw text for quarantine sinks. */
+  def readWithRejects(spark: SparkSession, path: String, contract: StructType,
+                      header: Boolean = true, sep: String = ",")
+      : (DataFrame, DataFrame) = {
+    val raw = "_graft_raw"
+    val withRaw = StructType(contract.fields :+
+      StructField(raw, org.apache.spark.sql.types.StringType))
+    val df = spark.read.schema(withRaw)
+      .option("header", header.toString).option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", raw)
+      .csv(path)
+      .cache() // one scan serves both routes; caller unpersists
+    val clean = df.filter(org.apache.spark.sql.functions.col(raw).isNull)
+      .drop(raw)
+    val rejects = df.filter(org.apache.spark.sql.functions.col(raw).isNotNull)
+      .select(org.apache.spark.sql.functions.col(raw).as("raw_record"))
+    (clean, rejects)
+  }
 
   /** Date-templated path resolver, e.g. `{date}/sales_{date}.csv`
     * (reference: ingestion_task.py:204-205 computes this from the wall

@@ -215,6 +215,57 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("csv readWithRejects routes malformed rows with their raw text") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rejects")
+    java.nio.file.Files.writeString(dir.resolve("in.csv"),
+      "id,amount\n1,10.5\n2,notanumber\n3,7.25\nbroken line only\n")
+    val contract = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val (clean, rejects) = graft.connect.Csv.readWithRejects(
+      spark, dir.toString, contract)
+    try {
+      assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      val raw = rejects.collect().map(_.getString(0)).toSet
+      assert(raw == Set("2,notanumber", "broken line only"))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("streaming rollup maintenance: foreachBatch merge equals batch recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Event
+    import graft.ops.Rollup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((min + 100) * 60000L)
+    val all = Seq(
+      Event(1, ts(0), 1, "click", 1.5), Event(2, ts(10), 2, "view", 2.0),
+      Event(3, ts(1500), 1, "click", 3.0), Event(4, ts(3000), 3, "purchase", 9.0))
+    val input = MemoryStream[Event]
+    var state = Rollup.dailyState(Seq.empty[Event].toDF())
+    val q = input.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", "/tmp/graft_ckpt_rollup_" + System.nanoTime())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Rollup.merge(state, Rollup.dailyState(batch))
+          .persist() // pin each generation; tiny (days x types rows)
+        state.count() // materialize before the source batch is released
+        ()
+      }.start()
+    try {
+      input.addData(all.take(2)); q.processAllAvailable()
+      input.addData(all.drop(2)); q.processAllAvailable()
+      val incremental = Rollup.present(state).collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+                   r.getDouble(3), r.getDouble(4))).toSet
+      val full = Rollup.present(Rollup.dailyState(all.toDF())).collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+                   r.getDouble(3), r.getDouble(4))).toSet
+      assert(incremental == full)
+      assert(incremental.nonEmpty)
+    } finally { q.stop(); spark.catalog.clearCache() }
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
