@@ -39,6 +39,42 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Stratified sampling: a different keep-rate per stratum value, still
+    * hash-deterministic per key (`df.stat.sampleBy` is RNG-based and not
+    * reproducible across partitionings). Rows in strata missing from
+    * `rates` are dropped — the common "cap the over-represented sources"
+    * corpus-shaping move. Pure projection + filter, shuffle-free. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+                 rates: Map[String, Double], salt: String = "strat"): DataFrame = {
+    val b = bucket(key, salt)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (s, r)) =>
+      acc || (stratum === s && b < (r * D).toLong)
+    }
+    df.filter(keep)
+  }
+
+  /** Oracle query for [[stratified]]: cap each document source at a
+    * source-dependent rate (even sources 60%, odd 25%). */
+  private[ops] val StratRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.6 else 0.25)).toMap
+
+  def stratifiedQuery(spark: SparkSession, dir: String): DataFrame =
+    stratified(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+               col("doc_id"), col("source"), StratRates)
+
+  val stratifiedOracle: String = {
+    val arms = StratRates.toSeq.sortBy(_._1).map { case (s, r) =>
+      s"(source = '$s' AND b < ${(r * D).toLong})"
+    }.mkString("\n   OR ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $D AS b
+       |  FROM documents)
+       |SELECT doc_id, source FROM t
+       |WHERE $arms
+       |""".stripMargin
+  }
+
   /** Query: assign every document to a split and draw a 20% sample flag;
     * per-language split counts prove the stratification is stable. */
   def query(spark: SparkSession, dir: String): DataFrame =

@@ -230,6 +230,57 @@ object TextAnalysis {
       |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
       |""".stripMargin
 
+  // ------------------------------------------------------ unigram logprob
+  /** Unigram negative log-likelihood per document — the cheap stand-in
+    * for the LM-perplexity quality filter (CCNet-style): documents whose
+    * tokens are improbable under the corpus unigram distribution score
+    * high (gibberish, boilerplate, wrong-language).
+    *
+    * nll(doc) = −(1/n) Σ_tokens ln p̂(token), with add-one smoothing over
+    * the corpus vocabulary. Two aggregations: the unigram table (bounded
+    * by vocabulary, broadcast to the scorer) and the per-doc average. The
+    * per-token logprob is rounded to 6 dp and summed as exact integer
+    * MICRO-NATS, and the average is integer round-half-up
+    * ((2a + n) div 2n) — `round(sum/n, 6)` on doubles flaps by one ulp
+    * between engines when the quotient lands on a decimal midpoint
+    * (observed once in 5000 docs at sf0.1). */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("doc_id"), explode(toks).as("token"))
+    val total = tok.count() // corpus token count: one tiny action
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val v = uni.count() // vocabulary size
+    val scored = tok.join(broadcast(uni), Seq("token"))
+      .withColumn("lp_micro",
+        // explicit round-to-integer before the cast: Spark's double->long
+        // cast truncates while DuckDB's rounds, and -3.402035 stored as
+        // -3.4020349999... * -1e6 is a fraction away from its integer
+        round(round(log((col("cnt") + 1).cast("double") / lit((total + v).toDouble)), 6)
+          * -1000000d, 0).cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+              (expr("(2 * s + n_tokens) div (2 * n_tokens)").cast("double") / 1e6)
+                .as("nll"))
+  }
+
+  val unigramNllOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+      |consts AS (SELECT (SELECT count(*) FROM tok) AS total,
+      |                  (SELECT count(*) FROM uni) AS v),
+      |scored AS (
+      |  SELECT tok.doc_id,
+      |         CAST(round(round(ln(CAST(uni.cnt + 1 AS DOUBLE) / (consts.total + consts.v)), 6)
+      |              * -1000000, 0) AS BIGINT) AS lp_micro
+      |  FROM tok JOIN uni USING (token), consts)
+      |SELECT doc_id, n_tokens, CAST((2 * s + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1e6 AS nll
+      |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |             CAST(sum(lp_micro) AS BIGINT) AS s
+      |      FROM scored GROUP BY 1)
+      |""".stripMargin
+
   // ---------------------------------------------------------- fingerprint
   /** Content fingerprints: an exact fingerprint (md5 of the normalized
     * token stream) and a shingle fingerprint (minimum 60-bit-hashed

@@ -266,6 +266,30 @@ class NewOpsSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.clearCache() }
   }
 
+  test("stratified sampling respects per-stratum rates and determinism") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    val s1 = graft.ops.Sampling.stratifiedQuery(spark, sf).collect()
+    val s2 = graft.ops.Sampling.stratifiedQuery(spark, sf).collect()
+    assert(s1.map(_.getLong(0)).toSet == s2.map(_.getLong(0)).toSet) // reproducible
+    // even sources keep ~60%, odd ~25% (loose bounds; small corpus)
+    val kept = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val total = docs.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val evenRate = kept.filter(_._1.drop(3).toInt % 2 == 0).values.sum.toDouble /
+      total.filter(_._1.drop(3).toInt % 2 == 0).values.sum
+    val oddRate = kept.filter(_._1.drop(3).toInt % 2 == 1).values.sum.toDouble /
+      total.filter(_._1.drop(3).toInt % 2 == 1).values.sum
+    assert(evenRate > oddRate, s"even $evenRate should exceed odd $oddRate")
+  }
+
+  test("unigram NLL scores rare-token docs higher than common-token docs") {
+    val out = graft.ops.TextAnalysis.unigramNll(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) > 0)) // -ln p is positive
+    // sanity: scores vary across the corpus (not a constant)
+    assert(out.map(_.getDouble(2)).distinct.length > 1)
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
