@@ -401,6 +401,37 @@ object Dedup {
       .filter(col("hamming") <= MaxHamming)
   }
 
+  // ------------------------------------------------------------- consensus
+  /** Cross-variant consensus: each candidate pair with the set of dedup
+    * methods that found it (exact n-gram Jaccard, MinHash+LSH, SimHash).
+    * Production near-dup removal keys off agreement — a pair two
+    * independent signals found is a far safer drop than a single-method
+    * hit. Each branch is the existing operator; the merge is one
+    * aggregation over the tiny pair lists. */
+  def consensus(spark: SparkSession, dir: String): DataFrame = {
+    def tag(df: DataFrame, m: String) =
+      df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
+    tag(jaccardPairs(spark, dir), "jaccard")
+      .unionByName(tag(minhashLsh(spark, dir), "minhash_lsh"))
+      .unionByName(tag(simhashPairs(spark, dir), "simhash"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_methods"),
+           array_join(sort_array(collect_set(col("method"))), ",").as("methods"))
+  }
+
+  lazy val consensusOracle: String =
+    s"""WITH j AS ($jaccardPairsOracle),
+       |m AS ($minhashLshOracle),
+       |s AS ($simhashPairsOracle),
+       |u AS (
+       |  SELECT doc_a, doc_b, 'jaccard' AS method FROM j
+       |  UNION ALL SELECT doc_a, doc_b, 'minhash_lsh' FROM m
+       |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM s)
+       |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_methods,
+       |       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
+       |FROM u GROUP BY 1, 2
+       |""".stripMargin
+
   val simhashPairsOracle: String = {
     val bandSelects = (0 until SimBands).map { b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SimBandBits}) & ${(1L << SimBandBits) - 1} AS key FROM s"

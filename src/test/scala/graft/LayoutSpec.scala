@@ -44,6 +44,22 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(clustered).count() == e.count())
   }
 
+  test("day_dt filter on warehouse history prunes partitions at the scan") {
+    val wh = new graft.connect.ParquetWarehouse(tmp())
+    val base = graft.core.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"))
+    for (d <- Seq("2024-06-01", "2024-06-02", "2024-06-03"))
+      wh.appendHistory(base.withColumn("day_dt", lit(java.sql.Date.valueOf(d))),
+                       "supplier")
+    val filtered = wh.readHistory(spark, "supplier")
+      .filter(col("day_dt") === "2024-06-02")
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined && pf.get.contains("day_dt"),
+      "day_dt predicate must become a PartitionFilter, not a row filter:\n" + plan)
+    assert(filtered.count() == base.count()) // exactly one day read
+  }
+
   test("compaction reduces file count and preserves rows") {
     val src = tmp(); val dest = tmp()
     graft.core.Tables.events(spark, sf).repartition(16)
