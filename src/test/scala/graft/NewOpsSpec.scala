@@ -215,6 +215,22 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("serve returns bounded JSON records from the dated CSV layout") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_serve")
+    val date = java.time.LocalDate.of(2024, 12, 5)
+    val day = root.resolve("20241205")
+    java.nio.file.Files.createDirectories(day)
+    java.nio.file.Files.writeString(day.resolve("sales_20241205.csv"),
+      "id,amount\n1,10.5\n2,20.0\n3,30.25\n")
+    val contract = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val out = graft.connect.Serve.records(spark, root.toString, "sales",
+      date, contract, limit = 2)
+    assert(out.length == 2)
+    assert(out.head.contains("\"id\":1") && out.head.contains("\"amount\":10.5"))
+  }
+
   test("csv readWithRejects routes malformed rows with their raw text") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_rejects")
