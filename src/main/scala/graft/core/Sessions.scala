@@ -29,6 +29,9 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // graft's optimizer rules (NormalizeTrimJoins, FuseDotProduct) are
+      // semantics-preserving — every engine session runs with them live
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
