@@ -281,6 +281,110 @@ object TextAnalysis {
       |      FROM scored GROUP BY 1)
       |""".stripMargin
 
+  // --------------------------------------------------------- gopher gates
+  /** Gopher-style per-document quality gates (Rae et al. 2021's rule
+    * family, adapted to this corpus): token-count bounds, mean-token-length
+    * bounds, minimum stopword density, and a 3-gram repetition ceiling
+    * (1 − distinct/total 3-grams — boilerplate and looped text repeat).
+    * One scan, one projection; each gate is reported separately so
+    * downstream can tune the AND. */
+  def gopher(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val en = langProfiles.toMap.apply("en")
+    val n = size(toks)
+    val meanLen = tokenLenSum(toks).cast("double") / n
+    val stop = vocabRatio(toks, en)
+    val nShingles = size(call_function(
+      graft.functions.GraftFunctions.ShingleName, col("text"), lit(3)))
+    val rep = when(n >= 3,
+      lit(1.0) - nShingles.cast("double") / (n - 2)).otherwise(lit(0.0))
+    docs(spark, dir).select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(stop, 6).as("stopword_ratio"),
+      round(rep, 6).as("rep3_ratio"),
+      (n >= 50 && n <= 100000).as("pass_len"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("pass_word_len"),
+      (stop >= 0.06).as("pass_stopwords"),
+      (rep <= 0.2).as("pass_repetition"))
+      .withColumn("keep",
+        col("pass_len") && col("pass_word_len") &&
+          col("pass_stopwords") && col("pass_repetition"))
+  }
+
+  val gopherOracle: String = {
+    val en = langProfiles.toMap.apply("en").map("'" + _ + "'").mkString(",")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(tk) AS n,
+       |         list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk) AS ml,
+       |         len(list_filter(tk, x -> list_contains([$en], x))) * 1.0 / len(tk) AS stp,
+       |         CASE WHEN len(tk) >= 3 THEN
+       |           1.0 - len(list_distinct(list_transform(
+       |                   generate_series(1, len(tk) - 2),
+       |                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))))
+       |                 * 1.0 / (len(tk) - 2)
+       |         ELSE 0.0 END AS rep
+       |  FROM t)
+       |SELECT doc_id,
+       |       CAST(n AS INT) AS n_tokens,
+       |       round(ml, 6) AS mean_token_len,
+       |       round(stp, 6) AS stopword_ratio,
+       |       round(rep, 6) AS rep3_ratio,
+       |       n >= 50 AND n <= 100000 AS pass_len,
+       |       ml >= 3.0 AND ml <= 10.0 AS pass_word_len,
+       |       stp >= 0.06 AS pass_stopwords,
+       |       rep <= 0.2 AS pass_repetition,
+       |       (n >= 50 AND n <= 100000) AND (ml >= 3.0 AND ml <= 10.0)
+       |         AND stp >= 0.06 AND rep <= 0.2 AS keep
+       |FROM m
+       |""".stripMargin
+  }
+
+  // --------------------------------------------------------- boilerplate
+  private val BoilerN = 5
+  private val BoilerMinDocs = 10
+
+  /** Corpus-level boilerplate phrases: 5-gram phrases (distinct per doc)
+    * that appear in ≥ [[BoilerMinDocs]] documents — the phrase list a
+    * C4-style "remove repeated lines" pass strips. One explode + one
+    * aggregation; output bounded by the phrase vocabulary. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      // per-doc distinct BEFORE the explode, so the aggregate is a plain
+      // count — countDistinct(doc_id) computes the same value but plans a
+      // second dedup aggregation over rows that are already unique
+      .select(explode(array_distinct(phraseNgrams(toks, BoilerN))).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= BoilerMinDocs)
+
+  /** k-token phrase strings from a token array (empty when < k tokens). */
+  private def phraseNgrams(tk: Column, k: Int): Column =
+    when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => array_join(slice(tk, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  val boilerplateOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(CASE WHEN len(tk) >= $BoilerN THEN
+       |           list_transform(generate_series(1, len(tk) - ${BoilerN - 1}),
+       |                          i -> array_to_string(list_slice(tk, i, i + ${BoilerN - 1}), ' '))
+       |           ELSE [] END)) AS phrase
+       |  FROM t)
+       |SELECT phrase, CAST(count(*) AS BIGINT) AS doc_freq
+       |FROM p GROUP BY 1 HAVING count(*) >= $BoilerMinDocs
+       |""".stripMargin
+
   // ---------------------------------------------------------- fingerprint
   /** Content fingerprints: an exact fingerprint (md5 of the normalized
     * token stream) and a shingle fingerprint (minimum 60-bit-hashed

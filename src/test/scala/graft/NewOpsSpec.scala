@@ -306,6 +306,24 @@ class NewOpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).distinct.length > 1)
   }
 
+  test("gopher gates: keep implies every individual gate; ratios bounded") {
+    val g = graft.ops.TextAnalysis.gopher(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      val rep = r.getDouble(4)
+      assert(rep >= 0.0 && rep <= 1.0)
+      // keep is exactly the conjunction of the four gates
+      assert(r.getBoolean(9) == (5 to 8).forall(r.getBoolean))
+    }
+  }
+
+  test("boilerplate phrases all meet the doc-frequency floor") {
+    val b = graft.ops.TextAnalysis.boilerplate(spark, sf).collect()
+    b.foreach(r => assert(r.getLong(1) >= 10))
+    // every reported phrase is 5 tokens
+    b.foreach(r => assert(r.getString(0).split(" ").length == 5))
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
