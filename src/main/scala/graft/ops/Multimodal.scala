@@ -84,6 +84,39 @@ object Multimodal {
     }
   }
 
+  /** Pluggable payload→embedding model. A production binding wraps an ONNX
+    * or JNI-loaded vision/audio encoder initialized once per partition;
+    * the Spark-side shape (schema, batching, partition lifecycle) is what
+    * this seam pins down. */
+  trait Embedder extends Serializable {
+    def dim: Int
+    def embed(m: Media): Array[Float]
+  }
+
+  /** Deterministic stand-in encoder: md5-expanded payload bytes mapped to
+    * [-1, 1] floats. Stable across runs/partitionings, so downstream ANN
+    * results are assertable. */
+  final class StubEmbedder(val dim: Int = 16) extends Embedder {
+    def embed(m: Media): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Iterator.iterate(md.digest(m.payload))(md.digest)
+        .flatten.take(dim).map(b => b.toFloat / 128.0f).toArray
+    }
+  }
+
+  /** Embedding extraction: partition-wise batches through an [[Embedder]]
+    * → (doc_id, embedding) rows that feed straight into
+    * [[Similarity.bruteForceTopKOf]] / the LSH & IVF indexes. One encoder
+    * per partition, bounded batches — the mapInPandas-equivalent shape. */
+  def embedFeatures(media: Dataset[Media], embedder: Embedder,
+                    batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(batch =>
+        batch.map(m => (m.doc_id, embedder.embed(m).toSeq)))
+    }.toDF("doc_id", "embedding")
+  }
+
   /** Frame sampling for video-typed payloads: every `stride`-th
     * `frameBytes`-sized block of the payload becomes one "frame" row
     * (posexplode → (doc_id, frame_idx, frame)). A real codec would emit

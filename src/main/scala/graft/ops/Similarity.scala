@@ -79,6 +79,26 @@ object Similarity {
     topK(pairs)
   }
 
+  /** Generic entry: exact cosine top-`k` over ANY (id, vector) frame —
+    * the hook downstream feature pipelines (e.g. [[Multimodal]] embedding
+    * extraction) plug into without re-deriving norms or tiebreaks. */
+  def bruteForceTopKOf(vectors: DataFrame, idCol: String, vecCol: String,
+                       k: Int = K): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val n = vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+              cosine().as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"),
+              round(col("cos"), 6).as("cosine"), col("rank"))
+  }
+
   private val vecsCte: String =
     """n AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

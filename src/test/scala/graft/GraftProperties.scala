@@ -65,4 +65,60 @@ object GraftProperties extends Properties("graft") {
       val b = twice.collect().map(r => (r.getInt(0), r.getString(1))).toSet
       a == b && a.forall(_._2 != null)
     }
+
+  // z-order interleave: deinterleaving the key recovers both inputs —
+  // the key is a bijection on the 16-bit × 16-bit grid (what makes
+  // range-clustering on it equivalent to clustering both dims)
+  property("zorderKey is invertible on the 16-bit grid") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))) { pts =>
+      import org.apache.spark.sql.functions.col
+      val rows = pts.toDF("x", "y")
+        .withColumn("z", graft.ops.Layout.zorderKey(col("x"), col("y")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      rows.forall { case (x, y, z) =>
+        val xs = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val ys = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        xs == x && ys == y
+      }
+    }
+
+  // SCD2: merging any snapshot twice (same asOf) is a no-op — the second
+  // merge sees every change already applied
+  private val snapGen: Gen[List[(Int, String)]] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0, 20), Gen.oneOf("a", "b", "c"))))
+      .map(_.distinctBy(_._1))
+
+  property("scd2 merge is idempotent for any snapshot") =
+    forAll(snapGen, snapGen) { (init, snap) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val d1 = java.sql.Date.valueOf("2024-06-01")
+      val d2 = java.sql.Date.valueOf("2024-06-02")
+      val hist = init.toDF("k", "v")
+        .withColumn("effective_from", lit(d1))
+        .withColumn("effective_to", lit(null).cast("date"))
+      val s = snap.toDF("k", "v")
+      val once = graft.ops.Scd2.merge(hist, s, Seq("k"), Seq("v"), d2,
+        closeMissing = true)
+      val twice = graft.ops.Scd2.merge(once, s, Seq("k"), Seq("v"), d2,
+        closeMissing = true)
+      def set(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getString(1),
+          String.valueOf(r.getDate(2)), String.valueOf(r.getDate(3)))).toSet
+      set(once) == set(twice)
+    }
+
+  // stratified sampling returns a subset and is insensitive to row order
+  property("stratified sample is an order-insensitive subset") =
+    forAll(snapGen) { rows =>
+      import org.apache.spark.sql.functions.col
+      val df = rows.toDF("k", "s")
+      val rates = Map("a" -> 0.5, "b" -> 1.0) // "c" dropped entirely
+      def keys(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Sampling.stratified(d, col("k"), col("s"), rates)
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      val a = keys(df)
+      val b = keys(rows.reverse.toDF("k", "s"))
+      a == b && a.subsetOf(rows.toSet) && a.forall(_._2 != "c")
+    }
 }

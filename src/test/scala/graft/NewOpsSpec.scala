@@ -324,6 +324,26 @@ class NewOpsSpec extends SparkSpec {
     b.foreach(r => assert(r.getString(0).split(" ").length == 5))
   }
 
+  test("multimodal embeddings feed the generic ANN end to end, deterministically") {
+    import graft.ops.{Multimodal, Similarity}
+    val media = Multimodal.mediaDataset(spark, sf)
+    val emb = Multimodal.embedFeatures(media, new Multimodal.StubEmbedder(16))
+    assert(emb.count() == media.count())
+    val ann = Similarity.bruteForceTopKOf(emb.limit(60), "doc_id", "embedding", k = 3)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+    // stub embedder is deterministic: a re-run returns identical neighbors
+    val again = Similarity.bruteForceTopKOf(
+      Multimodal.embedFeatures(media, new Multimodal.StubEmbedder(16)).limit(60),
+      "doc_id", "embedding", k = 3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
