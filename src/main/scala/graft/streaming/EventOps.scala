@@ -140,6 +140,37 @@ object EventOps {
               col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Scale variant of [[clickPurchaseJoin]] for skewed users: the plain
+    * form equi-joins on user_id and evaluates the time range as a join
+    * filter, so a user with C clicks and P purchases costs C×P
+    * comparisons inside one task. Adding the hour bucket to the equi-key
+    * bounds each group to one hour of activity: every in-range pair has
+    * click_bucket ∈ {purchase_bucket − 1, purchase_bucket}, so the
+    * purchase side explodes those two candidate keys (2× row overhead)
+    * and each qualifying pair meets EXACTLY once — results identical,
+    * verified against the plain form in NewOpsSpec. Batch-only: the
+    * streaming twin needs the raw event-time range for watermark state
+    * eviction analysis. */
+  def clickPurchaseJoinBucketed(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val BucketUs = 3600000000L // 1 hour, matching the join's range width
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+                          col("ts").as("click_ts"))
+      .withColumn("bucket", expr(s"unix_micros(click_ts) div $BucketUs"))
+    val p = purchases.select(col("user_id").as("p_user"),
+                             col("event_id").as("purchase_id"),
+                             col("ts").as("purchase_ts"),
+                             col("value").as("purchase_value"),
+                             expr(s"unix_micros(ts) div $BucketUs").as("pb"))
+      .withColumn("bucket", explode(array(col("pb") - 1, col("pb"))))
+      .drop("pb")
+    c.join(p,
+        col("user_id") === col("p_user") && c("bucket") === p("bucket") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** The same join as a streaming query (append mode): watermarks bound
     * both sides' state; late events beyond the watermark are dropped. */
   def streamingClickPurchaseJoin(clickStream: DataFrame,
@@ -210,6 +241,25 @@ object EventOps {
 
   def sessionQuery(spark: SparkSession, dir: String): DataFrame =
     sessionize(Tables.events(spark, dir))
+
+  /** The same sessions via Spark's built-in `session_window` aggregation —
+    * the form that also runs under Structured Streaming with native
+    * session-state merging. Differences from [[sessionize]]: the built-in
+    * treats the gap as session-window EXTENT (end = last event + gap) and
+    * merges windows that OVERLAP, i.e. a gap exactly equal to
+    * [[SessionGapSeconds]] stays in one session, where the lag-based
+    * formulation (gap > threshold breaks) also keeps it — boundary-equal
+    * semantics, verified against [[sessionize]] on the corpus in
+    * StreamingSpec/NewOpsSpec. No window ordering pass: one aggregation. */
+  def sessionizeBuiltin(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+               session_window(col("ts"), s"$SessionGapSeconds seconds"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           round(sum(money(col("value"))), 2).cast("double").as("session_value"))
+      .drop("session_window")
 
   val sessionOracle: String =
     s"""WITH o AS (

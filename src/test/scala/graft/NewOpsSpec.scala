@@ -344,6 +344,44 @@ class NewOpsSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
   }
 
+  test("bucketed interval join equals the plain range join on the corpus") {
+    import graft.streaming.EventOps
+    val e = graft.core.Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = key(EventOps.clickPurchaseJoin(clicks, purchases))
+    val bucketed = key(EventOps.clickPurchaseJoinBucketed(clicks, purchases))
+    assert(plain.nonEmpty && plain == bucketed)
+  }
+
+  test("built-in session_window sessions equal the lag-based sessionizer on the corpus") {
+    import graft.streaming.EventOps
+    val e = graft.core.Tables.events(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3), r.getDouble(4))).toSet
+    val manual = key(EventOps.sessionize(e).drop("session_id"))
+    val builtin = key(EventOps.sessionizeBuiltin(e))
+    assert(manual == builtin)
+  }
+
+  test("session boundary: events exactly one gap apart") {
+    import spark.implicits._
+    import graft.streaming.{Event, EventOps}
+    def ts(sec: Long) = new java.sql.Timestamp((sec + 6000) * 1000L)
+    val e = Seq(Event(1, ts(0), 1, "click", 1.0),
+                Event(2, ts(1800), 1, "click", 1.0)).toDF()
+    val manual = EventOps.sessionize(e).count()
+    val builtin = EventOps.sessionizeBuiltin(e).count()
+    assert(manual == builtin,
+      s"boundary divergence: manual=$manual sessions, builtin=$builtin")
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
