@@ -63,14 +63,23 @@ object Csv {
   def readInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** Result of a reject-routing scan. `clean` and `rejects` are views
+    * over one cached scan; call [[release]] after both are consumed —
+    * unpersisting a derived frame does NOT release the parent's cache
+    * entry, so the handle owns it. */
+  final case class CsvWithRejects(clean: DataFrame, rejects: DataFrame,
+                                  private val cached: DataFrame) {
+    def release(): Unit = { cached.unpersist(); () }
+  }
+
   /** Contract-first scan that ROUTES malformed rows instead of silently
     * nulling them (PERMISSIVE default) or dropping the task (FAILFAST):
-    * returns (clean rows, reject rows with the raw line). One pass —
+    * returns clean rows + reject rows with the raw line. One pass —
     * the corrupt-record column is captured during the same scan; the
     * reject frame carries the raw text for quarantine sinks. */
   def readWithRejects(spark: SparkSession, path: String, contract: StructType,
                       header: Boolean = true, sep: String = ",")
-      : (DataFrame, DataFrame) = {
+      : CsvWithRejects = {
     val raw = "_graft_raw"
     val withRaw = StructType(contract.fields :+
       StructField(raw, org.apache.spark.sql.types.StringType))
@@ -79,12 +88,12 @@ object Csv {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", raw)
       .csv(path)
-      .cache() // one scan serves both routes; caller unpersists
+      .cache() // one scan serves both routes; release() frees it
     val clean = df.filter(org.apache.spark.sql.functions.col(raw).isNull)
       .drop(raw)
     val rejects = df.filter(org.apache.spark.sql.functions.col(raw).isNotNull)
       .select(org.apache.spark.sql.functions.col(raw).as("raw_record"))
-    (clean, rejects)
+    CsvWithRejects(clean, rejects, df)
   }
 
   /** Date-templated path resolver, e.g. `{date}/sales_{date}.csv`

@@ -52,8 +52,12 @@ object Contamination {
                   expectedItems: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import graft.functions.GraftFunctions.{BloomAggName, BloomContainsName}
+    // the shingle scan feeds the filter BUILD (collected now) and the
+    // probe aggregation (the returned plan) — persist it or the dominant
+    // corpus-wide explode runs twice
     val sh = Dedup.explodedShinglesOf(spark, Tables.documents(spark, dir))
       .withColumn("split", Sampling.split(col("doc_id"), TrainPct, ValidPct))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // build the filter (one distributed aggregation) and inline the blob
     // as a plan literal — might_contain requires a constant filter, and a
     // literal is how Spark's own runtime join filters inject it; the probe

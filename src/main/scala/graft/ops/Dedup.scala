@@ -317,8 +317,12 @@ object Dedup {
           "convergence — cluster labels are only partially propagated " +
           "(pair-graph component diameter exceeds maxIters); raise maxIters " +
           "or pre-collapse long chains")
-    // labels is already materialized, so the edge list is no longer needed
-    edges.unpersist()
+    // On the converged exit the final isEmpty scanned (and cached) every
+    // partition of `labels`, so the edge list can go. On the maxIters
+    // exit isEmpty short-circuited at the first differing row — labels is
+    // only partially cached and recomputing it still needs `edges`, so
+    // keep that cache (the warning path already signals the anomaly).
+    if (converged) edges.unpersist()
     labels
   }
 

@@ -31,14 +31,24 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Oracle query: the Z-key of (user_id, minute-of-month bucket) per
-    * event — the clustering key [[clusteredWrite]] lays files out by. */
+  /** Epoch base for the time bucket: minutes are taken RELATIVE to this
+    * instant before masking to [[Bits]], so the 16-bit window covers ~45
+    * days from the corpus epoch instead of silently wrapping absolute
+    * epoch-minutes every 45 days (which would alias distant times onto
+    * the same key bits and destroy time-dimension skipping). A real
+    * deployment re-bases per partition (e.g. per day_dt). */
+  private val MinuteEpochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  /** Oracle query: the Z-key of (user_id, minutes since the corpus epoch)
+    * per event — the clustering key [[clusteredWrite]] lays files out
+    * by. */
   def zorderQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
               // integer `div`, not `/`: double division + truncation can
               // disagree with exact floor division at ulp boundaries
-              expr("unix_micros(ts) div 60000000").as("minute"))
+              expr(s"(unix_micros(ts) - ${MinuteEpochUs}L) div 60000000")
+                .as("minute"))
       .withColumn("zkey", zorderKey(col("user_id"), col("minute")))
       .select(col("event_id"), col("user_id"), col("minute"), col("zkey"))
 
@@ -49,7 +59,7 @@ object Layout {
     }.mkString(" | ")
     s"""WITH e AS (
        |  SELECT event_id, user_id,
-       |         epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute
+       |         (epoch_us(CAST(ts AS TIMESTAMP)) - $MinuteEpochUs) // 60000000 AS minute
        |  FROM events)
        |SELECT event_id, user_id, minute, $terms AS zkey
        |FROM e

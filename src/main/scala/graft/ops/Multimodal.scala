@@ -91,6 +91,10 @@ object Multimodal {
   trait Embedder extends Serializable {
     def dim: Int
     def embed(m: Media): Array[Float]
+    /** Batch entry point — the one [[embedFeatures]] calls, so a real
+      * model can amortize inference over the whole batch (the reason the
+      * batching exists); the default delegates per element. */
+    def embedBatch(ms: Seq[Media]): Seq[Array[Float]] = ms.map(embed)
   }
 
   /** Deterministic stand-in encoder: md5-expanded payload bytes mapped to
@@ -112,8 +116,10 @@ object Multimodal {
                     batchSize: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap(batch =>
-        batch.map(m => (m.doc_id, embedder.embed(m).toSeq)))
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.zip(embedder.embedBatch(batch).iterator)
+          .map { case (m, v) => (m.doc_id, v.toSeq) }
+      }
     }.toDF("doc_id", "embedding")
   }
 

@@ -39,14 +39,18 @@ object Scd2 {
     val open = history.filter(col("effective_to").isNull)
     val closed = history.filter(col("effective_to").isNotNull)
     val attrs = key ++ tracked
-    val o = open.select(attrs.map(c => col(c).as(s"o_$c")) :+
-      col("effective_from").as("o_from"): _*)
-    val s = snapshot.select(attrs.map(c => col(c).as(s"s_$c")): _*)
+    // explicit presence flags, NOT key.isNotNull: the join is null-safe
+    // (<=>), so a NULL business key is a legal value — inferring presence
+    // from key nullness would silently drop that row from the merge
+    val o = open.select(attrs.map(c => col(c).as(s"o_$c")) ++
+      Seq(col("effective_from").as("o_from"), lit(true).as("o_present")): _*)
+    val s = snapshot.select(attrs.map(c => col(c).as(s"s_$c")) :+
+      lit(true).as("s_present"): _*)
     val keyMatch = key.map(k => col(s"o_$k") <=> col(s"s_$k")).reduce(_ && _)
     val joined = o.join(s, keyMatch, "full_outer")
     val changed = tracked.map(c => !(col(s"o_$c") <=> col(s"s_$c"))).reduce(_ || _)
-    val inO = key.map(k => col(s"o_$k").isNotNull).reduce(_ && _)
-    val inS = key.map(k => col(s"s_$k").isNotNull).reduce(_ && _)
+    val inO = col("o_present").isNotNull
+    val inS = col("s_present").isNotNull
     val openTo = lit(null).cast("date")
 
     def mkRow(prefix: String, from: Column, to: Column): Column =

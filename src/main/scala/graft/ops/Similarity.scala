@@ -60,11 +60,11 @@ object Similarity {
   private def cosine(): Column =
     dot(col("a.v"), col("b.v")) / sqrt(col("a.n2") * col("b.n2"))
 
-  private def topK(pairs: DataFrame): DataFrame = {
+  private def topK(pairs: DataFrame, k: Int = K): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"),
               round(col("cos"), 6).as("cosine"), col("rank"))
   }
@@ -88,15 +88,9 @@ object Similarity {
     val n = vectors.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    topK(n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-              cosine().as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"),
-              round(col("cos"), 6).as("cosine"), col("rank"))
+              cosine().as("cos")), k)
   }
 
   private val vecsCte: String =

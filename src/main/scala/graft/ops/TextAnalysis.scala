@@ -245,10 +245,16 @@ object TextAnalysis {
     * between engines when the quotient lands on a decimal midpoint
     * (observed once in 5000 docs at sf0.1). */
   def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    // the exploded token stream feeds three consumers (corpus count,
+    // unigram table, scoring join) — persist it so the tokenize+explode
+    // pass runs once, and persist the vocabulary-sized unigram table
+    // across its count and the broadcast probe
     val tok = docs(spark, dir).select(col("doc_id"), explode(toks).as("token"))
-    val total = tok.count() // corpus token count: one tiny action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = tok.count() // also materializes the cache
     val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val v = uni.count() // vocabulary size
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = uni.count() // vocabulary size; materializes uni
     val scored = tok.join(broadcast(uni), Seq("token"))
       .withColumn("lp_micro",
         // explicit round-to-integer before the cast: Spark's double->long

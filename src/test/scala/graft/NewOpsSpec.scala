@@ -238,13 +238,13 @@ class NewOpsSpec extends SparkSpec {
       "id,amount\n1,10.5\n2,notanumber\n3,7.25\nbroken line only\n")
     val contract = StructType(Seq(
       StructField("id", LongType), StructField("amount", DoubleType)))
-    val (clean, rejects) = graft.connect.Csv.readWithRejects(
+    val routed = graft.connect.Csv.readWithRejects(
       spark, dir.toString, contract)
     try {
-      assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
-      val raw = rejects.collect().map(_.getString(0)).toSet
+      assert(routed.clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      val raw = routed.rejects.collect().map(_.getString(0)).toSet
       assert(raw == Set("2,notanumber", "broken line only"))
-    } finally spark.catalog.clearCache()
+    } finally routed.release() // the handle owns the shared scan cache
   }
 
   test("streaming rollup maintenance: foreachBatch merge equals batch recompute") {
