@@ -90,6 +90,43 @@ object Stats {
       |FROM customer GROUP BY 1
       |""".stripMargin
 
+  /** Per-group winsorization: clip a value column to its group's [p05,
+    * p95] — the robust-preprocessing step that tames outliers before
+    * normalization or model fitting. The quantile table is group-sized
+    * and BROADCAST back onto the stream, so the clip pass stays map-side
+    * (one aggregation + one broadcast join, no second shuffle of the
+    * fact). Clipped values and both bounds are emitted so downstream can
+    * audit what moved. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+           expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+              col("l_extendedprice"))
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        round(col("lo"), 6).as("p05"),
+        round(col("hi"), 6).as("p95"),
+        round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 6)
+          .as("clipped"))
+  }
+
+  val winsorizeOracle: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_extendedprice, 0.05) AS lo,
+      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+      |       round(lo, 6) AS p05, round(hi, 6) AS p95,
+      |       round(least(greatest(l_extendedprice, lo), hi), 6) AS clipped
+      |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+      |""".stripMargin
+
   /** Fixed-width histogram of the text quality score: 10 buckets over
     * [0, 1], score 1.0 clamped into the top bucket. The input score is
     * already rounded to 6 dp, so the bucket arithmetic is deterministic.

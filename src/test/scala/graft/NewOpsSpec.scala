@@ -382,6 +382,19 @@ class NewOpsSpec extends SparkSpec {
       s"boundary divergence: manual=$manual sessions, builtin=$builtin")
   }
 
+  test("winsorize clips exactly to group bounds and preserves in-range values") {
+    val w = graft.ops.Stats.winsorize(spark, sf).collect()
+    assert(w.nonEmpty)
+    w.foreach { r =>
+      val (x, lo, hi, c) = (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(c >= lo - 1e-9 && c <= hi + 1e-9)
+      if (x >= lo && x <= hi) assert(math.abs(c - x) < 1e-6)
+    }
+    // roughly 10% of rows must actually be clipped (5% each tail)
+    val clipped = w.count(r => math.abs(r.getDouble(6) - r.getDouble(3)) > 1e-6)
+    assert(clipped > 0 && clipped < w.length / 2)
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
