@@ -24,4 +24,42 @@ object Rnk {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** DISTRIBUTED global row_number over a total order — the scalable
+    * replacement for `row_number() OVER (ORDER BY ...)`, which forces
+    * every row into ONE WindowExec partition.
+    *
+    * Range-partition by the sort keys, rank locally inside each partition
+    * (a partitioned window — parallel), then shift each partition's ranks
+    * by the total count of all earlier partitions. The per-partition
+    * count table is partition-count-sized: collected to the driver,
+    * prefix-summed, and joined back as a broadcast — the data itself
+    * never converges on one task. Results are identical to the global
+    * window for any total (tie-free) ordering, which the caller
+    * guarantees via tiebreak columns.
+    *
+    * Builds eagerly (the offset table is collected), and the returned
+    * frame depends on a persisted cut — long-lived sessions clear the
+    * cache between calls (Bench/Verify do). */
+  def globalRank(df: DataFrame, order: Seq[Column],
+                 rankCol: String = "rank"): DataFrame = {
+    import df.sparkSession.implicits._
+    val parted = df
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parted.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    parted
+      .withColumn("__local", row_number().over(local))
+      .join(offDf, Seq("__pid"))
+      .withColumn(rankCol, (col("__local") + col("__offset")).cast("int"))
+      .drop("__pid", "__local", "__offset")
+  }
 }

@@ -161,16 +161,19 @@ object TextAnalysis {
     * count, and frequency rank. One explode + one hash aggregation; the
     * rank window runs over the (bounded, dimension-sized) vocabulary,
     * not the corpus. */
-  def vocab(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("total_count").desc, col("token"))
-    docs(spark, dir)
-      .select(col("doc_id"), explode(toks).as("token"))
-      .groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("doc_freq"),
-           count(lit(1)).as("total_count"))
-      .withColumn("rank", row_number().over(w))
-  }
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    // the frequency rank is a DISTRIBUTED global row_number
+    // (Rnk.globalRank: range-partition + local rank + broadcast offsets)
+    // — a plain `row_number() OVER (ORDER BY ...)` would pull the whole
+    // vocabulary into one WindowExec partition, the exact shape that
+    // stops scaling when the vocabulary does
+    Rnk.globalRank(
+      docs(spark, dir)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+             count(lit(1)).as("total_count")),
+      Seq(col("total_count").desc, col("token")))
 
   val vocabOracle: String =
     """WITH tok AS (

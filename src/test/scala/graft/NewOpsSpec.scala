@@ -395,6 +395,20 @@ class NewOpsSpec extends SparkSpec {
     assert(clipped > 0 && clipped < w.length / 2)
   }
 
+  test("globalRank equals the single-partition global window") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 7919) % 1000, s"t$i")).toDF("n", "t")
+      .repartition(7)
+    val viaWindow = df.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("t"))))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    val viaDistributed = graft.ops.Rnk.globalRank(df, Seq(col("n").desc, col("t")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaDistributed == viaWindow)
+    spark.catalog.clearCache()
+  }
+
   test("partUnpivot emits 2 rows per part with matched values") {
     val parts = graft.core.Tables.part(spark, sf)
     val u = Reshape.partUnpivot(spark, sf)
