@@ -61,8 +61,12 @@ object Bench {
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
             false
           }
-          finally spark.catalog.clearCache() // per-query isolation: persists
-                                             // don't leak memory into later queries
+          finally {
+            // per-query isolation: drain graft-tracked persists (the
+            // library contract) plus any stragglers
+            graft.core.Caches.release(spark)
+            spark.catalog.clearCache()
+          }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       // a failed query reports -1, never a fast fake timing

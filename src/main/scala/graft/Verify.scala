@@ -24,8 +24,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // operators persist intermediates;
-                                         // don't leak cache across queries
+      finally {
+        // operators persist intermediates — drain the graft-tracked ones
+        // (the library contract) plus anything else, between queries
+        graft.core.Caches.release(spark)
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -112,7 +112,16 @@ case class DotProduct(left: Expression, right: Expression,
   * callable from any Column context via `call_function` without requiring
   * a `spark.sql.extensions` config at session build time. Idempotent. */
 object GraftFunctions {
+  /** SQL-facing dot product: `hofNulls = true`, so ad-hoc users get
+    * exactly the `aggregate(zip_with(...))` semantics the docs equate it
+    * to (null element → null, ragged arrays → null). The null/length
+    * checks are negligible outside an n² inner loop. */
   val DotName = "graft_dot"
+  /** Unchecked kernel for graft's internal fused n² paths (equal-length,
+    * non-null embedding vectors): no length test, no per-element null
+    * branch. Diverges from zip_with on ragged/null inputs — internal
+    * call sites guarantee the domain. */
+  val DotRawName = "graft_dot_raw"
   val ShingleName = "graft_shingle_hash"
   val SimHashName = "graft_simhash"
   val BloomAggName = "graft_bloom_agg"
@@ -123,6 +132,10 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(DotName))) {
       reg.createOrReplaceTempFunction(
         DotName,
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1), hofNulls = true),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        DotRawName,
         (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)),
         "built-in")
       reg.createOrReplaceTempFunction(

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Caches.TrackedDataset
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -57,7 +58,7 @@ object Contamination {
     // corpus-wide explode runs twice
     val sh = Dedup.explodedShinglesOf(spark, Tables.documents(spark, dir))
       .withColumn("split", Sampling.split(col("doc_id"), TrainPct, ValidPct))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     // build the filter (one distributed aggregation) and inline the blob
     // as a plan literal — might_contain requires a constant filter, and a
     // literal is how Spark's own runtime join filters inject it; the probe

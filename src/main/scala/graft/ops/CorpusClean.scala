@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Caches.TrackedDataset
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,7 +42,7 @@ object CorpusClean {
       .select(profileCols: _*)
       .withColumn("lang_pred", TextAnalysis.langPredExpr)
       .select(col("doc_id"), col("lang_pred"), col("quality_score"), col("exact_fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
 
     // exact-dup flags from the cached fingerprints (keep-first: the group
     // minimum survives) — no second pass over text

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Caches.TrackedDataset
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -29,9 +30,9 @@ import graft.functions.TextFunctions._
   * (lazy) frame still depends on — the inverted index in [[jaccardPairs]],
   * the signature table in [[minhashLsh]], the fingerprint table in
   * [[simhashPairs]] — cannot unpersist it before the caller's action runs.
-  * Callers owning long-lived sessions must `spark.catalog.clearCache()`
-  * (or unpersist the specific frames) between operator invocations;
-  * `graft.Bench` and `graft.Verify` both do.
+  * Every such persist is registered in [[graft.core.Caches]]; callers
+  * owning long-lived sessions call `Caches.release(spark)` when done with
+  * the returned frame (`graft.Bench` and `graft.Verify` both do).
   */
 object Dedup {
 
@@ -156,7 +157,7 @@ object Dedup {
     // it is the operator's natural materialized artifact
     val inv = docShingles(spark, dir)
       .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
     a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
@@ -207,7 +208,7 @@ object Dedup {
     // joins — 4 consumers, no exchange reuse across aliases: persist the
     // signature table (the artifact an LSH pipeline materializes anyway)
     val sig = signatures(spark, docs(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val banded = bandKeysOf(sig)
 
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
@@ -275,19 +276,19 @@ object Dedup {
     * the labels are only partially propagated.
     *
     * The returned frame is persisted (it was materialized by the final
-    * convergence check); callers owning long-lived sessions should
-    * `unpersist()` it when done. */
+    * convergence check) and registered in [[graft.core.Caches]]; callers
+    * owning long-lived sessions release it via `Caches.release(spark)`. */
   def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     // seed with round 1 fused into the init aggregation: label(x) =
     // min(x, min direct neighbor) — the first propagation round always
     // changes every non-minimum node, so running it as a plain groupBy
     // (no join, no convergence check) saves a full loop iteration
     var cached = edges.groupBy(col("src").as("doc_id"))
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     var labels = cached
     var iter = 0
     var converged = false
@@ -304,9 +305,10 @@ object Dedup {
                 least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
                   .as("cluster_id"),
                 col("cluster_id").as("prev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .trackPersist()
       converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
       cached.unpersist() // next is materialized by the convergence check
+      graft.core.Caches.untrack(cached)
       cached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
@@ -322,7 +324,7 @@ object Dedup {
     // exit isEmpty short-circuited at the first differing row — labels is
     // only partially cached and recomputing it still needs `edges`, so
     // keep that cache (the warning path already signals the anomaly).
-    if (converged) edges.unpersist()
+    if (converged) { edges.unpersist(); graft.core.Caches.untrack(edges) }
     labels
   }
 
@@ -387,7 +389,7 @@ object Dedup {
     * then the full Hamming distance verifies ≤ [[MaxHamming]]. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sim = simhash(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val bandCols = (0 until SimBands).map(b =>
       struct(lit(b).as("band"),
              shiftright(col("simhash"), b * SimBandBits)

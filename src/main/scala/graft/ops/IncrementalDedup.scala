@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Caches.TrackedDataset
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,9 +42,9 @@ object IncrementalDedup {
       .agg(min(col("idx_doc_id")).as("exact_dup_of"))
 
     val newSig = Dedup.signatures(spark, newDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val idxSig = index.signatures
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val cand = Dedup.bandKeysOf(newSig).as("n")
       .join(Dedup.bandKeysOf(idxSig).as("i"), Seq("band", "key"))
       .select(col("n.doc_id").as("doc_id"), col("i.doc_id").as("idx_doc_id"))

@@ -21,7 +21,13 @@ object Layout {
 
   /** Z-order (Morton) key: the low [[Bits]] bits of `x` and `y`
     * interleaved — x in the even positions, y in the odd. Pure integer
-    * arithmetic, identical in any engine. */
+    * arithmetic, identical in any engine.
+    *
+    * PRECONDITION: `x` and `y` must be NON-NEGATIVE. The 16-bit mask
+    * takes two's-complement low bits, so a negative input aliases onto
+    * the same key as some positive value (−1 → 0xFFFF) and destroys the
+    * locality the key exists for. Callers re-base signed dimensions to a
+    * non-negative range first (as [[zorderQuery]] does with its epoch). */
   def zorderKey(x: Column, y: Column): Column = {
     val xm = x.bitwiseAND(lit((1L << Bits) - 1))
     val ym = y.bitwiseAND(lit((1L << Bits) - 1))
@@ -45,9 +51,16 @@ object Layout {
   def zorderQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
-              // integer `div`, not `/`: double division + truncation can
-              // disagree with exact floor division at ulp boundaries
-              expr(s"(unix_micros(ts) - ${MinuteEpochUs}L) div 60000000")
+              // integer FLOOR division, spelled out: Spark's `div` is
+              // IntegralDivide (truncates toward zero) while DuckDB's `//`
+              // floors, so for pre-epoch timestamps (negative micros) the
+              // two would bucket one minute apart. The correction term
+              // subtracts 1 exactly when truncation rounded up — floor
+              // semantics on both engines for any sign. (`/` on doubles is
+              // no alternative: ulp-boundary truncation disagrees.)
+              expr(s"""(unix_micros(ts) - ${MinuteEpochUs}L) div 60000000
+                      | - (case when (unix_micros(ts) - ${MinuteEpochUs}L) % 60000000 < 0
+                      |         then 1 else 0 end)""".stripMargin)
                 .as("minute"))
       .withColumn("zkey", zorderKey(col("user_id"), col("minute")))
       .select(col("event_id"), col("user_id"), col("minute"), col("zkey"))

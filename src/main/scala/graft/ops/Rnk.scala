@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Caches.TrackedDataset
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,15 +40,16 @@ object Rnk {
     * guarantees via tiebreak columns.
     *
     * Builds eagerly (the offset table is collected), and the returned
-    * frame depends on a persisted cut — long-lived sessions clear the
-    * cache between calls (Bench/Verify do). */
+    * frame depends on a persisted cut registered in
+    * [[graft.core.Caches]] — long-lived sessions call
+    * `Caches.release(spark)` when done with the result. */
   def globalRank(df: DataFrame, order: Seq[Column],
                  rankCol: String = "rank"): DataFrame = {
     import df.sparkSession.implicits._
     val parted = df
       .repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val counts = parted.groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -59,7 +61,9 @@ object Rnk {
     parted
       .withColumn("__local", row_number().over(local))
       .join(offDf, Seq("__pid"))
-      .withColumn(rankCol, (col("__local") + col("__offset")).cast("int"))
+      // long, not int: past 2^31 rows an int rank silently wraps negative,
+      // and >2^31 rows is exactly the regime this operator exists for
+      .withColumn(rankCol, (col("__local") + col("__offset")).cast("long"))
       .drop("__pid", "__local", "__offset")
   }
 }

@@ -36,6 +36,21 @@ object Scd2 {
   def merge(history: DataFrame, snapshot: DataFrame, key: Seq[String],
             tracked: Seq[String], asOf: java.sql.Date,
             closeMissing: Boolean = false): DataFrame = {
+    // fail fast on column drift: the merge projects exactly key ++ tracked
+    // (+ effective dates), so a history attribute the caller forgot to
+    // list in `tracked` would be SILENTLY dropped from every output row —
+    // corrupting the dimension. Require exact coverage instead.
+    def requireExact(df: DataFrame, expected: Seq[String], what: String): Unit = {
+      val extra = df.columns.toSeq.diff(expected)
+      val missing = expected.diff(df.columns.toSeq)
+      require(extra.isEmpty && missing.isEmpty,
+        s"Scd2.merge: $what columns must be exactly {${expected.mkString(", ")}}" +
+          (if (extra.nonEmpty) s"; unexpected: {${extra.mkString(", ")}} — add them to `tracked` (or `key`) or drop them" else "") +
+          (if (missing.nonEmpty) s"; missing: {${missing.mkString(", ")}}" else ""))
+    }
+    requireExact(history, key ++ tracked ++ Seq("effective_from", "effective_to"),
+                 "history")
+    requireExact(snapshot, key ++ tracked, "snapshot")
     val open = history.filter(col("effective_to").isNull)
     val closed = history.filter(col("effective_to").isNotNull)
     val attrs = key ++ tracked

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Caches.TrackedDataset
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -46,7 +47,7 @@ object Similarity {
     * same element-order fold as `aggregate(zip_with(...))`, ~10× cheaper
     * at n² pair volume. */
   private def dot(a: Column, b: Column): Column =
-    call_function(graft.functions.GraftFunctions.DotName, a, b)
+    call_function(graft.functions.GraftFunctions.DotRawName, a, b)
 
   /** vec_id, v (double[]), n2 (squared norm). */
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
@@ -130,7 +131,7 @@ object Similarity {
     // bucket signatures (6 dot products/row) feed both self-join sides;
     // no exchange reuse across aliases — persist the bucketed table
     val n = vecs(spark, dir).withColumn("bucket", bucket(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val pairs = n.as("a").join(n.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
@@ -195,7 +196,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = vecs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     // deterministic seeding: TakeOrdered over (md5(vec_id), vec_id) — an
     // 8-row driver action (IVF training is inherently driver-coordinated)
     val seeds = n.withColumn("h", md5(col("vec_id").cast("string")))
@@ -212,7 +213,7 @@ object Similarity {
           .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))))
       .filter(col("crank") <= NProbe)
       .select(col("vec_id"), col("v"), col("n2"), col("centroid_id"), col("crank"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val index = ranked.filter(col("crank") === 1) // each vector lives in ONE list
     val pairs = ranked.as("a").join(index.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Caches.TrackedDataset
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -185,7 +186,7 @@ object TextAnalysis {
       |         CAST(count(*) AS BIGINT) AS total_count
       |  FROM tok GROUP BY 1)
       |SELECT token, doc_freq, total_count,
-      |       CAST(row_number() OVER (ORDER BY total_count DESC, token) AS INT) AS rank
+      |       CAST(row_number() OVER (ORDER BY total_count DESC, token) AS BIGINT) AS rank
       |FROM agg
       |""".stripMargin
 
@@ -253,10 +254,10 @@ object TextAnalysis {
     // pass runs once, and persist the vocabulary-sized unigram table
     // across its count and the broadcast probe
     val tok = docs(spark, dir).select(col("doc_id"), explode(toks).as("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val total = tok.count() // also materializes the cache
     val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackPersist()
     val v = uni.count() // vocabulary size; materializes uni
     val scored = tok.join(broadcast(uni), Seq("token"))
       .withColumn("lp_micro",

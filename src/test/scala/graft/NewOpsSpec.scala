@@ -403,8 +403,9 @@ class NewOpsSpec extends SparkSpec {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("t"))))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    // globalRank emits LONG (int would wrap past 2^31 rows at scale)
     val viaDistributed = graft.ops.Rnk.globalRank(df, Seq(col("n").desc, col("t")))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2).toInt)).toSet
     assert(viaDistributed == viaWindow)
     spark.catalog.clearCache()
   }
