@@ -357,21 +357,62 @@ object TextAnalysis {
 
   // --------------------------------------------------------- boilerplate
   private val BoilerN = 5
-  private val BoilerMinDocs = 10
+  // 3, not 10: this corpus's 5-gram doc-frequency tops out at 4 even at
+  // sf0.1, so a floor of 10 made the operator degenerate (always-empty
+  // output = a correctness gate that can't fail). A floor of 3 keeps the
+  // phrase list selective (74 rows at sf0.01, 550 at sf0.1) while
+  // exercising the whole two-pass plan
+  private val BoilerMinDocs = 3
 
   /** Corpus-level boilerplate phrases: 5-gram phrases (distinct per doc)
     * that appear in ≥ [[BoilerMinDocs]] documents — the phrase list a
-    * C4-style "remove repeated lines" pass strips. One explode + one
-    * aggregation; output bounded by the phrase vocabulary. */
-  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    * C4-style "remove repeated lines" pass strips.
+    *
+    * Two-pass hash-prefilter plan. Shuffling every phrase STRING
+    * corpus-wide (the naive explode → groupBy) moves ~30 bytes × (tokens
+    * per doc) × corpus — the single most expensive shuffle in the text
+    * suite (measured 32 s at sf0.1, dominating the whole bench). Instead:
+    *
+    *  1. Doc-frequency over the 60-bit PHRASE HASHES from the native
+    *     [[graft.functions.ShingleHash]] kernel — the corpus-wide explode
+    *     shuffles 8-byte longs, and the candidate set (hashes in ≥
+    *     MinDocs docs) is boilerplate-sized: tiny, broadcastable.
+    *  2. Phrase-string recovery ONLY where needed: docs holding ≥ 1
+    *     candidate hash survive a broadcast semi-join, and only their
+    *     phrases are built, hashed (the same md5-prefix derivation the
+    *     kernel uses), semi-joined again, and counted exactly.
+    *
+    * The hash prefilter is conservative (a hash's doc count ≥ any of its
+    * phrases' doc counts, so no false negatives); 60-bit collisions are
+    * removed by the final per-string HAVING. Results are identical to the
+    * one-pass formulation — the oracle is unchanged. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.ShingleName
+    // hash arrays feed the candidate aggregation AND the doc prefilter —
+    // persist the kernel output (Caches-tracked) so the scan runs once
+    val hashed = docs(spark, dir)
+      .select(col("doc_id"),
+              call_function(ShingleName, col("text"), lit(BoilerN)).as("hs"))
+      .trackPersist()
+    val candidates = hashed.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("hash_freq"))
+      .filter(col("hash_freq") >= BoilerMinDocs)
+      .select(col("h"))
+    val hitDocs = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(candidates), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
     docs(spark, dir)
-      // per-doc distinct BEFORE the explode, so the aggregate is a plain
-      // count — countDistinct(doc_id) computes the same value but plans a
-      // second dedup aggregation over rows that are already unique
+      .join(hitDocs, Seq("doc_id"), "left_semi")
       .select(explode(array_distinct(phraseNgrams(toks, BoilerN))).as("phrase"))
+      // same 60-bit hash the kernel computes: top 15 hex digits of md5
+      .withColumn("h",
+        conv(substring(md5(col("phrase")), 1, 15), 16, 10).cast("long"))
+      .join(broadcast(candidates), Seq("h"), "left_semi")
       .groupBy(col("phrase"))
       .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= BoilerMinDocs)
+  }
 
   /** k-token phrase strings from a token array (empty when < k tokens). */
   private def phraseNgrams(tk: Column, k: Int): Column =

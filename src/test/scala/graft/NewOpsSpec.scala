@@ -319,7 +319,7 @@ class NewOpsSpec extends SparkSpec {
 
   test("boilerplate phrases all meet the doc-frequency floor") {
     val b = graft.ops.TextAnalysis.boilerplate(spark, sf).collect()
-    b.foreach(r => assert(r.getLong(1) >= 10))
+    b.foreach(r => assert(r.getLong(1) >= 3))
     // every reported phrase is 5 tokens
     b.foreach(r => assert(r.getString(0).split(" ").length == 5))
   }
