@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g: local[32] means 32 concurrent tasks sharing this ONE heap —
+  // percentile buffers, broadcast builds, and sort pages across 32
+  // threads overflow 8g and the bench then measures GC, not the plan
+  // (observed: 20-30s outliers on percentile-heavy queries that run in
+  // 1-3s with headroom). The bench host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

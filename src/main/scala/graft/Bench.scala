@@ -66,6 +66,14 @@ object Bench {
             // library contract) plus any stragglers
             graft.core.Caches.release(spark)
             spark.catalog.clearCache()
+            // force a driver GC between queries: Spark's ContextCleaner
+            // only reclaims executor-side shuffle/broadcast state when
+            // driver GC collects the owning objects, and with a large
+            // heap that can lag many queries behind — the accumulated
+            // state then bleeds GC pauses into LATER queries' timings
+            // (measured: same query 0.5s isolated, 7s late in a full
+            // run). Housekeeping between queries is not plan cost.
+            System.gc()
           }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }

@@ -59,4 +59,32 @@ object Reshape {
       |UNION ALL
       |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
       |""".stripMargin
+
+  /** Multi-level rollup in ONE pass: per (event_type, day), per
+    * event_type, and grand total, tagged by `gid` (bit 1 = day rolled up,
+    * bit 2 = event_type rolled up — Spark's `grouping_id` bit order).
+    *
+    * ROLLUP is how a warehouse serves every drill level from one shuffle
+    * instead of one query per level: Spark expands the grouping sets
+    * map-side and a single partial+final hash aggregate computes all
+    * three levels — at 100 TB that is one fact-table scan for the whole
+    * dashboard family. Value sums go through exact per-row
+    * DECIMAL(18,6) casts so every level is order-independent. */
+  def eventRollupLevels(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+              col("value"))
+      .rollup(col("event_type"), col("day"))
+      .agg(grouping_id().as("gid"),
+           count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+
+  val eventRollupLevelsOracle: String =
+    """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |       CAST(grouping(event_type) * 2 + grouping(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS gid,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY ROLLUP(event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE))
+      |""".stripMargin
 }

@@ -140,6 +140,50 @@ object Stats {
       .withColumn("hi", round((col("bucket") + 1).cast("double") / 10, 1))
       .select(col("bucket"), col("lo"), col("hi"), col("n"))
 
+  /** Per-group robust location/scale: median, MAD (median absolute
+    * deviation), and the Gaussian-consistent robust sigma (1.4826 × MAD)
+    * — the outlier-resistant alternative to mean/stddev that winsorize
+    * and anomaly thresholds should be fed from when the data is
+    * heavy-tailed. Two aggregations (median, then median-of-deviations)
+    * with the group-sized median table BROADCAST between them — the fact
+    * shuffles once per aggregation, never by itself.
+    *
+    * Deviations are rounded to 6 dp BEFORE the second percentile: the
+    * group median may interpolate (and so carry engine-specific last-ulp
+    * noise); the deviation of 2-dp money from it has an exact ≤3-dp
+    * decimal value, which the round recovers bit-identically on both
+    * engines — without it the deviation ORDER could differ at a ulp tie
+    * and move the interpolated MAD. */
+  def mad(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    li.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("dev", round(abs(col("x") - col("med")), 6))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round(max(col("med")), 6).as("median"),
+           round(expr("percentile(dev, 0.5)"), 6).as("mad"),
+           round(expr("percentile(dev, 0.5)") * 1.4826, 6).as("robust_sigma"))
+  }
+
+  val madOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l.l_returnflag, med,
+      |         round(abs(l_extendedprice - med), 6) AS dev
+      |  FROM lineitem l JOIN m USING (l_returnflag))
+      |SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(max(med), 6) AS median,
+      |       round(quantile_cont(dev, 0.5), 6) AS mad,
+      |       round(quantile_cont(dev, 0.5) * 1.4826, 6) AS robust_sigma
+      |FROM d GROUP BY 1
+      |""".stripMargin
+
   val qualityHistogramOracle: String = {
     def cte(sql: String) = sql.trim.stripSuffix(";")
     s"""WITH q AS (${cte(TextAnalysis.qualityOracle)})

@@ -1,0 +1,132 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Exp
+
+/** Classic warehouse-analytics queries over the star schema — the TPC-H
+  * Q1/Q5 shapes, re-grounded on this corpus. The reference's marts cover
+  * bespoke report pipelines; these cover the two canonical OLAP plan
+  * shapes every engine is judged on:
+  *
+  *  - Q1 (pricing summary): scan-heavy single-table aggregate — the
+  *    filter reaches the parquet scan (PushedFilters) and the whole query
+  *    is one partial+final hash aggregate over a pruned 7-column read.
+  *  - Q5 (local supplier volume): a 6-table star join — every dimension
+  *    side is BROADCAST (region→nation→supplier/customer chain collapses
+  *    driver-side to small tables), so the fact table shuffles only for
+  *    the final per-nation aggregate, not for any join.
+  *
+  * Money goes through exact per-row DECIMAL(18,6) casts before summing
+  * (order-independent at any parallelism — [[graft.ops.Exp.money]]).
+  */
+object Olap {
+
+  private val Q1Cutoff = "1998-09-02"
+
+  /** TPC-H Q1 shape: pricing summary by (returnflag, linestatus). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(s"$Q1Cutoff 00:00:00")))
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(Exp.money(disc)).cast("double").as("sum_disc_price"),
+        sum(Exp.money(disc * (lit(1.0) + col("l_tax")))).cast("double").as("sum_charge"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+              count(lit(1)), 6).as("avg_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+              count(lit(1)), 6).as("avg_price"),
+        round(sum(col("l_discount").cast("decimal(8,4)")).cast("double") /
+              count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val pricingSummaryOracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       |       round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       |       CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$Q1Cutoff 00:00:00'
+       |GROUP BY 1, 2
+       |""".stripMargin
+
+  private val Q5From = "1996-01-01"
+  private val Q5To = "1997-01-01"
+  private val Q5Region = "ASIA"
+
+  /** TPC-H Q5 shape: revenue by nation for one region/year, where the
+    * supplying nation equals the customer's nation.
+    *
+    * Broadcast hints ONLY on the genuinely bounded dimensions (region,
+    * nation — constant-sized at any scale factor). customer / orders /
+    * supplier all scale with the data, so their joins are left to the
+    * optimizer: at bench scale AQE broadcasts them automatically (they
+    * sit under the 10 MB threshold after the date/region filters), and at
+    * 100 TB the same plan degrades gracefully to shuffle joins instead of
+    * OOMing the driver on a hinted broadcast. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === Q5Region)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$Q5From 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"$Q5To 00:00:00")))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+              Exp.money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(sup,
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val localSupplierVolumeOracle: String =
+    s"""SELECT n_name,
+       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       |       CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = '$Q5Region'
+       |  AND o_orderdate >= TIMESTAMP '$Q5From 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$Q5To 00:00:00'
+       |GROUP BY 1
+       |""".stripMargin
+
+  /** HLL++ cardinality profile: per event_type, exact event count plus the
+    * approximate distinct-user count (one pass, fixed sketch memory — the
+    * COUNT(DISTINCT) replacement at 100 TB). The sketch estimate is
+    * engine-specific, so this query has NO SQL oracle; the spec bounds it
+    * against the exact count instead (rsd 2%). */
+  def cardinalityProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+}
