@@ -15,6 +15,10 @@ run / fork := true
 // "[info] " log prefix — the bench driver parses Bench's single JSON line
 // from stdout and sbt's prefix would break that.
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's "[success] Total time: ..." epilogue: the bench
+// driver reads the LAST stdout line, and in rounds 1-2 that epilogue
+// landed after Bench's JSON and the driver recorded parsed:null.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,8 +90,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    // stop Spark BEFORE emitting the JSON so no shutdown log line can land
+    // after it: the bench driver parses the LAST line of output
     spark.stop()
+    System.err.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -86,6 +86,51 @@ class Round3OpsSpec extends SparkSpec {
     r.foreach(row => assert(asia.contains(row.getString(0))))
   }
 
+  test("cdc compaction equals the window formulation and partial-aggregates") {
+    import graft.ops.Cdc
+    val viaAgg = Cdc.latestOrderQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val viaWindow = graft.core.Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("o_orderkey")).toMap
+    assert(viaAgg == viaWindow)
+    // the plan is a hash aggregate (partial+final), not a window sort
+    val plan = Cdc.latestOrderQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "compaction must not plan a window")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  test("cdc upsert applies updates, deletes, and inserts exactly once") {
+    import graft.ops.Cdc
+    val snap = graft.core.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val before = snap.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val after = Cdc.upsertQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    before.keys.foreach { k =>
+      if (k % 31 == 0) assert(!after.contains(k), s"$k should be deleted")
+      else if (k % 7 == 0) assert(after(k) == before(k) + 100.0)
+      else assert(after(k) == before(k))
+    }
+    val maxKey = before.keys.max
+    assert(after(maxKey + 1) == 0.0 && after(maxKey + 2) == 10.5)
+    assert(after.size == before.count(kv => kv._1 % 31 != 0) + 2)
+  }
+
+  test("cdc upsert rejects a malformed batch") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 1.0)).toDF("k", "name", "bal")
+    val badBatch = Seq((1L, "a", "upsert")).toDF("k", "name", "op") // missing bal
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Cdc.upsert(snap, badBatch, Seq("k"))
+    }
+    assert(e.getMessage.contains("batch columns"))
+  }
+
   test("approx user cardinality is within 5% of exact") {
     val exact = graft.core.Tables.events(spark, sf)
       .groupBy("event_type")
