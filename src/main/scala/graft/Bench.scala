@@ -51,31 +51,37 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: forces every column to be computed (count() would let
-        // the optimizer prune the projections entirely for narrow queries)
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            errors.getOrElseUpdate(name,
-              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-            false
-          }
-          finally {
-            // per-query isolation: drain graft-tracked persists (the
-            // library contract) plus any stragglers
-            graft.core.Caches.release(spark)
-            spark.catalog.clearCache()
-            // force a driver GC between queries: Spark's ContextCleaner
-            // only reclaims executor-side shuffle/broadcast state when
-            // driver GC collects the owning objects, and with a large
-            // heap that can lag many queries behind — the accumulated
-            // state then bleeds GC pauses into LATER queries' timings
-            // (measured: same query 0.5s isolated, 7s late in a full
-            // run). Housekeeping between queries is not plan cost.
-            System.gc()
-          }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        // elapsed is captured IMMEDIATELY after save() returns, before the
+        // finally-block housekeeping: release/clearCache/System.gc on a
+        // large heap cost hundreds of ms each and are between-query
+        // isolation, not plan cost (round-3 bench billed them into every
+        // query and ~20 small queries uniformly doubled)
+        var elapsed: Option[Double] = None
+        try {
+          val t0 = System.nanoTime()
+          // noop sink: forces every column to be computed (count() would let
+          // the optimizer prune the projections entirely for narrow queries)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          elapsed = Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        } finally {
+          // per-query isolation: drain graft-tracked persists (the
+          // library contract) plus any stragglers
+          graft.core.Caches.release(spark)
+          spark.catalog.clearCache()
+          // force a driver GC between queries: Spark's ContextCleaner
+          // only reclaims executor-side shuffle/broadcast state when
+          // driver GC collects the owning objects, and with a large
+          // heap that can lag many queries behind — the accumulated
+          // state then bleeds GC pauses into LATER queries' timings
+          // (measured: same query 0.5s isolated, 7s late in a full
+          // run). Housekeeping between queries is not plan cost and
+          // sits OUTSIDE the measured span above.
+          System.gc()
+        }
+        elapsed
       }
       // a failed query reports -1, never a fast fake timing
       name -> (if (times.nonEmpty) times.min else -1.0)
@@ -85,16 +91,29 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // 3-decimal rounding: millisecond precision is all the comparison needs,
+    // and it keeps the single-line JSON inside the driver's tail-capture
+    // window (rounds 2 and 3 both came back "parsed": null because 9-digit
+    // timings pushed the line past ~4.5 KB; rounded it is ~1.8 KB)
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    // full-precision copy on disk for local diffing (the stdout line is the
+    // driver contract; this file is a convenience, never parsed by the driver)
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     // stop Spark BEFORE emitting the JSON so no shutdown log line can land
     // after it: the bench driver parses the LAST line of output
     spark.stop()
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(line)
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -107,8 +107,13 @@ object Embeddings {
             (x, qq) => (x - qq.cast("double") * col("scale")) *
                        (x - qq.cast("double") * col("scale"))),
           lit(0.0), (acc, e) => acc + e) / lit(Dim.toDouble), 6))
+      // q ships as a comma-joined string, not array<int>: the correctness
+      // driver sorts result rows with pandas, which cannot sort/hash array
+      // cells (round-3 red row). Same rule labelCentroids already follows:
+      // no array columns in oracle-checked output.
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-              col("q"), col("recon_err"))
+              concat_ws(",", col("q").cast("array<string>")).as("q"),
+              col("recon_err"))
   }
 
   val quantizeOracle: String =
@@ -124,7 +129,8 @@ object Embeddings {
        |              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
        |         END AS q
        |  FROM s)
-       |SELECT vec_id, round(scale, 6) AS scale, q,
+       |SELECT vec_id, round(scale, 6) AS scale,
+       |       array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q,
        |       round(list_sum(list_transform(generate_series(1, $Dim),
        |               i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)))
        |             / $Dim, 6) AS recon_err

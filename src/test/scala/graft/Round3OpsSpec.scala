@@ -52,7 +52,9 @@ class Round3OpsSpec extends SparkSpec {
     val r = Embeddings.quantizeInt8(spark, sf).collect()
     assert(r.nonEmpty)
     r.foreach { row =>
-      val q = row.getSeq[Int](2)
+      // q is serialized "i,i,..." (oracle portability: no array columns)
+      val q = row.getString(2).split(',').map(_.toInt).toSeq
+      assert(q.length == 64)
       assert(q.forall(v => v >= -127 && v <= 127))
       assert(q.exists(v => math.abs(v) == 127), "max-magnitude dim maps to ±127")
       // mse bounded by (scale/2)^2: each dim's rounding error <= scale/2
