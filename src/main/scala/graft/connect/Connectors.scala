@@ -46,9 +46,51 @@ object Jdbc {
   def readQuery(spark: SparkSession, cfg: JdbcConfig, sql: String): DataFrame =
     spark.read.format("jdbc").options(cfg.asOptions).option("query", sql).load()
 
-  def write(df: DataFrame, cfg: JdbcConfig, table: String, mode: SaveMode): Unit =
+  /** @param ensureSchema when true and `table` is schema-qualified,
+    *   create the schema first if the database lacks it — the reference
+    *   self-heals this way before every write (Raptor.py:41-58
+    *   `_ensure_schema_exists` inside `_write_into_table`), so a fresh
+    *   database works on first run. */
+  def write(df: DataFrame, cfg: JdbcConfig, table: String, mode: SaveMode,
+            ensureSchema: Boolean = false): Unit = {
+    if (ensureSchema) table.split('.') match {
+      case Array(schema, _) => Jdbc.ensureSchema(cfg, schema)
+      case _                => ()
+    }
     df.write.format("jdbc").options(cfg.asOptions)
       .option("dbtable", table).mode(mode).save()
+  }
+
+  /** Driver-side `CREATE SCHEMA` if absent (reference: Raptor.py:41-58,
+    * psycopg2 `CREATE SCHEMA IF NOT EXISTS`). Portable across engines
+    * that lack `IF NOT EXISTS` (Derby): consult catalog metadata first,
+    * then create, and tolerate the already-exists race by re-checking —
+    * two concurrent writers must both come out with the schema present.
+    * The name is validated against a bare-identifier pattern, not
+    * interpolated blindly. */
+  def ensureSchema(cfg: JdbcConfig, schema: String): Unit = {
+    require(schema.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"schema must be a bare identifier, got '$schema'")
+    val conn = java.sql.DriverManager.getConnection(
+      cfg.url, cfg.user, cfg.password)
+    try {
+      def exists(): Boolean = {
+        val rs = conn.getMetaData.getSchemas
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString("TABLE_SCHEM").equalsIgnoreCase(schema)
+          found
+        } finally rs.close()
+      }
+      if (!exists()) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE SCHEMA $schema")
+        catch { case e: java.sql.SQLException => if (!exists()) throw e }
+        finally st.close()
+      }
+    } finally conn.close()
+  }
 }
 
 object Csv {

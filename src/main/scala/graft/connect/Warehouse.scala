@@ -21,9 +21,16 @@ trait Warehouse {
   def readHistory(spark: SparkSession, entity: String): DataFrame
 }
 
-final class ParquetWarehouse(root: String) extends Warehouse {
-  private def stagingPath(entity: String) = s"$root/raw/${entity}_pre"
-  private def historyPath(entity: String) = s"$root/legacy/$entity"
+/** @param env environment → physical-prefix routing: prod keeps
+  *   `raw`/`legacy`, anything else lands in `dev_raw`/`dev_legacy` under
+  *   the same root (reference: utils.py:190-211). Default prod preserves
+  *   the un-prefixed layout for callers that manage isolation by root
+  *   path instead. */
+final class ParquetWarehouse(root: String,
+                             env: graft.core.EnvSchema = graft.core.EnvSchema("prod"))
+    extends Warehouse {
+  private def stagingPath(entity: String) = s"$root/${env.resolve("raw")}/${entity}_pre"
+  private def historyPath(entity: String) = s"$root/${env.resolve("legacy")}/$entity"
 
   def writeStaging(df: DataFrame, entity: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(stagingPath(entity))

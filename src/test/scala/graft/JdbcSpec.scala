@@ -49,4 +49,24 @@ class JdbcSpec extends SparkSpec {
     Jdbc.write(b, cfg, "acc", SaveMode.Append)
     assert(Jdbc.readTable(spark, cfg, "acc").count() == 2)
   }
+
+  test("ensureSchema: write into a not-yet-existing schema succeeds") {
+    // reference parity: Raptor.py:41-58 creates the schema before every
+    // write so a fresh database works on first run
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Jdbc.write(df, cfg, "fresh_layer.t1", SaveMode.Overwrite,
+      ensureSchema = true)
+    assert(Jdbc.readTable(spark, cfg, "fresh_layer.t1").count() == 2)
+    // second call: schema already exists, must be a no-op not an error
+    Jdbc.ensureSchema(cfg, "fresh_layer")
+    Jdbc.write(df, cfg, "fresh_layer.t2", SaveMode.Overwrite,
+      ensureSchema = true)
+    assert(Jdbc.readTable(spark, cfg, "fresh_layer.t2").count() == 2)
+  }
+
+  test("ensureSchema rejects non-identifier schema names") {
+    intercept[IllegalArgumentException] {
+      Jdbc.ensureSchema(cfg, "bad;DROP TABLE x")
+    }
+  }
 }
