@@ -256,6 +256,49 @@ object Similarity {
        |FROM r WHERE rn <= $K
        |""".stripMargin
 
+  // ----------------------------------------------------------- ANN recall
+  /** Recall of each ANN variant against the exact brute-force top-K, as
+    * an oracle-checkable query: one row per method with truth/matched
+    * pair counts and micro-averaged recall. Deterministic because the
+    * hyperplanes and IVF seeding are fixed derivations — the accuracy
+    * trade-off becomes a GATED number instead of a spec assertion.
+    *
+    * Scale: the truth side is the exact O(n²) baseline, so at corpus
+    * scale this runs on a SAMPLED probe set (brute-force truth for a few
+    * thousand probes is cheap); the measurement plumbing — left join on
+    * (vec_id, neighbor_id), one aggregate — is unchanged. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = bruteForceTopK(spark, dir).select("vec_id", "neighbor_id")
+      .trackPersist() // two consumers (one per method)
+    def stat(method: String, approx: DataFrame): DataFrame =
+      bf.join(approx.select(col("vec_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("vec_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("truth_pairs"),
+             coalesce(sum(col("hit")), lit(0)).cast("long").as("matched_pairs"))
+        .select(lit(method).as("method"), col("truth_pairs"), col("matched_pairs"),
+                round(col("matched_pairs").cast("double") / col("truth_pairs"), 6)
+                  .as("recall"))
+    stat("lsh", lshTopK(spark, dir)).unionByName(stat("ivf", ivfTopK(spark, dir)))
+  }
+
+  val annRecallOracle: String =
+    s"""WITH bf AS (SELECT vec_id, neighbor_id FROM ($bruteForceOracle)),
+       |lsh AS (SELECT vec_id, neighbor_id FROM ($lshOracle)),
+       |ivf AS (SELECT vec_id, neighbor_id FROM ($ivfOracle)),
+       |st AS (
+       |  SELECT 'lsh' AS method,
+       |         (SELECT count(*) FROM bf) AS t,
+       |         (SELECT count(*) FROM bf JOIN lsh USING (vec_id, neighbor_id)) AS m
+       |  UNION ALL
+       |  SELECT 'ivf',
+       |         (SELECT count(*) FROM bf),
+       |         (SELECT count(*) FROM bf JOIN ivf USING (vec_id, neighbor_id)))
+       |SELECT method, CAST(t AS BIGINT) AS truth_pairs,
+       |       CAST(m AS BIGINT) AS matched_pairs,
+       |       round(CAST(m AS DOUBLE) / t, 6) AS recall
+       |FROM st
+       |""".stripMargin
+
   // ------------------------------------------------- embedding near-dup
   /** Embedding-cosine near-duplicate pairs (exact, thresholded). At real
     * scale near-dups sit at cosine ≥ 0.99 and hyperplane LSH concentrates

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Training-corpus preparation beyond cleaning/dedup: overlapping
+  * token-window chunking (context-length shaping), token-budgeted
+  * selection per source (data mixing under a budget), and adjacent-token
+  * association mining (phrase discovery).
+  *
+  * All three are per-row projections or single hash aggregations /
+  * partitioned windows — no all-pairs structure anywhere, so the plans
+  * survive corpus scale unchanged. Tokenization is the engine-portable
+  * whitespace idiom shared with [[TextAnalysis]] (`split(trim(lower(…)))`
+  * ↔ DuckDB `string_split_regex`), which is what lets every output ship
+  * a value-exact oracle.
+  */
+object TextPrep {
+
+  private val ChunkSize = 40
+  private val Stride = 30
+
+  /** Overlapping token-window chunks: windows of [[ChunkSize]] tokens
+    * starting every [[Stride]] tokens (so consecutive chunks share
+    * `ChunkSize − Stride` tokens of context, the standard LM-pretraining
+    * shaping). Emits (doc_id, chunk_id, n_tok, chunk_md5) — the md5
+    * stands in for the chunk text so the gated output stays narrow; the
+    * text itself is `slice(tk, s+1, ChunkSize)` re-joined, which a sink
+    * would keep instead. Pure explode-projection: no shuffle, scan-bound,
+    * output rows ≈ docs × (len/stride). */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(Stride)))
+          .as(Seq("chunk_id", "s")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        least(col("n") - col("s"), lit(ChunkSize)).cast("int").as("n_tok"),
+        md5(concat_ws(" ", slice(col("tk"), col("s") + 1, lit(ChunkSize))))
+          .as("chunk_md5"))
+
+  val chunksOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |n AS (SELECT doc_id, tk, len(tk) AS n FROM d),
+       |c AS (
+       |  SELECT doc_id, tk, n,
+       |         unnest(generate_series(0, n - 1, $Stride)) AS s
+       |  FROM n)
+       |SELECT doc_id, CAST(s // $Stride AS INT) AS chunk_id,
+       |       CAST(least(n - s, $ChunkSize) AS INT) AS n_tok,
+       |       md5(array_to_string(list_slice(tk, s + 1, least(s + $ChunkSize, n)), ' ')) AS chunk_md5
+       |FROM c
+       |""".stripMargin
+
+  private val BudgetTokens = 5000L
+
+  /** Token-budgeted selection per source: rank documents by lexical
+    * diversity (unique/total token ratio, doc_id tiebreak) and keep each
+    * source's prefix whose cumulative token count fits the budget — the
+    * mixing step that turns "all of source X" into "the best N tokens of
+    * source X" when composing a training mix.
+    *
+    * The running sum is a window partitioned BY SOURCE — parallel across
+    * sources, sequential within one. That is the right shape while
+    * sources number in the hundreds; a single source so large its window
+    * skews would go through the [[Rnk.globalRank]] two-pass instead
+    * (rank, then broadcast per-partition prefix sums), same as vocab. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).as("n_tok"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")))
+          .as("score"))
+      .withColumn("cum_tok", sum(col("n_tok").cast("long")).over(w))
+      .filter(col("cum_tok") <= BudgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tok").cast("int").as("n_tok"),
+              col("cum_tok"), round(col("score"), 6).as("score"))
+  }
+
+  val budgetOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, len(tk) AS n_tok,
+       |         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS score
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, source, n_tok, score,
+       |         sum(n_tok) OVER (PARTITION BY source
+       |                          ORDER BY score DESC, doc_id) AS cum_tok
+       |  FROM s)
+       |SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+       |       CAST(cum_tok AS BIGINT) AS cum_tok, round(score, 6) AS score
+       |FROM c WHERE cum_tok <= $BudgetTokens
+       |""".stripMargin
+
+  private val MinPairCount = 8L
+
+  /** Adjacent-token association (phrase mining): for every bigram seen at
+    * least [[MinPairCount]] times, the observed/expected co-occurrence
+    * ratio `lift = P(a,b) / (P(a)·P(b))` — PMI without the log, so both
+    * engines evaluate the IDENTICAL IEEE division sequence and the result
+    * hash-matches without transcendental-function portability risk.
+    *
+    * Shape: one explode → bigram hash-agg (map-side combined), unigram
+    * hash-agg over the same scan, two broadcast-sized joins against the
+    * thresholded bigram table, scalar totals as a 1-row cross join. No
+    * all-pairs anything: cost is corpus-linear plus vocab-sized joins. */
+  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val unigrams = toks
+      .select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bigrams = toks
+      .filter(col("n") >= 2)
+      .select(explode(transform(sequence(lit(1), col("n") - 1),
+        i => struct(element_at(col("tk"), i).as("a"),
+                    element_at(col("tk"), i + 1).as("b")))).as("bg"))
+      .select(col("bg.a").as("tok_a"), col("bg.b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= MinPairCount)
+    val totals = unigrams.agg(sum(col("c1")).as("n1")).crossJoin(
+      toks.select(greatest(col("n") - 1, lit(0)).as("nb"))
+        .agg(sum(col("nb")).as("n2")))
+    bigrams
+      .join(unigrams.select(col("tok").as("tok_a"), col("c1").as("ca")), Seq("tok_a"))
+      .join(unigrams.select(col("tok").as("tok_b"), col("c1").as("cb")), Seq("tok_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("c2"),
+        round((col("c2").cast("double") / col("n2")) /
+              ((col("ca").cast("double") / col("n1")) *
+               (col("cb").cast("double") / col("n1"))), 6).as("lift"))
+  }
+
+  val bigramLiftOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |uni AS (
+       |  SELECT tok, count(*) AS c1
+       |  FROM (SELECT unnest(tk) AS tok FROM d) GROUP BY 1),
+       |bg AS (
+       |  SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
+       |  FROM (SELECT tk, len(tk) AS n FROM d),
+       |       unnest(generate_series(1, n - 1)) t(i)
+       |  WHERE n >= 2),
+       |big AS (
+       |  SELECT tok_a, tok_b, count(*) AS c2 FROM bg GROUP BY 1, 2
+       |  HAVING count(*) >= $MinPairCount),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS n1,
+       |         (SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) FROM d) AS n2)
+       |SELECT tok_a, tok_b, CAST(c2 AS BIGINT) AS c2,
+       |       round((CAST(c2 AS DOUBLE) / n2) /
+       |             ((CAST(ua.c1 AS DOUBLE) / n1) * (CAST(ub.c1 AS DOUBLE) / n1)), 6) AS lift
+       |FROM big
+       |JOIN uni ua ON big.tok_a = ua.tok
+       |JOIN uni ub ON big.tok_b = ub.tok, tot
+       |""".stripMargin
+}

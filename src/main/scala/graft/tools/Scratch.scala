@@ -4,21 +4,19 @@ import org.apache.spark.sql.functions._
 /** Throwaway perf probe (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    System.err.println("==== PIVOT ====")
-    System.err.println(graft.ops.Reshape.eventPivot(spark, sf).queryExecution.executedPlan.toString)
-    val base = graft.core.Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_name"))
-    val hist = base.withColumn("effective_from", lit(java.sql.Date.valueOf("2024-06-01")))
-      .withColumn("effective_to", lit(null).cast("date"))
-    System.err.println("==== SCD2 ====")
-    System.err.println(graft.ops.Scd2.merge(hist, base, Seq("s_suppkey"), Seq("s_name"),
-      java.sql.Date.valueOf("2024-06-02")).queryExecution.executedPlan.toString)
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val q = graft.ops.Jnr.rangeJoinQuery(spark, sf)
+    q.explain("formatted")
+    val t0 = System.nanoTime()
+    q.write.format("noop").mode("overwrite").save()
+    System.err.println(s"elapsed ${(System.nanoTime() - t0) / 1e9}")
     spark.stop()
   }
 }

