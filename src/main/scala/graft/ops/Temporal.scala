@@ -80,6 +80,112 @@ object Temporal {
       |FROM win WHERE event_type = 'purchase'
       |""".stripMargin
 
+  /** Generic multi-column as-of join: for each `left` row, the latest
+    * `right` row (per `keys`) with `rightTime` ≤ `leftTime`, carrying the
+    * listed `carry` columns (null when no right row precedes).
+    *
+    * [[asofCarryForward]]'s `max(when(...))` trick carries ONE orderable
+    * value; the general form needs all carried fields to come from the
+    * SAME right row. Same union-once shape — tag the sides, sort each key
+    * by (time, side, tiebreak) so right rows land immediately BEFORE the
+    * left rows they are visible to (inclusive as-of) — then
+    * `last(_, ignoreNulls)` over the running frame picks every field from
+    * the same latest right row, because the ordering is total over right
+    * rows. One shuffle + one sort per key — the plan a native ASOF JOIN
+    * compiles to — versus the per-row probe or range-explosion
+    * alternatives. Heavily-skewed keys shard like any window: salt the
+    * key with a coarse time bucket upstream.
+    *
+    * `rightTiebreak` must totally order right rows within (key, time) —
+    * ties would otherwise make the carried row engine-dependent. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String, rightTiebreak: String,
+               carry: Seq[String]): DataFrame = {
+    require(carry.nonEmpty, "carry must name at least one right column")
+    val rSchema = right.schema
+    def rType(c: String) = rSchema(c).dataType
+    val carried = carry.map(c => "__asof_" + c)
+    val l2 = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__r", lit(0))
+      .withColumn("__tb", lit(null).cast(rType(rightTiebreak)))
+    val l3 = carry.foldLeft(l2) { (df, c) =>
+      df.withColumn("__asof_" + c, lit(null).cast(rType(c)))
+    }
+    val leftOnly = l3.columns.filterNot(c =>
+      keys.contains(c) || c == "__t" || c == "__r" || c == "__tb" ||
+        carried.contains(c))
+    val r2base = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(1).as("__r") :+
+        col(rightTiebreak).as("__tb")) ++
+        carry.map(c => col(c).as("__asof_" + c)): _*)
+    val r3 = leftOnly.foldLeft(r2base) { (df, c) =>
+      df.withColumn(c, lit(null).cast(l3.schema(c).dataType))
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__r").desc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l3.unionByName(r3.select(l3.columns.map(col): _*))
+    carried.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("__r") === 0)
+      .drop("__t", "__r", "__tb")
+  }
+
+  /** Oracle query for [[asofJoin]]: every purchase annotated with the
+    * user's most recent `view` event at-or-before it — id, value, and the
+    * gap in seconds, all from the SAME view row. */
+  def asofQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+              col("ts_us").as("view_ts_us"), col("ts_us"))
+    asofJoin(purchases, views, Seq("user_id"),
+        leftTime = "ts_us", rightTime = "ts_us", rightTiebreak = "view_event_id",
+        carry = Seq("view_event_id", "view_ts_us"))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("purchase_ts"),
+        col("__asof_view_event_id").as("view_event_id"),
+        expr("CAST((ts_us - `__asof_view_ts_us`) DIV 1000000 AS LONG)")
+          .as("gap_seconds"))
+  }
+
+  val asofOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |u AS (
+      |  SELECT user_id, ts_us, event_id, 0 AS is_right,
+      |         CAST(NULL AS BIGINT) AS tb,
+      |         CAST(NULL AS BIGINT) AS r_event_id,
+      |         CAST(NULL AS BIGINT) AS r_ts_us
+      |  FROM ev WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts_us, NULL, 1, event_id, event_id, ts_us
+      |  FROM ev WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT *,
+      |         last_value(r_event_id IGNORE NULLS)
+      |           OVER (PARTITION BY user_id
+      |                 ORDER BY ts_us ASC, is_right DESC, tb ASC NULLS LAST
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event_id,
+      |         last_value(r_ts_us IGNORE NULLS)
+      |           OVER (PARTITION BY user_id
+      |                 ORDER BY ts_us ASC, is_right DESC, tb ASC NULLS LAST
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ts
+      |  FROM u)
+      |SELECT event_id, user_id, make_timestamp(ts_us) AS purchase_ts,
+      |       view_event_id,
+      |       CAST((ts_us - v_ts) // 1000000 AS BIGINT) AS gap_seconds
+      |FROM c WHERE is_right = 0
+      |""".stripMargin
+
   val attributionOracle: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type,

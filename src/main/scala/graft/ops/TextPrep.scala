@@ -104,6 +104,67 @@ object TextPrep {
        |FROM c WHERE cum_tok <= $BudgetTokens
        |""".stripMargin
 
+  /** Per-source distribution drift: the total-variation distance between
+    * each source's token distribution and the REST of the corpus —
+    * the fingerprint that catches a source going off-distribution
+    * between corpus snapshots (scraper drift, contamination, encoding
+    * rot) before it trains into a model.
+    *
+    * TV(S, R) = ½ Σ_tok |p_S − p_R| over the FULL vocabulary. The
+    * absent-token tail is folded in algebraically instead of
+    * materializing a vocab × sources grid: for tokens with c_S = 0 the
+    * contribution is Σ c·n_S, i.e. n_S·(N − covered_S), where covered_S
+    * sums the global counts of tokens the source DOES have. Everything
+    * stays exact 64-bit integer arithmetic until one final division —
+    * corpus-linear (one explode, hash aggs, vocab-sized join), no
+    * all-pairs structure. Counts here fit long comfortably (Σ|…| ≤
+    * N·n_S ≈ 10^12 at sf0.1); a trillion-token corpus would lift the
+    * products to decimal, same plan. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+      .trackPersist() // three consumers: global counts, totals, the join
+    val g = st.groupBy(col("tok")).agg(sum(col("cs")).as("c"))
+    val ns = st.groupBy(col("source")).agg(sum(col("cs")).as("n_tok"))
+    val tot = ns.agg(sum(col("n_tok")).as("n"))
+    val per = st.join(g, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(sum(abs(col("cs") * (col("n") - col("n_tok")) -
+                   (col("c") - col("cs")) * col("n_tok"))).as("a"),
+           sum(col("c")).as("covered"))
+    per.join(broadcast(ns), "source").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tok"),
+        round((col("a") + col("n_tok") * (col("n") - col("covered")))
+                .cast("double") /
+              (lit(2) * col("n_tok") * (col("n") - col("n_tok"))).cast("double"),
+              6).as("tv"))
+  }
+
+  val sourceDriftOracle: String =
+    """WITH d AS (
+      |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, count(*) AS cs FROM d GROUP BY 1, 2),
+      |g AS (SELECT tok, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_tok FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM st),
+      |per AS (
+      |  SELECT st.source,
+      |         CAST(sum(abs(cs * (n - ns.n_tok) - (c - cs) * ns.n_tok)) AS BIGINT) AS a,
+      |         CAST(sum(c) AS BIGINT) AS covered
+      |  FROM st JOIN g USING (tok) JOIN ns USING (source) CROSS JOIN tot
+      |  GROUP BY 1)
+      |SELECT source, n_tok,
+      |       round(CAST(a + n_tok * (n - covered) AS DOUBLE) /
+      |             CAST(2 * n_tok * (n - n_tok) AS DOUBLE), 6) AS tv
+      |FROM per JOIN ns USING (source) CROSS JOIN tot
+      |""".stripMargin
+
   private val MinPairCount = 8L
 
   /** Adjacent-token association (phrase mining): for every bigram seen at

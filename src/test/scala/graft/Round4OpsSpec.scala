@@ -145,6 +145,70 @@ class Round4OpsSpec extends SparkSpec {
     assert(r.count() == r.select("tok_a", "tok_b").distinct().count())
   }
 
+  // ------------------------------------------------------------ asof join
+  test("asofJoin: inclusivity, tiebreaks, no-match nulls, same-row carry") {
+    val left = Seq(
+      (1L, "u1", 100L), // exact tie with right at 100 — inclusive
+      (2L, "u1", 150L), // between rights
+      (3L, "u1", 50L),  // before every right — null carry
+      (4L, "u2", 500L)  // user with no rights at all — null carry
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      ("u1", 100L, 7L, "a"),  // two rights at t=100: tiebreak picks rid 9
+      ("u1", 100L, 9L, "b"),
+      ("u1", 120L, 1L, "c")
+    ).toDF("k", "rt", "rid", "payload")
+    val got = graft.ops.Temporal.asofJoin(left, right, Seq("k"),
+        "t", "rt", "rid", Seq("rid", "payload", "rt"))
+      .select(col("lid"), col("__asof_rid"), col("__asof_payload"), col("__asof_rt"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) == (Some(9L), Some("b"), Some(100L))) // tie: max rid, SAME row's payload
+    assert(got(2L) == (Some(1L), Some("c"), Some(120L))) // latest <= 150
+    assert(got(3L) == (None, None, None))
+    assert(got(4L) == (None, None, None))
+  }
+
+  test("asofQuery: every purchase row, gaps non-negative, views precede") {
+    val r = graft.ops.Temporal.asofQuery(spark, sf)
+    val purchases = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(r.count() == purchases)
+    assert(r.filter(col("gap_seconds") < 0).isEmpty)
+    // matched view ids must actually be view events
+    val views = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "view").select(col("event_id").as("view_event_id"))
+    assert(r.filter(col("view_event_id").isNotNull)
+      .join(views, Seq("view_event_id"), "left_anti").isEmpty)
+  }
+
+  // --------------------------------------------------------- source drift
+  test("sourceDrift equals a naive full-vocabulary TV computation") {
+    val naive = {
+      val tok = graft.core.Tables.documents(spark, sf)
+        .select(col("source"), explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val st = tok.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val g = st.groupBy("tok").agg(sum("cs").as("c"))
+      val ns = st.groupBy("source").agg(sum("cs").as("n_tok"))
+      val n = st.agg(sum("cs")).head().getLong(0)
+      // full sources × vocab grid (fine at sf0.001; the operator avoids it)
+      val grid = ns.crossJoin(g)
+        .join(st, Seq("source", "tok"), "left")
+        .withColumn("cs", coalesce(col("cs"), lit(0L)))
+      grid.withColumn("term",
+          abs(col("cs").cast("double") / col("n_tok") -
+              (col("c") - col("cs")).cast("double") / (lit(n) - col("n_tok"))))
+        .groupBy("source").agg((sum("term") / 2).as("tv_naive"))
+    }
+    val got = graft.ops.TextPrep.sourceDrift(spark, sf)
+    val cmp = got.join(naive, "source")
+      .filter(abs(col("tv") - col("tv_naive")) > 1e-6)
+    assert(cmp.isEmpty, "algebraic absent-token fold must equal the naive grid")
+    assert(got.filter(col("tv") < 0 || col("tv") > 1).isEmpty)
+    graft.core.Caches.release(spark)
+  }
+
   // ----------------------------------------------------------- ANN recall
   test("annRecall emits one bounded row per method, consistent with sets") {
     val r = Similarity.annRecall(spark, sf).collect()
