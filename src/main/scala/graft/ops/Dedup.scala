@@ -260,6 +260,38 @@ object Dedup {
        |""".stripMargin
   }
 
+  /** Recall of banded MinHash-LSH against the exact inverted-index
+    * Jaccard truth, as a gated one-row query — the banding parameters'
+    * accuracy trade-off becomes a checked number, the dedup twin of
+    * [[Similarity.annRecall]]. Both sides verify candidates exactly, so
+    * LSH output ⊆ truth and recall is the one free variable. At corpus
+    * scale the truth side runs on a document sample; the measurement
+    * plumbing is unchanged. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val approx = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth.join(approx, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("truth_pairs"),
+           coalesce(sum(col("hit")), lit(0)).cast("long").as("matched_pairs"))
+      .select(lit("minhash_lsh").as("method"),
+              col("truth_pairs"), col("matched_pairs"),
+              round(col("matched_pairs").cast("double") / col("truth_pairs"), 6)
+                .as("recall"))
+  }
+
+  val lshRecallOracle: String =
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
+       |approx AS (SELECT doc_a, doc_b FROM ($minhashLshOracle)),
+       |st AS (
+       |  SELECT (SELECT count(*) FROM truth) AS t,
+       |         (SELECT count(*) FROM truth JOIN approx USING (doc_a, doc_b)) AS m)
+       |SELECT 'minhash_lsh' AS method, CAST(t AS BIGINT) AS truth_pairs,
+       |       CAST(m AS BIGINT) AS matched_pairs,
+       |       round(CAST(m AS DOUBLE) / t, 6) AS recall
+       |FROM st
+       |""".stripMargin
+
   // ------------------------------------------------------------- clustering
   /** Near-duplicate CLUSTERS from the pair graph: connected components by
     * iterative min-label propagation, `cluster_id` = smallest doc_id in

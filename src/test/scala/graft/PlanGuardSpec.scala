@@ -101,4 +101,28 @@ class PlanGuardSpec extends SparkSpec {
       && readSchema.contains("l_extendedprice"))
     assert(!readSchema.contains("l_shipdate"), "scan must prune unused columns")
   }
+
+  test("range join: equi-join on bins, never a nested-loop/cartesian plan") {
+    val p = plan(graft.ops.Jnr.rangeJoinQuery(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the bin rewrite exists precisely to avoid the nested-loop fallback")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty)
+    // selective order filter must reach the scan
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"),
+      "interval-side filter must push into the parquet scan")
+  }
+
+  test("asof join: one shuffle for the window, no join operator at all") {
+    val p = plan(graft.ops.Temporal.asofQuery(spark, sf))
+    assert(!p.contains("Join"), "asof compiles to union + window, not a join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly the per-key window shuffle")
+  }
+
+  test("source drift: no vocab-by-sources grid (no nested-loop expansion)") {
+    val p = plan(graft.ops.TextPrep.sourceDrift(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "absent-token fold must stay algebraic; 1-row totals broadcast instead")
+    graft.core.Caches.release(spark)
+  }
 }
