@@ -257,21 +257,30 @@ object Similarity {
        |""".stripMargin
 
   // ----------------------------------------------------------- ANN recall
+  private val ProbeMod = 5
+
   /** Recall of each ANN variant against the exact brute-force top-K, as
     * an oracle-checkable query: one row per method with truth/matched
     * pair counts and micro-averaged recall. Deterministic because the
     * hyperplanes and IVF seeding are fixed derivations — the accuracy
     * trade-off becomes a GATED number instead of a spec assertion.
     *
-    * Scale: the truth side is the exact O(n²) baseline, so at corpus
-    * scale this runs on a SAMPLED probe set (brute-force truth for a few
-    * thousand probes is cheap); the measurement plumbing — left join on
-    * (vec_id, neighbor_id), one aggregate — is unchanged. */
+    * Scale: the truth side is the exact O(n²) baseline, so recall is
+    * measured over a PROBE SAMPLE (`vec_id % `[[ProbeMod]]` = 0`, 20%)
+    * — per-vector top-K is independent across vectors, so sampling
+    * probes changes nothing but the denominator, and the probe filter
+    * pushes below the window to the pair join's left side (verified:
+    * the n² side shrinks by the sample rate). This is exactly how the
+    * audit runs on a full corpus: exact truth for a few thousand
+    * probes, never all-pairs. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = bruteForceTopK(spark, dir).select("vec_id", "neighbor_id")
+    val probe = col("vec_id") % ProbeMod === 0
+    val bf = bruteForceTopK(spark, dir).filter(probe)
+      .select("vec_id", "neighbor_id")
       .trackPersist() // two consumers (one per method)
     def stat(method: String, approx: DataFrame): DataFrame =
-      bf.join(approx.select(col("vec_id"), col("neighbor_id"), lit(1).as("hit")),
+      bf.join(approx.filter(probe)
+            .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit")),
           Seq("vec_id", "neighbor_id"), "left")
         .agg(count(lit(1)).as("truth_pairs"),
              coalesce(sum(col("hit")), lit(0)).cast("long").as("matched_pairs"))
@@ -282,9 +291,12 @@ object Similarity {
   }
 
   val annRecallOracle: String =
-    s"""WITH bf AS (SELECT vec_id, neighbor_id FROM ($bruteForceOracle)),
-       |lsh AS (SELECT vec_id, neighbor_id FROM ($lshOracle)),
-       |ivf AS (SELECT vec_id, neighbor_id FROM ($ivfOracle)),
+    s"""WITH bf AS (SELECT vec_id, neighbor_id FROM ($bruteForceOracle)
+       |           WHERE vec_id % $ProbeMod = 0),
+       |lsh AS (SELECT vec_id, neighbor_id FROM ($lshOracle)
+       |        WHERE vec_id % $ProbeMod = 0),
+       |ivf AS (SELECT vec_id, neighbor_id FROM ($ivfOracle)
+       |        WHERE vec_id % $ProbeMod = 0),
        |st AS (
        |  SELECT 'lsh' AS method,
        |         (SELECT count(*) FROM bf) AS t,
