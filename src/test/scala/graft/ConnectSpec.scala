@@ -96,6 +96,17 @@ class ConnectSpec extends SparkSpec {
     assert(sp.columns.contains("day_dt"))
   }
 
+  test("marts materialize through an env-routed warehouse (dev prefixes)") {
+    val root = tmpDir("graft_marts_env")
+    val wh = new ParquetWarehouse(root, graft.core.EnvSchema("dev"))
+    val counts = graft.pipelines.Marts.runAll(spark, sf, RunDate("2024-06-01"), wh)
+    assert(counts.values.forall(_ > 0))
+    assert(new java.io.File(s"$root/dev_legacy/supplier_performance").exists())
+    assert(!new java.io.File(s"$root/legacy").exists(), "nothing may leak to prod paths")
+    assert(wh.readHistory(spark, "supplier_performance").count() ==
+      counts("supplier_performance"))
+  }
+
   test("mart gate catches the corpus's planted duplicate sale keys") {
     // the synthetic corpus contains duplicate (orderkey, linenumber)
     // pairs by design — a SALE_ID-only snapshot key must abort the load

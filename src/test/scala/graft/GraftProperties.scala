@@ -108,6 +108,32 @@ object GraftProperties extends Properties("graft") {
       set(once) == set(twice)
     }
 
+  // binned range join is exactly the naive inequality join for ANY data
+  // whose intervals respect the bin width — including negative domains,
+  // empty intervals, bin-aligned boundaries, and duplicate timestamps
+  property("rangeJoinBinned ≡ naive inequality join") = {
+    import org.apache.spark.sql.functions.col
+    val pointsGen = Gen.chooseNum(1, 20)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100L, 100L)))
+    val intervalsGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.chooseNum(-100L, 100L)
+        len <- Gen.chooseNum(0L, 10L) // binWidth below is 10
+      } yield (s, s + len)))
+    forAll(pointsGen, intervalsGen) { (pts, ivs) =>
+      val left = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("lid", "p")
+      val right = ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("rid", "s", "e")
+      val got = Jnr.rangeJoinBinned(left, right,
+          col("p"), col("s"), col("e"), binWidth = 10L)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = left.join(right, col("p") >= col("s") && col("p") < col("e"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      got == want
+    }
+  }
+
   // stratified sampling returns a subset and is insensitive to row order
   property("stratified sample is an order-insensitive subset") =
     forAll(snapGen) { rows =>
