@@ -64,6 +64,64 @@ object Packing {
       .select(col("doc_id"), col("source"))
   }
 
+  private val MixBudget = 250L
+
+  /** Temperature-based source mixing (α = 0.5): per-source keep rates
+    * ∝ n_s^α — the standard multilingual/multi-source rebalancing that
+    * up-samples small sources relative to proportional sampling without
+    * the uniform mix's heavy repetition of tiny ones (α=1 is
+    * proportional, α=0 is uniform). Allocation for source s is
+    * `MixBudget · √n_s / Σ_t √n_t`, capped at the source's own size.
+    *
+    * Portability discipline: α is fixed at 0.5 because `sqrt` is
+    * IEEE-correctly-rounded (bit-identical in every engine) where a
+    * general `pow` is a libm transcendental and is not; the √-weights
+    * are floored onto a 1e6 integer grid so the cross-source SUM is
+    * exact long arithmetic (a double Σ would be reduction-order-
+    * dependent, and Spark does not fix aggregation order); the final
+    * rate is one identical double-division sequence on both engines.
+    * Selection is the same md5-bucket filter as [[mixQuery]] —
+    * deterministic, order-insensitive, join-free per row. */
+  def temperatureMixOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        floor(sqrt(col("n_src").cast("double")) * 1e6).cast("long"))
+    val denom = counts.agg(sum(col("w")).as("w_sum")) // exact long sum
+    val rates = counts.crossJoin(broadcast(denom))
+      .select(col("source"),
+        least(lit(1.0).cast("double"),
+          lit(MixBudget).cast("double") *
+            (col("w").cast("double") / col("w_sum")) / col("n_src"))
+          .as("keep_rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(Sampling.bucket(col("doc_id"), "tmix") <
+        floor(col("keep_rate") * 10000L).cast("long"))
+      .select(col("doc_id"), col("source"), round(col("keep_rate"), 6).as("keep_rate"))
+  }
+
+  def temperatureMixQuery(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(Tables.documents(spark, dir))
+
+  val temperatureMixOracle: String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source, n_src,
+       |         CAST(floor(sqrt(CAST(n_src AS DOUBLE)) * 1000000) AS BIGINT) AS w
+       |  FROM counts),
+       |d AS (SELECT CAST(sum(w) AS BIGINT) AS w_sum FROM w),
+       |rates AS (
+       |  SELECT source,
+       |         least(CAST(1 AS DOUBLE),
+       |               CAST($MixBudget AS DOUBLE) * (CAST(w AS DOUBLE) / w_sum) / n_src)
+       |           AS keep_rate
+       |  FROM w CROSS JOIN d)
+       |SELECT doc_id, docs.source, round(r.keep_rate, 6) AS keep_rate
+       |FROM documents docs JOIN rates r ON docs.source = r.source
+       |WHERE CAST(CAST(('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 10000
+       |      < CAST(floor(r.keep_rate * 10000) AS BIGINT)
+       |""".stripMargin
+
   val mixOracle: String =
     """WITH counts AS (
       |  SELECT source, count(*) AS n_src FROM documents GROUP BY 1),

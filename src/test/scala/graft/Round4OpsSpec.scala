@@ -209,6 +209,38 @@ class Round4OpsSpec extends SparkSpec {
     graft.core.Caches.release(spark)
   }
 
+  // ------------------------------------------------------ temperature mix
+  test("temperatureMix flattens a skewed source distribution (alpha=0.5)") {
+    // 900 vs 100 docs: sqrt weights 30 vs 10 → allocations 187.5 vs 62.5
+    // of budget 250 → keep rates ~0.2083 vs ~0.625: the SMALL source keeps
+    // a ~3x larger fraction, but the BIG source still contributes more
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+                (1001 to 1100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val r = graft.ops.Packing.temperatureMixOf(docs)
+    val rates = r.select("source", "keep_rate").distinct().collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(rates("big") - 250.0 * (30.0 / 40.0) / 900.0) < 1e-4)
+    assert(math.abs(rates("small") - 250.0 * (10.0 / 40.0) / 100.0) < 1e-4)
+    assert(rates("small") > rates("big") * 2.5)
+    val kept = r.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // md5 buckets are uniform enough that achieved ≈ nominal (±35%)
+    assert(math.abs(kept("big") - 900 * rates("big")) < 900 * rates("big") * 0.35)
+    assert(kept("big") > kept("small"), "alpha=0.5 flattens, it does not invert")
+  }
+
+  test("temperatureMix caps tiny sources at keep_rate 1.0") {
+    val docs = ((1 to 500).map(i => (i.toLong, "big")) ++
+                Seq((9001L, "tiny"), (9002L, "tiny")))
+      .toDF("doc_id", "source")
+    val r = graft.ops.Packing.temperatureMixOf(docs)
+    val tinyRate = r.filter(col("source") === "tiny")
+      .select("keep_rate").distinct().collect()
+    // allocation 250·(√2/(√2+√500))/2 > 1 → capped
+    assert(tinyRate.isEmpty || tinyRate.head.getDouble(0) == 1.0)
+  }
+
   // ----------------------------------------------------------- ANN recall
   test("annRecall emits one bounded row per method, consistent with sets") {
     val r = Similarity.annRecall(spark, sf).collect()
