@@ -291,6 +291,51 @@ object TextAnalysis {
       |      FROM scored GROUP BY 1)
       |""".stripMargin
 
+  private val NllRates = Seq(1.0, 0.5, 0.25, 0.10, 0.05)
+
+  /** Perplexity-bucketed corpus sampling (CCNet's selection step): rank
+    * documents by unigram NLL, split into quintiles, keep each quintile
+    * at a tapering rate ([[NllRates]]: the most in-distribution fifth
+    * fully, the tail at 5%) via the deterministic md5-bucket filter.
+    * This is the composition that turns the NLL *score* into an actual
+    * training-mix *selection*.
+    *
+    * The quintile split is a global `ntile` — a single-partition sort,
+    * fine for the gate corpus; at 100 TB the same selection runs on
+    * APPROXIMATE quantile boundaries (one `percentile_approx` pass,
+    * broadcast thresholds, map-only bucketing) — the rates and filter
+    * are unchanged, only the boundary source differs. */
+  def nllBucketSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll").asc, col("doc_id").asc)
+    val rate = NllRates.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (r, i)) =>
+      when(col("nll_bucket") === i + 1, lit(r)).otherwise(acc)
+    }
+    unigramNll(spark, dir)
+      .withColumn("nll_bucket", ntile(NllRates.size).over(w))
+      .withColumn("rate", rate)
+      .filter(graft.ops.Sampling.bucket(col("doc_id"), "nllsample") <
+        floor(col("rate") * 10000L).cast("long"))
+      .select(col("doc_id"), col("nll_bucket"), col("nll"))
+  }
+
+  val nllBucketSampleOracle: String = {
+    val rateCase = NllRates.zipWithIndex
+      .map { case (r, i) => s"WHEN ${i + 1} THEN $r" }.mkString(" ")
+    s"""WITH nll AS ($unigramNllOracle),
+       |b AS (
+       |  SELECT doc_id, nll,
+       |         ntile(${NllRates.size}) OVER (ORDER BY nll ASC, doc_id ASC) AS nll_bucket
+       |  FROM nll),
+       |r AS (
+       |  SELECT *, CASE nll_bucket $rateCase END AS rate FROM b)
+       |SELECT doc_id, CAST(nll_bucket AS INT) AS nll_bucket, nll
+       |FROM r
+       |WHERE CAST(CAST(('0x' || substr(md5('nllsample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 10000
+       |      < CAST(floor(rate * 10000) AS BIGINT)
+       |""".stripMargin
+  }
+
   // --------------------------------------------------------- gopher gates
   /** Gopher-style per-document quality gates (Rae et al. 2021's rule
     * family, adapted to this corpus): token-count bounds, mean-token-length

@@ -241,6 +241,44 @@ class Round4OpsSpec extends SparkSpec {
     assert(tinyRate.isEmpty || tinyRate.head.getDouble(0) == 1.0)
   }
 
+  // ------------------------------------------------------------ profiling
+  test("completeness profile: n_rows constant, nulls+distinct bounded") {
+    val r = graft.ops.Profiling.completeness(spark, sf).collect()
+    assert(r.length == 5)
+    val nRows = r.map(_.getLong(1)).toSet
+    assert(nRows.size == 1, "every column profiles the same row count")
+    r.foreach { row =>
+      assert(row.getLong(2) >= 0 && row.getLong(2) <= row.getLong(1))
+      assert(row.getLong(3) <= row.getLong(1) - row.getLong(2),
+        "distinct (null-excluded) cannot exceed non-null rows")
+    }
+    // key column is unique and non-null
+    val key = r.find(_.getString(0) == "c_custkey").get
+    assert(key.getLong(2) == 0 && key.getLong(3) == key.getLong(1))
+  }
+
+  test("benford: shares sum to 1 and digit 1 dominates digit 9") {
+    val r = graft.ops.Profiling.benford(spark, sf).collect()
+      .map(row => row.getInt(0) -> (row.getLong(1), row.getDouble(2))).toMap
+    assert(r.keySet.subsetOf((1 to 9).toSet))
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-3)
+    // totalprice is a sum of many positive terms — low digits dominate
+    assert(r(1)._1 > r(9)._1)
+  }
+
+  test("nll bucket sampling: tapering rates produce a decreasing keep profile") {
+    val sampled = graft.ops.TextAnalysis.nllBucketSample(spark, sf)
+    val total = graft.core.Tables.documents(spark, sf).count()
+    val perBucket = sampled.groupBy("nll_bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bucketSize = total / 5.0
+    // bucket 1 kept at 100%: exactly its full quintile
+    assert(math.abs(perBucket(1) - bucketSize) <= 1)
+    // monotone taper within sampling noise: last bucket well below first
+    assert(perBucket.getOrElse(5, 0L) < perBucket(1) / 4)
+    graft.core.Caches.release(spark)
+  }
+
   // ----------------------------------------------------------- ANN recall
   test("annRecall emits one bounded row per method, consistent with sets") {
     val r = Similarity.annRecall(spark, sf).collect()
