@@ -260,6 +260,29 @@ object Dedup {
        |""".stripMargin
   }
 
+  /** Dedup survivorship: the corpus AFTER near-duplicate removal — every
+    * document either untouched by the pair graph (`unique`) or the
+    * canonical representative of its cluster (`canonical`, the smallest
+    * doc_id); other cluster members drop. This is the composition that
+    * turns cluster labels into the actual kept training corpus, and the
+    * frame a pipeline writes as its deduped snapshot. One left join of
+    * the corpus against the (small) cluster table. */
+  def survivors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters(spark, dir), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"),
+        when(col("cluster_id").isNull, "unique").otherwise("canonical")
+          .as("status"))
+
+  lazy val survivorsOracle: String =
+    s"""WITH cl AS ($clustersOracle)
+       |SELECT d.doc_id,
+       |       CASE WHEN cl.cluster_id IS NULL THEN 'unique' ELSE 'canonical' END AS status
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id
+       |""".stripMargin
+
   /** Recall of banded MinHash-LSH against the exact inverted-index
     * Jaccard truth, as a gated one-row query — the banding parameters'
     * accuracy trade-off becomes a checked number, the dedup twin of

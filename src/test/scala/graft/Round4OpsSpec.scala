@@ -241,6 +241,20 @@ class Round4OpsSpec extends SparkSpec {
     assert(tinyRate.isEmpty || tinyRate.head.getDouble(0) == 1.0)
   }
 
+  // ----------------------------------------------------------- survivors
+  test("dedup survivors = corpus minus non-canonical cluster members") {
+    val docs = graft.core.Tables.documents(spark, sf).count()
+    val cl = graft.ops.Dedup.clusters(spark, sf)
+    val dropped = cl.filter(col("doc_id") =!= col("cluster_id")).count()
+    val s = graft.ops.Dedup.survivors(spark, sf)
+    assert(s.count() == docs - dropped)
+    // every canonical is its own cluster id; every member appears once
+    val canon = s.filter(col("status") === "canonical").count()
+    assert(canon == cl.filter(col("doc_id") === col("cluster_id")).count())
+    assert(s.select("doc_id").distinct().count() == s.count())
+    graft.core.Caches.release(spark)
+  }
+
   // ------------------------------------------------------------ profiling
   test("completeness profile: n_rows constant, nulls+distinct bounded") {
     val r = graft.ops.Profiling.completeness(spark, sf).collect()
