@@ -103,8 +103,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
-    // full-precision copy on disk for local diffing (the stdout line is the
-    // driver contract; this file is a convenience, never parsed by the driver)
+    // on-disk mirror of the exact stdout line (same 3-decimal rounding),
+    // for local runs where sbt noise buries stdout; never parsed by the driver
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line) finally w.close()

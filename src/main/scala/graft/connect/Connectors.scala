@@ -71,8 +71,16 @@ object Jdbc {
   def ensureSchema(cfg: JdbcConfig, schema: String): Unit = {
     require(schema.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"schema must be a bare identifier, got '$schema'")
-    val conn = java.sql.DriverManager.getConnection(
-      cfg.url, cfg.user, cfg.password)
+    // honor the SAME config surface the Spark jdbc path uses: load the
+    // configured driver class (DriverManager only auto-discovers
+    // service-registered drivers) and forward connection properties —
+    // otherwise a config that works for every read/write fails here
+    cfg.driver.foreach(Class.forName)
+    val props = new java.util.Properties()
+    if (cfg.user.nonEmpty) props.setProperty("user", cfg.user)
+    if (cfg.password.nonEmpty) props.setProperty("password", cfg.password)
+    cfg.properties.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(cfg.url, props)
     try {
       def exists(): Boolean = {
         val rs = conn.getMetaData.getSchemas

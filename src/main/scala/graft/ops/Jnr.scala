@@ -73,11 +73,16 @@ object Jnr {
     // divide keeps it exact where a double divide would round past 2^53
     def binOf(c: Column): Column =
       ((c - pmod(c, bw)).cast("decimal(38,0)") / bw).cast("long")
-    val lBinned = left.withColumn("__bin", binOf(point))
+    // null-valued points/bounds can never satisfy the range predicate —
+    // drop them up front, matching the naive inequality join (which
+    // produces no match) instead of crashing the guard below on a NULL
+    // length comparison
+    val lBinned = left.filter(point.isNotNull).withColumn("__bin", binOf(point))
     // guard: an interval longer than binWidth would span >2 bins and
     // SILENTLY lose matches — raise inside the plan via a filter (a
     // dropped projection column would be pruned away unevaluated)
     val rBinned = right
+      .filter(start.isNotNull && end.isNotNull)
       .filter(when(end - start <= bw, lit(true)).otherwise(raise_error(concat(
         lit("rangeJoinBinned: interval longer than binWidth at start="),
         start.cast("string")))))

@@ -88,13 +88,16 @@ object Temporal {
     * value; the general form needs all carried fields to come from the
     * SAME right row. Same union-once shape — tag the sides, sort each key
     * by (time, side, tiebreak) so right rows land immediately BEFORE the
-    * left rows they are visible to (inclusive as-of) — then
-    * `last(_, ignoreNulls)` over the running frame picks every field from
-    * the same latest right row, because the ordering is total over right
-    * rows. One shuffle + one sort per key — the plan a native ASOF JOIN
-    * compiles to — versus the per-row probe or range-explosion
-    * alternatives. Heavily-skewed keys shard like any window: salt the
-    * key with a coarse time bucket upstream.
+    * left rows they are visible to (inclusive as-of) — then carry ONE
+    * struct packing every carried field with `last(_, ignoreNulls)`. The
+    * struct is null exactly on left rows and non-null on every right row
+    * (even when individual carried FIELDS are null), so the carried
+    * fields are unconditionally from the same latest right row —
+    * per-column lasts would skip independently past null fields and
+    * stitch a row that never existed. One shuffle + one sort per key —
+    * the plan a native ASOF JOIN compiles to — versus the per-row probe
+    * or range-explosion alternatives. Heavily-skewed keys shard like any
+    * window: salt the key with a coarse time bucket upstream.
     *
     * `rightTiebreak` must totally order right rows within (key, time) —
     * ties would otherwise make the carried row engine-dependent. */
@@ -104,21 +107,20 @@ object Temporal {
     require(carry.nonEmpty, "carry must name at least one right column")
     val rSchema = right.schema
     def rType(c: String) = rSchema(c).dataType
-    val carried = carry.map(c => "__asof_" + c)
-    val l2 = left
+    val asofStruct = org.apache.spark.sql.types.StructType(
+      carry.map(c => org.apache.spark.sql.types.StructField(c, rType(c))))
+    val l3 = left
       .withColumn("__t", col(leftTime))
       .withColumn("__r", lit(0))
       .withColumn("__tb", lit(null).cast(rType(rightTiebreak)))
-    val l3 = carry.foldLeft(l2) { (df, c) =>
-      df.withColumn("__asof_" + c, lit(null).cast(rType(c)))
-    }
+      .withColumn("__asof", lit(null).cast(asofStruct))
     val leftOnly = l3.columns.filterNot(c =>
       keys.contains(c) || c == "__t" || c == "__r" || c == "__tb" ||
-        carried.contains(c))
+        c == "__asof")
     val r2base = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(1).as("__r") :+
-        col(rightTiebreak).as("__tb")) ++
-        carry.map(c => col(c).as("__asof_" + c)): _*)
+      keys.map(col) :+ col(rightTime).as("__t") :+ lit(1).as("__r") :+
+        col(rightTiebreak).as("__tb") :+
+        struct(carry.map(c => col(c).as(c)): _*).as("__asof"): _*)
     val r3 = leftOnly.foldLeft(r2base) { (df, c) =>
       df.withColumn(c, lit(null).cast(l3.schema(c).dataType))
     }
@@ -126,11 +128,13 @@ object Temporal {
       .orderBy(col("__t").asc, col("__r").desc, col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l3.unionByName(r3.select(l3.columns.map(col): _*))
-    carried.foldLeft(joined) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val carriedOut = carry.foldLeft(
+        joined.withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))) {
+      (df, c) => df.withColumn("__asof_" + c, col("__asof").getField(c))
+    }
+    carriedOut
       .filter(col("__r") === 0)
-      .drop("__t", "__r", "__tb")
+      .drop("__t", "__r", "__tb", "__asof")
   }
 
   /** Oracle query for [[asofJoin]]: every purchase annotated with the

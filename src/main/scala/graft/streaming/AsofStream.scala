@@ -32,10 +32,16 @@ final case class AsofBuf(purchases: List[(Long, Long)],
   * reach the state function), so the emitted match equals what the
   * batch operator computes over the completed log.
   *
-  * State is O(unsealed horizon) per user, evicted as the watermark
-  * advances — the same structural bound as [[SessionStream]]. Ties
-  * follow the batch operator exactly: view at the same instant as the
-  * purchase counts; equal-instant views resolve to the max event_id. */
+  * State per user is O(unsealed horizon) for the buffers (evicted as
+  * the watermark advances, like [[SessionStream]]) plus ONE folded
+  * latest-view cell retained as long as the user exists — retained by
+  * design, because batch as-of attributes a purchase to a view
+  * arbitrarily far back; bounding user cardinality is an upstream
+  * concern (TTL-filter the view stream), not an eviction here. Users
+  * with only the folded cell left hold no timeout, so they cost no
+  * wakeups. Ties follow the batch operator exactly: view at the same
+  * instant as the purchase counts; equal-instant views resolve to the
+  * max event_id. */
 object AsofStream {
 
   private def micros(t: Timestamp): Long =
@@ -88,14 +94,20 @@ object AsofStream {
       state.remove()
     } else {
       state.update(s2)
-      // wake when the watermark seals the oldest pending purchase; with
-      // only views pending there is nothing left to emit — but keep a
-      // horizon so an idle user's folded state is eventually dropped
-      val nextUs = (s2.purchases.map(_._2) ++ s2.views.map(_._2)) match {
-        case Nil => wmUs + 24L * 3600L * 1000000L
-        case ts  => ts.min
+      // wake when the watermark seals the oldest unsealed row; with only
+      // the folded lastView left there is nothing to emit, so set NO
+      // timeout — the state then sleeps without wakeups until the user's
+      // next event. lastView itself is retained indefinitely by DESIGN:
+      // batch as-of semantics attribute a purchase to a view arbitrarily
+      // far back, so evicting it would break stream==batch equality.
+      // Retention is therefore O(active users) for the folded cell plus
+      // O(unsealed horizon) for the buffers; a deployment that wants
+      // bounded user cardinality caps attribution with an upstream TTL
+      // filter on views, not by evicting state here.
+      (s2.purchases.map(_._2) ++ s2.views.map(_._2)) match {
+        case Nil => () // only lastView: no pending emission, no wakeup
+        case ts  => state.setTimeoutTimestamp(ts.min / 1000L + 1L)
       }
-      state.setTimeoutTimestamp(nextUs / 1000L + 1L)
     }
     out.iterator
   }

@@ -169,6 +169,35 @@ class Round4OpsSpec extends SparkSpec {
     assert(got(4L) == (None, None, None))
   }
 
+  test("asofJoin: null carried FIELD still comes from the latest right row") {
+    // the latest right row has payload=null — the carry must report that
+    // null, not stitch the older row's non-null payload (per-column
+    // ignoreNulls would); regression for the struct-carry fix
+    val left = Seq((1L, "u", 300L)).toDF("lid", "k", "t")
+    val right = Seq(
+      ("u", 100L, 1L, Some("x")),
+      ("u", 200L, 2L, None: Option[String])
+    ).toDF("k", "rt", "rid", "payload")
+    val row = graft.ops.Temporal.asofJoin(left, right, Seq("k"),
+        "t", "rt", "rid", Seq("rid", "payload"))
+      .select(col("__asof_rid"), col("__asof_payload")).head()
+    assert(row.getLong(0) == 2L, "latest right row must win")
+    assert(row.isNullAt(1), "its null payload must carry as null, not 'x'")
+  }
+
+  test("rangeJoinBinned: null points/bounds drop like the naive join") {
+    val left = Seq((1L, Some(5L)), (2L, None: Option[Long])).toDF("lid", "p")
+    val right = Seq(
+      (10L, Some(0L), Some(10L)),
+      (11L, Some(0L), None: Option[Long]), // open-ended: no match, no crash
+      (12L, None: Option[Long], Some(10L))
+    ).toDF("rid", "s", "e")
+    val got = graft.ops.Jnr.rangeJoinBinned(left, right,
+        col("p"), col("s"), col("e"), binWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("asofQuery: every purchase row, gaps non-negative, views precede") {
     val r = graft.ops.Temporal.asofQuery(spark, sf)
     val purchases = graft.core.Tables.events(spark, sf)
