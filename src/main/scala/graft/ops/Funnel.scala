@@ -73,6 +73,49 @@ object Funnel {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every (previous event type → event type) pair, its count and the
+    * transition probability P(next | prev). The behavioral fingerprint of
+    * a clickstream — a load whose transition matrix shifts signals
+    * instrumentation or funnel changes even when per-type totals look flat.
+    *
+    * Shape: ONE shuffle (by user for the lag window, a sort the session
+    * and funnel operators already pay), then a hash aggregate over a
+    * (types × types)-sized result with the per-prev denominator joined
+    * back broadcast. The probability is one double division (portable);
+    * ties in `ts` are broken by event_id so the lag is deterministic. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val outDeg = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("n_out"))
+    pairs.join(broadcast(outDeg), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(col("n").cast("double") / col("n_out"), 6).as("p"))
+  }
+
+  val transitionsOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type, 1) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |deg AS (
+      |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out FROM pairs GROUP BY 1)
+      |SELECT p.prev_type, p.event_type, p.n,
+      |       round(CAST(p.n AS DOUBLE) / d.n_out, 6) AS p
+      |FROM pairs p JOIN deg d ON p.prev_type = d.prev_type
+      |""".stripMargin
+
   val oracle: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

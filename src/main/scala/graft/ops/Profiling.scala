@@ -67,6 +67,31 @@ object Profiling {
               round(col("n").cast("double") / col("n_total"), 6).as("share"))
   }
 
+  /** k-anonymity / l-diversity audit over the customer table: group by
+    * the quasi-identifier pair (nation, market segment) and report each
+    * equivalence class's size, the number of distinct sensitive values
+    * (account balance) inside it, and whether the class is re-identifiable
+    * (size below k) — the privacy gate a dataset passes before leaving a
+    * governed zone. One hash aggregate; output is quasi-identifier-sized,
+    * never row-sized, so the plan is a single map-side-combinable shuffle
+    * at any corpus scale. */
+  private val KAnon = 8L
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+           countDistinct(col("c_acctbal")).as("l_diversity"))
+      .withColumn("at_risk", col("class_size") < KAnon)
+
+  val kAnonymityOracle: String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |       CAST(count(*) AS BIGINT) AS class_size,
+       |       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_diversity,
+       |       count(*) < $KAnon AS at_risk
+       |FROM customer GROUP BY 1, 2
+       |""".stripMargin
+
   val benfordOracle: String =
     """WITH d AS (
       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,

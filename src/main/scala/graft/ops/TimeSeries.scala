@@ -89,6 +89,54 @@ object TimeSeries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       |""".stripMargin
 
+  /** Seasonal-baseline anomaly detection on the daily event count: each
+    * day is compared against the mean/variance of ITS OWN WEEKDAY (so a
+    * quiet Sunday is not flagged just for being a Sunday — the
+    * day-of-week seasonality is the baseline). A day is anomalous when
+    * `|cnt − mean_dow| > 2·σ_dow`.
+    *
+    * The test is evaluated entirely in 64-bit integer arithmetic —
+    * multiplying through by n² turns `(cnt − s/n)² > 4·(nΣx²−s²)/n²`
+    * into `(n·cnt − s)² > 4·(n·Σx² − s²)`, with no division, no sqrt,
+    * no float: bit-identical across engines. Weekday is
+    * `days-since-epoch mod 7` (epoch = Thursday), avoiding the
+    * dayofweek() numbering mismatch between engines. Shape: one daily
+    * hash aggregate (365·years rows), a 7-row weekday aggregate joined
+    * back broadcast — scan-bound at any event volume. */
+  def weekdayAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("int"))
+    val base = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+           sum(col("cnt") * col("cnt")).as("ss"))
+    daily.join(broadcast(base), "dow")
+      .select(col("day"), col("dow"), col("cnt"),
+        (pow2(col("n") * col("cnt") - col("s")) >
+          lit(4L) * (col("n") * col("ss") - col("s") * col("s"))).as("is_anomaly"))
+  }
+
+  private def pow2(c: org.apache.spark.sql.Column) = c * c
+
+  val weekdayAnomaliesOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT day, cnt,
+      |         CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT) AS dow
+      |  FROM daily),
+      |base AS (
+      |  SELECT dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+      |         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      |  FROM d GROUP BY 1)
+      |SELECT day, d.dow, cnt,
+      |       (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s) AS is_anomaly
+      |FROM d JOIN base ON d.dow = base.dow
+      |""".stripMargin
+
   /** Typed JSON property extraction with a PINNED schema (`from_json`
     * with inference would add a full sampling pass before the real scan). */
   def jsonFlatten(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Funnel, Profiling, Retrieval, TimeSeries}
+
+/** Round-4 second batch: lexical retrieval, event transition matrix,
+  * k-anonymity audit, weekday-seasonal anomaly detection. */
+class Round4bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- lexicalTopK
+  test("lexicalTopK: scores match an independent Scala recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }.toMap
+    val terms = Seq("spark", "vector", "merge")
+    val n = docs.length.toLong
+    val dfs = terms.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+    val expected = toks.flatMap { case (id, tk) =>
+      val score = terms.map { t =>
+        tk.count(_ == t).toLong * ((n * 1000000L) / dfs(t))
+      }.sum / tk.size
+      if (score > 0) Some(id -> score) else None
+    }
+    val top = expected.toSeq.sortBy { case (id, s) => (-s, id) }.take(50)
+
+    val got = Retrieval.lexicalTopK(spark, sf)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    assert(got == top)
+    assert(got.nonEmpty)
+  }
+
+  test("lexicalTopK: matched counts and bounds") {
+    val r = Retrieval.lexicalTopK(spark, sf)
+    val rows = r.collect()
+    assert(rows.length <= 50)
+    assert(rows.forall(_.getAs[Int]("matched") >= 1))
+    assert(rows.forall(_.getAs[Long]("score") > 0))
+    // no explode anywhere: the tf computation is per-row array kernels
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "lexicalTopK must not explode tokens")
+  }
+
+  // ------------------------------------------------------- transitions
+  test("transitions: probabilities normalize and counts add up") {
+    val t = Funnel.transitions(spark, sf)
+    val rows = t.collect()
+    assert(rows.nonEmpty)
+    // per-prev probability mass sums to ~1 (rounding at 6 decimals)
+    val sums = t.groupBy("prev_type").agg(sum("p").as("mass"))
+      .as[(String, Double)].collect()
+    assert(sums.forall { case (_, m) => math.abs(m - 1.0) < 1e-4 })
+    // total transition count = total events - distinct users (one lag lost per user)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == want)
+  }
+
+  test("transitions: matches a hand-built two-user sequence") {
+    // build a tiny parquet dir with a known sequence
+    val dir = java.nio.file.Files.createTempDirectory("graft-markov").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10L, "a", 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 10L, "b", 0.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 10L, "a", 0.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 20L, "a", 0.0, "{}"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 20L, "b", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Funnel.transitions(spark, dir)
+      .select("prev_type", "event_type", "n").as[(String, String, Long)]
+      .collect().toSet
+    // user 10: a->b, b->a; user 20: a->b  ⇒ (a,b):2, (b,a):1
+    assert(got == Set(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  // ------------------------------------------------------- kAnonymity
+  test("kAnonymity: classes partition the table and flags are consistent") {
+    val k = Profiling.kAnonymity(spark, sf)
+    val rows = k.collect()
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_.getAs[Long]("class_size")).sum == total)
+    assert(rows.forall(r =>
+      r.getAs[Long]("l_diversity") <= r.getAs[Long]("class_size")))
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("at_risk") == (r.getAs[Long]("class_size") < 8L)))
+  }
+
+  // ------------------------------------------------- weekdayAnomalies
+  test("weekdayAnomalies: matches an exact integer recomputation") {
+    val got = TimeSeries.weekdayAnomalies(spark, sf)
+      .select("day", "dow", "cnt", "is_anomaly")
+      .as[(java.sql.Date, Int, Long, Boolean)].collect()
+
+    val daily = graft.core.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+      .as[(java.sql.Date, Long)].collect()
+    assert(got.length == daily.length)
+
+    val byDow = daily.groupBy { case (d, _) =>
+      ((d.toLocalDate.toEpochDay % 7) + 7) % 7
+    }
+    val expect = daily.map { case (d, cnt) =>
+      val dow = (((d.toLocalDate.toEpochDay % 7) + 7) % 7).toInt
+      val grp = byDow(dow.toLong).map(_._2)
+      val n = grp.length.toLong
+      val s = grp.sum
+      val ss = grp.map(x => x * x).sum
+      val lhs = (n * cnt - s) * (n * cnt - s)
+      (d.toString, dow, cnt, lhs > 4L * (n * ss - s * s))
+    }.toSet
+    assert(got.map { case (d, w, c, a) => (d.toString, w, c, a) }.toSet == expect)
+    // weekday numbering stays inside 0..6
+    assert(got.forall { case (_, w, _, _) => w >= 0 && w <= 6 })
+  }
+}
