@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions.tokens
@@ -21,19 +20,19 @@ object Packing {
     * would need a sequential pass; contiguous fill is fully parallel:
     * one cumulative-sum window).
     *
-    * Scale note: the window runs over a GLOBAL ordering — at 100 TB you
-    * run it per shard key (e.g. per source or hash bucket) with
-    * `partitionBy`, keeping each window partition bounded; the global
-    * form here matches what the oracle can express. */
-  def packQuery(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    * Scale note: the running sum is over a GLOBAL ordering, but it does
+    * NOT run as a single-partition window — it goes through
+    * [[Rnk.globalCumsum]], the distributed two-pass prefix sum
+    * (range-partition, per-partition running sums in parallel,
+    * partition offsets broadcast back), so no task ever sees more than
+    * one range partition of the corpus. */
+  def packQuery(spark: SparkSession, dir: String): DataFrame =
+    Rnk.globalCumsum(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens")),
+        Seq(col("doc_id")), col("n_tokens"), outCol = "tokens_before")
       .withColumn("bin_id", floor(col("tokens_before") / ContextBudget))
       .select(col("doc_id"), col("n_tokens"), col("tokens_before"), col("bin_id"))
-  }
 
   val packOracle: String =
     s"""WITH t AS (

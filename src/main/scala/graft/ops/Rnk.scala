@@ -66,4 +66,47 @@ object Rnk {
       .withColumn(rankCol, (col("__local") + col("__offset")).cast("long"))
       .drop("__pid", "__local", "__offset")
   }
+
+  /** DISTRIBUTED global EXCLUSIVE prefix sum of `value` over a total
+    * order — the scalable replacement for
+    * `sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`,
+    * which (like global row_number) forces every row through one
+    * WindowExec partition.
+    *
+    * Same two-pass shape as [[globalRank]]: range-partition by the sort
+    * keys, run the exclusive running sum INSIDE each partition (a
+    * partitioned window — parallel), and shift each partition by the sum
+    * of all earlier partitions, carried via a partition-count-sized
+    * offset table collected to the driver and broadcast back. Identical
+    * to the global window for any tie-free ordering. Values are summed
+    * as long — callers pre-scale doubles onto an integer grid (the
+    * repo-wide exact-sum discipline; a float running sum would be
+    * order-dependent anyway).
+    *
+    * Builds eagerly and registers a persisted cut in
+    * [[graft.core.Caches]] — long-lived sessions call
+    * `Caches.release(spark)` when done with the result. */
+  def globalCumsum(df: DataFrame, order: Seq[Column], value: Column,
+                   outCol: String = "cumsum_before"): DataFrame = {
+    import df.sparkSession.implicits._
+    val parted = df
+      .repartitionByRange(order: _*)
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+      .trackPersist()
+    val sums = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) =>
+      val o = (pid, acc); acc += s; o
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__local", coalesce(sum(col("__v")).over(local), lit(0L)))
+      .join(offDf, Seq("__pid"))
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset", "__v")
+  }
 }

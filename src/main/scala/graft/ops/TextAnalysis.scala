@@ -300,19 +300,30 @@ object TextAnalysis {
     * This is the composition that turns the NLL *score* into an actual
     * training-mix *selection*.
     *
-    * The quintile split is a global `ntile` — a single-partition sort,
-    * fine for the gate corpus; at 100 TB the same selection runs on
-    * APPROXIMATE quantile boundaries (one `percentile_approx` pass,
-    * broadcast thresholds, map-only bucketing) — the rates and filter
-    * are unchanged, only the boundary source differs. */
+    * The quintile split is DISTRIBUTED: [[Rnk.globalRank]] assigns the
+    * total-order rank without a single-partition window, and the ntile
+    * bucket is then recovered from (rank, n) in closed-form integer
+    * arithmetic — SQL ntile semantics exactly (the first `n mod k`
+    * buckets take one extra row), so the oracle keeps its plain `ntile`
+    * while the engine never funnels the corpus through one task. */
   def nllBucketSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("nll").asc, col("doc_id").asc)
+    val k = NllRates.size
+    val ranked = Rnk.globalRank(unigramNll(spark, dir),
+      Seq(col("nll").asc, col("doc_id").asc), rankCol = "__r")
+    val n = ranked.agg(max(col("__r")).as("__n"))
+    // ntile semantics from (rank, n): q = n div k rows per bucket, the
+    // first rem = n mod k buckets hold q+1
+    val bucket = expr(
+      s"""CAST(CASE WHEN __r <= ((__n div $k) + 1) * (__n % $k)
+         |  THEN (__r - 1) div ((__n div $k) + 1) + 1
+         |  ELSE (__n % $k) +
+         |       (__r - ((__n div $k) + 1) * (__n % $k) - 1) div (__n div $k) + 1
+         |END AS INT)""".stripMargin)
     val rate = NllRates.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (r, i)) =>
       when(col("nll_bucket") === i + 1, lit(r)).otherwise(acc)
     }
-    unigramNll(spark, dir)
-      .withColumn("nll_bucket", ntile(NllRates.size).over(w))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("nll_bucket", bucket)
       .withColumn("rate", rate)
       .filter(graft.ops.Sampling.bucket(col("doc_id"), "nllsample") <
         floor(col("rate") * 10000L).cast("long"))

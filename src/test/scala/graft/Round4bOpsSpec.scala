@@ -88,6 +88,49 @@ class Round4bOpsSpec extends SparkSpec {
       r.getAs[Boolean]("at_risk") == (r.getAs[Long]("class_size") < 8L)))
   }
 
+  // ---------------------------------------------------- globalCumsum
+  test("globalCumsum equals the single-partition exclusive-prefix window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (((i * 7919) % 997).toLong, i.toLong))
+      .toDF("k", "v").repartition(7)
+    val viaWindow = df.withColumn("cum",
+        coalesce(sum(col("v")).over(Window.orderBy(col("k"), col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaDistributed = graft.ops.Rnk
+      .globalCumsum(df, Seq(col("k"), col("v")), col("v"), outCol = "cum")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaDistributed == viaWindow)
+    spark.catalog.clearCache()
+  }
+
+  test("packQuery and nllBucketSample plans have no single-partition window") {
+    for (q <- Seq(graft.ops.Packing.packQuery(spark, sf),
+                  graft.ops.TextAnalysis.nllBucketSample(spark, sf))) {
+      val unpartitioned = q.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        "global ordering must go through the distributed two-pass")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("nllBucketSample integer ntile equals the window ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val nll = graft.ops.TextAnalysis.unigramNll(spark, sf)
+    val viaWindow = nll
+      .withColumn("nll_bucket",
+        ntile(5).over(Window.orderBy(col("nll").asc, col("doc_id").asc)))
+      .select("doc_id", "nll_bucket").as[(Long, Int)].collect().toMap
+    val got = graft.ops.TextAnalysis.nllBucketSample(spark, sf)
+      .select("doc_id", "nll_bucket").as[(Long, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, b) => assert(viaWindow(id) == b) }
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------- weekdayAnomalies
   test("weekdayAnomalies: matches an exact integer recomputation") {
     val got = TimeSeries.weekdayAnomalies(spark, sf)
