@@ -67,6 +67,64 @@ object Retrieval {
       .limit(TopK)
   }
 
+  private val RrfK = 60L
+  private val FuseTop = 20
+
+  /** Hybrid ranking by reciprocal-rank fusion: the lexical top-k list
+    * (relevance) fused with the corpus fluency prior (unigram-NLL
+    * ascending — the CCNet-style "in-distribution" signal), the standard
+    * two-signal retrieval composition when no single scorer is trusted.
+    * `RRF(d) = Σ_lists 1/(60 + rank_list(d))`, kept portable as the
+    * integer `floor(1e9 / (60 + rank))` so the fused score is an exact
+    * long sum.
+    *
+    * Both input lists are top-50 frames — BOUNDED by construction — so
+    * the in-list rank windows and the final sort run over ≤50/≤100 rows
+    * regardless of corpus size (same boundedness argument as the report
+    * sink); the heavy work (scoring the corpus) happens in the two
+    * upstream operators, which are scan-shaped. */
+  def hybridTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = lexicalTopK(spark, dir)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val flu = TextAnalysis.unigramNll(spark, dir)
+      .orderBy(col("nll").asc, col("doc_id")).limit(TopK)
+      .withColumn("nll_rank",
+        row_number().over(Window.orderBy(col("nll").asc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("nll_rank"))
+    lex.join(flu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("nll_rank"),
+        (coalesce(expr(s"CAST(1000000000 AS BIGINT) div ($RrfK + lex_rank)"), lit(0L)) +
+         coalesce(expr(s"CAST(1000000000 AS BIGINT) div ($RrfK + nll_rank)"), lit(0L)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(FuseTop)
+  }
+
+  def hybridOracle(lexicalOracle: String, nllOracle: String): String =
+    s"""WITH lex_base AS ($lexicalOracle),
+       |lex AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM lex_base),
+       |flu_base AS ($nllOracle),
+       |flu AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY nll ASC, doc_id) AS BIGINT) AS nll_rank
+       |  FROM (SELECT * FROM flu_base ORDER BY nll ASC, doc_id LIMIT $TopK)),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, flu.doc_id) AS doc_id, lex_rank, nll_rank,
+       |         coalesce(1000000000 // ($RrfK + lex_rank), 0) +
+       |         coalesce(1000000000 // ($RrfK + nll_rank), 0) AS rrf
+       |  FROM lex FULL OUTER JOIN flu ON lex.doc_id = flu.doc_id)
+       |SELECT doc_id, lex_rank, nll_rank, CAST(rrf AS BIGINT) AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT $FuseTop
+       |""".stripMargin
+
   val lexicalOracle: String = {
     val tfCols = Terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"
@@ -96,4 +154,9 @@ object Retrieval {
        |ORDER BY score DESC, doc_id LIMIT $TopK
        |""".stripMargin
   }
+
+  /** Closed-form oracle for [[hybridTopK]] (composed AFTER
+    * [[lexicalOracle]] initializes — object vals run in order). */
+  val fusedOracle: String =
+    hybridOracle(lexicalOracle, TextAnalysis.unigramNllOracle)
 }

@@ -48,6 +48,54 @@ object Skew {
     * Spark's hash aggregation already partial-aggregates map-side, so this
     * is only for the rare non-combinable path (e.g. collect_list of a hot
     * key) — provided for completeness. */
+  /** Join-key skew profile — the diagnostic that decides WHETHER the
+    * salted paths above (or AQE's skew split) are needed: the top-20
+    * hottest join keys of orders⋈customer with each key's row count and
+    * parts-per-million share, plus the keyspace totals for context. A key
+    * whose share approaches `1e6 / target-partition-count` ppm is the one
+    * that will straggle a shuffle.
+    *
+    * One hash aggregate over the fact (map-side combinable), a 1-row
+    * totals aggregate broadcast back, and a distributed TakeOrdered for
+    * the top-20 — nothing key-cardinality-sized ever sorts globally. The
+    * in-list rank is a window over the BOUNDED 20-row frame. Integer
+    * arithmetic only (ppm is one `div`), so the profile hash-matches the
+    * oracle on any engine. */
+  def keyProfile(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.core.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+                            count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .orderBy(col("n").desc, col("o_custkey"))
+      .limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("o_custkey")))
+          .cast("int"))
+      .select(col("rank"), col("o_custkey"), col("n"),
+        expr("CAST(n * 1000000 div total AS BIGINT)").as("share_ppm"),
+        col("total"), col("n_keys"))
+  }
+
+  val keyProfileOracle: String =
+    """WITH counts AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS total,
+      |         CAST(count(*) AS BIGINT) AS n_keys FROM counts),
+      |top AS (
+      |  SELECT o_custkey, n, total, n_keys
+      |  FROM counts CROSS JOIN totals
+      |  ORDER BY n DESC, o_custkey LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, o_custkey) AS INT) AS rank,
+      |       o_custkey, n,
+      |       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+      |       total, n_keys
+      |FROM top
+      |""".stripMargin
+
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
                 partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
     val saltCol = "__salt"

@@ -56,6 +56,48 @@ object EventOps {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  // --------------------------------------------------------- trending top-k
+  /** Trending event types: the top-`k` types per tumbling hour by count,
+    * deterministic event_type tiebreak. The rank window is partitioned
+    * PER HOUR — parallel across windows, bounded (#event types) within
+    * one.
+    *
+    * Streaming twin: rank is a window function, which streaming
+    * aggregation cannot host — so the stream maintains the mergeable
+    * per-(hour, type) COUNTS with a foreachBatch ⊕-merge (same
+    * decomposability argument as [[graft.ops.Rollup]]) and presents
+    * trending from the maintained state; see the stream==batch spec. */
+  def trending(windowed: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    windowed.select(col("window_start"), col("event_type"), col("n_events"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  def trendingQuery(spark: SparkSession, dir: String): DataFrame =
+    trending(windowedQuery(spark, dir))
+
+  /** ⊕-merge of two per-(window, type) count states. */
+  def mergeCounts(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"))
+
+  val trendingOracle: String =
+    """WITH c AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |         event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY window_start
+      |    ORDER BY n_events DESC, event_type) AS INT) AS rank
+      |  FROM c)
+      |SELECT window_start, event_type, n_events, rank FROM r WHERE rank <= 3
+      |""".stripMargin
+
   // ------------------------------------------------------------- rollup agg
   /** Daily/event-type rollup with subtotals and a grand total (grouping
     * sets). One hash aggregation; subtotal rows are computed by Spark's

@@ -88,6 +88,87 @@ class Round4bOpsSpec extends SparkSpec {
       r.getAs[Boolean]("at_risk") == (r.getAs[Long]("class_size") < 8L)))
   }
 
+  // ----------------------------------------------------- hybridTopK
+  test("hybridTopK: RRF matches a Scala recomputation from its inputs") {
+    val lex = Retrieval.lexicalTopK(spark, sf)
+      .select("doc_id", "score").as[(Long, Long)].collect()
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val flu = graft.ops.TextAnalysis.unigramNll(spark, sf)
+      .select("doc_id", "nll").as[(Long, Double)].collect()
+      .sortBy { case (id, n) => (n, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expect = (lex.keySet ++ flu.keySet).toSeq.map { id =>
+      val r = lex.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+              flu.get(id).map(r => 1000000000L / (60L + r)).getOrElse(0L)
+      (id, r)
+    }.sortBy { case (id, r) => (-r, id) }.take(20)
+    val got = Retrieval.hybridTopK(spark, sf)
+      .select("doc_id", "rrf").as[(Long, Long)].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  // ------------------------------------------------------- trending
+  test("streaming trending: maintained counts present the batch top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Event, EventOps}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((min + 100) * 60000L)
+    val all = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 2, "view", 1.0),
+      Event(3, ts(10), 1, "click", 1.0), Event(4, ts(20), 3, "view", 1.0),
+      Event(5, ts(25), 2, "click", 1.0), Event(6, ts(30), 1, "purchase", 1.0),
+      Event(7, ts(70), 2, "view", 1.0), Event(8, ts(80), 3, "view", 1.0))
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      EventOps.windowedAgg(df.withColumn("props", lit("{}")))
+        .select("window_start", "event_type", "n_events")
+    val input = MemoryStream[Event]
+    var state = counts(Seq.empty[Event].toDF())
+    val q = input.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", "/tmp/graft_ckpt_trend_" + System.nanoTime())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = EventOps.mergeCounts(state, counts(batch)).persist()
+        state.count()
+        ()
+      }.start()
+    try {
+      input.addData(all.take(4)); q.processAllAvailable()
+      input.addData(all.drop(4)); q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        EventOps.trending(df, k = 2).collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+                     r.getLong(2), r.getInt(3))).toSet
+      val incremental = norm(state)
+      val full = norm(counts(all.toDF()))
+      assert(incremental == full)
+      assert(incremental.nonEmpty)
+      // rank never exceeds k and is dense from 1 within each window
+      val byWin = incremental.groupBy(_._1)
+      byWin.values.foreach { rs =>
+        assert(rs.map(_._4).toSeq.sorted == (1 to rs.size))
+      }
+    } finally { q.stop(); spark.catalog.clearCache() }
+  }
+
+  // ----------------------------------------------------- keyProfile
+  test("keyProfile: ranks, shares, and totals are consistent") {
+    val rows = graft.ops.Skew.keyProfile(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n") * 1000000L / total)
+    }
+    // descending count order with key tiebreak
+    val ns = rows.map(r => (r.getAs[Long]("n"), r.getAs[Long]("o_custkey")))
+    assert(ns.toSeq == ns.sortBy { case (n, k) => (-n, k) }.toSeq)
+  }
+
   // ---------------------------------------------------- globalCumsum
   test("globalCumsum equals the single-partition exclusive-prefix window") {
     import org.apache.spark.sql.expressions.Window
