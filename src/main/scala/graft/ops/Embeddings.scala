@@ -116,6 +116,110 @@ object Embeddings {
               col("recon_err"))
   }
 
+  private val KClusters = 8
+
+  /** Lloyd k-means over the embedding corpus (k = [[KClusters]], seeded
+    * deterministically the same way IVF trains — md5-ranked vectors —
+    * one full Lloyd iteration, then the final assignment): each vector's
+    * cluster and its squared distance to the learned centroid. The
+    * unsupervised twin of [[labelCentroids]] — corpus structure without
+    * labels (semantic dedup shards, stratification keys, drift units).
+    *
+    * Scale shape per iteration: assignment is a map-only pass (centroid
+    * table broadcast, k·d multiplies per row, argmin via a per-vector
+    * window — parallel); the centroid update is one explode + hash
+    * aggregate bounded by k × dims, with EXACT decimal sums so the mean
+    * is reduction-order-free. Nothing in the plan grows faster than
+    * corpus × k. More iterations repeat the same two stages; the oracle
+    * pins one (seeding + update + reassign), which already exercises
+    * both moving parts bit-exactly.
+    *
+    * Portability: distance is `n2 − 2·dot + cn2` evaluated in that
+    * exact sequence on both engines; the native fused kernel computes
+    * dot with the same element-order fold as the SQL
+    * `list_sum(list_transform(...))`. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def dot(a: Column, b: Column): Column =
+      call_function(graft.functions.GraftFunctions.DotRawName, a, b)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .trackPersist() // three consumers: seeding, two assignment passes
+    // deterministic seeding, same derivation as IVF: an 8-row TakeOrdered
+    // driver action (k-means training is inherently driver-coordinated)
+    val seeds = vecs.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(KClusters)
+      .select(col("v"), col("n2")).collect()
+    val seedDf = broadcast(seeds.zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](0), r.getDouble(1))
+      }.toSeq.toDF("centroid_id", "cv", "cn2"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("centroid_id"))
+      vecs.crossJoin(cent)
+        .withColumn("d2",
+          col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("vec_id"), col("v"), col("centroid_id"), col("d2"))
+    }
+    val cent1 = assign(seedDf)
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+            count(lit(1))).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    assign(broadcast(cent1))
+      .select(col("vec_id"), col("centroid_id"), round(col("d2"), 6).as("d2"))
+  }
+
+  val kmeansOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS cv, n2 AS cn2 FROM (
+       |    SELECT v, n2,
+       |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM n) WHERE rn <= $KClusters),
+       |scored0 AS (
+       |  SELECT n.vec_id, n.v, s.centroid_id,
+       |         n.n2 - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> n.v[i] * s.cv[i])) + s.cn2 AS d2
+       |  FROM n CROSS JOIN seeds s),
+       |a0 AS (
+       |  SELECT vec_id, v, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2 ASC, centroid_id) AS r
+       |    FROM scored0) WHERE r = 1),
+       |m1 AS (
+       |  SELECT centroid_id, i AS dim,
+       |         CAST(sum(CAST(v[i] AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS m
+       |  FROM a0, unnest(generate_series(1, $Dim)) t(i)
+       |  GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT centroid_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+       |c1n AS (
+       |  SELECT centroid_id, cv,
+       |         list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM c1),
+       |scored1 AS (
+       |  SELECT n.vec_id, c.centroid_id,
+       |         n.n2 - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> n.v[i] * c.cv[i])) + c.cn2 AS d2
+       |  FROM n CROSS JOIN c1n c)
+       |SELECT vec_id, centroid_id, round(d2, 6) AS d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY d2 ASC, centroid_id) AS r
+       |  FROM scored1) WHERE r = 1
+       |""".stripMargin
+
   val quantizeOracle: String =
     s"""WITH n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -190,6 +190,54 @@ object TextAnalysis {
       |FROM agg
       |""".stripMargin
 
+  // ---------------------------------------------------------- OOV coverage
+  private val VocabMinCount = 50L
+
+  /** Vocabulary coverage / out-of-vocabulary rate per document: the
+    * fraction of a document's tokens NOT in the reference vocabulary
+    * (corpus tokens with total count ≥ [[VocabMinCount]]) — the
+    * tokenizer-coverage proxy that predicts how much of a document a
+    * fixed-vocab tokenizer will shatter into bytes/unknowns. A feed
+    * whose OOV rate jumps between snapshots has drifted (new language,
+    * encoding rot, spam).
+    *
+    * Shape: one explode + vocabulary hash-agg (count-thresholded — no
+    * rank needed, so no total order anywhere), a broadcast-sized
+    * LEFT join probe of the token stream against it, one per-doc
+    * aggregate. The rate is exact micro-units via integer round-half-up
+    * (same (2a+n) div 2n idiom as [[unigramNll]]). */
+  def oovCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("doc_id"), explode(toks).as("token"))
+      .trackPersist() // two consumers: vocab build + probe
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= VocabMinCount)
+      .select(col("token"))
+    tok.join(broadcast(vocab.withColumn("__in", lit(1))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (expr("(2 * n_oov * 1000000 + n_tokens) div (2 * n_tokens)")
+          .cast("double") / 1e6).as("oov_rate"))
+  }
+
+  val oovOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT token FROM tok GROUP BY 1 HAVING count(*) >= $VocabMinCount),
+       |probe AS (
+       |  SELECT tok.doc_id,
+       |         CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok LEFT JOIN vocab ON tok.token = vocab.token)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(oov) AS BIGINT) AS n_oov,
+       |       CAST((2 * sum(oov) * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6
+       |         AS oov_rate
+       |FROM probe GROUP BY 1
+       |""".stripMargin
+
   // ---------------------------------------------------------------- tf-idf
   /** Top-3 characteristic terms per document by tf-idf
     * (tf × ln(N / df)). Two aggregations — term frequencies per (doc,

