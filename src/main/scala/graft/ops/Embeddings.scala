@@ -117,6 +117,7 @@ object Embeddings {
   }
 
   private val KClusters = 8
+  private val NProbe = 2
 
   /** Lloyd k-means over the embedding corpus (k = [[KClusters]], seeded
     * deterministically the same way IVF trains — md5-ranked vectors —
@@ -138,12 +139,20 @@ object Embeddings {
     * exact sequence on both engines; the native fused kernel computes
     * dot with the same element-order fold as the SQL
     * `list_sum(list_transform(...))`. */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansCore(spark, dir).filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id"), round(col("d2"), 6).as("d2"))
+
+  private def dot(a: Column, b: Column): Column =
+    call_function(graft.functions.GraftFunctions.DotRawName, a, b)
+
+  /** Ranked k-means assignment frame (vec_id, v, n2, centroid_id, d2,
+    * crank ≤ [[NProbe]]) — crank 1 is the home cluster ([[kmeansAssign]]);
+    * rank 2 is the multi-probe candidate list ([[semanticPairs]]). */
+  private def kmeansCore(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.Caches.TrackedDataset
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    def dot(a: Column, b: Column): Column =
-      call_function(graft.functions.GraftFunctions.DotRawName, a, b)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
@@ -162,11 +171,13 @@ object Embeddings {
       vecs.crossJoin(cent)
         .withColumn("d2",
           col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("vec_id"), col("v"), col("centroid_id"), col("d2"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= NProbe)
+        .select(col("vec_id"), col("v"), col("n2"), col("centroid_id"),
+                col("d2"), col("crank"))
     }
     val cent1 = assign(seedDf)
+      .filter(col("crank") === 1) // the update step uses HOME assignments only
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
@@ -176,8 +187,89 @@ object Embeddings {
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
     assign(broadcast(cent1))
-      .select(col("vec_id"), col("centroid_id"), round(col("d2"), 6).as("d2"))
   }
+
+  private val SemanticCosine = 0.4
+
+  /** Semantic near-duplicate pairs, CLUSTER-BUCKETED: candidate pairs
+    * meet only inside their k-means cluster, then the exact cosine
+    * threshold (same [[SemanticCosine]] as the exact all-pairs audit in
+    * [[Similarity.nearDupPairs]]) verifies each candidate. This is the
+    * learned-partition scale path of the embedding-dedup trio — exact
+    * all-pairs (audit) / hyperplane LSH (oblivious buckets) / k-means
+    * shards (data-adapted buckets): pair volume drops from n² to
+    * Σ_c |c|², with cluster sizes balanced by the Lloyd step. Recall vs
+    * the exact audit is spec-asserted; soundness is exact (every emitted
+    * pair re-verified by the true cosine). */
+  def semanticPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val ranked = kmeansCore(spark, dir)
+      .select(col("vec_id"), col("v"), col("n2"), col("centroid_id"), col("crank"))
+      .trackPersist() // probe side + home side of the candidate join
+    val home = ranked.filter(col("crank") === 1)
+    ranked.as("a").join(home.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_id"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("neighbor_id"),
+        (dot(col("a.v"), col("b.v")) /
+          sqrt(col("a.n2") * col("b.n2"))).as("cos"))
+      .filter(col("cos") >= SemanticCosine)
+      .select(col("vec_id"), col("neighbor_id"),
+              round(col("cos"), 6).as("cosine"))
+      .distinct() // a pair can be found via both probed clusters
+  }
+
+  val semanticPairsOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS cv, n2 AS cn2 FROM (
+       |    SELECT v, n2,
+       |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM n) WHERE rn <= $KClusters),
+       |scored0 AS (
+       |  SELECT n.vec_id, n.v, s.centroid_id,
+       |         n.n2 - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> n.v[i] * s.cv[i])) + s.cn2 AS d2
+       |  FROM n CROSS JOIN seeds s),
+       |a0 AS (
+       |  SELECT vec_id, v, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2 ASC, centroid_id) AS r
+       |    FROM scored0) WHERE r = 1),
+       |m1 AS (
+       |  SELECT centroid_id, i AS dim,
+       |         CAST(sum(CAST(v[i] AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS m
+       |  FROM a0, unnest(generate_series(1, $Dim)) t(i)
+       |  GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT centroid_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+       |c1n AS (
+       |  SELECT centroid_id, cv,
+       |         list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM c1),
+       |scored1 AS (
+       |  SELECT n.vec_id, n.v, n.n2, c.centroid_id,
+       |         n.n2 - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> n.v[i] * c.cv[i])) + c.cn2 AS d2
+       |  FROM n CROSS JOIN c1n c),
+       |a1 AS (
+       |  SELECT vec_id, v, n2, centroid_id, r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2 ASC, centroid_id) AS r
+       |    FROM scored1) WHERE r <= $NProbe)
+       |SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_id,
+       |       greatest(a.vec_id, b.vec_id) AS neighbor_id,
+       |       round(list_sum(list_transform(generate_series(1, $Dim),
+       |               i -> a.v[i] * b.v[i])) / sqrt(a.n2 * b.n2), 6) AS cosine
+       |FROM a1 a JOIN (SELECT * FROM a1 WHERE r = 1) b
+       |  ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+       |WHERE list_sum(list_transform(generate_series(1, $Dim),
+       |        i -> a.v[i] * b.v[i])) / sqrt(a.n2 * b.n2) >= $SemanticCosine
+       |""".stripMargin
 
   val kmeansOracle: String =
     s"""WITH n AS (

@@ -248,6 +248,23 @@ class Round4bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // --------------------------------------------------- semanticPairs
+  test("semanticPairs is sound vs the exact near-dup audit, with recall") {
+    val exact = graft.ops.Similarity.nearDupPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val got = graft.ops.Embeddings.semanticPairs(spark, sf)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // soundness: every emitted pair is a true near-dup (exact threshold)
+    assert(got.subsetOf(exact), s"unsound pairs: ${got.diff(exact).take(3)}")
+    // recall: data-adapted buckets must catch a solid share of true pairs
+    if (exact.nonEmpty) {
+      val recall = got.size.toDouble / exact.size
+      assert(recall >= 0.5, s"semantic recall $recall below floor")
+    }
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------- weekdayAnomalies
   test("weekdayAnomalies: matches an exact integer recomputation") {
     val got = TimeSeries.weekdayAnomalies(spark, sf)
