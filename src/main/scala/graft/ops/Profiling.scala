@@ -92,6 +92,54 @@ object Profiling {
        |FROM customer GROUP BY 1, 2
        |""".stripMargin
 
+  private val DriftBinWidth = 50L
+
+  /** Train/valid distribution drift on a numeric feature (document
+    * length): fixed-width bins, per-split counts, and the per-bin share
+    * difference in ppm — the PSI-shaped split-health check that catches
+    * a leaky or skewed split before training (a sound hash split shows
+    * near-zero drift; systematic drift means the split key correlates
+    * with the feature). Log-free by design: shares are integer
+    * `n·1e6 div total` so the result is exact on any engine. One scan,
+    * one bin-sized hash aggregate, a 1-row totals broadcast. */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(expr(s"n_chars div $DriftBinWidth").as("bin"),
+              Sampling.split(col("doc_id"), 0.8, 0.1).as("split"))
+      .filter(col("split") =!= "test")
+    val bins = d.groupBy(col("bin"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+           sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"))
+    val tot = bins.agg(sum(col("n_train")).as("t_train"),
+                       sum(col("n_valid")).as("t_valid"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_train"), col("n_valid"),
+        expr("abs(n_train * 1000000 div t_train - n_valid * 1000000 div t_valid)")
+          .as("diff_ppm"))
+  }
+
+  val splitDriftOracle: String = {
+    val dd = 10000L
+    s"""WITH s AS (
+       |  SELECT n_chars // $DriftBinWidth AS bin,
+       |         CASE WHEN CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $dd < ${(0.8 * dd).toLong} THEN 'train'
+       |              WHEN CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $dd < ${(0.9 * dd).toLong} THEN 'valid'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |bins AS (
+       |  SELECT bin,
+       |         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |         CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+       |  FROM s WHERE split <> 'test' GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+       |         CAST(sum(n_valid) AS BIGINT) AS t_valid FROM bins)
+       |SELECT CAST(bin AS BIGINT) AS bin, n_train, n_valid,
+       |       abs(n_train * 1000000 // t_train - n_valid * 1000000 // t_valid) AS diff_ppm
+       |FROM bins CROSS JOIN tot
+       |""".stripMargin
+  }
+
   val benfordOracle: String =
     """WITH d AS (
       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,

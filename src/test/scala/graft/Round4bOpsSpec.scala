@@ -265,6 +265,23 @@ class Round4bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // ------------------------------------------------------ splitDrift
+  test("splitDrift: bin counts partition train+valid and ppm math is exact") {
+    val rows = graft.ops.Profiling.splitDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val splits = graft.ops.Sampling.query(spark, sf)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(rows.map(_.getAs[Long]("n_train")).sum == splits("train"))
+    assert(rows.map(_.getAs[Long]("n_valid")).sum == splits.getOrElse("valid", 0L))
+    val tTrain = splits("train"); val tValid = splits("valid")
+    rows.foreach { r =>
+      val want = math.abs(
+        r.getAs[Long]("n_train") * 1000000L / tTrain -
+        r.getAs[Long]("n_valid") * 1000000L / tValid)
+      assert(r.getAs[Long]("diff_ppm") == want)
+    }
+  }
+
   // ------------------------------------------------- weekdayAnomalies
   test("weekdayAnomalies: matches an exact integer recomputation") {
     val got = TimeSeries.weekdayAnomalies(spark, sf)
