@@ -173,6 +173,55 @@ object ParquetIO {
   }
 }
 
+/** Columnar/line formats beyond the reference's CSV/parquet surface:
+  * ORC (the other splittable columnar format a lake migration meets) and
+  * JSON-lines (the interchange format most crawl/annotation feeds arrive
+  * in). Same contract-first discipline as [[Csv]] — JSONL reads take an
+  * explicit schema, never inference (inference double-scans and races
+  * schema drift); ORC carries its own schema like parquet. Both formats
+  * are splittable, so scans parallelize per file-split at any size.
+  */
+object Orc {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+            partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+}
+
+object Jsonl {
+  /** Contract-first JSON-lines scan; malformed lines are ROUTED, not
+    * silently nulled: rows with a populated corrupt-record column carry
+    * the raw line for quarantine (same single-pass discipline as
+    * [[Csv.readWithRejects]]). */
+  def read(spark: SparkSession, path: String, contract: StructType): DataFrame =
+    spark.read.schema(contract).json(path)
+
+  def readWithRejects(spark: SparkSession, path: String,
+                      contract: StructType): Csv.CsvWithRejects = {
+    import org.apache.spark.sql.functions.col
+    val corrupt = "_corrupt_record"
+    val widened = StructType(contract.fields :+
+      StructField(corrupt, org.apache.spark.sql.types.StringType, nullable = true))
+    val scanned = spark.read.schema(widened)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      .persist()
+    Csv.CsvWithRejects(
+      clean = scanned.filter(col(corrupt).isNull).drop(corrupt),
+      rejects = scanned.filter(col(corrupt).isNotNull)
+        .select(col(corrupt).as("raw")),
+      cached = scanned)
+  }
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}
+
 /** REST-JSON source (reference: utils.py:34-105): driver-side GET with
   * optional OAuth2 password-grant Bearer auth, payload `{"data":[{...}]}`
   * materialized as a DataFrame. The HTTP transport is pluggable so tests

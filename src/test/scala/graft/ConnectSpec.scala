@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.types._
-import graft.connect.{Csv, ParquetWarehouse, Rest, SourceRegistry}
+import graft.connect.{Csv, Jsonl, Orc, ParquetWarehouse, Rest, SourceRegistry}
 import graft.core.RunDate
 import graft.pipelines.Ingestion
 import graft.validate.DuplicateException
@@ -131,5 +131,42 @@ class ConnectSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       wh.readStaging(spark, "sales").collect() // nothing was written
     }
+  }
+
+  test("orc: partitioned write round-trips with schema intact") {
+    import spark.implicits._
+    val dir = tmpDir("graft_orc")
+    val df = Seq((1L, "a", "2024-06-01"), (2L, "b", "2024-06-02"))
+      .toDF("id", "v", "day")
+    Orc.write(df, dir, partitionBy = Seq("day"))
+    val back = Orc.read(spark, dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("id", "v", "day"))
+    assert(back.filter(org.apache.spark.sql.functions.col("day") === "2024-06-02")
+      .select("v").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("jsonl: contract-first read and malformed-line routing") {
+    val dir = tmpDir("graft_jsonl")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |this is not json
+        |{"id": 2, "v": "also ok"}
+        |""".stripMargin)
+    val contract = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val r = Jsonl.readWithRejects(spark, dir, contract)
+    try {
+      assert(r.clean.count() == 2)
+      assert(r.clean.columns.toSet == Set("id", "v"))
+      val rejects = r.rejects.collect().map(_.getString(0))
+      assert(rejects.length == 1 && rejects.head.contains("not json"))
+    } finally r.release()
+    // round-trip write
+    Jsonl.write(r.clean, s"$dir/out")
+    assert(Jsonl.read(spark, s"$dir/out", contract).count() == 2)
   }
 }

@@ -125,4 +125,44 @@ class PlanGuardSpec extends SparkSpec {
       "absent-token fold must stay algebraic; 1-row totals broadcast instead")
     graft.core.Caches.release(spark)
   }
+
+  test("lexical search: per-row tf kernels, no explode, distributed top-k") {
+    val p = plan(graft.ops.Retrieval.lexicalTopK(spark, sf))
+    assert(!p.contains("Generate"), "tf must come from array kernels, not explode")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be the distributed TakeOrdered, not a global sort")
+    assert("FileScan".r.findAllIn(p).length <= 2,
+      "one scan for scoring, one for the 1-row df aggregate")
+  }
+
+  test("kmeans: assignment joins are broadcast, update is the only big shuffle") {
+    val p = plan(graft.ops.Embeddings.kmeansAssign(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must never shuffle to meet the centroid table — broadcast only")
+    graft.core.Caches.release(spark)
+  }
+
+  test("semantic dedup: candidates meet in an equi-join on centroid_id, " +
+       "never a cartesian pair join") {
+    val p = plan(graft.ops.Embeddings.semanticPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "pair volume must be bucket-bounded, not all-pairs")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "the candidate join must be an equi-join")
+    graft.core.Caches.release(spark)
+  }
+
+  test("event transitions: one window shuffle, denominator broadcast back") {
+    val p = plan(graft.ops.Funnel.transitions(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-prev out-degree table must broadcast, not shuffle the pairs")
+  }
+
+  test("weekday anomalies: 7-row baseline broadcast, scan stays pruned") {
+    val p = plan(graft.ops.TimeSeries.weekdayAnomalies(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the weekday baseline must broadcast back onto the daily counts")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
