@@ -265,6 +265,74 @@ class Round4bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // --------------------------------------------------- heavy hitters
+  test("heavyHitters: CMS estimates bound the exact counts and keep order") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val got = graft.ops.Sketches.heavyHittersQuery(spark, sf)
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty && got.length <= 5)
+    got.foreach { case (k, est) =>
+      assert(est >= exact(k), s"CMS must never undercount ($k)")
+      assert(est <= exact(k) + math.ceil(1e-4 * n).toLong + 1,
+        s"overshoot beyond eps*N ($k: $est vs ${exact(k)})")
+    }
+    // with eps this tight the top-5 IS the exact top-5
+    val wantTop = exact.toSeq.sortBy { case (k, c) => (-c, k) }
+      .take(5).map(_._1)
+    assert(got.map(_._1).toSeq == wantTop)
+  }
+
+  // --------------------------------------------------- streaming CDC
+  test("streaming CDC apply: per-batch compact+upsert equals whole-log replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Cdc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cols = Seq("s_suppkey", "s_name", "s_acctbal", "version", "op")
+    def compact(log: org.apache.spark.sql.DataFrame) =
+      Cdc.latestByKey(log, Seq("s_suppkey"), col("version"),
+        Seq(col("version")), Seq("s_name", "s_acctbal", "op"))
+    val snap0 = (1L to 5L).map(k => (k, s"Supplier#$k", k * 10.0))
+      .toDF("s_suppkey", "s_name", "s_acctbal")
+    // versions increase with batch order, so per-batch apply order and
+    // whole-log compaction agree on the winner per key
+    val batch1 = Seq(
+      (1L, "Supplier#1", 110.0, 1L, "upsert"),   // update
+      (2L, "Supplier#2", 20.0, 2L, "delete"),    // delete
+      (6L, "Supplier#6", 60.0, 3L, "upsert"))    // insert
+    val batch2 = Seq(
+      (2L, "Supplier#2b", 21.0, 4L, "upsert"),   // re-insert after delete
+      (6L, "Supplier#6b", 61.0, 5L, "upsert"),   // second update same key
+      (5L, "Supplier#5", 50.0, 6L, "delete"))    // delete
+    val input = MemoryStream[(Long, String, Double, Long, String)]
+    var state = snap0
+    val q = input.toDF().toDF(cols: _*).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", "/tmp/graft_ckpt_cdc_" + System.nanoTime())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Cdc.upsert(state, compact(batch), Seq("s_suppkey")).persist()
+        state.count()
+        ()
+      }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val incremental = state.as[(Long, String, Double)].collect().toSet
+      val replay = Cdc.upsert(snap0,
+        compact((batch1 ++ batch2).toDF(cols: _*)), Seq("s_suppkey"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(incremental == replay)
+      // spot-check the interesting keys: re-inserted 2, double-updated 6,
+      // deleted 5, untouched 3
+      assert(incremental.contains((2L, "Supplier#2b", 21.0)))
+      assert(incremental.contains((6L, "Supplier#6b", 61.0)))
+      assert(!incremental.exists(_._1 == 5L))
+      assert(incremental.contains((3L, "Supplier#3", 30.0)))
+    } finally { q.stop(); spark.catalog.clearCache() }
+  }
+
   // ------------------------------------------------------ splitDrift
   test("splitDrift: bin counts partition train+valid and ppm math is exact") {
     val rows = graft.ops.Profiling.splitDrift(spark, sf).collect()
