@@ -119,6 +119,95 @@ object Olap {
        |GROUP BY 1
        |""".stripMargin
 
+  private val Q3Cutoff = "1998-06-01"
+  private val Q3Segment = "BUILDING"
+
+  /** TPC-H Q3 shape (shipping priority): top-10 open orders by pending
+    * revenue for one market segment — orders placed before the cutoff
+    * whose items ship after it. The canonical filter-join-agg-topk plan:
+    * both date filters push to their scans, the segment-filtered
+    * customer side is dimension-small, the aggregate keys on the join
+    * key (orderkey) so it co-partitions with the fact shuffle, and the
+    * top-10 is a distributed TakeOrdered with deterministic tiebreak.
+    * Revenue sums exact decimals, so the double ordering agrees across
+    * engines. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf(s"$Q3Cutoff 00:00:00"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === Q3Segment)
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+              Exp.money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPriorityOracle: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = '$Q3Segment'
+       |  AND o_orderdate < TIMESTAMP '$Q3Cutoff 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '$Q3Cutoff 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10
+       |""".stripMargin
+
+  private val Q10From = "1997-01-01"
+  private val Q10To = "1997-04-01"
+
+  /** TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one quarter, with their nation. Fact
+    * filters (return flag, quarter) push to the scans; nation broadcasts;
+    * the per-customer aggregate shuffles once; top-20 is TakeOrdered. */
+  def returnedItemReport(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$Q10From 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"$Q10To 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+              Exp.money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev")).as("rev"))
+    Tables.customer(spark, dir)
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+              col("c_acctbal"), col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemOracle: String =
+    s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '$Q10From 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$Q10To 00:00:00'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20
+       |""".stripMargin
+
   /** HLL++ cardinality profile: per event_type, exact event count plus the
     * approximate distinct-user count (one pass, fixed sketch memory — the
     * COUNT(DISTINCT) replacement at 100 TB). The sketch estimate is

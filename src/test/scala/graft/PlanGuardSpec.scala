@@ -159,6 +159,25 @@ class PlanGuardSpec extends SparkSpec {
       "the per-prev out-degree table must broadcast, not shuffle the pairs")
   }
 
+  test("q3 shipping priority: date filters pushed, distributed top-10") {
+    val p = plan(graft.pipelines.Olap.shippingPriority(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrdered, not a global sort")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined ||
+           p.contains("GreaterThan(l_shipdate"),
+      "lineitem date filter must reach the parquet scan")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan")
+  }
+
+  test("q10 returned items: return-flag filter pushed, nation broadcast") {
+    val p = plan(graft.pipelines.Olap.returnedItemReport(spark, sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "return-flag filter must reach the lineitem scan")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("weekday anomalies: 7-row baseline broadcast, scan stays pruned") {
     val p = plan(graft.ops.TimeSeries.weekdayAnomalies(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
