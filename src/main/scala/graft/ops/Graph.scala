@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Graph analytics over relationships mined from the corpus — the
+  * companion family to [[Dedup.components]] (connected components):
+  * weighted PageRank with a FIXED iteration count, evaluated entirely in
+  * scaled 64-bit integer arithmetic so each iteration is a closed-form
+  * SQL expression and the result hash-matches an external oracle — no
+  * float accumulation, no convergence nondeterminism.
+  *
+  * Scale shape per iteration: one equi-join of the edge list with the
+  * current rank vector (keyed by source node) and one hash aggregate
+  * (keyed by destination) — edge-linear shuffle volume, node-linear
+  * state, identical plan every iteration. The iteration count is a
+  * static plan parameter (2 here — enough to rank hubs), not a
+  * convergence loop: at 100 TB you run the same plan with checkpointed
+  * rank tables between iterations.
+  */
+object Graph {
+
+  /** One PageRank step in integer micro-units (1e6 = rank 1.0), damping
+    * 0.85 as the exact rational 85/100: contribution of edge (u,v) is
+    * `(r(u) · w(u,v)) div out(u)` (floor per edge — the same order of
+    * operations the oracle evaluates), and
+    * `r'(v) = 150000 + (85 · Σ contrib) div 100`. Dangling mass is
+    * dropped (simplified PR) — identically on both engines. */
+  private def step(nodes: DataFrame, edges: DataFrame, r: DataFrame): DataFrame = {
+    // the rank vector and the contribution sums are NODE-sized (bounded
+    // by vertex count, not edges) — broadcast both so the edge table is
+    // never shuffled for a join; its only exchange is the map-side-
+    // combined per-destination aggregate
+    val contribs = edges
+      .join(broadcast(r.withColumnRenamed("p", "u").withColumnRenamed("r", "ru")),
+            Seq("u"))
+      .select(col("v"), expr("(ru * w) div outw").as("c"))
+      .groupBy(col("v")).agg(sum(col("c")).as("s"))
+    nodes.join(broadcast(contribs), nodes("p") === contribs("v"), "left")
+      .select(col("p"),
+        (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+  }
+
+  /** Weighted PageRank (2 iterations) over an edge list (u, v, w) with
+    * per-source out-weights pre-joined; `nodes` carries every vertex so
+    * sinks keep their base rank. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 2): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val out = edges.groupBy(col("u")).agg(sum(col("w")).as("outw"))
+    // every iteration re-reads the edge table — persist the built graph
+    // once instead of re-running the self-join+aggregate subtree per step
+    val e = edges.join(out, Seq("u")).trackPersist()
+    val r0 = nodes.select(col("p"), lit(1000000L).as("r"))
+    (1 to iters).foldLeft(r0)((r, _) => step(nodes, e, r))
+  }
+
+  /** Product-importance query: PageRank over the co-purchase graph —
+    * parts are nodes, edge weight = number of orders where both parts
+    * appear. The order-local self-join co-partitions on l_orderkey
+    * (per-order fanout is bounded by lines-per-order, so pair volume is
+    * order-linear), and the graph build is two hash aggregates. */
+  def partPageRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .trackPersist() // pair build + node list
+    // order-local pairs WITHOUT a self-join: one aggregate gathers each
+    // order's (bounded, lines-per-order) part list, then an array kernel
+    // expands the ordered pairs — value-identical to the equi-self-join
+    // (pairing excludes equal VALUES, multiplicities multiply through),
+    // but it costs one shuffle instead of two sorted join sides. The
+    // oracle keeps the join spelling; results match by construction.
+    val pairs = li.groupBy(col("ok")).agg(collect_list(col("p")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> " +
+          "transform(filter(ps, y -> y != x), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val edges = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val nodes = li.select(col("p")).distinct()
+    pageRank(nodes, edges)
+      .select(col("p").as("part_key"), col("r").as("rank"))
+  }
+
+  val partPageRankOracle: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e0 AS (
+      |  SELECT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p),
+      |edges AS (
+      |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1, 2),
+      |outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1),
+      |e AS (SELECT edges.u, v, w, outw FROM edges JOIN outd USING (u)),
+      |nodes AS (SELECT DISTINCT p FROM li),
+      |r0 AS (SELECT p, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |c1 AS (
+      |  SELECT v, CAST(sum((r * w) // outw) AS BIGINT) AS s
+      |  FROM e JOIN r0 ON r0.p = e.u GROUP BY 1),
+      |r1 AS (
+      |  SELECT p, CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c1 ON p = v),
+      |c2 AS (
+      |  SELECT v, CAST(sum((r * w) // outw) AS BIGINT) AS s
+      |  FROM e JOIN r1 ON r1.p = e.u GROUP BY 1),
+      |r2 AS (
+      |  SELECT p, CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c2 ON p = v)
+      |SELECT p AS part_key, r AS rank FROM r2
+      |""".stripMargin
+}

@@ -265,6 +265,40 @@ class Round4bOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // -------------------------------------------------------- pageRank
+  test("pageRank matches a hand-computed 3-node graph") {
+    // u->v weights: a->b:2, a->c:1, b->a:1, c->a:1  (out: a=3, b=1, c=1)
+    val nodes = Seq("a", "b", "c").toDF("p")
+    val edges = Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("u", "v", "w")
+    val got = graft.ops.Graph.pageRank(nodes, edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    // iteration 1 from r0 = 1e6:
+    //   a: 150000 + 85*(1000000+1000000)/100           = 1850000
+    //   b: 150000 + 85*((1000000*2) div 3)/100         = 716666  (contrib 666666)
+    //   c: 150000 + 85*((1000000*1) div 3)/100         = 433333  (contrib 333333)
+    val a1 = 150000L + 85L * (1000000L + 1000000L) / 100L
+    val b1 = 150000L + 85L * ((1000000L * 2) / 3) / 100L
+    val c1 = 150000L + 85L * (1000000L / 3) / 100L
+    // iteration 2 repeats the same algebra from (a1, b1, c1)
+    val a2 = 150000L + 85L * (b1 + c1) / 100L
+    val b2 = 150000L + 85L * ((a1 * 2) / 3) / 100L
+    val c2 = 150000L + 85L * (a1 / 3) / 100L
+    assert(got == Map("a" -> a2, "b" -> b2, "c" -> c2))
+  }
+
+  test("partPageRank: node-complete, hub parts outrank leaf parts") {
+    val r = graft.ops.Graph.partPageRank(spark, sf)
+    val nParts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey").distinct().count()
+    val rows = r.collect()
+    assert(rows.length == nParts)
+    assert(rows.forall(_.getAs[Long]("rank") >= 150000L))
+    // ranks differentiate (not all equal): the graph is non-uniform
+    assert(rows.map(_.getAs[Long]("rank")).distinct.length > 1)
+    spark.catalog.clearCache()
+  }
+
   // --------------------------------------------------- heavy hitters
   test("heavyHitters: CMS estimates bound the exact counts and keep order") {
     val ev = graft.core.Tables.events(spark, sf)
