@@ -134,6 +134,30 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // distributed exclusive prefix sum ≡ the single-partition window over
+  // random data (duplicate sort keys broken by the value column)
+  property("globalCumsum equals the global window for any data") = {
+    val gen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 9L))))
+    forAll(gen) { rows =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+      import org.apache.spark.sql.expressions.Window
+      // disambiguate ties: order by (k, rid) where rid is unique
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "rid").repartition(5)
+      val w = Window.orderBy(col("k"), col("rid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df
+        .withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+        .select("rid", "cum").as[(Long, Long)].collect().toMap
+      val got = graft.ops.Rnk
+        .globalCumsum(df, Seq(col("k"), col("rid")), col("v"), outCol = "cum")
+        .select("rid", "cum").as[(Long, Long)].collect().toMap
+      spark.catalog.clearCache()
+      got == want
+    }
+  }
+
   // stratified sampling returns a subset and is insensitive to row order
   property("stratified sample is an order-insensitive subset") =
     forAll(snapGen) { rows =>
