@@ -147,6 +147,12 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("sgl"), count(lit(1)).as("n"))
 
+  /** Same, over an arbitrary (doc_id, text) frame. */
+  private def docShinglesOf(spark: SparkSession, d: DataFrame): DataFrame =
+    explodedShinglesOf(spark, d)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("sgl"), count(lit(1)).as("n"))
+
   /** All-pairs exact n-gram Jaccard ≥ 0.8 via inverted shingle index:
     * docs sharing a shingle meet once per shared shingle; the group count
     * IS the intersection size (shingle sets are distinct). */
@@ -168,6 +174,50 @@ object Dedup {
               (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** [[jaccardPairsCapped]] result: verified pairs plus the explicit
+    * dropped-posting audit frame (1 row: shingles_dropped,
+    * postings_dropped, postings_total). No silent caps — callers that
+    * bound the df² shuffle see exactly how much index mass the bound
+    * removed. */
+  final case class CappedPairs(pairs: DataFrame, droppedMass: DataFrame)
+
+  /** [[jaccardPairs]] with the stop-shingle cap the 100 TB docstring
+    * promises, as an EXPLICIT parameter: shingles whose doc-frequency
+    * exceeds `maxDf` are removed from the inverted index, bounding the
+    * per-shingle join fan-out at maxDf² rows. Intersection counts for
+    * pairs that shared a dropped shingle shrink, so capped Jaccard is an
+    * UNDERESTIMATE: the capped result is always a SUBSET of the exact
+    * pairs (lost recall, never a false positive — spec-asserted in
+    * TextDedupSpec). The dropped mass is reported, not swallowed:
+    * `droppedMass` counts the removed shingles and postings against the
+    * index total. */
+  def jaccardPairsCapped(spark: SparkSession, d: DataFrame,
+                         maxDf: Int): CappedPairs = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 shingle joins nothing), got $maxDf")
+    val inv = docShinglesOf(spark, d)
+      .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
+      .trackPersist()
+    val dfCounts = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .trackPersist()
+    val droppedMass = dfCounts.agg(
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("shingles_dropped"),
+      sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("postings_dropped"),
+      sum(col("df")).as("postings_total"))
+    val kept = inv.join(dfCounts.filter(col("df") > maxDf).select("s"),
+                        Seq("s"), "left_anti")
+    val a = kept.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val b = kept.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    val pairs = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    CappedPairs(pairs, droppedMass)
   }
 
   private[ops] val shingleCte: String =

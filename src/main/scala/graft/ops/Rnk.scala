@@ -89,9 +89,21 @@ object Rnk {
   def globalCumsum(df: DataFrame, order: Seq[Column], value: Column,
                    outCol: String = "cumsum_before"): DataFrame = {
     import df.sparkSession.implicits._
+    // fail loudly on misuse: a null value would otherwise surface as an
+    // unboxing NPE deep in the offset collect, and a fractional value
+    // would silently truncate (callers pre-scale doubles onto an integer
+    // grid — the repo-wide exact-sum discipline)
+    val asLong = value.cast("long")
+    val guarded = when(
+      value.isNull.or(asLong.isNull)
+        .or(value.cast("double") =!= asLong.cast("double")),
+      raise_error(concat(
+        lit("globalCumsum: value must be non-null and integral, got "),
+        coalesce(value.cast("string"), lit("NULL"))))
+    ).otherwise(asLong)
     val parted = df
       .repartitionByRange(order: _*)
-      .withColumn("__v", value.cast("long"))
+      .withColumn("__v", guarded)
       .withColumn("__pid", spark_partition_id())
       .trackPersist()
     val sums = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))

@@ -208,12 +208,30 @@ object Olap {
        |ORDER BY revenue DESC, c_custkey LIMIT 20
        |""".stripMargin
 
-  /** HLL++ cardinality profile: per event_type, exact event count plus the
-    * approximate distinct-user count (one pass, fixed sketch memory — the
-    * COUNT(DISTINCT) replacement at 100 TB). The sketch estimate is
-    * engine-specific, so this query has NO SQL oracle; the spec bounds it
-    * against the exact count instead (rsd 2%). */
+  /** Cardinality profile (oracle-gated): per event_type, event count and
+    * EXACT distinct-user count. Spark's count(DISTINCT) is the two-phase
+    * expand+partial-agg plan — distributed, no driver state — so the
+    * exact answer is affordable here; [[cardinalitySketch]] is the
+    * fixed-memory HLL++ path for when the distinct keyspace itself is
+    * the bottleneck. */
   def cardinalityProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct(col("user_id")).as("n_users"))
+
+  val cardinalityOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1
+      |""".stripMargin
+
+  /** HLL++ sketch variant: approximate distinct-user count in one pass
+    * with fixed sketch memory — the COUNT(DISTINCT) replacement at
+    * 100 TB. The estimate is engine-specific so it carries no SQL
+    * oracle; the spec bounds it against [[cardinalityProfile]]'s exact
+    * counts instead (rsd 2%). */
+  def cardinalitySketch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

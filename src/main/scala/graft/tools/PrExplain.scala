@@ -2,11 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Disposable stage-timing probe for partPageRank. */
+/** Stage-timing probe for partPageRank; data dir comes from the CLI
+  * (defaults to the local sf0.1 snapshot). */
 object PrExplain {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local()
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(label + "=" + (System.nanoTime() - t0) / 1e9); r

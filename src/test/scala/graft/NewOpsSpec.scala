@@ -231,6 +231,30 @@ class NewOpsSpec extends SparkSpec {
     assert(out.head.contains("\"id\":1") && out.head.contains("\"amount\":10.5"))
   }
 
+  test("serve auth seam: bad token 401s before any read, good token serves") {
+    import org.apache.spark.sql.types._
+    import graft.connect.Serve
+    val root = java.nio.file.Files.createTempDirectory("graft_serve_auth")
+    val date = java.time.LocalDate.of(2024, 12, 5)
+    val day = root.resolve("20241205")
+    java.nio.file.Files.createDirectories(day)
+    java.nio.file.Files.writeString(day.resolve("sales_20241205.csv"),
+      "id,amount\n1,10.5\n")
+    val contract = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val now = 1700000000L
+    val verifier = Serve.hs256Verifier("s3cret", () => now)
+    val good = Serve.issueToken("s3cret", "svc-reader", now + 3600)
+    val expired = Serve.issueToken("s3cret", "svc-reader", now - 1)
+    val forged = Serve.issueToken("wrong-key", "svc-reader", now + 3600)
+    def serve(tok: String) = Serve.records(spark, root.toString, "sales",
+      date, contract, token = tok, tokenVerifier = verifier)
+    assert(serve(good).length == 1)
+    intercept[Serve.Unauthorized](serve(expired))
+    intercept[Serve.Unauthorized](serve(forged))
+    intercept[Serve.Unauthorized](serve("not-a-token"))
+  }
+
   test("csv readWithRejects routes malformed rows with their raw text") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_rejects")

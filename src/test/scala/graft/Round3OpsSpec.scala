@@ -133,12 +133,10 @@ class Round3OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("batch columns"))
   }
 
-  test("approx user cardinality is within 5% of exact") {
-    val exact = graft.core.Tables.events(spark, sf)
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Olap.cardinalityProfile(spark, sf).collect().foreach { row =>
+  test("HLL sketch user cardinality is within 5% of the exact profile") {
+    val exact = Olap.cardinalityProfile(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    Olap.cardinalitySketch(spark, sf).collect().foreach { row =>
       val e = exact(row.getString(0)).toDouble
       val a = row.getLong(2).toDouble
       assert(math.abs(a - e) / e < 0.05, s"${row.getString(0)}: approx $a vs exact $e")

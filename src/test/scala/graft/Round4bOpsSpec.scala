@@ -327,12 +327,23 @@ class Round4bOpsSpec extends SparkSpec {
   }
 
   // --------------------------------------------------- heavy hitters
-  test("heavyHitters: CMS estimates bound the exact counts and keep order") {
+  test("heavyHitters: exact verified counts equal the true top-5") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val want = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(5)
+    val got = graft.ops.Sketches.heavyHittersQuery(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("heavyHittersEstimate: CMS estimates bound the exact counts and keep order") {
     val ev = graft.core.Tables.events(spark, sf)
     val exact = ev.groupBy("event_type").count()
       .as[(String, Long)].collect().toMap
     val n = exact.values.sum
-    val got = graft.ops.Sketches.heavyHittersQuery(spark, sf)
+    val got = graft.ops.Sketches
+      .heavyHittersEstimate(ev, col("event_type"))
       .as[(String, Long)].collect()
     assert(got.nonEmpty && got.length <= 5)
     got.foreach { case (k, est) =>

@@ -83,4 +83,56 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
     assert(pairs.distinct.length == pairs.length)
   }
+
+  test("jaccard df-cap: dropped mass is counted, capped pairs stay a subset") {
+    import spark.implicits._
+    // every doc opens with the SAME 3 tokens (one ubiquitous shingle,
+    // df = 12); docs 1 and 2 are fully identical 20-token texts, all
+    // other docs have unique tails
+    val common = "alpha beta gamma"
+    val dupTail = (1 to 17).map(j => s"w$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"$common $dupTail"), (2L, s"$common $dupTail")) ++
+      (3L to 12L).map(i => (i, s"$common " + (1 to 17).map(j => s"u${i}x$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    try {
+      // uncapped (maxDf = MaxValue) is the exact result: only (1,2) at 1.0
+      val exact = Dedup.jaccardPairsCapped(spark, df, Int.MaxValue)
+      assert(exact.pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq == Seq((1L, 2L, 1.0)))
+      val exactMass = exact.droppedMass.head()
+      assert(exactMass.getLong(0) == 0L && exactMass.getLong(1) == 0L)
+
+      // cap at df <= 5: the ubiquitous shingle is dropped and REPORTED
+      val capped = Dedup.jaccardPairsCapped(spark, df, maxDf = 5)
+      val mass = capped.droppedMass.head()
+      assert(mass.getLong(0) == 1L, "one stop-shingle dropped")
+      assert(mass.getLong(1) == 12L, "its 12 postings counted as dropped mass")
+      assert(mass.getLong(2) == exactMass.getLong(2), "total postings unchanged")
+      // capped jaccard underestimates: (1,2) loses the dropped shingle
+      // (17/19 ~ 0.8947, still over threshold) and no new pair appears
+      val got = capped.pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((1L, 2L, 0.894737)))
+    } finally graft.core.Caches.release(spark)
+  }
+
+  private def messageChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("globalCumsum rejects null and fractional values loudly") {
+    import spark.implicits._
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("v")
+      .withColumn("k", col("v"))
+    val e1 = intercept[Exception] {
+      graft.ops.Rnk.globalCumsum(withNull, Seq(col("k")), col("v")).collect()
+    }
+    assert(messageChain(e1).contains("globalCumsum"), messageChain(e1))
+    val fractional = Seq(1.0, 2.5).toDF("v").withColumn("k", col("v"))
+    val e2 = intercept[Exception] {
+      graft.ops.Rnk.globalCumsum(fractional, Seq(col("k")), col("v")).collect()
+    }
+    assert(messageChain(e2).contains("globalCumsum"), messageChain(e2))
+    graft.core.Caches.release(spark)
+  }
 }
