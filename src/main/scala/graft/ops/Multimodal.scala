@@ -17,12 +17,16 @@ final case class MediaFeatures(doc_id: Long, media_type: String,
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-wise batches.
   *
-  * The actual media decode (JPEG/PNG/FLAC/H.264) is STUBBED — this
-  * container has no codec libraries — behind the [[Decoder]] trait with a
-  * deterministic fake. Everything Spark-side is real and tested: the
-  * schema, the binary column handling, the partition-batched execution
-  * shape (the Scala analog of `mapInPandas`: one [[Decoder]] instance per
-  * partition, rows processed in bounded batches), and the
+  * The decode seam runs at two depths. The HEADER layer is REAL:
+  * [[imageDecodeQuery]] synthesizes genuine PNG/BMP payloads per row and
+  * [[graft.functions.ImageCodec]] parses width/height/channels back out
+  * of the container bytes (oracle-gated — the driver's DuckDB check
+  * verifies the decoded values). The PIXEL layer (full JPEG/FLAC/H.264
+  * decode) stays stubbed behind the [[Decoder]] trait — this container
+  * has no codec libraries — but everything Spark-side is real and
+  * tested: the schema, the binary column handling, the partition-batched
+  * execution shape (the Scala analog of `mapInPandas`: one [[Decoder]]
+  * instance per partition, rows processed in bounded batches), and the
   * expression-based fast path for features that don't need a codec.
   *
   * Scale notes: payloads dominate row size, so feature extraction
@@ -155,6 +159,67 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).as[Media]
   }
+
+  // ------------------------------------------------ real byte decode
+
+  /** One decoded image row per document. */
+  final case class ImageRow(doc_id: Long, format: String, width: Int,
+                            height: Int, channels: Int)
+
+  /** Synthesize GENUINE image payloads, one per document: even doc_ids
+    * get a real PNG (CRC'd chunks, zlib IDAT), odd ones a real 24-bit
+    * BMP; dimensions derive from doc_id so the oracle can state them in
+    * SQL. Payload bytes are built per-partition — no driver loop, no
+    * shuffle; at 100 TB this is the same shape as reading
+    * `binaryFile`-format media then decoding. */
+  def imagePayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 64 + 16).toInt
+          val h = (id % 48 + 16).toInt
+          val (r, g, b) = ((id * 7 % 256).toByte, (id * 13 % 256).toByte,
+                           (id * 31 % 256).toByte)
+          val bytes =
+            if (id % 2 == 0) graft.functions.ImageCodec.writePng(w, h, r, g, b)
+            else graft.functions.ImageCodec.writeBmp(w, h, r, g, b)
+          (id, bytes)
+        }
+      }
+  }
+
+  /** Partition-batched byte-level decode through [[graft.functions.ImageCodec]]:
+    * the REAL header parse (magic detection, chunk/segment walk) over
+    * actual binary payloads. Undecodable payloads are dropped here;
+    * production routes them to a rejects sink instead. */
+  def decodeImageMeta(payloads: Dataset[(Long, Array[Byte])],
+                      batchSize: Int = 64): Dataset[ImageRow] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+        graft.functions.ImageCodec.decode(bytes).map(m =>
+          ImageRow(id, m.format, m.width, m.height, m.channels))
+      })
+    }
+  }
+
+  /** Oracle-gated end-to-end proof of the decode seam: synthesize real
+    * container bytes, parse them back at the byte level, emit the
+    * decoded metadata. The oracle recomputes the expected values from
+    * the doc_id formulas — a wrong parser (endianness, offset, channel
+    * mapping) fails the hash compare. */
+  def imageDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeImageMeta(imagePayloads(spark, dir)).toDF()
+
+  val imageDecodeOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+      |       CAST(doc_id % 64 + 16 AS INT) AS width,
+      |       CAST(doc_id % 48 + 16 AS INT) AS height,
+      |       3 AS channels
+      |FROM documents
+      |""".stripMargin
 
   /** Oracle works on the text side: payloads are exactly the UTF-8 text
     * bytes, and DuckDB's md5/hex of a VARCHAR hash its UTF-8 bytes — same

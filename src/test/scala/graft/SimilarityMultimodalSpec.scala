@@ -90,4 +90,67 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(types == Set("image", "audio", "video"))
   }
+
+  // ------------------------------------------- real byte-level decode
+  import graft.functions.ImageCodec
+
+  private def imageIoBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, 0x336699)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
+  test("ImageCodec decodes REAL payloads written by an independent encoder (ImageIO)") {
+    val png = ImageCodec.decode(imageIoBytes("png", 20, 10))
+    assert(png.contains(ImageCodec.ImageMeta("png", 20, 10, 3)))
+    val jpg = ImageCodec.decode(imageIoBytes("jpg", 33, 17))
+    assert(jpg.contains(ImageCodec.ImageMeta("jpeg", 33, 17, 3)))
+    val gif = ImageCodec.decode(imageIoBytes("gif", 5, 9))
+    assert(gif.contains(ImageCodec.ImageMeta("gif", 5, 9, 3)))
+    val bmp = ImageCodec.decode(imageIoBytes("bmp", 12, 8))
+    assert(bmp.contains(ImageCodec.ImageMeta("bmp", 12, 8, 3)))
+  }
+
+  test("ImageCodec.writePng round-trips through an independent decoder (ImageIO)") {
+    val bytes = ImageCodec.writePng(21, 13, 10.toByte, 200.toByte, 77.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode our PNG bytes")
+    assert(img.getWidth == 21 && img.getHeight == 13)
+    // pixel content survives: solid fill (10, 200, 77)
+    assert((img.getRGB(5, 5) & 0xffffff) == ((10 << 16) | (200 << 8) | 77))
+    // and our own header parse agrees
+    assert(ImageCodec.decode(bytes).contains(ImageCodec.ImageMeta("png", 21, 13, 3)))
+  }
+
+  test("ImageCodec.writeBmp round-trips through ImageIO and our parser") {
+    val bytes = ImageCodec.writeBmp(9, 6, 1.toByte, 2.toByte, 3.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 9 && img.getHeight == 6)
+    assert((img.getRGB(4, 3) & 0xffffff) == ((1 << 16) | (2 << 8) | 3))
+    assert(ImageCodec.decode(bytes).contains(ImageCodec.ImageMeta("bmp", 9, 6, 3)))
+  }
+
+  test("ImageCodec rejects corrupt or foreign payloads instead of throwing") {
+    assert(ImageCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageCodec.decode("not an image at all".getBytes("UTF-8")).isEmpty)
+    val truncated = ImageCodec.writePng(8, 8, 0, 0, 0).take(20)
+    assert(ImageCodec.decode(truncated).isEmpty)
+    // JPEG SOI with EOI immediately after: no frame header
+    assert(ImageCodec.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
+  test("imageDecodeQuery: decoded metadata matches the generator formulas") {
+    val rows = Multimodal.imageDecodeQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == (if (id % 2 == 0) "png" else "bmp"))
+      assert(r.getInt(2) == (id % 64 + 16).toInt)
+      assert(r.getInt(3) == (id % 48 + 16).toInt)
+      assert(r.getInt(4) == 3)
+    }
+  }
 }
