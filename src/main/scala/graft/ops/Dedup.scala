@@ -365,6 +365,54 @@ object Dedup {
        |FROM st
        |""".stripMargin
 
+  // ---------------------------------------------------------- split leakage
+  private val LeakTrainPct = 0.8
+  private val LeakValidPct = 0.2
+
+  /** Cross-split LEAKAGE audit: near-duplicate pairs that straddle the
+    * deterministic train/valid hash split — validation documents whose
+    * content also sits (near-verbatim) in the training cut. Exact-dedup
+    * pipelines run WITHIN splits; this is the between-splits check that
+    * catches evaluation contamination (the benchmark-decontamination
+    * problem applied to the corpus's own held-out set).
+    *
+    * Composition of two already-gated parts: [[jaccardPairs]] (exact
+    * inverted-index near-dups) and [[Sampling.split]] (hash split — the
+    * same derivation the sampling oracle pins). Pairs are few relative to
+    * the corpus, so the two assignment joins are linear; at 100 TB the
+    * pair side comes from the LSH path instead ([[minhashLsh]] has the
+    * same output shape — swap-in, one line). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val assign = docs(spark, dir).select(col("doc_id"),
+      Sampling.split(col("doc_id"), LeakTrainPct, LeakValidPct).as("split"))
+    jaccardPairs(spark, dir)
+      .join(assign.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(assign.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .select(
+        when(col("sa.split") === "valid", col("doc_a"))
+          .otherwise(col("doc_b")).as("valid_doc"),
+        when(col("sa.split") === "valid", col("doc_b"))
+          .otherwise(col("doc_a")).as("train_doc"),
+        col("jaccard"))
+  }
+
+  val splitLeakageOracle: String =
+    s"""WITH pairs AS ($jaccardPairsOracle),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 10000
+       |                   < ${(LeakTrainPct * 10000).toLong} THEN 'train' ELSE 'valid' END AS split
+       |  FROM documents)
+       |SELECT CASE WHEN sa.split = 'valid' THEN p.doc_a ELSE p.doc_b END AS valid_doc,
+       |       CASE WHEN sa.split = 'valid' THEN p.doc_b ELSE p.doc_a END AS train_doc,
+       |       p.jaccard
+       |FROM pairs p
+       |JOIN s sa ON p.doc_a = sa.doc_id
+       |JOIN s sb ON p.doc_b = sb.doc_id
+       |WHERE sa.split <> sb.split
+       |""".stripMargin
+
   // ------------------------------------------------------------- clustering
   /** Near-duplicate CLUSTERS from the pair graph: connected components by
     * iterative min-label propagation, `cluster_id` = smallest doc_id in

@@ -33,6 +33,50 @@ object Jnr {
     l.join(r, Seq(lk), joinType).drop(lk)
   }
 
+  /** Skew-safe equi-join for big⋈big joins with pathological hot keys,
+    * where broadcast is impossible and AQE's skew split only kicks in
+    * after a partition has already been written oversized. Each LEFT row
+    * gets a deterministic salt in [0, `salts`) hashed from its content;
+    * the RIGHT side is replicated `salts` times; the join key becomes
+    * (keys..., salt) — a hot key's rows spread across `salts` reducers
+    * instead of hammering one. Cost: the right side shuffles `salts`×
+    * (choose the SMALLER side as `right`). The result is EXACTLY the
+    * plain inner join — oracle-gated by [[saltedJoinOracle]] and
+    * property-tested for several salt counts. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(typedlit(List.range(0, salts))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Oracle query for [[saltedJoin]]: revenue by order priority through a
+    * salted lineitem⋈orders join (hinted to SortMergeJoin so the salt is
+    * actually load-bearing — a broadcast would hide it). Exact decimal
+    * per-row money casts keep the sum reduction-order-free. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast("decimal(18,6)").as("rev"))
+    val ord = graft.core.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(li, ord.hint("merge"), Seq("l_orderkey"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  val saltedJoinOracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |""".stripMargin
+
   /** Rows in `src` whose key is absent from `tgt` — the reference expresses
     * this as outer-join + null filter (reference: Raptor.py:619-624); native
     * left_anti avoids materializing the null side. */
