@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * combinatorially instead of scaling linearly. Embeddings keep their
   * vectors (vec_id shifted) — embedding-similarity queries are NOT part
   * of the scale suite because identical vectors across replicas would
-  * likewise inflate near-dup pairs. `events` is omitted (stream-table
-  * queries are not in the scale suite; its nanos-typed ts does not
-  * round-trip through a plain parquet rewrite).
+  * likewise inflate near-dup pairs. `events` replicates with
+  * user_id/event_id strides at unchanged timestamps — 10× traffic
+  * intensity with per-user session structure preserved (ts is read
+  * under nanosAsLong and written as plain int64, which `Tables.events`
+  * consumes identically).
   *
   * Usage: runMain graft.tools.ScaleGen [srcDir] [dstDir] [copies]
   * Defaults: /root/testdata/sf0.1 → /tmp/graft_sf1 × 10.
@@ -34,6 +36,7 @@ object ScaleGen {
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -90,5 +93,10 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long"))))
     write("embeddings", replicate(emb)((d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * vStride))))
+    val ev = read("events")
+    val uStride = stride(ev, "user_id"); val eStride = stride(ev, "event_id")
+    write("events", replicate(ev)((d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * eStride))
+        .withColumn("user_id", col("user_id") + lit(i * uStride))))
   }
 }
