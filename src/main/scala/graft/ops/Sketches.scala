@@ -104,6 +104,54 @@ object Sketches {
       .toSeq.toDF("key", "est")
   }
 
+  // --------------------------------------------------- mergeable summaries
+
+  /** One Misra-Gries(m) summary per partition, merged driver-side with
+    * [[mgMerge]] into a single capacity-m summary for the whole frame.
+    * Driver traffic is partitions × m counters — state, not data. The
+    * result satisfies the MG bound: for every key,
+    * `count(k) − N/m ≤ summary(k) ≤ count(k)` (absent keys read 0). */
+  def mgSummary(df: DataFrame, key: Column, m: Int): Map[String, Long] = {
+    require(m >= 1, s"Misra-Gries capacity must be >= 1, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("string").as("k")).na.drop().as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { s =>
+          counters.get(s) match {
+            case Some(c) => counters.update(s, c + 1L)
+            case None if counters.size < m => counters.update(s, 1L)
+            case None =>
+              val dead = List.newBuilder[String]
+              counters.foreach { case (k, c) =>
+                if (c == 1L) dead += k else counters.update(k, c - 1L)
+              }
+              dead.result().foreach(counters.remove)
+          }
+        }
+        Iterator.single(counters.toMap)
+      }.collect().foldLeft(Map.empty[String, Long])(mgMerge(_, _, m))
+  }
+
+  /** Merge two Misra-Gries summaries into one of capacity `m` (the
+    * mergeable-summaries construction — Agarwal et al., PODS'12): sum
+    * counters keywise, then subtract the (m+1)-th largest counter from
+    * every key and drop the non-positive. The 1/m error bound holds for
+    * the COMBINED stream, so unboundedly many merges keep bounded state
+    * with a known guarantee — the streaming heavy-hitter state shape
+    * (one summary per micro-batch folded into a running summary). */
+  def mgMerge(a: Map[String, Long], b: Map[String, Long], m: Int): Map[String, Long] = {
+    val summed = (a.keySet ++ b.keySet).iterator
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    if (summed.size <= m) summed
+    else {
+      val cut = summed.values.toIndexedSeq.sorted(Ordering[Long].reverse)(m)
+      summed.iterator.map { case (k, c) => k -> (c - cut) }
+        .filter(_._2 > 0L).toMap
+    }
+  }
+
   /** Oracle-gated query: top event types by EXACT verified count (the
     * candidate set comes from the sound Misra-Gries nomination; the
     * count is a real aggregate over the nominated keys). */

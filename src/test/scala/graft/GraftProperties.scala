@@ -171,4 +171,46 @@ object GraftProperties extends Properties("graft") {
       val b = keys(rows.reverse.toDF("k", "s"))
       a == b && a.subsetOf(rows.toSet) && a.forall(_._2 != "c")
     }
+
+  // Misra-Gries nomination guarantee: for ANY data, capacity, and
+  // partitioning, every key whose global count exceeds N/m is nominated
+  property("MG nomination covers every key with count > N/m, any partitioning") = {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      keys <- Gen.chooseNum(5, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 15))) // few distinct keys => real heavies
+      m <- Gen.chooseNum(2, 12)
+      parts <- Gen.chooseNum(1, 7)
+    } yield (keys, m, parts)
+    forAll(gen) { case (keys, m, parts) =>
+      val df = keys.map(k => s"k$k").toDF("k").repartition(parts)
+      val cands = graft.ops.Sketches.nominate(df, col("k"), m)
+        .collect().map(_.getString(0)).toSet
+      val n = keys.size.toDouble
+      val counts = keys.groupBy(identity).view.mapValues(_.size).toMap
+      counts.forall { case (k, c) => c <= n / m || cands.contains(s"k$k") }
+    }
+  }
+
+  // salted join is the plain inner join for any data and salt count
+  property("saltedJoin ≡ plain inner join, any salts") = {
+    val gen = for {
+      l <- Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 999))))
+      r <- Gen.chooseNum(0, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 8), Gen.alphaStr.map(_.take(4)))))
+      salts <- Gen.chooseNum(1, 6)
+    } yield (l, r, salts)
+    forAll(gen) { case (l, r, salts) =>
+      val left = l.toDF("k", "lv")
+      val right = r.toDF("k", "rv")
+      val want = left.join(right, Seq("k"))
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getString(2)))
+        .sorted.toSeq
+      val got = Jnr.saltedJoin(left, right, Seq("k"), salts)
+        .collect().map(x => (x.getInt(0), x.getInt(1), x.getString(2)))
+        .sorted.toSeq
+      got == want
+    }
+  }
 }

@@ -62,6 +62,42 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("mgSummary satisfies the MG counter bound on both sides") {
+    val rows = (1 to 20).flatMap(i => Seq.fill(i)(f"k$i%02d"))
+    val n = rows.size // 210
+    val m = 16
+    val s = Sketches.mgSummary(rows.toDF("k").repartition(4), col("k"), m)
+    assert(s.size <= m, "merged summary must respect the capacity")
+    (1 to 20).foreach { i =>
+      val c = i.toLong
+      val est = s.getOrElse(f"k$i%02d", 0L)
+      assert(est <= c, s"MG must never overcount (k$i)")
+      assert(est >= c - n / m - 1, s"undercount beyond N/m (k$i: $est vs $c)")
+    }
+  }
+
+  test("streaming twin: MG summaries folded across micro-batches keep the guarantee") {
+    // heavy keys sliced ROUND-ROBIN across 5 micro-batches — each batch
+    // sees only a fifth of any key, the adversarial case for streaming
+    val all = (1 to 20).flatMap(i => Seq.fill(i)(f"k$i%02d"))
+    val batches = all.zipWithIndex.groupBy(_._2 % 5).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val m = 16
+    var state = Map.empty[String, Long]
+    for (b <- batches)
+      state = Sketches.mgMerge(state,
+        Sketches.mgSummary(b.toDF("k").repartition(3), col("k"), m), m)
+    assert(state.size <= m, "running state stays capacity-bounded")
+    val n = all.size // 210; N/m = 13.125
+    (1 to 20).foreach { i =>
+      val c = i.toLong
+      val est = state.getOrElse(f"k$i%02d", 0L)
+      assert(est <= c, s"merged MG must never overcount (k$i)")
+      if (c > n.toDouble / m)
+        assert(est > 0, s"key with count $c > N/m must survive the merges (k$i)")
+    }
+  }
+
   test("heavyHitters equals the exact top-k on skewed data") {
     val rows = (1 to 60).flatMap(i => Seq.fill(i)(f"k$i%02d"))
     val df = rows.toDF("k").repartition(5)
