@@ -126,6 +126,8 @@ object GraftFunctions {
   val SimHashName = "graft_simhash"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_might_contain"
+  val NfcName = "graft_nfc"
+  val StripAccentsName = "graft_strip_accents"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -181,6 +183,14 @@ object GraftFunctions {
         (exprs: Seq[Expression]) =>
           org.apache.spark.sql.catalyst.expressions
             .BloomFilterMightContain(exprs(0), exprs(1)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        NfcName,
+        (exprs: Seq[Expression]) => NfcNormalize(exprs(0)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        StripAccentsName,
+        (exprs: Seq[Expression]) => StripAccents(exprs(0)),
         "built-in")
     }
   }

@@ -572,4 +572,37 @@ object TextAnalysis {
       |         s -> CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT))) AS shingle_fp
       |FROM sh
       |""".stripMargin
+
+  /** Unicode normalization pass: NFC-compose, collapse whitespace runs,
+    * trim, and accent-fold — the canonical first stage of a mixed-source
+    * corpus pipeline (without it, fingerprints and shingles disagree on
+    * visually identical strings in different composition forms). Runs on
+    * native expressions ([[graft.functions.NfcNormalize]] /
+    * [[graft.functions.StripAccents]]); DuckDB evaluates the same
+    * semantics natively (`nfc_normalize`, `strip_accents`), so the query
+    * is hash-gated. Shuffle-free single scan; `changed` flags rows the
+    * normalization actually rewrote (audit + cheap incremental rerun
+    * filter). The unicode semantics themselves are spec-proven on
+    * non-ASCII fixtures (TextNormSpec) — this corpus is ASCII, where
+    * normalization must be the identity. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.{NfcName, StripAccentsName}
+    Tables.documents(spark, dir)
+      .withColumn("norm",
+        trim(regexp_replace(call_function(NfcName, col("text")), "\\s+", " ")))
+      .select(col("doc_id"), col("norm"),
+        call_function(StripAccentsName, col("norm")).as("ascii_text"),
+        (col("norm") =!= col("text")).cast("int").as("changed"))
+  }
+
+  val normalizeOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, norm, strip_accents(norm) AS ascii_text,
+      |       CAST(norm <> text AS INT) AS changed
+      |FROM t
+      |""".stripMargin
 }
