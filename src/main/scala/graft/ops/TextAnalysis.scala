@@ -581,28 +581,41 @@ object TextAnalysis {
     * [[graft.functions.StripAccents]]); DuckDB evaluates the same
     * semantics natively (`nfc_normalize`, `strip_accents`), so the query
     * is hash-gated. Shuffle-free single scan; `changed` flags rows the
-    * normalization actually rewrote (audit + cheap incremental rerun
-    * filter). The unicode semantics themselves are spec-proven on
-    * non-ASCII fixtures (TextNormSpec) — this corpus is ASCII, where
-    * normalization must be the identity. */
+    * normalization actually rewrote.
+    *
+    * The fixture corpus is pure ASCII (where normalization is the
+    * identity), so the query DIRTIES every row first — appends a
+    * DECOMPOSED accent ("e" + U+0301) and doubled whitespace — making
+    * the oracle verify a real composition rewrite on every row, not a
+    * pass-through (same pattern as the image-decode query: synthesize a
+    * genuine payload, then prove the transform on it). Unicode edge
+    * semantics are additionally spec-proven in TextNormSpec. */
   def normalize(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import graft.functions.GraftFunctions.{NfcName, StripAccentsName}
+    // "  cafe" + combining acute U+0301 (spelled as an escape so the
+    // source encoding cannot pre-compose it): ws-collapse + NFC both
+    // have real work on every row
+    val dirty = concat(col("text"), lit("  cafe\u0301"))
     Tables.documents(spark, dir)
+      .withColumn("dirty", dirty)
       .withColumn("norm",
-        trim(regexp_replace(call_function(NfcName, col("text")), "\\s+", " ")))
+        trim(regexp_replace(call_function(NfcName, col("dirty")), "\\s+", " ")))
       .select(col("doc_id"), col("norm"),
         call_function(StripAccentsName, col("norm")).as("ascii_text"),
-        (col("norm") =!= col("text")).cast("int").as("changed"))
+        (col("norm") =!= col("dirty")).cast("int").as("changed"))
   }
 
   val normalizeOracle: String =
     """WITH t AS (
-      |  SELECT doc_id, text,
-      |         trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm
-      |  FROM documents)
+      |  SELECT doc_id, text || '  cafe' || chr(769) AS dirty
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, dirty,
+      |         trim(regexp_replace(nfc_normalize(dirty), '\s+', ' ', 'g')) AS norm
+      |  FROM t)
       |SELECT doc_id, norm, strip_accents(norm) AS ascii_text,
-      |       CAST(norm <> text AS INT) AS changed
-      |FROM t
+      |       CAST(norm <> dirty AS INT) AS changed
+      |FROM n
       |""".stripMargin
 }

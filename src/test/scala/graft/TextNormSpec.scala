@@ -50,14 +50,18 @@ class TextNormSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
-  test("normalize query: identity on the ASCII corpus, changed flag all zero") {
+  test("normalize query: composition rewrites every dirtied row") {
+    // the query appends "  cafe" + combining acute to each ASCII doc, so
+    // whitespace collapse AND NFC composition have real work on every row
     val rows = graft.ops.TextAnalysis.normalize(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getString(1) == r.getString(2), "ascii fold must be identity here")
+      val norm = r.getString(1); val ascii = r.getString(2)
+      assert(norm.endsWith(" caf\u00e9"), "decomposed suffix must compose")
+      assert(ascii.endsWith(" cafe"), "fold must strip the acute")
+      assert(ascii == graft.functions.StripAccents.fold(norm))
+      assert(r.getInt(3) == 1, "every dirtied row must report changed")
     }
-    // the corpus is single-spaced ASCII: normalization never rewrites
-    assert(rows.forall(_.getInt(3) == 0))
   }
 
   test("normalize pipeline on mixed unicode: whitespace collapse + composition") {
