@@ -221,6 +221,62 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  /** One decoded audio row per document. */
+  final case class AudioRow(doc_id: Long, format: String, sample_rate: Int,
+                            channels: Int, bits: Int, n_samples: Long,
+                            duration_ms: Long)
+
+  /** Synthesize GENUINE PCM WAV payloads, one per document — canonical
+    * RIFF container, real 16-bit samples derived from doc_id — with
+    * stream parameters stated by formula so the oracle can verify the
+    * decoded values in SQL. Same per-partition build shape as
+    * [[imagePayloads]]. */
+  def audioPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val ch = (id % 2 + 1).toInt
+          val n = (id % 50 + 10).toInt
+          val bytes = graft.functions.AudioCodec.writeWav(rate, ch, n,
+            (s, c) => (((id * 31 + s * 7 + c * 13) % 32768)).toShort)
+          (id, bytes)
+        }
+      }
+  }
+
+  /** Partition-batched byte-level WAV decode through
+    * [[graft.functions.AudioCodec]] — the audio twin of
+    * [[decodeImageMeta]]. */
+  def decodeAudioMeta(payloads: Dataset[(Long, Array[Byte])],
+                      batchSize: Int = 64): Dataset[AudioRow] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+        graft.functions.AudioCodec.decode(bytes).map(m =>
+          AudioRow(id, m.format, m.sampleRate, m.channels, m.bitsPerSample,
+                   m.nSamples, m.durationMs))
+      })
+    }
+  }
+
+  /** Oracle-gated end-to-end proof of the AUDIO decode seam: write a
+    * real RIFF/WAV container per row, walk its chunk list back at the
+    * byte level, emit the stream parameters. */
+  def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeAudioMeta(audioPayloads(spark, dir)).toDF()
+
+  val audioDecodeOracle: String =
+    """SELECT doc_id, 'wav' AS format,
+      |       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+      |       CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |       16 AS bits,
+      |       CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+      |       CAST((doc_id % 50 + 10) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms
+      |FROM documents
+      |""".stripMargin
+
   /** Oracle works on the text side: payloads are exactly the UTF-8 text
     * bytes, and DuckDB's md5/hex of a VARCHAR hash its UTF-8 bytes — same
     * values the Spark side computes on binary. */

@@ -142,6 +142,56 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decode(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
   }
 
+  test("AudioCodec.writeWav round-trips through an independent decoder (javax.sound)") {
+    import graft.functions.AudioCodec
+    val bytes = AudioCodec.writeWav(16000, 2, 25, (s, c) => (s * 100 + c).toShort)
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    assert(fmt.getFormat.getSampleRate == 16000f)
+    assert(fmt.getFormat.getChannels == 2)
+    assert(fmt.getFormat.getSampleSizeInBits == 16)
+    assert(fmt.getFrameLength == 25)
+    // and our own parser agrees
+    assert(AudioCodec.decode(bytes).contains(
+      AudioCodec.AudioMeta("wav", 16000, 2, 16, 25L, 25L * 1000 / 16000)))
+  }
+
+  test("AudioCodec decodes a WAV written by an independent encoder (javax.sound)") {
+    import graft.functions.AudioCodec
+    val pcm = new Array[Byte](30 * 2) // 30 mono 16-bit samples
+    val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), af, 30)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(AudioCodec.decode(out.toByteArray).contains(
+      AudioCodec.AudioMeta("wav", 8000, 1, 16, 30L, 30L * 1000 / 8000)))
+  }
+
+  test("AudioCodec rejects corrupt or foreign payloads instead of throwing") {
+    import graft.functions.AudioCodec
+    assert(AudioCodec.decode("RIFFnot really a wav".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.decode(ImageCodec.writePng(4, 4, 0, 0, 0)).isEmpty)
+    val truncated = AudioCodec.writeWav(8000, 1, 10, (_, _) => 0).take(20)
+    assert(AudioCodec.decode(truncated).isEmpty)
+  }
+
+  test("audioDecodeQuery: decoded stream parameters match the generator formulas") {
+    val rows = Multimodal.audioDecodeQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "wav")
+      assert(r.getInt(2) == (8000 + (id % 8) * 1000).toInt)
+      assert(r.getInt(3) == (id % 2 + 1).toInt)
+      assert(r.getInt(4) == 16)
+      assert(r.getLong(5) == id % 50 + 10)
+    }
+  }
+
   test("imageDecodeQuery: decoded metadata matches the generator formulas") {
     val rows = Multimodal.imageDecodeQuery(spark, sf).collect()
     assert(rows.nonEmpty)
