@@ -277,6 +277,70 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  /** One decoded video-frame row per (document, frame). */
+  final case class VideoFrameRow(doc_id: Long, frame_idx: Int, width: Int,
+                                 height: Int, n_frames: Int,
+                                 f_format: String, f_width: Int, f_height: Int)
+
+  /** Synthesize GENUINE AVI containers, one per document: real RIFF
+    * hdrl/avih + movi structure whose frame payloads are themselves real
+    * PNGs ([[graft.functions.ImageCodec.writePng]]) with dimensions
+    * matching the container header. */
+  def videoPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 32 + 8).toInt
+          val h = (id % 24 + 8).toInt
+          val nf = (id % 5 + 2).toInt
+          val frames = (0 until nf).map { i =>
+            graft.functions.ImageCodec.writePng(w, h,
+              ((id * 7 + i) % 256).toByte, ((id * 13 + i) % 256).toByte,
+              ((id * 31 + i) % 256).toByte)
+          }
+          (id, graft.functions.VideoCodec.writeAvi(w, h, 33333, frames))
+        }
+      }
+  }
+
+  /** TWO-LEVEL byte decode: walk each AVI's movi list for the real frame
+    * payloads ([[graft.functions.VideoCodec.frames]]), then parse each
+    * frame's PNG header ([[graft.functions.ImageCodec.decode]]). One row
+    * per frame, carrying container metadata alongside the per-frame
+    * parse — a mismatch at either level breaks the oracle hash. */
+  def decodeVideoFrames(payloads: Dataset[(Long, Array[Byte])],
+                        batchSize: Int = 16): Dataset[VideoFrameRow] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+        graft.functions.VideoCodec.decodeMeta(bytes).toSeq.flatMap { m =>
+          graft.functions.VideoCodec.frames(bytes).zipWithIndex.flatMap {
+            case (f, i) =>
+              graft.functions.ImageCodec.decode(f).map(fm =>
+                VideoFrameRow(id, i, m.width, m.height, m.nFrames,
+                              fm.format, fm.width, fm.height))
+          }
+        }
+      })
+    }
+  }
+
+  def videoDecodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeVideoFrames(videoPayloads(spark, dir)).toDF()
+
+  val videoDecodeOracle: String =
+    """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |       CAST(doc_id % 32 + 8 AS INT) AS width,
+      |       CAST(doc_id % 24 + 8 AS INT) AS height,
+      |       CAST(doc_id % 5 + 2 AS INT) AS n_frames,
+      |       'png' AS f_format,
+      |       CAST(doc_id % 32 + 8 AS INT) AS f_width,
+      |       CAST(doc_id % 24 + 8 AS INT) AS f_height
+      |FROM documents,
+      |     unnest(generate_series(0, CAST(doc_id % 5 + 1 AS INT))) t(i)
+      |""".stripMargin
+
   /** Oracle works on the text side: payloads are exactly the UTF-8 text
     * bytes, and DuckDB's md5/hex of a VARCHAR hash its UTF-8 bytes — same
     * values the Spark side computes on binary. */

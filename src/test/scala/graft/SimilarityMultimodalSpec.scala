@@ -192,6 +192,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("VideoCodec: writeAvi round-trips meta and yields the exact frame payloads") {
+    import graft.functions.VideoCodec
+    val f0 = Array[Byte](1, 2, 3)
+    val f1 = Array[Byte](9, 8, 7, 6) // even/odd sizes exercise word padding
+    val bytes = VideoCodec.writeAvi(320, 240, 40000, Seq(f0, f1))
+    assert(VideoCodec.decodeMeta(bytes).contains(
+      VideoCodec.VideoMeta("avi", 320, 240, 40000, 2)))
+    val fs = VideoCodec.frames(bytes)
+    assert(fs.length == 2)
+    assert(fs(0).sameElements(f0) && fs(1).sameElements(f1))
+  }
+
+  test("VideoCodec rejects corrupt or foreign payloads instead of throwing") {
+    import graft.functions.{AudioCodec, VideoCodec}
+    assert(VideoCodec.decodeMeta("RIFFxxxxWAVE".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decodeMeta(Array[Byte](1, 2)).isEmpty)
+    // a WAV is RIFF but not AVI; an AVI is RIFF but not WAV
+    val wav = AudioCodec.writeWav(8000, 1, 4, (_, _) => 0)
+    assert(VideoCodec.decodeMeta(wav).isEmpty)
+    val avi = VideoCodec.writeAvi(8, 8, 1000, Seq(Array[Byte](1)))
+    assert(AudioCodec.decode(avi).isEmpty)
+    assert(VideoCodec.frames(wav).isEmpty)
+  }
+
+  test("videoDecodeQuery: two-level decode matches the generator formulas") {
+    val rows = Multimodal.videoDecodeQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, frames) =>
+      assert(frames.length == (id % 5 + 2).toInt, "one row per container frame")
+      frames.foreach { r =>
+        assert(r.getInt(2) == (id % 32 + 8).toInt) // container width
+        assert(r.getInt(6) == (id % 32 + 8).toInt) // frame-level PNG width agrees
+        assert(r.getInt(3) == (id % 24 + 8).toInt)
+        assert(r.getInt(7) == (id % 24 + 8).toInt)
+        assert(r.getString(5) == "png")
+      }
+    }
+  }
+
   test("imageDecodeQuery: decoded metadata matches the generator formulas") {
     val rows = Multimodal.imageDecodeQuery(spark, sf).collect()
     assert(rows.nonEmpty)
