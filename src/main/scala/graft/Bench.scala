@@ -17,8 +17,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // exclusion twin of ONLY (both contains-match): lets scale runs drop
+    // query families whose fixtures are invalid at that scale (e.g. the
+    // ScaleGen corpus replicates embedding vectors as exact clones, so
+    // embedding-similarity pair counts there model nothing real)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .filter { case (n, _) => !skip.exists(_.exists(n.contains)) }
     // warm the JVM/codegen/file-index paths so the first timed query does
     // not absorb session startup: shuffle machinery, every table's parquet
     // footer, and the text-function/md5/shingle codegen the corpus queries
