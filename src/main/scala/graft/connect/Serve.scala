@@ -57,10 +57,20 @@ object Serve {
   }
 
   /** Issue an HS256 token carrying (sub, exp-epoch-seconds) — the shape
-    * of the reference's `create_access_token` (`Fastapi/utils.py:34-66`). */
+    * of the reference's `create_access_token` (`Fastapi/utils.py:34-66`).
+    * The subject is JSON-escaped: without it an attacker-influenced
+    * subject like `x","exp":99999999999` would inject an earlier exp
+    * claim that the verifier's first-match extraction honors, extending
+    * the token's lifetime arbitrarily. */
   def issueToken(secret: String, subject: String, expEpochSec: Long): String = {
+    val sub = subject.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val header = b64url("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
-    val payload = b64url(s"""{"sub":"$subject","exp":$expEpochSec}""".getBytes("UTF-8"))
+    val payload = b64url(s"""{"sub":"$sub","exp":$expEpochSec}""".getBytes("UTF-8"))
     s"$header.$payload." + b64url(hmac(secret, s"$header.$payload"))
   }
 

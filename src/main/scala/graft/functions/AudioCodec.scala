@@ -28,29 +28,34 @@ object AudioCodec {
 
   /** Walk the RIFF chunk list for `fmt ` and `data`. Returns None on
     * anything that is not a well-formed PCM WAV — callers route those to
-    * a rejects side-channel. */
+    * a rejects side-channel. The walk treats chunk sizes as UNSIGNED and
+    * advances through a Long cursor, so a hostile size field (e.g.
+    * 0xFFFFFFF8, which as a signed int would step the cursor by zero or
+    * backwards) terminates the loop instead of spinning a task forever. */
   def decode(b: Array[Byte]): Option[AudioMeta] =
     try {
       if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-      var i = 12
+      var i = 12L
       var rate = 0; var ch = 0; var bits = 0; var dataLen = -1L
       while (i + 8 <= b.length) {
-        val id = tag(b, i); val size = le32(b, i + 4).toLong & 0xffffffffL
+        val at = i.toInt
+        val id = tag(b, at); val size = le32(b, at + 4).toLong & 0xffffffffL
         id match {
           case "fmt " =>
-            if (le16(b, i + 8) != 1) return None // PCM only
-            ch = le16(b, i + 10); rate = le32(b, i + 12); bits = le16(b, i + 22)
+            if (le16(b, at + 8) != 1) return None // PCM only
+            ch = le16(b, at + 10); rate = le32(b, at + 12); bits = le16(b, at + 22)
           case "data" => dataLen = math.min(size, (b.length - i - 8).toLong)
           case _ => ()
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        i += 8L + size + (size & 1L) // chunks are word-aligned; always > i
       }
-      if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+      val block = ch * bits / 8
+      if (rate <= 0 || ch <= 0 || bits <= 0 || block <= 0 || dataLen < 0) None
       else {
-        val n = dataLen / (ch * bits / 8)
+        val n = dataLen / block
         Some(AudioMeta("wav", rate, ch, bits, n, n * 1000L / rate))
       }
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+    } catch { case _: IndexOutOfBoundsException => None }
 
   /** Write a real PCM WAV container: canonical 44-byte header + 16-bit
     * little-endian samples from `sample(i, channel)`. */

@@ -47,7 +47,7 @@ object ImageCodec {
       else if (bytes.length >= 30 && bytes(0) == 'B' && bytes(1) == 'M')
         decodeBmp(bytes)
       else None
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+    } catch { case _: IndexOutOfBoundsException => None }
 
   /** PNG: the first chunk after the 8-byte signature MUST be IHDR
     * (length 13): width/height as big-endian u32, then bit depth and

@@ -30,17 +30,21 @@ object VideoCodec {
   private def isAvi(b: Array[Byte]): Boolean =
     b.length >= 24 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
 
-  /** Parse the `avih` main header out of the `hdrl` list. */
+  /** Parse the `avih` main header out of the `hdrl` list. Chunk sizes
+    * are treated as UNSIGNED through a Long cursor so a hostile size
+    * field cannot step the walk by zero or backwards (infinite loop). */
   def decodeMeta(b: Array[Byte]): Option[VideoMeta] =
     try {
       if (!isAvi(b)) return None
-      var i = 12
+      var i = 12L
       while (i + 8 <= b.length) {
-        val id = tag(b, i); val size = le32(b, i + 4)
-        if (id == "LIST" && i + 12 <= b.length && tag(b, i + 8) == "hdrl") {
-          // first subchunk must be avih (56 bytes of fields)
-          val a = i + 12
-          if (tag(b, a) != "avih" || a + 64 > b.length) return None
+        val at = i.toInt
+        val id = tag(b, at); val size = le32(b, at + 4).toLong & 0xffffffffL
+        if (id == "LIST" && i + 12 <= b.length && tag(b, at + 8) == "hdrl") {
+          // first subchunk must be avih (56 bytes of fields); bounds
+          // BEFORE the tag read, so a truncated hdrl is a None, not a throw
+          val a = at + 12
+          if (a + 64 > b.length || tag(b, a) != "avih") return None
           val usPerFrame = le32(b, a + 8)
           val nFrames = le32(b, a + 24)
           val width = le32(b, a + 40)
@@ -49,34 +53,37 @@ object VideoCodec {
             Some(VideoMeta("avi", width, height, usPerFrame, nFrames))
           else None
         }
-        i += 8 + size + (size & 1)
+        i += 8L + size + (size & 1L)
       }
       None
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+    } catch { case _: IndexOutOfBoundsException => None }
 
   /** Walk the `movi` list and return the raw payload of every video
-    * frame chunk (`00dc`/`00db`), in stream order. */
+    * frame chunk (`00dc`/`00db`), in stream order. Same unsigned-size
+    * discipline as [[decodeMeta]]. */
   def frames(b: Array[Byte]): Seq[Array[Byte]] =
     try {
       if (!isAvi(b)) return Seq.empty
       val out = ArrayBuffer.empty[Array[Byte]]
-      var i = 12
+      var i = 12L
       while (i + 8 <= b.length) {
-        val id = tag(b, i); val size = le32(b, i + 4)
-        if (id == "LIST" && i + 12 <= b.length && tag(b, i + 8) == "movi") {
-          var j = i + 12
-          val end = math.min(i + 8 + size, b.length)
+        val at = i.toInt
+        val id = tag(b, at); val size = le32(b, at + 4).toLong & 0xffffffffL
+        if (id == "LIST" && i + 12 <= b.length && tag(b, at + 8) == "movi") {
+          var j = at + 12L
+          val end = math.min(i + 8L + size, b.length.toLong)
           while (j + 8 <= end) {
-            val cid = tag(b, j); val csize = le32(b, j + 4)
+            val jat = j.toInt
+            val cid = tag(b, jat); val csize = le32(b, jat + 4).toLong & 0xffffffffL
             if ((cid == "00dc" || cid == "00db") && j + 8 + csize <= end)
-              out += java.util.Arrays.copyOfRange(b, j + 8, j + 8 + csize)
-            j += 8 + csize + (csize & 1)
+              out += java.util.Arrays.copyOfRange(b, jat + 8, (j + 8 + csize).toInt)
+            j += 8L + csize + (csize & 1L)
           }
         }
-        i += 8 + size + (size & 1)
+        i += 8L + size + (size & 1L)
       }
       out.toSeq
-    } catch { case _: ArrayIndexOutOfBoundsException => Seq.empty }
+    } catch { case _: IndexOutOfBoundsException => Seq.empty }
 
   /** Write a minimal structurally-valid AVI: RIFF(AVI ) { LIST(hdrl){
     * avih, LIST(strl){ strh(vids/MJPG), strf(BITMAPINFOHEADER) } },

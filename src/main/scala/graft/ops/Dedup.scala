@@ -143,9 +143,7 @@ object Dedup {
 
   /** Per-doc shingle set (as an aggregated attribute) and its size. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    explodedShingles(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("h")).as("sgl"), count(lit(1)).as("n"))
+    docShinglesOf(spark, docs(spark, dir))
 
   /** Same, over an arbitrary (doc_id, text) frame. */
   private def docShinglesOf(spark: SparkSession, d: DataFrame): DataFrame =

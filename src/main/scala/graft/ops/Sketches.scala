@@ -39,29 +39,35 @@ object Sketches {
     * exceeds N/m, regardless of how rows are partitioned. Output size is
     * at most numPartitions × m rows (driver never sees the data — the
     * result stays distributed for the verification join). */
+  /** The Misra-Gries counter core shared by [[nominate]] and
+    * [[mgSummary]]: at most `m` counters; a full table decrements all
+    * (O(m) per trigger, amortized O(1)/row — each decrement retires m
+    * prior increments). */
+  private def mgCounters(it: Iterator[String],
+                         m: Int): scala.collection.mutable.HashMap[String, Long] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { s =>
+      counters.get(s) match {
+        case Some(c) => counters.update(s, c + 1L)
+        case None if counters.size < m => counters.update(s, 1L)
+        case None =>
+          val dead = List.newBuilder[String]
+          counters.foreach { case (k, c) =>
+            if (c == 1L) dead += k else counters.update(k, c - 1L)
+          }
+          dead.result().foreach(counters.remove)
+      }
+    }
+    counters
+  }
+
   def nominate(df: DataFrame, key: Column, m: Int): DataFrame = {
     require(m >= 1, s"Misra-Gries capacity must be >= 1, got $m")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(key.cast("string").as("k")).na.drop().as[String]
-      .mapPartitions { it =>
-        val counters = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { s =>
-          counters.get(s) match {
-            case Some(c) => counters.update(s, c + 1L)
-            case None if counters.size < m => counters.update(s, 1L)
-            case None =>
-              // decrement-all step: O(m), amortized O(1)/row (each
-              // decrement retires m prior increments)
-              val dead = List.newBuilder[String]
-              counters.foreach { case (k, c) =>
-                if (c == 1L) dead += k else counters.update(k, c - 1L)
-              }
-              dead.result().foreach(counters.remove)
-          }
-        }
-        counters.keysIterator
-      }.toDF("k").distinct()
+      .mapPartitions(it => mgCounters(it, m).keysIterator)
+      .toDF("k").distinct()
   }
 
   /** Top-`k` keys by EXACT count, found without a full-keyspace shuffle:
@@ -116,22 +122,8 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(key.cast("string").as("k")).na.drop().as[String]
-      .mapPartitions { it =>
-        val counters = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { s =>
-          counters.get(s) match {
-            case Some(c) => counters.update(s, c + 1L)
-            case None if counters.size < m => counters.update(s, 1L)
-            case None =>
-              val dead = List.newBuilder[String]
-              counters.foreach { case (k, c) =>
-                if (c == 1L) dead += k else counters.update(k, c - 1L)
-              }
-              dead.result().foreach(counters.remove)
-          }
-        }
-        Iterator.single(counters.toMap)
-      }.collect().foldLeft(Map.empty[String, Long])(mgMerge(_, _, m))
+      .mapPartitions(it => Iterator.single(mgCounters(it, m).toMap))
+      .collect().foldLeft(Map.empty[String, Long])(mgMerge(_, _, m))
   }
 
   /** Merge two Misra-Gries summaries into one of capacity `m` (the

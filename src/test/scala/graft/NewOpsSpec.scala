@@ -253,6 +253,14 @@ class NewOpsSpec extends SparkSpec {
     intercept[Serve.Unauthorized](serve(expired))
     intercept[Serve.Unauthorized](serve(forged))
     intercept[Serve.Unauthorized](serve("not-a-token"))
+    // exp-claim injection: a subject crafted to smuggle a far-future exp
+    // into the payload must NOT resurrect an expired token (the issuer
+    // JSON-escapes the subject, so the injected text stays a string)
+    val evil = "x\",\"exp\":99999999999"
+    intercept[Serve.Unauthorized](
+      serve(Serve.issueToken("s3cret", evil, now - 1)))
+    // and a benign token for the same weird subject still round-trips
+    assert(serve(Serve.issueToken("s3cret", evil, now + 3600)).length == 1)
   }
 
   test("csv readWithRejects routes malformed rows with their raw text") {

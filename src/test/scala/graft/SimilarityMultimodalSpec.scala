@@ -216,6 +216,36 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoCodec.frames(wav).isEmpty)
   }
 
+  test("RIFF walkers terminate on hostile chunk sizes (no hang, no throw)") {
+    import graft.functions.{AudioCodec, VideoCodec}
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
+                             (v >>> 24).toByte)
+    def riff(kind: String, chunks: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+        kind.getBytes("US-ASCII") ++ chunks
+    // 0xFFFFFFF8 as a signed-int size would advance the cursor by ZERO —
+    // the pre-fix walkers spun forever here; padding keeps length >= 44
+    val hostile = "JUNK".getBytes("US-ASCII") ++ le32(0xFFFFFFF8) ++
+      new Array[Byte](40)
+    assert(AudioCodec.decode(riff("WAVE", hostile)).isEmpty)
+    assert(VideoCodec.decodeMeta(riff("AVI ", hostile)).isEmpty)
+    assert(VideoCodec.frames(riff("AVI ", hostile)).isEmpty)
+    // negative-but-small size would have stepped BACKWARDS pre-fix
+    val backwards = "JUNK".getBytes("US-ASCII") ++ le32(-16) ++
+      new Array[Byte](40)
+    assert(AudioCodec.decode(riff("WAVE", backwards)).isEmpty)
+    assert(VideoCodec.decodeMeta(riff("AVI ", backwards)).isEmpty)
+    // truncated hdrl LIST: bounds must be checked BEFORE the tag read
+    val truncated = riff("AVI ",
+      "LIST".getBytes("US-ASCII") ++ le32(4) ++ "hdrl".getBytes("US-ASCII"))
+    assert(VideoCodec.decodeMeta(truncated).isEmpty)
+    // structurally valid WAV whose fmt declares 4-bit samples: block
+    // size rounds to zero — must be a None, not a divide-by-zero
+    val wav = AudioCodec.writeWav(8000, 1, 4, (_, _) => 0)
+    wav(34) = 4 // bitsPerSample LE16 low byte
+    assert(AudioCodec.decode(wav).isEmpty)
+  }
+
   test("videoDecodeQuery: two-level decode matches the generator formulas") {
     val rows = Multimodal.videoDecodeQuery(spark, sf).collect()
     assert(rows.nonEmpty)
