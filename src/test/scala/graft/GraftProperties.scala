@@ -192,6 +192,84 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // media codecs: write->decode round-trips for any parameters, and no
+  // decoder ever throws or hangs on corrupt bytes (None/empty instead)
+  property("ImageCodec: writePng/writeBmp round-trip any dimensions") = {
+    val gen = for {
+      w <- Gen.chooseNum(1, 80); h <- Gen.chooseNum(1, 60)
+      r <- Gen.chooseNum(-128, 127); g <- Gen.chooseNum(-128, 127)
+      b <- Gen.chooseNum(-128, 127)
+    } yield (w, h, r.toByte, g.toByte, b.toByte)
+    forAll(gen) { case (w, h, r, g, b) =>
+      import graft.functions.ImageCodec
+      ImageCodec.decode(ImageCodec.writePng(w, h, r, g, b))
+        .contains(ImageCodec.ImageMeta("png", w, h, 3)) &&
+      ImageCodec.decode(ImageCodec.writeBmp(w, h, r, g, b))
+        .contains(ImageCodec.ImageMeta("bmp", w, h, 3))
+    }
+  }
+
+  property("AudioCodec: writeWav round-trips rate/channels/samples") = {
+    val gen = for {
+      rate <- Gen.chooseNum(1000, 96000); ch <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(0, 200)
+    } yield (rate, ch, n)
+    forAll(gen) { case (rate, ch, n) =>
+      import graft.functions.AudioCodec
+      AudioCodec.decode(AudioCodec.writeWav(rate, ch, n, (s, c) => (s + c).toShort))
+        .contains(AudioCodec.AudioMeta("wav", rate, ch, 16, n.toLong,
+                                       n.toLong * 1000 / rate))
+    }
+  }
+
+  property("VideoCodec: writeAvi round-trips meta and exact frame bytes") = {
+    val gen = for {
+      w <- Gen.chooseNum(1, 64); h <- Gen.chooseNum(1, 48)
+      us <- Gen.chooseNum(1, 100000)
+      fs <- Gen.chooseNum(0, 6).flatMap(k => Gen.listOfN(k,
+        Gen.chooseNum(0, 9).flatMap(len =>
+          Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte)))))
+    } yield (w, h, us, fs.map(_.toArray))
+    forAll(gen) { case (w, h, us, fs) =>
+      import graft.functions.VideoCodec
+      val bytes = VideoCodec.writeAvi(w, h, us, fs)
+      val meta = VideoCodec.decodeMeta(bytes)
+      val back = VideoCodec.frames(bytes)
+      meta.contains(VideoCodec.VideoMeta("avi", w, h, us, fs.length)) &&
+        back.length == fs.length &&
+        back.zip(fs).forall { case (a, b) => a.sameElements(b) }
+    }
+  }
+
+  property("codecs never throw on random or bit-flipped payloads") = {
+    import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
+    val junk = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray)
+    // a valid payload with one corrupted byte: the adversarial case the
+    // unsigned-cursor hardening exists for
+    val flipped = for {
+      pick <- Gen.chooseNum(0, 2)
+      pos <- Gen.chooseNum(0, 10000)
+      v <- Gen.chooseNum(-128, 127)
+    } yield {
+      val base = pick match {
+        case 0 => ImageCodec.writePng(9, 7, 1, 2, 3)
+        case 1 => AudioCodec.writeWav(8000, 1, 12, (_, _) => 5)
+        case _ => VideoCodec.writeAvi(8, 6, 1000,
+          Seq(Array[Byte](1, 2, 3), Array[Byte](4)))
+      }
+      val b = base.clone(); b(pos % b.length) = v.toByte; b
+    }
+    forAll(Gen.oneOf(junk, flipped)) { bytes =>
+      // success = a value (possibly None/empty) comes back without throwing
+      ImageCodec.decode(bytes)
+      AudioCodec.decode(bytes)
+      VideoCodec.decodeMeta(bytes)
+      VideoCodec.frames(bytes)
+      true
+    }
+  }
+
   // salted join is the plain inner join for any data and salt count
   property("saltedJoin ≡ plain inner join, any salts") = {
     val gen = for {
