@@ -17,6 +17,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 trait Warehouse {
   def writeStaging(df: DataFrame, entity: String): Unit
   def appendHistory(df: DataFrame, entity: String): Unit
+
+  /** Idempotent per-micro-batch history append for streaming sinks:
+    * replaying batch `batchId` after a failure must OVERWRITE that
+    * batch's own slice instead of appending a second copy (foreachBatch
+    * is at-least-once). The written history carries a `batch_id`
+    * lineage column. */
+  def appendHistoryBatch(df: DataFrame, entity: String, batchId: Long): Unit
+
   def readStaging(spark: SparkSession, entity: String): DataFrame
   def readHistory(spark: SparkSession, entity: String): DataFrame
 }
@@ -38,6 +46,18 @@ final class ParquetWarehouse(root: String,
   def appendHistory(df: DataFrame, entity: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy("day_dt")
       .parquet(historyPath(entity))
+
+  def appendHistoryBatch(df: DataFrame, entity: String, batchId: Long): Unit = {
+    // dynamic partition overwrite: only the partitions present in this
+    // batch (its own day_dt × batch_id slices) are replaced — a replayed
+    // epoch rewrites itself, other batches' data is untouched
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day_dt", "batch_id")
+      .parquet(historyPath(entity))
+  }
 
   def readStaging(spark: SparkSession, entity: String): DataFrame =
     spark.read.parquet(stagingPath(entity))

@@ -44,14 +44,7 @@ final case class AsofBuf(purchases: List[(Long, Long)],
   * max event_id. */
 object AsofStream {
 
-  private def micros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
-
-  private def tsFromMicros(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000000L * 1000L)
-    t.setNanos((us % 1000000L).toInt * 1000)
-    t
-  }
+  import Micros.{micros, tsFromMicros} // shared with SessionStream
 
   /** Latest view at-or-before `pUs` among the folded and buffered views;
     * (ts, id) max — the batch tiebreak. */

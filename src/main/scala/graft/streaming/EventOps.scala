@@ -151,9 +151,14 @@ object EventOps {
     * streaming twin of [[graft.ops.Dedup.exact]] for at-least-once
     * sources. */
   def streamingDedup(stream: DataFrame, keys: Seq[String],
-                     watermark: String = "1 hour"): DataFrame =
+                     watermark: String = "1 hour"): DataFrame = {
+    // empty key list means whole-row dedup (dropDuplicates semantics);
+    // the within-watermark variant rejects Nil at plan time, so spell
+    // out the full column list instead of throwing head-of-empty-list
+    val ks = if (keys.isEmpty) stream.columns.toSeq else keys
     stream.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .dropDuplicatesWithinWatermark(ks)
+  }
 
   // ------------------------------------------------- stream-stream join
   /** Click→purchase interval join: each purchase matched to every click by
@@ -246,15 +251,23 @@ object EventOps {
   /** Continuously append a streaming frame's micro-batches into the
     * two-layer warehouse history (foreachBatch: each batch is a normal
     * DataFrame write, so the same [[graft.connect.Warehouse]] sink serves
-    * batch and streaming). Caller starts/stops the returned query. */
+    * batch and streaming). Caller starts/stops the returned query.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a batch whose write committed but
+    * whose checkpoint offset did not is REPLAYED after restart. The
+    * epochId is therefore threaded into the idempotent per-batch append
+    * ([[graft.connect.Warehouse.appendHistoryBatch]]), which overwrites
+    * the batch's own partition on replay instead of appending a second
+    * copy — restoring the exactly-once history the built-in file sinks
+    * give for free. */
   def toWarehouse(stream: DataFrame, warehouse: graft.connect.Warehouse,
                   entity: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        warehouse.appendHistory(batch, entity)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        warehouse.appendHistoryBatch(batch, entity, epochId)
       }
 
   // ---------------------------------------------------------- sessionization

@@ -25,16 +25,52 @@ class StreamingSpec extends SparkSpec {
       input.addData(Event(1, ts(0), 1, "click", 1.25),
                     Event(2, ts(10), 1, "view", 2.25))
       q.processAllAvailable()
-      // 50-minute gap: next event closes the open session in-batch
+      // 50-minute gap starts a second session; the first seals only once
+      // the WATERMARK passes its gap horizon (ts(10) + 30 min) — which
+      // the next batch's watermark (ts(60)) provides
       input.addData(Event(3, ts(60), 1, "click", 3.0))
       q.processAllAvailable()
+      input.addData(Event(4, ts(120), 2, "view", 1.0))
+      q.processAllAvailable()
+      // the ts(120) watermark also seals the one-event ts(60) session
       val closed = spark.table("sess_gap")
         .as[graft.streaming.Session].collect()
-      assert(closed.length == 1)
-      val s = closed(0)
-      assert(s.user_id == 1 && s.n_events == 2 &&
-        s.session_start == ts(0) && s.session_end == ts(10) &&
-        s.session_value == 3.5)
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(closed.length == 2, s"got ${closed.toSeq}")
+      assert(closed(0).n_events == 2 &&
+        closed(0).session_start == ts(0) && closed(0).session_end == ts(10) &&
+        closed(0).session_value == 3.5)
+      assert(closed(1).n_events == 1 &&
+        closed(1).session_start == ts(60) && closed(1).session_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful session stream: out-of-order within watermark still matches batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    // generous watermark so an EARLIER event may arrive in a LATER batch
+    val q = SessionStream.sessions(input.toDS().withWatermark("ts", "3 hours"))
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(Event(1, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      // arrives AFTER the 12:00 event but is 90 minutes EARLIER — its own
+      // session (gap > 30 min); the old tail-state design merged it into
+      // the open session, producing a start that postdated the event
+      input.addData(Event(2, ts(30), 1, "view", 2.0))
+      q.processAllAvailable()
+      // flush far past both gap horizons (and the 3h watermark delay)
+      input.addData(Event(3, ts(5000), 2, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(6000), 2, "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_ooo")
+        .as[graft.streaming.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start, s.session_end, s.n_events)).toSet
+      assert(sessions == Set((ts(30), ts(30), 1L), (ts(120), ts(120), 1L)),
+        s"got $sessions")
     } finally q.stop()
   }
 
@@ -140,6 +176,39 @@ class StreamingSpec extends SparkSpec {
       input.addData(Event(2, ts(1), 1, "view", 2.0))
       q.processAllAvailable()
       assert(wh.readHistory(spark, "events").count() == 2)
+      // the streaming history carries batch_id lineage for idempotency
+      assert(wh.readHistory(spark, "events").select("batch_id")
+        .distinct().count() == 2)
+    } finally q.stop()
+  }
+
+  test("appendHistoryBatch: replaying the same epoch never duplicates rows") {
+    import spark.implicits._
+    val wh = new graft.connect.ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_replay_wh").toString)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("day_dt", org.apache.spark.sql.functions.lit("2024-06-01"))
+    wh.appendHistoryBatch(batch, "orders", batchId = 7)
+    // at-least-once replay: the SAME epoch runs again after a crash
+    wh.appendHistoryBatch(batch, "orders", batchId = 7)
+    assert(wh.readHistory(spark, "orders").count() == 2, "no double append")
+    // a different epoch is a genuine append
+    wh.appendHistoryBatch(batch, "orders", batchId = 8)
+    assert(wh.readHistory(spark, "orders").count() == 4)
+  }
+
+  test("streamingDedup with no keys dedups whole rows instead of throwing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventOps.streamingDedup(input.toDS().toDF(), Seq.empty)
+      .writeStream.format("memory").queryName("dedup_allcols")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0),
+                    Event(1, ts(0), 1, "click", 1.0), // identical row
+                    Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_allcols").count() == 2)
     } finally q.stop()
   }
 
@@ -164,18 +233,21 @@ class StreamingSpec extends SparkSpec {
       input.addData(Event(-2, new Timestamp(flushTs.getTime + 86400000L), -1, "flush", 0.0))
       q.processAllAvailable()
 
+      // session_value included: the stream's fixed-point accumulation is
+      // bit-equal to the batch DECIMAL(18,6) sum + 2-dp half-up round
       val streamed = spark.table("sess_corpus")
         .as[graft.streaming.Session].collect()
         .filter(_.user_id >= 0)
         .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
-                   s.n_events))
+                   s.n_events, s.session_value))
         .toSet
       val batch = EventOps.sessionize(graft.core.Tables.events(spark, sf))
         .collect()
         .map(r => (r.getLong(r.fieldIndex("user_id")),
                    r.getTimestamp(r.fieldIndex("session_start")).getTime,
                    r.getTimestamp(r.fieldIndex("session_end")).getTime,
-                   r.getLong(r.fieldIndex("n_events"))))
+                   r.getLong(r.fieldIndex("n_events")),
+                   r.getDouble(r.fieldIndex("session_value"))))
         .toSet
       assert(streamed == batch)
     } finally q.stop()
