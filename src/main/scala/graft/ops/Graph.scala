@@ -83,6 +83,97 @@ object Graph {
       .select(col("p").as("part_key"), col("r").as("rank"))
   }
 
+  /** Per-part triangle counts on the UNWEIGHTED co-purchase graph (parts
+    * are adjacent iff some order contains both) — the local clustering
+    * signal that separates parts bought in cohesive bundles from parts
+    * that merely co-occur with everything.
+    *
+    * The implementation is the degree-ordered node-iterator: orient each
+    * undirected edge from its lower-(degree, id) endpoint, enumerate
+    * wedges only between OUT-neighbors, and close them against the
+    * oriented edge set. Under this orientation every out-degree is
+    * O(√m), so wedge volume is O(m^1.5) regardless of hub skew — the
+    * textbook bound that makes triangle counting survive power-law
+    * graphs, where the naive u<v wedge join explodes on hubs. Both joins
+    * are equi-joins (one on the apex, one on the closing edge); each
+    * triangle is produced exactly once (its orientation-minimum vertex is
+    * the unique apex with out-edges to the other two). The oracle spells
+    * the naive canonical 3-way self-join — an independent algorithm
+    * arriving at the same counts. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    // canonical undirected edges (u < v), distinct across orders; the
+    // per-order pair build reuses the order-local array-expansion shape
+    // of partPageRank (collect_set bounds fanout by lines-per-order)
+    val und = li.groupBy(col("ok")).agg(collect_set(col("p")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> " +
+          "transform(filter(ps, y -> y > x), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+      .trackPersist() // feeds the degree union AND the orientation join —
+                      // unpersisted, the whole pair-build pipeline (scan +
+                      // 2 shuffles) replays once per consumer
+    // degree table is NODE-sized (the same size class PageRank broadcasts
+    // its rank vector in) — broadcast it so the edge table joins it
+    // without an exchange
+    val deg = und.select(col("u").as("p"))
+      .union(und.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    // orient low→high in the (deg, id) total order, keeping the OUT
+    // endpoint's order key (db) so the wedge join can order out-neighbors
+    // without another degree lookup
+    val oriented = und
+      .join(broadcast(deg.select(col("p").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("p").as("v"), col("deg").as("dv"))), Seq("v"))
+      .select(when(col("du") < col("dv") ||
+                   (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"), col("du").as("db"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+      .trackPersist() // wedge self-join + closing probe read it twice
+    // out-neighbor pairs ORDERED by the same (deg, id) total order the
+    // orientation uses: each unordered {b, c} wedge is enumerated once
+    // (half the naive b≠c volume), and the closing edge — if it exists —
+    // is necessarily oriented b→c, so one equi-probe decides it
+    val wedges = oriented.as("x")
+      .join(oriented.select(col("a"), col("b").as("c"), col("db").as("dc")).as("y"),
+            Seq("a"))
+      .filter(col("db") < col("dc") ||
+              (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    // close the wedge with a SHUFFLE-HASH probe: the wedge stream is the
+    // big side (O(m^1.5) rows) and must not be sorted — hash the
+    // edge-sized build side per partition instead of sort-merging
+    val tris = wedges.join(
+      oriented.select(col("a").as("b"), col("b").as("c")).hint("shuffle_hash"),
+      Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("part_key"))
+      .groupBy(col("part_key"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val trianglesOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (
+      |  SELECT x AS part_key FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY 1
+      |""".stripMargin
+
   val partPageRankOracle: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
       |e0 AS (

@@ -230,4 +230,95 @@ object TextPrep {
        |JOIN uni ua ON big.tok_a = ua.tok
        |JOIN uni ub ON big.tok_b = ub.tok, tot
        |""".stripMargin
+
+  private val BpeTopK = 40
+
+  /** First round of byte-pair-encoding vocabulary induction: the top
+    * merge candidates — adjacent character pairs weighted by the
+    * frequency of the words they occur in. This is the inner step a BPE
+    * tokenizer trainer iterates; one round is the part that is a pure
+    * data-parallel query (later rounds re-segment against the grown
+    * vocab, which is a driver loop over the same plan).
+    *
+    * Scale shape: after the word-frequency aggregate the working set is
+    * VOCAB-sized, not corpus-sized — the pair explode runs over distinct
+    * words (len(w)−1 pairs each), and the final aggregate is over the
+    * symbol-pair alphabet (tiny). Corpus-linear cost is exactly one
+    * token explode + one map-side-combined count; top-k is a
+    * TakeOrdered, not a global sort. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(BpeTopK)
+  }
+
+  val bpeMergesOracle: String =
+    s"""WITH tk AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |wf AS (
+       |  SELECT w, count(*) AS freq FROM tk WHERE len(w) >= 2 GROUP BY w),
+       |p AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |                i -> substring(w, i, 2))) AS pair,
+       |         freq
+       |  FROM wf)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+       |FROM p GROUP BY pair
+       |ORDER BY pair_count DESC, pair LIMIT $BpeTopK
+       |""".stripMargin
+
+  private val SpanN = 8
+
+  /** Cross-document repeated token spans — the exact-substring dedup
+    * signal (long verbatim passages shared by 2+ documents, the thing
+    * suffix-array dedup removes from training corpora). Emits one row per
+    * [[SpanN]]-token span that appears in at least two DISTINCT
+    * documents: (span_hash, n_docs, first_doc). Within-doc repeats don't
+    * count (the shingle kernel is distinct per doc), so n_docs is a true
+    * document frequency.
+    *
+    * Scale shape: the span kernel is the native
+    * [[graft.functions.ShingleHash]] pass Dedup shares (one digest loop
+    * per doc, no per-span string allocation — measured ~4× over the HOF
+    * chain), so only 8-byte hashes ever enter the shuffle, the aggregate
+    * is map-side combined, and the ≥2 filter drops the unique-span long
+    * tail before any further work. At 100 TB the standard refinement is
+    * hash-sampled spans (keep spans whose hash lands in 1/s of the space
+    * — an unbiased doc-frequency sample); here the full span set is
+    * retained — no silent sampling. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(call_function(graft.functions.GraftFunctions.ShingleName,
+          col("text"), lit(SpanN))).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  val repeatedSpansOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           list_transform(generate_series(1, len(tk) - ${SpanN - 1}),
+       |             i -> array_to_string(list_slice(tk, i, i + ${SpanN - 1}), ' ')),
+       |           sp -> CAST(CAST(('0x' || substr(md5(sp), 1, 15)) AS UBIGINT) AS BIGINT)))) AS span_hash
+       |  FROM d WHERE len(tk) >= $SpanN)
+       |SELECT span_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS first_doc
+       |FROM s GROUP BY 1 HAVING count(*) >= 2
+       |""".stripMargin
 }
