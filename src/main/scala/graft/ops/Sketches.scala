@@ -144,6 +144,229 @@ object Sketches {
     }
   }
 
+  // ------------------------------------------------------------- q-digest
+
+  /** Deterministic mergeable quantile summary (q-digest — Shrivastava et
+    * al. 2004; mergeability per Agarwal et al., PODS'12) over a
+    * non-negative integer domain `[0, 2^bits)`: a counted subset of
+    * binary-trie nodes, compressed so at most ~3k nodes survive, with the
+    * rank guarantee `|rank(quantile(q)) − q·N| ≤ (bits/k)·N`.
+    *
+    * This is the quantile member of the mergeable-state family
+    * ([[mgSummary]] for frequencies, HLL for cardinality, CMS for point
+    * counts): per-partition digests merge associatively into one digest
+    * whose guarantee holds for the COMBINED stream, so the same state
+    * shape serves distributed aggregation (partitions × KB of state to
+    * the driver — never data) and streaming (one digest per micro-batch
+    * folded into a running digest, like the MG heavy-hitter state).
+    * Unlike `approx_percentile`'s sampling-based internal state, the
+    * digest is DETERMINISTIC — same multiset in, same digest out, under
+    * any partitioning and any merge order (compression depends only on
+    * the node-count map and N).
+    *
+    * Node ids are heap-style: root 1, children `2i`/`2i+1`, leaf for
+    * value v = `2^bits + v`. Values must be pre-scaled to the integer
+    * grid by the caller (the repo-wide exact-arithmetic discipline —
+    * money is DECIMAL cents, not doubles). */
+  object QDigest {
+
+    /** Compress a node→count map to the q-digest property: any child
+      * pair whose (parent + left + right) weight is ≤ ⌊N/k⌋ folds into
+      * the parent, bottom-up. Deterministic: pure function of (nodes, N,
+      * threshold). */
+    private def compress(nodes: scala.collection.mutable.HashMap[Long, Long],
+                         bits: Int, threshold: Long): Unit = {
+      var level = bits
+      while (level >= 1) {
+        val ids = nodes.keysIterator
+          .filter(id => 64 - java.lang.Long.numberOfLeadingZeros(id) - 1 == level)
+          .toArray.sorted
+        ids.foreach { id =>
+          val c = nodes.getOrElse(id, 0L)
+          if (c > 0L || nodes.contains(id)) {
+            val sib = id ^ 1L
+            val parent = id >>> 1
+            val combined = c + nodes.getOrElse(sib, 0L) + nodes.getOrElse(parent, 0L)
+            if (combined <= threshold) {
+              nodes.update(parent, combined)
+              nodes.remove(id)
+              nodes.remove(sib)
+            }
+          }
+        }
+        level -= 1
+      }
+    }
+
+    /** Build a digest from raw values. `bits` bounds the domain
+      * (`0 ≤ v < 2^bits`); `k` trades size (≤ ~3k nodes) for rank error
+      * (≤ bits/k of N). */
+    def fromValues(values: Iterator[Long], bits: Int, k: Int): Map[Long, Long] = {
+      require(bits >= 1 && bits <= 40, s"bits must be in [1,40], got $bits")
+      require(k >= 1, s"k must be >= 1, got $k")
+      val leafBase = 1L << bits
+      val nodes = scala.collection.mutable.HashMap.empty[Long, Long]
+      var n = 0L
+      values.foreach { v =>
+        require(v >= 0 && v < leafBase, s"value $v outside [0, 2^$bits)")
+        val leaf = leafBase + v
+        nodes.update(leaf, nodes.getOrElse(leaf, 0L) + 1L)
+        n += 1L
+      }
+      compress(nodes, bits, n / k)
+      nodes.toMap
+    }
+
+    /** Merge two digests built with the same (bits, k): sum counts
+      * nodewise, recompress against the combined N. The rank guarantee
+      * holds for the combined stream, so folds of unbounded depth keep
+      * bounded state — the streaming shape. */
+    def merge(a: Map[Long, Long], b: Map[Long, Long], bits: Int, k: Int): Map[Long, Long] = {
+      val nodes = scala.collection.mutable.HashMap.empty[Long, Long]
+      a.foreach { case (id, c) => nodes.update(id, nodes.getOrElse(id, 0L) + c) }
+      b.foreach { case (id, c) => nodes.update(id, nodes.getOrElse(id, 0L) + c) }
+      val n = nodes.valuesIterator.sum
+      compress(nodes, bits, n / k)
+      nodes.toMap
+    }
+
+    /** Quantile estimate: walk nodes in postorder of their value
+      * intervals (increasing upper bound, inner nodes before enclosing
+      * ones) accumulating counts until `q·N` is covered; report the
+      * current node's interval maximum. True rank of the result is
+      * within `(bits/k)·N` of `q·N`. */
+    def quantile(digest: Map[Long, Long], bits: Int, q: Double): Long = {
+      require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+      require(digest.nonEmpty, "quantile of an empty digest")
+      val n = digest.valuesIterator.sum
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val spans = digest.toSeq.map { case (id, c) =>
+        val depth = 64 - java.lang.Long.numberOfLeadingZeros(id) - 1
+        val width = 1L << (bits - depth)
+        val lo = (id - (1L << depth)) * width
+        (lo + width - 1, -lo, c) // sort: hi asc, contained-first via -lo
+      }.sortBy(s => (s._1, s._2))
+      var acc = 0L
+      var i = 0
+      while (i < spans.length - 1 && acc + spans(i)._3 < target) {
+        acc += spans(i)._3
+        i += 1
+      }
+      spans(i)._1
+    }
+
+    /** Distributed build: one digest per partition, folded driver-side.
+      * Driver traffic is partitions × digest size (≤ ~3k nodes each) —
+      * state, not data. */
+    def summary(df: DataFrame, value: Column, bits: Int, k: Int): Map[Long, Long] = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(value.cast("long").as("v")).na.drop().as[Long]
+        .mapPartitions(it => Iterator.single(fromValues(it, bits, k)))
+        .collect()
+        .foldLeft(Map.empty[Long, Long])(merge(_, _, bits, k))
+    }
+  }
+
+  /** Exact discrete quantiles at scale via digest narrowing — the same
+    * sound nominate-then-verify shape as [[heavyHitters]]: the q-digest
+    * (pass 1, state-sized driver traffic) brackets each requested
+    * quantile inside a CLOSED value window [lo, hi] guaranteed to
+    * contain the true answer even under arbitrarily heavy ties: for any
+    * digest estimate `e` at rank target t, `count(≤ e) ≥ t` (every span
+    * accumulated by the walk lies fully at or below `e`) and
+    * `count(< e) ≤ t − 1 + bits·⌊N/k⌋` (mass below `e` outside the
+    * accumulated spans sits in the ≤ `bits` straddling ancestor nodes,
+    * each ≤ ⌊N/k⌋ after compression — leaves can be huge but cannot
+    * straddle). Cutting lo at rank (q−2ε)·N and hi at (q+2ε)·N with
+    * ε = bits/k therefore gives `count(< lo) < ⌈q·N⌉ ≤ count(≤ hi)`
+    * whenever ε·N ≥ 1, i.e. the value at rank ⌈q·N⌉ is inside [lo, hi]
+    * — a tied block of any multiplicity stays in the window because lo
+    * itself is included. Pass 2 verifies exactly — one aggregate for
+    * the strictly-below counts, then a
+    * per-window cumulative count over the GROUPED distinct values (a
+    * window partitioned by quantile, never a single-partition sort of
+    * the data). Total cost: two scans + one aggregate over ~4ε·N rows,
+    * independent of how wide the full value distribution is.
+    *
+    * Quantiles are integer PERCENTS and the rank target is pure integer
+    * arithmetic `(pct·N + 99) / 100` = ⌈pct·N/100⌉ (PostgreSQL
+    * `percentile_disc` convention: smallest value whose cumulative count
+    * reaches the target) so an SQL oracle can reproduce it bit-exactly —
+    * no double rounding on either side.
+    *
+    * Returns (q_pct, value_cents) sorted by q_pct. */
+  def exactQuantiles(df: DataFrame, value: Column, percents: Seq[Int],
+                     bits: Int = 24, k: Int = 4096): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100], got $percents")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val valued = df.select(value.cast("long").as("v")).na.drop()
+
+    val digest = QDigest.summary(valued, col("v"), bits, k)
+    val n = digest.valuesIterator.sum
+    require(n > 0, "exactQuantiles of an empty frame")
+    val eps = bits.toDouble / k
+    val domainMax = (1L << bits) - 1
+    val bounds = percents.sorted.map { pct =>
+      val target = (pct * n + 99L) / 100L
+      val q = pct / 100.0
+      // closed window provably containing the value at rank `target`:
+      // count(< lo) < target ≤ count(≤ hi) whenever ε·N ≥ 1 (see the
+      // docstring's tie-safe rank bounds); degenerate tiny-N falls back
+      // to the full domain
+      val (lo, hi) =
+        if (eps * n < 1.0) (0L, domainMax)
+        else (if (q - 2 * eps <= 0.0) 0L
+              else QDigest.quantile(digest, bits, q - 2 * eps),
+              QDigest.quantile(digest, bits, math.min(1.0, q + 2 * eps)))
+      (pct, target, lo, hi)
+    }
+
+    // pass 2a: exact count strictly below each window's lower edge
+    val belowAggs = bounds.zipWithIndex.map { case ((_, _, lo, _), i) =>
+      sum(when(col("v") < lit(lo), 1L).otherwise(0L)).as(s"b$i")
+    }
+    val belowRow = valued.agg(belowAggs.head, belowAggs.tail: _*).head()
+    val windows = bounds.zipWithIndex.map { case ((pct, target, lo, hi), i) =>
+      (pct, lo, hi, target - belowRow.getLong(i))
+    }.toDF("q_pct", "lo", "hi", "need")
+
+    // pass 2b: residual rank inside each (tiny) window, over distinct
+    // values — the window op is PARTITIONED by quantile and its input is
+    // already grouped to ≤ window-width rows
+    val cumWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_pct").orderBy("v")
+      .rowsBetween(Long.MinValue, 0)
+    valued
+      .join(broadcast(windows), col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("q_pct"), col("need"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumWin))
+      .where(col("cum") >= col("need"))
+      .groupBy(col("q_pct")).agg(min(col("v")).as("value_cents"))
+      .orderBy(col("q_pct"))
+  }
+
+  /** Oracle-gated query: exact price percentiles (cents grid) on
+    * lineitem, computed through the digest-narrowed two-pass — the
+    * result is EXACT, so DuckDB's row_number-based percentile_disc
+    * reproduces it bit-for-bit. */
+  def exactQuantilesQuery(spark: SparkSession, dir: String): DataFrame =
+    exactQuantiles(Tables.lineitem(spark, dir),
+      expr("CAST(round(l_extendedprice * 100) AS LONG)"),
+      Seq(25, 50, 75, 90, 99))
+
+  val exactQuantilesOracle: String =
+    """WITH s AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |     r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+      |     qs(pct) AS (VALUES (25), (50), (75), (90), (99))
+      |SELECT qs.pct AS q_pct, r.v AS value_cents
+      |FROM qs JOIN r ON r.rn = (qs.pct * (SELECT count(*) FROM s) + 99) // 100
+      |ORDER BY q_pct
+      |""".stripMargin
+
   /** Oracle-gated query: top event types by EXACT verified count (the
     * candidate set comes from the sound Misra-Gries nomination; the
     * count is a real aggregate over the nominated keys). */

@@ -106,4 +106,131 @@ class SketchesSpec extends SparkSpec {
     val want = (0 until 7).map(j => (f"k${60 - j}%02d", (60 - j).toLong))
     assert(got == want)
   }
+
+  // -------------------------------------------------------------- q-digest
+  import Sketches.QDigest
+
+  /** Exact rank of `x` (count of values ≤ x) in sorted `vs`. */
+  private def rankOf(vs: Array[Long], x: Long): Long = {
+    var lo = 0; var hi = vs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (vs(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  private val QdBits = 24
+  private val QdK = 512
+
+  test("qdigest: rank error within (bits/k)·N on real prices, any quantile") {
+    val prices = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_extendedprice") * 100).cast("long").as("cents"))
+    val vs = prices.as[Long].collect().sorted
+    val n = vs.length.toLong
+    val d = QDigest.summary(prices, col("cents"), QdBits, QdK)
+    val eps = QdBits.toDouble / QdK
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = QDigest.quantile(d, QdBits, q)
+      val r = rankOf(vs, est)
+      assert(math.abs(r - q * n) <= eps * n + 1,
+        s"q=$q est=$est rank=$r target=${q * n} tol=${eps * n}")
+    }
+  }
+
+  test("qdigest: deterministic and partition-invariant — same multiset, same digest") {
+    val vals = (0 until 5000).map(i => ((i * 37) % 1000).toLong)
+    // worst-case clustering: sorted input, so every partition holds one
+    // contiguous value range
+    val sortedDf = vals.sorted.toDF("v").repartitionByRange(8, col("v"))
+    val shuffledDf = vals.toDF("v").repartition(8)
+    val a = QDigest.summary(sortedDf, col("v"), 10, 64)
+    val b = QDigest.summary(shuffledDf, col("v"), 10, 64)
+    // identical GUARANTEE under both layouts (the digest itself may
+    // differ by merge grouping): both within bound at every decile
+    val sorted = vals.sorted.toArray
+    for (q <- 1 to 9; dd <- Seq(a, b)) {
+      val est = QDigest.quantile(dd, 10, q / 10.0)
+      val r = rankOf(sorted, est)
+      assert(math.abs(r - q / 10.0 * vals.size) <= (10.0 / 64) * vals.size + 1)
+    }
+    // and a single-builder digest is bit-deterministic
+    val d1 = QDigest.fromValues(vals.iterator.map(identity), 10, 64)
+    val d2 = QDigest.fromValues(vals.iterator.map(identity), 10, 64)
+    assert(d1 == d2)
+  }
+
+  test("qdigest: merge keeps the combined-stream bound at any fold depth") {
+    val rng = new scala.util.Random(7)
+    val batches = (0 until 16).map(_ => Array.fill(500)(rng.nextInt(4096).toLong))
+    val all = batches.flatten.sorted.toArray
+    val n = all.length.toLong
+    // fold like a streaming consumer: one digest per micro-batch merged
+    // into a running digest
+    val folded = batches.map(b => QDigest.fromValues(b.iterator, 12, 128))
+      .foldLeft(Map.empty[Long, Long])(QDigest.merge(_, _, 12, 128))
+    assert(folded.valuesIterator.sum == n)
+    val eps = 12.0 / 128
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = QDigest.quantile(folded, 12, q)
+      val r = rankOf(all, est)
+      assert(math.abs(r - q * n) <= eps * n + 1,
+        s"q=$q est=$est rank=$r tol=${eps * n}")
+    }
+  }
+
+  test("qdigest: compressed size is bounded by ~3k nodes regardless of N") {
+    val rng = new scala.util.Random(11)
+    val big = Array.fill(200000)(math.abs(rng.nextLong()) % (1L << 20))
+    val d = QDigest.fromValues(big.iterator, 20, 64)
+    assert(d.size <= 3 * 64,
+      s"digest has ${d.size} nodes, bound is ${3 * 64}")
+    assert(d.valuesIterator.sum == big.length.toLong)
+  }
+
+  test("exactQuantiles equals brute-force percentile_disc on real prices") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cents = li.select(expr("CAST(round(l_extendedprice * 100) AS LONG)").as("v"))
+    val vs = cents.as[Long].collect().sorted
+    val n = vs.length.toLong
+    val pcts = Seq(1, 25, 50, 75, 90, 99, 100)
+    val got = Sketches.exactQuantiles(cents, col("v"), pcts)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val want = pcts.map { p =>
+      val target = (p * n + 99L) / 100L
+      (p, vs((target - 1).toInt))
+    }
+    assert(got == want)
+  }
+
+  test("exactQuantiles is exact on a tie-heavy multiset and tiny N fallback") {
+    // 90% of mass on one value: windows collapse onto the tie block
+    val vals = Array.fill(9000)(500L) ++ (0 until 1000).map(i => i.toLong)
+    val df = vals.toSeq.toDF("v").repartition(8)
+    val sorted = vals.sorted
+    val got = Sketches.exactQuantiles(df, col("v"), Seq(10, 50, 95), bits = 12, k = 256)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val want = Seq(10, 50, 95).map { p =>
+      val t = (p * vals.length.toLong + 99L) / 100L
+      (p, sorted((t - 1).toInt))
+    }
+    assert(got == want)
+    // tiny N (ε·N < 1): full-domain fallback still exact
+    val tiny = Seq(7L, 3L, 9L, 1L).toDF("v")
+    val gotTiny = Sketches.exactQuantiles(tiny, col("v"), Seq(50, 100), bits = 8, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(gotTiny == Seq((50, 3L), (100, 9L)))
+  }
+
+  test("qdigest: domain and argument guards fail loudly") {
+    intercept[IllegalArgumentException] {
+      QDigest.fromValues(Iterator(-1L), 10, 64)
+    }
+    intercept[IllegalArgumentException] {
+      QDigest.fromValues(Iterator(1024L), 10, 64)
+    }
+    intercept[IllegalArgumentException] {
+      QDigest.quantile(Map.empty, 10, 0.5)
+    }
+  }
 }
