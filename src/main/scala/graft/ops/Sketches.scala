@@ -198,23 +198,45 @@ object Sketches {
       }
     }
 
-    /** Build a digest from raw values. `bits` bounds the domain
-      * (`0 ≤ v < 2^bits`); `k` trades size (≤ ~3k nodes) for rank error
-      * (≤ bits/k of N). */
-    def fromValues(values: Iterator[Long], bits: Int, k: Int): Map[Long, Long] = {
+    /** Incremental builder with BOUNDED working memory: leaf counts
+      * accumulate in a node map that is compressed in place whenever it
+      * exceeds `8·k` entries (against the running-N threshold, which only
+      * grows — so every intermediate fold is also legal for the final
+      * threshold and the ε = bits/k guarantee is preserved, exactly as
+      * for [[merge]] folds). Without this, a distinct-value-heavy
+      * partition would hold one map entry per distinct value — fine at
+      * test scale, unbounded at 100 TB. Still deterministic for a given
+      * input ORDER (compression points are a pure function of the
+      * prefix), which is what per-partition builds provide. */
+    final class Builder(bits: Int, k: Int) {
       require(bits >= 1 && bits <= 40, s"bits must be in [1,40], got $bits")
       require(k >= 1, s"k must be >= 1, got $k")
-      val leafBase = 1L << bits
-      val nodes = scala.collection.mutable.HashMap.empty[Long, Long]
-      var n = 0L
-      values.foreach { v =>
+      private val leafBase = 1L << bits
+      private val nodes = scala.collection.mutable.HashMap.empty[Long, Long]
+      private var n = 0L
+
+      def add(v: Long, count: Long = 1L): Unit = {
         require(v >= 0 && v < leafBase, s"value $v outside [0, 2^$bits)")
+        require(count > 0, s"count must be positive, got $count")
         val leaf = leafBase + v
-        nodes.update(leaf, nodes.getOrElse(leaf, 0L) + 1L)
-        n += 1L
+        nodes.update(leaf, nodes.getOrElse(leaf, 0L) + count)
+        n += count
+        if (nodes.size > 8 * k) compress(nodes, bits, n / k)
       }
-      compress(nodes, bits, n / k)
-      nodes.toMap
+
+      def result(): Map[Long, Long] = {
+        compress(nodes, bits, n / k)
+        nodes.toMap
+      }
+    }
+
+    /** Build a digest from raw values. `bits` bounds the domain
+      * (`0 ≤ v < 2^bits`); `k` trades size (≤ ~3k nodes) for rank error
+      * (≤ bits/k of N). Working memory is bounded (see [[Builder]]). */
+    def fromValues(values: Iterator[Long], bits: Int, k: Int): Map[Long, Long] = {
+      val b = new Builder(bits, k)
+      values.foreach(b.add(_))
+      b.result()
     }
 
     /** Merge two digests built with the same (bits, k): sum counts
@@ -297,55 +319,86 @@ object Sketches {
     *
     * Returns (q_pct, value_cents) sorted by q_pct. */
   def exactQuantiles(df: DataFrame, value: Column, percents: Seq[Int],
-                     bits: Int = 24, k: Int = 4096): DataFrame = {
+                     bits: Int = 24, k: Int = 4096): DataFrame =
+    groupedExactQuantiles(df, lit("_"), value, percents, bits, k)
+      .drop("grp")
+
+  /** Per-group variant of [[exactQuantiles]] for bounded-cardinality
+    * dimensions (report axes, status flags — state is groups ×
+    * partitions × digest, so cardinality-bounded by contract): one scan
+    * builds a digest PER GROUP per partition (memory-bounded builders),
+    * the driver folds per group, and one exact verification pass
+    * resolves every (group, percentile) pair simultaneously. The
+    * below-window count rides the same aggregate as the in-window
+    * values via a sentinel row (v < lo ⟶ −1, sorted first by the
+    * per-(group,pct) cumulative window), so verification is a single
+    * shuffle. Returns (grp, q_pct, value_cents). */
+  def groupedExactQuantiles(df: DataFrame, group: Column, value: Column,
+                            percents: Seq[Int], bits: Int = 24,
+                            k: Int = 4096): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1,100], got $percents")
     val spark = df.sparkSession
     import spark.implicits._
-    val valued = df.select(value.cast("long").as("v")).na.drop()
+    val valued = df.select(group.cast("string").as("grp"),
+                           value.cast("long").as("v")).na.drop()
 
-    val digest = QDigest.summary(valued, col("v"), bits, k)
-    val n = digest.valuesIterator.sum
-    require(n > 0, "exactQuantiles of an empty frame")
+    // pass 1: per-partition per-group digests, folded per group on the
+    // driver — traffic is groups × partitions × (≤3k nodes), never data
+    val digests: Map[String, Map[Long, Long]] = valued.as[(String, Long)]
+      .mapPartitions { it =>
+        val builders = scala.collection.mutable.HashMap.empty[String, QDigest.Builder]
+        it.foreach { case (g, v) =>
+          builders.getOrElseUpdate(g, new QDigest.Builder(bits, k)).add(v)
+        }
+        builders.iterator.map { case (g, b) => (g, b.result()) }
+      }
+      .collect()
+      .groupBy(_._1)
+      .map { case (g, ds) =>
+        g -> ds.map(_._2).reduce(QDigest.merge(_, _, bits, k))
+      }
+    require(digests.nonEmpty, "exactQuantiles of an empty frame")
+
     val eps = bits.toDouble / k
     val domainMax = (1L << bits) - 1
-    val bounds = percents.sorted.map { pct =>
+    val windows = (for {
+      (g, digest) <- digests.toSeq
+      n = digest.valuesIterator.sum
+      pct <- percents.sorted
+    } yield {
       val target = (pct * n + 99L) / 100L
       val q = pct / 100.0
-      // closed window provably containing the value at rank `target`:
-      // count(< lo) < target ≤ count(≤ hi) whenever ε·N ≥ 1 (see the
-      // docstring's tie-safe rank bounds); degenerate tiny-N falls back
-      // to the full domain
+      // closed window provably containing the group's value at rank
+      // `target`: count(< lo) < target ≤ count(≤ hi) whenever ε·N ≥ 1
+      // (tie-safe rank bounds in the docstring above); degenerate
+      // tiny-N groups fall back to the full domain
       val (lo, hi) =
         if (eps * n < 1.0) (0L, domainMax)
         else (if (q - 2 * eps <= 0.0) 0L
               else QDigest.quantile(digest, bits, q - 2 * eps),
               QDigest.quantile(digest, bits, math.min(1.0, q + 2 * eps)))
-      (pct, target, lo, hi)
-    }
+      (g, pct, target, lo, hi)
+    }).toDF("grp", "q_pct", "target", "lo", "hi")
 
-    // pass 2a: exact count strictly below each window's lower edge
-    val belowAggs = bounds.zipWithIndex.map { case ((_, _, lo, _), i) =>
-      sum(when(col("v") < lit(lo), 1L).otherwise(0L)).as(s"b$i")
-    }
-    val belowRow = valued.agg(belowAggs.head, belowAggs.tail: _*).head()
-    val windows = bounds.zipWithIndex.map { case ((pct, target, lo, hi), i) =>
-      (pct, lo, hi, target - belowRow.getLong(i))
-    }.toDF("q_pct", "lo", "hi", "need")
-
-    // pass 2b: residual rank inside each (tiny) window, over distinct
-    // values — the window op is PARTITIONED by quantile and its input is
-    // already grouped to ≤ window-width rows
+    // pass 2: one aggregate resolves all (group, pct) pairs — rows
+    // strictly below a window collapse onto the −1 sentinel (domain is
+    // non-negative), so the cumulative count over each PARTITIONED
+    // (grp, pct) frame starts at the below-window mass; the answer is
+    // the first real value whose cumulative count reaches the target
     val cumWin = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_pct").orderBy("v")
+      .partitionBy("grp", "q_pct").orderBy("vw")
       .rowsBetween(Long.MinValue, 0)
     valued
-      .join(broadcast(windows), col("v") >= col("lo") && col("v") <= col("hi"))
-      .groupBy(col("q_pct"), col("need"), col("v")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(windows), Seq("grp"))
+      .where(col("v") <= col("hi"))
+      .withColumn("vw", when(col("v") < col("lo"), lit(-1L)).otherwise(col("v")))
+      .groupBy(col("grp"), col("q_pct"), col("target"), col("vw"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(cumWin))
-      .where(col("cum") >= col("need"))
-      .groupBy(col("q_pct")).agg(min(col("v")).as("value_cents"))
-      .orderBy(col("q_pct"))
+      .where(col("cum") >= col("target") && col("vw") >= 0L)
+      .groupBy(col("grp"), col("q_pct")).agg(min(col("vw")).as("value_cents"))
+      .orderBy(col("grp"), col("q_pct"))
   }
 
   /** Oracle-gated query: exact price percentiles (cents grid) on
@@ -356,6 +409,30 @@ object Sketches {
     exactQuantiles(Tables.lineitem(spark, dir),
       expr("CAST(round(l_extendedprice * 100) AS LONG)"),
       Seq(25, 50, 75, 90, 99))
+
+  /** Oracle-gated query: exact price percentiles PER RETURN FLAG — the
+    * grouped digest narrowing, verified against DuckDB's partitioned
+    * row_number percentile_disc. */
+  def quantilesByFlagQuery(spark: SparkSession, dir: String): DataFrame =
+    groupedExactQuantiles(Tables.lineitem(spark, dir), col("l_returnflag"),
+      expr("CAST(round(l_extendedprice * 100) AS LONG)"),
+      Seq(25, 50, 75, 90, 99))
+
+  val quantilesByFlagOracle: String =
+    """WITH s AS (SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+      |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |           FROM lineitem
+      |           WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |     r AS (SELECT grp, v,
+      |                  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+      |           FROM s),
+      |     n AS (SELECT grp, count(*) AS cnt FROM s GROUP BY grp),
+      |     qs(pct) AS (VALUES (25), (50), (75), (90), (99))
+      |SELECT r.grp, qs.pct AS q_pct, r.v AS value_cents
+      |FROM qs CROSS JOIN n
+      |JOIN r ON r.grp = n.grp AND r.rn = (qs.pct * n.cnt + 99) // 100
+      |ORDER BY r.grp, q_pct
+      |""".stripMargin
 
   val exactQuantilesOracle: String =
     """WITH s AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v

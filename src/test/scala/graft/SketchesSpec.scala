@@ -222,6 +222,42 @@ class SketchesSpec extends SparkSpec {
     assert(gotTiny == Seq((50, 3L), (100, 9L)))
   }
 
+  test("groupedExactQuantiles equals per-group brute force on real data") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val df = li.select(col("l_returnflag").as("g"),
+      expr("CAST(round(l_extendedprice * 100) AS LONG)").as("v"))
+    val pcts = Seq(25, 50, 90)
+    val got = Sketches.groupedExactQuantiles(df, col("g"), col("v"), pcts)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val byG = df.as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val want = (for {
+      (g, vs) <- byG.toSeq
+      p <- pcts
+    } yield {
+      val t = (p * vs.length.toLong + 99L) / 100L
+      (g, p, vs((t - 1).toInt))
+    }).sortBy(x => (x._1, x._2))
+    assert(got == want)
+  }
+
+  test("qdigest builder: working memory stays bounded on a distinct-heavy stream") {
+    // 200k distinct ascending values (worst case for leaf accumulation):
+    // periodic compression must keep the final digest at sketch size and
+    // the guarantee intact
+    val n = 200000
+    val d = QDigest.fromValues((0 until n).iterator.map(_.toLong), 18, 64)
+    assert(d.size <= 3 * 64, s"digest has ${d.size} nodes")
+    assert(d.valuesIterator.sum == n.toLong)
+    val eps = 18.0 / 64
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = QDigest.quantile(d, 18, q)
+      // values are 0..n-1, so rank(est) = est+1 exactly
+      assert(math.abs((est + 1) - q * n) <= eps * n + 1,
+        s"q=$q est=$est tol=${eps * n}")
+    }
+  }
+
   test("qdigest: domain and argument guards fail loudly") {
     intercept[IllegalArgumentException] {
       QDigest.fromValues(Iterator(-1L), 10, 64)
