@@ -62,3 +62,21 @@ object Caches {
       track(ds, level)
   }
 }
+
+/** Scan-parallelism guard.
+  *
+  * A single parquet file with one row group is one non-splittable input
+  * split, so EVERY stage before the first shuffle — tokenizing, shingle
+  * hashing, digest building — runs in one task no matter how many cores
+  * the session has. Local test fixtures are exactly such files; a
+  * 100 TB table is thousands of splits and never hits this. [[spread]]
+  * makes the guard explicit: repartition ONLY when the scan carries
+  * fewer partitions than the session's core count, so at cluster scale
+  * it inserts nothing, and on under-split local inputs it spends one
+  * narrow-row shuffle to buy full-width map stages. */
+object Spread {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+}

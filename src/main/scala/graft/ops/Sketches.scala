@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Caches.TrackedDataset
 import graft.core.Tables
 
 /** Sketch-based approximate aggregation — the paths that replace a
@@ -252,6 +253,23 @@ object Sketches {
       nodes.toMap
     }
 
+    /** Fold MANY digests in one pass: sum all node maps, compress ONCE
+      * against the combined N. Equivalent guarantee to a [[merge]] fold
+      * (the bound is a property of the final compress threshold), but
+      * O(total nodes) instead of one full compress per fold step — the
+      * driver-side cost of folding `partitions` digests drops from
+      * `partitions × compress` to one compress. */
+    def mergeAll(digests: Seq[Map[Long, Long]], bits: Int, k: Int): Map[Long, Long] = {
+      require(digests.nonEmpty, "mergeAll of no digests")
+      val nodes = scala.collection.mutable.HashMap.empty[Long, Long]
+      digests.foreach(_.foreach { case (id, c) =>
+        nodes.update(id, nodes.getOrElse(id, 0L) + c)
+      })
+      val n = nodes.valuesIterator.sum
+      compress(nodes, bits, n / k)
+      nodes.toMap
+    }
+
     /** Quantile estimate: walk nodes in postorder of their value
       * intervals (increasing upper bound, inner nodes before enclosing
       * ones) accumulating counts until `q·N` is covered; report the
@@ -319,7 +337,7 @@ object Sketches {
     *
     * Returns (q_pct, value_cents) sorted by q_pct. */
   def exactQuantiles(df: DataFrame, value: Column, percents: Seq[Int],
-                     bits: Int = 24, k: Int = 4096): DataFrame =
+                     bits: Int = 24, k: Int = 1024): DataFrame =
     groupedExactQuantiles(df, lit("_"), value, percents, bits, k)
       .drop("grp")
 
@@ -327,21 +345,27 @@ object Sketches {
     * dimensions (report axes, status flags — state is groups ×
     * partitions × digest, so cardinality-bounded by contract): one scan
     * builds a digest PER GROUP per partition (memory-bounded builders),
-    * the driver folds per group, and one exact verification pass
-    * resolves every (group, percentile) pair simultaneously. The
-    * below-window count rides the same aggregate as the in-window
-    * values via a sentinel row (v < lo ⟶ −1, sorted first by the
-    * per-(group,pct) cumulative window), so verification is a single
-    * shuffle. Returns (grp, q_pct, value_cents). */
+    * the driver folds per group (one [[QDigest.mergeAll]] compress, not
+    * one per partition), and verification resolves every (group,
+    * percentile) pair simultaneously: below-window counts as one
+    * MAP-SIDE conditional aggregate (zero data rows shuffled — the
+    * (group, pct) pairs are a fixed bounded schema), then a broadcast
+    * range join that only in-window rows (≈ 4ε·N per pair) survive.
+    * Returns (grp, q_pct, value_cents). */
   def groupedExactQuantiles(df: DataFrame, group: Column, value: Column,
                             percents: Seq[Int], bits: Int = 24,
-                            k: Int = 4096): DataFrame = {
+                            k: Int = 1024): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1,100], got $percents")
     val spark = df.sparkSession
     import spark.implicits._
-    val valued = df.select(group.cast("string").as("grp"),
-                           value.cast("long").as("v")).na.drop()
+    // Spread + persist: the digest build is per-row JVM work, so an
+    // under-split local scan would serialize it on one core (see
+    // [[graft.core.Spread]]); both passes reuse the same narrow cut
+    val valued = graft.core.Spread(
+        df.select(group.cast("string").as("grp"),
+                  value.cast("long").as("v")).na.drop())
+      .trackPersist()
 
     // pass 1: per-partition per-group digests, folded per group on the
     // driver — traffic is groups × partitions × (≤3k nodes), never data
@@ -355,15 +379,13 @@ object Sketches {
       }
       .collect()
       .groupBy(_._1)
-      .map { case (g, ds) =>
-        g -> ds.map(_._2).reduce(QDigest.merge(_, _, bits, k))
-      }
+      .map { case (g, ds) => g -> QDigest.mergeAll(ds.map(_._2).toSeq, bits, k) }
     require(digests.nonEmpty, "exactQuantiles of an empty frame")
 
     val eps = bits.toDouble / k
     val domainMax = (1L << bits) - 1
-    val windows = (for {
-      (g, digest) <- digests.toSeq
+    val bounds = (for {
+      (g, digest) <- digests.toSeq.sortBy(_._1)
       n = digest.valuesIterator.sum
       pct <- percents.sorted
     } yield {
@@ -379,25 +401,39 @@ object Sketches {
               else QDigest.quantile(digest, bits, q - 2 * eps),
               QDigest.quantile(digest, bits, math.min(1.0, q + 2 * eps)))
       (g, pct, target, lo, hi)
-    }).toDF("grp", "q_pct", "target", "lo", "hi")
+    })
 
-    // pass 2: one aggregate resolves all (group, pct) pairs — rows
-    // strictly below a window collapse onto the −1 sentinel (domain is
-    // non-negative), so the cumulative count over each PARTITIONED
-    // (grp, pct) frame starts at the below-window mass; the answer is
-    // the first real value whose cumulative count reaches the target
+    // pass 2a: exact count strictly below every window's lower edge, as
+    // ONE map-side conditional aggregate — (group, pct) pairs are
+    // bounded by contract, so the per-pair `when` columns are a fixed
+    // schema and NOT A SINGLE DATA ROW is shuffled (the old
+    // sentinel-row formulation shuffled every below-window row into the
+    // verification aggregate: ~2M of 3M joined rows at sf0.1)
+    val belowAggs = bounds.zipWithIndex.map { case ((g, _, _, lo, _), i) =>
+      sum(when(col("grp") === lit(g) && col("v") < lit(lo), 1L)
+        .otherwise(0L)).as(s"b$i")
+    }
+    val belowRow = valued.agg(belowAggs.head, belowAggs.tail: _*).head()
+    val windows = bounds.zipWithIndex.map { case ((g, pct, target, lo, hi), i) =>
+      (g, pct, lo, hi, target - belowRow.getLong(i))
+    }.toDF("wgrp", "q_pct", "lo", "hi", "need")
+
+    // pass 2b: residual rank inside each (tiny) window — only in-window
+    // rows survive the broadcast range join (≈ 4ε·N per pair), and the
+    // cumulative window is PARTITIONED by (group, quantile) over input
+    // already grouped to ≤ window-width rows
     val cumWin = org.apache.spark.sql.expressions.Window
-      .partitionBy("grp", "q_pct").orderBy("vw")
+      .partitionBy("wgrp", "q_pct").orderBy("v")
       .rowsBetween(Long.MinValue, 0)
     valued
-      .join(broadcast(windows), Seq("grp"))
-      .where(col("v") <= col("hi"))
-      .withColumn("vw", when(col("v") < col("lo"), lit(-1L)).otherwise(col("v")))
-      .groupBy(col("grp"), col("q_pct"), col("target"), col("vw"))
+      .join(broadcast(windows),
+        col("grp") === col("wgrp") && col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("wgrp"), col("q_pct"), col("need"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(cumWin))
-      .where(col("cum") >= col("target") && col("vw") >= 0L)
-      .groupBy(col("grp"), col("q_pct")).agg(min(col("vw")).as("value_cents"))
+      .where(col("cum") >= col("need"))
+      .groupBy(col("wgrp").as("grp"), col("q_pct"))
+      .agg(min(col("v")).as("value_cents"))
       .orderBy(col("grp"), col("q_pct"))
   }
 

@@ -9,10 +9,11 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val q = graft.ops.Jnr.rangeJoinQuery(spark, sf)
+    val q = graft.ops.Sketches.quantilesByFlagQuery(spark, sf)
     q.explain("formatted")
     val t0 = System.nanoTime()
     q.write.format("noop").mode("overwrite").save()
