@@ -240,6 +240,106 @@ object Dedup {
        |HAVING round(count(*) * 1.0 / (a.n + b.n - count(*)), 6) >= $JaccardThreshold
        |""".stripMargin
 
+  // ------------------------------------------------ asymmetric containment
+  /** Shingle-set containment threshold for [[containmentPairs]]. */
+  private val ContainmentThreshold = 0.9
+
+  /** Directed near-CONTAINMENT pairs: `|A∩B| / min(|A|,|B|)` ≥ 0.9 —
+    * the asymmetric companion to [[jaccardPairs]]. Jaccard misses the
+    * "small doc quoted inside a large one" case (the union term swamps
+    * the intersection); containment catches exactly that, which for a
+    * training corpus means boilerplate-wrapped reposts and partial
+    * mirrors. Same inverted-index shuffle shape as [[jaccardPairs]]
+    * (docs sharing a shingle meet once per shared shingle; the group
+    * count IS the intersection), same df²-bounded fan-out (the capped /
+    * LSH variants are the stated scale path there and apply unchanged).
+    * Output is DIRECTED: `doc_inner` is the (near-)contained smaller
+    * shingle set, `doc_outer` the container; equal sizes break toward
+    * the smaller doc_id. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(spark, docs(spark, dir))
+
+  private[graft] def containmentPairsOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    val inv = docShinglesOf(spark, d)
+      .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
+      .trackPersist()
+    val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_inner"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_outer"),
+        col("containment"))
+  }
+
+  val containmentPairsOracle: String =
+    s"""WITH $shingleCte,
+       |inv AS (SELECT doc_id, len(sgl) AS n, unnest(sgl) AS s FROM sh),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+       |         count(*) AS inter
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_inner,
+       |       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_outer,
+       |       round(inter * 1.0 / least(na, nb), 6) AS containment
+       |FROM p
+       |WHERE round(inter * 1.0 / least(na, nb), 6) >= $ContainmentThreshold
+       |""".stripMargin
+
+  // ------------------------------------------------ cross-source dup matrix
+  /** Corpus-governance view of duplication: for every ordered source
+    * pair, how many NEAR-DUPLICATE doc pairs and how many dup groups
+    * span it — the table that answers "which feeds are re-crawling each
+    * other" before any dedup policy is set. Groups are the connected
+    * components of the exact-Jaccard pair graph ([[clusters]], itself
+    * oracle-gated); pair counts come from per-(cluster, source) tallies
+    * — `n_a·n_b` across two sources, `C(n,2)` within one — so nothing
+    * bigger than the tally table (≤ one row per clustered doc) is
+    * joined, and the join fan-out per cluster is
+    * (sources-per-cluster)², never docs². */
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val tallies = clusters(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("source")).agg(count(lit(1)).as("n"))
+      .trackPersist()
+    val a = tallies.select(col("cluster_id"), col("source").as("source_a"),
+                           col("n").as("na"))
+    val b = tallies.select(col("cluster_id"), col("source").as("source_b"),
+                           col("n").as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("pairs",
+        when(col("source_a") === col("source_b"), expr("na * (na - 1) DIV 2"))
+          .otherwise(col("na") * col("nb")))
+      .filter(col("pairs") > 0)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("dup_pairs"),
+           count(lit(1)).as("dup_groups"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  lazy val crossSourceMatrixOracle: String =
+    s"""WITH cl AS ($clustersOracle),
+       |t AS (SELECT cluster_id, source, count(*) AS n
+       |      FROM cl JOIN documents USING (doc_id) GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+       |              ELSE a.n * b.n END AS pairs
+       |  FROM t a JOIN t b ON a.cluster_id = b.cluster_id AND a.source <= b.source)
+       |SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS dup_pairs,
+       |       CAST(count(*) AS BIGINT) AS dup_groups
+       |FROM p WHERE pairs > 0 GROUP BY 1, 2
+       |""".stripMargin
+
   // ----------------------------------------------------------- MinHash+LSH
   /** MinHash+LSH near-dup pairs: 16-component signatures → 4 bands of 4 →
     * candidates collide on any band key → exact-Jaccard verify ≥ 0.8.

@@ -194,4 +194,37 @@ object Stats {
        |GROUP BY 1
        |""".stripMargin
   }
+
+  /** Corpus-percentile calibration of the quality score: every doc
+    * tagged with its exact global rank and integer micro-percentile
+    * `(rank−1)·10⁶ DIV (N−1)` — the normalization a quality-threshold
+    * policy ("drop the bottom 20%") needs, stable across corpora whose
+    * raw score distributions differ. Rank comes from the distributed
+    * [[Rnk.globalRank]] (range-partition + partitioned rank + broadcast
+    * offsets — no single-partition window); the total count rides a
+    * broadcast one-row frame. All integer arithmetic past the 6-dp
+    * score, so the SQL oracle reproduces it bit-for-bit. */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val ranked = Rnk.globalRank(q, Seq(col("quality_score"), col("doc_id")),
+      "rank")
+    ranked.crossJoin(broadcast(q.agg(count(lit(1)).as("n_total"))))
+      .select(col("doc_id"), col("quality_score"), col("rank"),
+        expr("CAST((rank - 1) * 1000000 DIV greatest(n_total - 1, 1) AS BIGINT)")
+          .as("pctile_micro"))
+  }
+
+  val qualityPercentileOracle: String = {
+    def cte(sql: String) = sql.trim.stripSuffix(";")
+    s"""WITH q AS (${cte(TextAnalysis.qualityOracle)}),
+       |r AS (SELECT doc_id, quality_score,
+       |             row_number() OVER (ORDER BY quality_score, doc_id) AS rank
+       |      FROM q),
+       |n AS (SELECT count(*) AS n_total FROM q)
+       |SELECT doc_id, quality_score, CAST(rank AS BIGINT) AS rank,
+       |       CAST((rank - 1) * 1000000 // greatest(n_total - 1, 1) AS BIGINT) AS pctile_micro
+       |FROM r CROSS JOIN n
+       |""".stripMargin
+  }
 }

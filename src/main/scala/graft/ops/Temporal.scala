@@ -207,4 +207,48 @@ object Temporal {
       |       CAST((ts_us - last_click_us) // 1000000 AS BIGINT) AS gap_seconds
       |FROM carried WHERE event_type = 'purchase'
       |""".stripMargin
+
+  /** Half-life-decayed engagement per user: each event's value (cents
+    * grid) weighted by `2^(−age/halfLife)` against a FIXED anchor date
+    * (a pipeline parameter like [[graft.core.RunDate]] — never the wall
+    * clock) and summed. The decay is PURE INTEGER arithmetic — micro-
+    * scaled cents `DIV 2^weeks`, weeks capped at 60 so the shift cannot
+    * overflow — which keeps the sum order-independent (the repo's
+    * exact-sum discipline; a float `exp` decay would flap run-to-run at
+    * 1000 executors AND differ between engines in the last ulp). One
+    * map-side-combined hash aggregate; no window, no join.
+    * PRECONDITION: event values are non-negative (integer DIV truncates
+    * toward zero in Spark but floors in DuckDB — identical only for
+    * non-negative operands; the events fixture is all-positive). */
+  def decayedEngagement(spark: SparkSession, dir: String,
+                        anchor: String = "2024-02-01",
+                        halfLifeDays: Int = 7): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"),
+        greatest(datediff(lit(anchor).cast("date"), col("ts").cast("date")),
+                 lit(0)).as("age_days"))
+      .withColumn("weeks", least(expr(s"age_days DIV $halfLifeDays"), lit(60)))
+      .withColumn("decayed_micro",
+        expr("(value_cents * 1000000) DIV shiftleft(CAST(1 AS BIGINT), CAST(weeks AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("decayed_micro")).as("decayed_value_micro"),
+           count(lit(1)).as("events_n"))
+
+  val decayedEngagementOracle: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |         greatest(date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+      |                            DATE '2024-02-01'), 0) AS age_days
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id,
+      |         (value_cents * 1000000)
+      |           // (CAST(1 AS BIGINT) << least(age_days // 7, 60)) AS decayed_micro
+      |  FROM e)
+      |SELECT user_id, CAST(sum(decayed_micro) AS BIGINT) AS decayed_value_micro,
+      |       CAST(count(*) AS BIGINT) AS events_n
+      |FROM d GROUP BY 1
+      |""".stripMargin
 }
