@@ -50,11 +50,22 @@ object Similarity {
     call_function(graft.functions.GraftFunctions.DotRawName, a, b)
 
   /** vec_id, v (double[]), n2 (squared norm). */
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+  /** `spread = true` for the O(n²·d) all-pairs kernels ONLY: the
+    * embeddings fixture is one parquet row group = one scan partition,
+    * which would run the whole dot-product sweep (the stream side of a
+    * broadcast nested-loop) on ONE core — [[graft.core.Spread]] is a
+    * no-op when the scan is already split. The bucketed LSH/IVF paths
+    * keep the raw scan: they re-run `vecs` across several small actions
+    * (seeding, assignment, probe), where re-paying a shuffle per action
+    * costs more than their map stages ever would (measured: +0.6 s on
+    * q_sim_ann_lsh, +1.3 s on q_sim_ann_ivf). */
+  private def vecs(spark: SparkSession, dir: String,
+                   spread: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    Tables.embeddings(spark, dir).select(
+    val base = Tables.embeddings(spark, dir).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    (if (spread) graft.core.Spread(base) else base)
       .withColumn("n2", dot(col("v"), col("v")))
   }
 
@@ -73,7 +84,7 @@ object Similarity {
   // ------------------------------------------------------------ brute force
   /** Exact cosine top-K neighbors for every vector (self excluded). */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val n = vecs(spark, dir)
+    val n = vecs(spark, dir, spread = true)
     val pairs = n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
               cosine().as("cos"))
@@ -86,8 +97,8 @@ object Similarity {
   def bruteForceTopKOf(vectors: DataFrame, idCol: String, vecCol: String,
                        k: Int = K): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
-    val n = vectors.select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("v"))
+    val n = graft.core.Spread(vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v")))
       .withColumn("n2", dot(col("v"), col("v")))
     topK(n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
@@ -351,7 +362,7 @@ object Similarity {
     * them into shared buckets; this corpus is near-random so the
     * threshold is calibrated low to exercise the operator. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val n = vecs(spark, dir)
+    val n = vecs(spark, dir, spread = true)
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
               round(cosine(), 6).as("cosine"))
