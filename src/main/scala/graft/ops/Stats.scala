@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Caches.TrackedDataset
 import graft.core.Tables
 
 /** Distributed descriptive statistics with ORDER-INDEPENDENT results.
@@ -98,13 +99,17 @@ object Stats {
     * fact). Clipped values and both bounds are emitted so downstream can
     * audit what moved. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
-    val bounds = Tables.lineitem(spark, dir)
+    // same Spread rationale as [[mad]]: parallel percentile partials on
+    // the under-split local scan, one persisted cut for both passes
+    val li = graft.core.Spread(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                col("l_extendedprice")))
+      .trackPersist()
+    val bounds = li
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
            expr("percentile(l_extendedprice, 0.95)").as("hi"))
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-              col("l_extendedprice"))
+    li
       .join(broadcast(bounds), Seq("l_returnflag"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -155,8 +160,12 @@ object Stats {
     * engines — without it the deviation ORDER could differ at a ulp tie
     * and move the interpolated MAD. */
   def mad(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    // Spread + persist: percentile() partials buffer every value, so an
+    // under-split scan serializes the buffer build on one core, and the
+    // narrow cut feeds two passes (median, then deviations)
+    val li = graft.core.Spread(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x")))
+      .trackPersist()
     val med = li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(x, 0.5)").as("med"))
     li.join(broadcast(med), Seq("l_returnflag"))
