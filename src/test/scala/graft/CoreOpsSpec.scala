@@ -146,4 +146,17 @@ class RnkSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(top == Map("g" -> "a", "h" -> "q")) // tie at 5.0 -> lowest id wins
   }
+
+  test("Spread: repartitions under-split frames, leaves split ones alone") {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = (1 to 1000).toDF("x").coalesce(1)
+    val spreadUp = graft.core.Spread(narrow)
+    assert(spreadUp.rdd.getNumPartitions == cores)
+    // content is only rearranged, never changed
+    assert(spreadUp.as[Int].collect().sorted.toSeq == (1 to 1000))
+    val wide = (1 to 1000).toDF("x").repartition(cores + 3)
+    // already at/above core count: returned AS IS (no exchange inserted)
+    assert(graft.core.Spread(wide) eq wide)
+  }
 }
