@@ -185,6 +185,32 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("digest quantiles: bounds broadcast onto the stream, cumulative " +
+       "window partitioned by (group, quantile)") {
+    val p = plan(graft.ops.Sketches.quantilesByFlagQuery(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "verification windows must broadcast, never shuffle the stream by them")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("windowspecdefinition(wgrp"),
+      "the cumulative window must be partitioned (wgrp, q_pct)")
+    graft.core.Caches.release(spark)
+  }
+
+  test("containment: same inverted-index shape as jaccard — equi-join on " +
+       "shingle hash, no cartesian") {
+    val p = plan(graft.ops.Dedup.containmentPairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairs must meet through the shingle equi-join only")
+    graft.core.Caches.release(spark)
+  }
+
+  test("cross-source matrix: tallies equi-join on cluster_id, no doc-pair " +
+       "enumeration operator") {
+    val p = plan(graft.ops.Dedup.crossSourceMatrix(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    graft.core.Caches.release(spark)
+  }
+
   test("NO query in the full registry plans an unbounded single-partition window") {
     // the scale-killer class: row_number()/sum() OVER (ORDER BY ...) with
     // no PARTITION BY pulls every row through one task. A global window

@@ -241,6 +241,26 @@ class SketchesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("groupedExactQuantiles: a tiny group among large ones hits the " +
+       "full-domain fallback and stays exact") {
+    // group "t" has 3 rows (eps*n < 1 → full-domain window); "big" has
+    // enough rows for real digest narrowing — both must be exact
+    val big = (1 to 5000).map(i => ("big", (i * 7 % 1000).toLong))
+    val tiny = Seq(("t", 42L), ("t", 7L), ("t", 99L))
+    val df = spark.createDataFrame(big ++ tiny).toDF("g", "v")
+    val got = Sketches.groupedExactQuantiles(df, col("g"), col("v"), Seq(50, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    def pct(vs: Seq[Long], p: Int): Long = {
+      val sorted = vs.sorted
+      sorted(((p * vs.length.toLong + 99L) / 100L - 1).toInt)
+    }
+    val want = Seq(
+      ("big", 50, pct(big.map(_._2), 50)), ("big", 100, pct(big.map(_._2), 100)),
+      ("t", 50, pct(tiny.map(_._2), 50)), ("t", 100, pct(tiny.map(_._2), 100)))
+    assert(got.sorted == want.sorted)
+    graft.core.Caches.release(spark)
+  }
+
   test("qdigest builder: working memory stays bounded on a distinct-heavy stream") {
     // 200k distinct ascending values (worst case for leaf accumulation):
     // periodic compression must keep the final digest at sketch size and
