@@ -491,4 +491,88 @@ object Sketches {
       |FROM events WHERE event_type IS NOT NULL
       |GROUP BY 1 ORDER BY cnt DESC, key LIMIT 5
       |""".stripMargin
+
+  // ------------------------------------------- grouped heavy hitters
+  /** Union of per-(partition, group) Misra-Gries(m) summary keys.
+    * Per-group guarantee, same argument as [[nominate]] applied within
+    * each group's sub-stream: inside one partition the group's MG
+    * undercounts any of its keys by at most N_{p,g}/m, so a key of
+    * group g absent from EVERY partition's g-summary has total count
+    * ≤ Σ_p N_{p,g}/m = N_g/m — every key with in-group count > N_g/m
+    * is nominated under ANY partitioning. State is
+    * partitions × groups × m counters (groups bounded by contract —
+    * report dimensions, not user ids). */
+  def nominateGrouped(df: DataFrame, group: Column, key: Column,
+                      m: Int): DataFrame = {
+    require(m >= 1, s"Misra-Gries capacity must be >= 1, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(group.cast("string").as("grp"), key.cast("string").as("k"))
+      .na.drop().as[(String, String)]
+      .mapPartitions { it =>
+        val perGroup = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, s) =>
+          val counters = perGroup.getOrElseUpdate(g,
+            scala.collection.mutable.HashMap.empty[String, Long])
+          counters.get(s) match {
+            case Some(c) => counters.update(s, c + 1L)
+            case None if counters.size < m => counters.update(s, 1L)
+            case None =>
+              val dead = List.newBuilder[String]
+              counters.foreach { case (k, c) =>
+                if (c == 1L) dead += k else counters.update(k, c - 1L)
+              }
+              dead.result().foreach(counters.remove)
+          }
+        }
+        perGroup.iterator.flatMap { case (g, cs) => cs.keysIterator.map((g, _)) }
+      }
+      .toDF("grp", "k").distinct()
+  }
+
+  /** Top-`k` keys PER GROUP by EXACT count — the grouped companion to
+    * [[heavyHitters]] (and the frequency partner of
+    * [[groupedExactQuantiles]]): per-(partition, group) Misra-Gries
+    * nomination (sound for any key with in-group count > N_g/m), then
+    * one exact aggregate over the nominated (group, key) pairs only and
+    * a rank window PARTITIONED by group over the (tiny) verified
+    * candidate table. No full-keyspace-per-group shuffle anywhere;
+    * output is exact, so fully oracle-checkable whenever each group's
+    * k-th key clears N_g/m. */
+  def groupedHeavyHitters(df: DataFrame, group: Column, key: Column,
+                          k: Int = 5, m: Int = 1024): DataFrame = {
+    val keyed = df.select(group.cast("string").as("grp"),
+                          key.cast("string").as("k")).na.drop()
+    val candidates = nominateGrouped(df, group, key, m)
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("cnt"), asc("k"))
+    keyed.join(broadcast(candidates), Seq("grp", "k"))
+      .groupBy(col("grp"), col("k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(rankWin))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("k").as("key"), col("cnt"), col("rank"))
+  }
+
+  /** Oracle-gated query: top-3 users per event type by exact count —
+    * the per-dimension frequent-keys table (top contributors per feed,
+    * top URLs per source) computed without a per-group full-keyspace
+    * shuffle. */
+  def groupedHeavyHittersQuery(spark: SparkSession, dir: String): DataFrame =
+    groupedHeavyHitters(Tables.events(spark, dir), col("event_type"),
+      col("user_id"), k = 3)
+
+  val groupedHeavyHittersOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(event_type AS VARCHAR) AS grp,
+      |         CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+      |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT grp, key, cnt,
+      |         row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, key) AS rank
+      |  FROM c)
+      |SELECT grp, key, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 3
+      |""".stripMargin
 }

@@ -241,6 +241,42 @@ class SketchesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("groupedHeavyHitters: per-group nomination catches a spread-thin " +
+       "heavy key in ONE group without polluting the other") {
+    // group A: the adversarial layout (heavy key "hh" below every local
+    // top, 8 partitions); group B: plain skewed data where "top" leads
+    val rdd = spark.sparkContext.parallelize(0 until 8, 8)
+      .mapPartitionsWithIndex { case (i, _) =>
+        val aLocals = (0 until 12).flatMap(j => Seq.fill(10)(("A", s"p${i}_k$j")))
+        val aHeavy = Seq.fill(9)(("A", "hh"))
+        val b = Seq.fill(20)(("B", "top")) ++ Seq.fill(3)(("B", s"b$i"))
+        (aLocals ++ aHeavy ++ b).iterator
+      }
+    val df = rdd.toDF("g", "k")
+    val got = Sketches.groupedHeavyHitters(df, col("g"), col("k"), k = 2, m = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val a = got.filter(_._1 == "A")
+    val b = got.filter(_._1 == "B")
+    assert(a.head == ("A", "hh", 72L, 1), s"got ${a.toSeq}")
+    assert(b.head == ("B", "top", 160L, 1), s"got ${b.toSeq}")
+    assert(got.forall(_._4 <= 2) && a.length == 2 && b.length == 2)
+  }
+
+  test("groupedHeavyHitters equals exact per-group top-k on real events") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type").as("g"), col("user_id").cast("string").as("k"))
+    val want = ev.as[(String, String)].collect()
+      .groupBy(identity).map { case ((g, k), rows) => (g, k, rows.length.toLong) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.toSeq.sortBy { case (_, k, n) => (-n, k) }.take(3)
+          .zipWithIndex.map { case ((g, k, n), i) => (g, k, n, i + 1) }
+      }.toSeq.sorted
+    val got = Sketches.groupedHeavyHitters(ev, col("g"), col("k"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(got == want)
+  }
+
   test("groupedExactQuantiles: a tiny group among large ones hits the " +
        "full-domain fallback and stays exact") {
     // group "t" has 3 rows (eps*n < 1 → full-domain window); "big" has
