@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Caches.TrackedDataset
 import graft.core.Tables
 
 /** Embedding-column utilities beyond similarity search: L2 normalization
@@ -331,5 +332,42 @@ object Embeddings {
        |               i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)))
        |             / $Dim, 6) AS recon_err
        |FROM qq
+       |""".stripMargin
+
+  /** Uncentered Gram (second-moment) matrix of the embedding corpus:
+    * `G[i][j] = E[x_i·x_j]` for `i ≤ j` — the d(d+1)/2-cell input PCA /
+    * whitening / feature-correlation audits start from (covariance is
+    * `G − μμᵀ` with the [[labelCentroids]]-style means). Scale shape:
+    * one explode to (vec, dim, value), one equi-self-join on vec_id
+    * (per-vector fan-out is the fixed d(d+1)/2, never corpus²), and a
+    * map-side-combined aggregate into d(d+1)/2 cells — output is
+    * dimension-bounded, not data-bounded. Sums accumulate the exact
+    * DECIMAL(25,10) cast of each product (the [[labelCentroids]]
+    * portability pattern), so both engines fold identically. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val x = graft.core.Spread(Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+                posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("i", "xi"))))
+      .trackPersist()
+    val a = x.select(col("vec_id"), col("i"), col("xi"))
+    val b = x.select(col("vec_id"), col("i").as("j"), col("xi").as("xj"))
+    a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+           round(sum((col("xi") * col("xj")).cast("decimal(25,10)"))
+                   .cast("double") / count(lit(1)), 6).as("gram"))
+  }
+
+  val gramMatrixOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (SELECT vec_id, i, v[i] AS xi
+       |      FROM e, unnest(generate_series(1, $Dim)) t(i))
+       |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(CAST(a.xi * b.xi AS DECIMAL(25,10))) AS DOUBLE)
+       |             / count(*), 6) AS gram
+       |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |GROUP BY 1, 2
        |""".stripMargin
 }

@@ -88,6 +88,29 @@ class GovernanceOpsSpec extends SparkSpec {
     graft.core.Caches.release(spark)
   }
 
+  // ------------------------------------------------------- gram matrix
+  test("gramMatrix equals driver-side exact outer-product sums") {
+    val vs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = vs.head.length
+    val want = (for {
+      i <- 0 until d; j <- i until d
+    } yield {
+      val s = vs.map(v => BigDecimal(v(i) * v(j))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      ((i, j), (vs.length.toLong,
+        (s / vs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).toMap
+    val got = graft.ops.Embeddings.gramMatrix(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == d * (d + 1) / 2)
+    val diffs = want.keys.filter(k => got(k) != want(k))
+    assert(diffs.isEmpty, s"first mismatches: ${diffs.take(3).map(k => (k, got(k), want(k)))}")
+    graft.core.Caches.release(spark)
+  }
+
   // ------------------------------------------------- decayed engagement
   test("decayedEngagement equals driver-side integer decay") {
     val anchor = java.time.LocalDate.parse("2024-02-01")
