@@ -220,10 +220,13 @@ object Temporal {
     * PRECONDITION: event values are non-negative (integer DIV truncates
     * toward zero in Spark but floors in DuckDB — identical only for
     * non-negative operands; the events fixture is all-positive). */
-  def decayedEngagement(spark: SparkSession, dir: String,
-                        anchor: String = "2024-02-01",
-                        halfLifeDays: Int = 7): DataFrame =
-    Tables.events(spark, dir)
+  /** The per-event decay projection shared by the batch aggregate and
+    * its streaming twin (the weight depends only on the event's own
+    * timestamp and the fixed anchor — stateless per row, so a streaming
+    * groupBy folds it with plain aggregation state). */
+  def decayedProjection(events: DataFrame, anchor: String,
+                        halfLifeDays: Int): DataFrame =
+    events
       .select(col("user_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"),
         greatest(datediff(lit(anchor).cast("date"), col("ts").cast("date")),
@@ -231,6 +234,11 @@ object Temporal {
       .withColumn("weeks", least(expr(s"age_days DIV $halfLifeDays"), lit(60)))
       .withColumn("decayed_micro",
         expr("(value_cents * 1000000) DIV shiftleft(CAST(1 AS BIGINT), CAST(weeks AS INT))"))
+
+  def decayedEngagement(spark: SparkSession, dir: String,
+                        anchor: String = "2024-02-01",
+                        halfLifeDays: Int = 7): DataFrame =
+    decayedProjection(Tables.events(spark, dir), anchor, halfLifeDays)
       .groupBy(col("user_id"))
       .agg(sum(col("decayed_micro")).as("decayed_value_micro"),
            count(lit(1)).as("events_n"))

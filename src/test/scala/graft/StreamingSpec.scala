@@ -286,4 +286,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
       s"exactly-once across restart, got $rows")
   }
+
+  test("decayed engagement stream twin: complete-mode fold equals the batch aggregate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Temporal
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val events = Seq(
+      Event(1, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1, "click", 10.0),
+      Event(2, java.sql.Timestamp.valueOf("2024-01-19 10:00:00"), 1, "view", 20.0),
+      Event(3, java.sql.Timestamp.valueOf("2024-01-28 10:00:00"), 2, "click", 5.5),
+      Event(4, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2, "view", 7.25))
+    val input = MemoryStream[Event]
+    val q = Temporal.decayedProjection(input.toDF(), "2024-02-01", 7)
+      .groupBy(col("user_id"))
+      .agg(sum(col("decayed_micro")).as("decayed_value_micro"),
+           count(org.apache.spark.sql.functions.lit(1)).as("events_n"))
+      .writeStream.format("memory").queryName("decayed_twin")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(events.take(2))
+      q.processAllAvailable()
+      input.addData(events.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("decayed_twin")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val want = Temporal.decayedProjection(events.toDF(), "2024-02-01", 7)
+        .groupBy(col("user_id"))
+        .agg(sum(col("decayed_micro")).as("d"),
+             count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want && got.length == 2, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
 }
