@@ -618,4 +618,40 @@ object TextAnalysis {
       |       CAST(norm <> dirty AS INT) AS changed
       |FROM n
       |""".stripMargin
+
+  /** Top-3 token bigrams PER LANGUAGE by exact count — the per-dimension
+    * frequent-pattern table (stopword candidates, boilerplate phrases,
+    * per-language fingerprints) as a composition of the grouped
+    * heavy-hitter operator over the exploded bigram stream: sound
+    * per-group Misra-Gries nomination, exact verification, no per-group
+    * full-keyspace shuffle. The k-th heaviest bigram per language must
+    * clear N_lang/m for the guarantee (m = 1024; this corpus's per-lang
+    * bigram vocabularies sit entirely under m, so nomination is
+    * lossless here). */
+  def topNgramsByLang(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docs(spark, dir)
+      .withColumn("tk", tokens(col("text")))
+      .filter(size(col("tk")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+        .as("bg"))
+    Sketches.groupedHeavyHitters(bg, col("lang"), col("bg"), k = 3)
+      .select(col("grp").as("lang"), col("key").as("ngram"),
+              col("cnt"), col("rank"))
+  }
+
+  val topNgramsByLangOracle: String =
+    """WITH t AS (SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |           FROM documents),
+      |b AS (SELECT lang, tk[i] || ' ' || tk[i + 1] AS bg
+      |      FROM t, unnest(generate_series(1, len(tk) - 1)) u(i)
+      |      WHERE len(tk) >= 2),
+      |c AS (SELECT CAST(lang AS VARCHAR) AS lang, bg, count(*) AS cnt
+      |      FROM b GROUP BY 1, 2),
+      |r AS (SELECT lang, bg AS ngram, cnt,
+      |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS rank
+      |      FROM c)
+      |SELECT lang, ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 3
+      |""".stripMargin
 }
