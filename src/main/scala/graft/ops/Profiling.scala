@@ -150,4 +150,67 @@ object Profiling {
       |       round(CAST(n AS DOUBLE) / n_total, 6) AS share
       |FROM d CROSS JOIN t
       |""".stripMargin
+
+  /** Association profile between two categorical columns — here event
+    * type × weekday: the joint-count cell table with per-cell PMI and
+    * the total mutual information, the feature-dependence check a
+    * pipeline runs before treating columns as independent (stratifiers,
+    * leakage hunts). Deterministic log discipline as the unigram-NLL
+    * path: each ln term rounds to 6 dp, scales to integer micros, and
+    * every downstream fold is exact integer arithmetic (a raw double
+    * Σ p·ln(...) would be partition-order-dependent). Shape: one shuffle
+    * of the fact into |X|·|Y| cells; marginals and the MI total ride
+    * broadcast one-row/tiny frames. Weekday is epoch-day mod 7 (0 =
+    * Thursday) — the [[TimeSeries.weekdayAnomalies]] mapping that
+    * sidesteps the engines' dayofweek() numbering mismatch. */
+  def typeWeekdayAssociation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val e = Tables.events(spark, dir).select(
+      col("event_type").as("x"),
+      pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7))
+        .cast("int").as("y"))
+    val cells = e.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .trackPersist()
+    val nx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n_total"))
+    val scored = cells
+      .join(broadcast(nx), Seq("x")).join(broadcast(ny), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        round(round(log(col("n_xy").cast("double") * col("n_total") /
+                        (col("n_x") * col("n_y"))), 6) * 1000000d, 0)
+          .cast("long"))
+      .trackPersist()
+    val mi = scored.agg(sum(col("n_xy") * col("pmi_micro")).as("s"),
+                        max(col("n_total")).as("nt"))
+    scored.crossJoin(broadcast(mi))
+      .select(col("x").as("event_type"), col("y").as("dow"),
+              col("n_xy"), col("n_x"), col("n_y"), col("n_total"),
+              (col("pmi_micro").cast("double") / 1e6).as("pmi"),
+              round(col("s").cast("double") / 1e6 / col("nt"), 6).as("mi_total"))
+  }
+
+  val typeWeekdayAssociationOracle: String =
+    """WITH e AS (
+      |  SELECT event_type AS x,
+      |         CAST(date_diff('day', DATE '1970-01-01',
+      |                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS INT) AS y
+      |  FROM events),
+      |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM e GROUP BY 1, 2),
+      |nx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+      |ny AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM cells),
+      |scored AS (
+      |  SELECT x, y, n_xy, n_x, n_y, n_total,
+      |         CAST(round(round(ln(CAST(n_xy AS DOUBLE) * n_total / (n_x * n_y)), 6)
+      |              * 1000000, 0) AS BIGINT) AS pmi_micro
+      |  FROM cells JOIN nx USING (x) JOIN ny USING (y), tot),
+      |mi AS (SELECT CAST(sum(n_xy * pmi_micro) AS BIGINT) AS s,
+      |              max(n_total) AS nt FROM scored)
+      |SELECT x AS event_type, y AS dow, n_xy, n_x, n_y, n_total,
+      |       CAST(pmi_micro AS DOUBLE) / 1e6 AS pmi,
+      |       round(CAST(s AS DOUBLE) / 1e6 / nt, 6) AS mi_total
+      |FROM scored, mi
+      |""".stripMargin
 }
