@@ -370,4 +370,75 @@ object Embeddings {
        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
        |GROUP BY 1, 2
        |""".stripMargin
+
+  /** Per-dimension z-score standardization of the embedding corpus —
+    * the preprocessing most vector consumers (k-means, linear probes,
+    * quantizers) assume. Per-dim mean and population std come from
+    * EXACT decimal power sums (the [[Stats.moments]] discipline — no
+    * Welford-order flap at 1000 executors) broadcast back as a d-row
+    * table; output is per-(vector, dimension) scalar rows (the oracle
+    * portability rule — no array/string-formatted vectors in checked
+    * output). Variance is clamped at 0 before the sqrt (exact sums cast
+    * to double can land a constant dimension at −1e−12 — the clamp is
+    * identical on both engines), and zero-std dims standardize to 0. */
+  def standardize(spark: SparkSession, dir: String): DataFrame = {
+    val x = graft.core.Spread(Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+                posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("i", "xi"))))
+      .trackPersist()
+    val stats = x.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("xi").cast("decimal(25,10)")).cast("double").as("sx"),
+           sum((col("xi") * col("xi")).cast("decimal(25,10)")).cast("double")
+             .as("sxx"))
+      .select(col("i"),
+              (col("sx") / col("n")).as("mu"),
+              sqrt(greatest((col("sxx") - col("sx") * col("sx") / col("n")) /
+                              col("n"), lit(0d))).as("sigma"))
+    x.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        when(col("sigma") === 0d, lit(0d))
+          .otherwise(round((col("xi") - col("mu")) / col("sigma"), 6)).as("z"))
+  }
+
+  val standardizeOracle: String =
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS i, v[i] AS xi
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |       unnest(generate_series(1, $Dim)) t(i)),
+       |st AS (
+       |  SELECT i,
+       |         CAST(sum(CAST(xi AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS mu0,
+       |         CAST(sum(CAST(xi AS DECIMAL(25,10))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(xi * xi AS DECIMAL(25,10))) AS DOUBLE) AS sxx,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM x GROUP BY 1),
+       |ms AS (
+       |  SELECT i, sx / n AS mu,
+       |         sqrt(greatest((sxx - sx * sx / n) / n, 0)) AS sigma
+       |  FROM st)
+       |SELECT vec_id, x.i,
+       |       CASE WHEN sigma = 0 THEN 0.0
+       |            ELSE round((xi - mu) / sigma, 6) END AS z
+       |FROM x JOIN ms ON x.i = ms.i
+       |""".stripMargin
+
+  /** Per-vector outlier score over the standardized dims: Σ z²
+    * (Mahalanobis with diagonal covariance) — the cheap corpus-outlier
+    * flag that rides one aggregate over [[standardize]]'s output. */
+  def outlierScores(spark: SparkSession, dir: String): DataFrame =
+    standardize(spark, dir)
+      .groupBy(col("vec_id"))
+      .agg(round(sum((col("z") * col("z")).cast("decimal(25,10)"))
+                   .cast("double"), 6).as("z2_sum"),
+           count(lit(1)).as("dims"))
+
+  lazy val outlierScoresOracle: String =
+    s"""WITH z AS (${standardizeOracle.trim.stripSuffix(";")})
+       |SELECT vec_id,
+       |       round(CAST(sum(CAST(z * z AS DECIMAL(25,10))) AS DOUBLE), 6) AS z2_sum,
+       |       CAST(count(*) AS BIGINT) AS dims
+       |FROM z GROUP BY 1
+       |""".stripMargin
 }
