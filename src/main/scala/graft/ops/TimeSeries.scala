@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.core.Caches.TrackedDataset
 import graft.core.Tables
 
 /** Time-series shaping over the event log: dense gap-filled daily series,
@@ -150,5 +151,66 @@ object TimeSeries {
       |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
       |       CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_bucket
       |FROM events
+      |""".stripMargin
+
+  /** Robust daily-volume trend per event type: the Theil–Sen slope
+    * (median of all pairwise day-slopes — breakdown point 29%, immune
+    * to the single-day spikes that wreck OLS) next to the exact-decimal
+    * OLS slope for comparison. The pairwise expansion is per-group over
+    * the DAILY rollup — days², not events² (a year is ~66k pairs), and
+    * the fact table is touched once for the rollup. OLS comes from
+    * exact integer sums (counts × epoch-days — no double folds at all);
+    * Theil–Sen medians use the percentile() aggregate over IEEE-exact
+    * slope quotients, both proven cross-engine patterns. Days are
+    * epoch-days so x is integer and identical everywhere. */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+               datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .trackPersist()
+    val a = daily.select(col("event_type"), col("d").as("da"), col("cnt").as("ca"))
+    val b = daily.select(col("event_type"), col("d").as("db"), col("cnt").as("cb"))
+    val sen = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .select(col("event_type"),
+        ((col("cb") - col("ca")).cast("double") / (col("db") - col("da")))
+          .as("slope"))
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(slope, 0.5)"), 6).as("theil_sen_slope"))
+    val ols = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sx"),
+           sum(col("cnt")).as("sy"), sum(col("d") * col("d")).as("sxx"),
+           sum(col("d") * col("cnt")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("ols_slope"))
+    ols.join(sen, Seq("event_type"))
+      .select(col("event_type"), col("n").as("days"),
+              col("ols_slope"), col("theil_sen_slope"))
+  }
+
+  val dailyTrendOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         date_diff('day', DATE '1970-01-01',
+      |                   CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |sen AS (
+      |  SELECT a.event_type,
+      |         round(quantile_cont(CAST(b.cnt - a.cnt AS DOUBLE) / (b.d - a.d), 0.5), 6)
+      |           AS theil_sen_slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d
+      |  GROUP BY 1),
+      |ols AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS days,
+      |         round(CAST(count(*) * sum(d * cnt) - sum(d) * sum(cnt) AS DOUBLE) /
+      |               CAST(count(*) * sum(d * d) - sum(d) * sum(d) AS DOUBLE), 6)
+      |           AS ols_slope
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, days, ols_slope, theil_sen_slope
+      |FROM ols JOIN sen USING (event_type)
       |""".stripMargin
 }
