@@ -213,4 +213,58 @@ object TimeSeries {
       |SELECT event_type, days, ols_slope, theil_sen_slope
       |FROM ols JOIN sen USING (event_type)
       |""".stripMargin
+
+  /** Per-user inter-arrival cadence: count of gaps, mean / median gap in
+    * integer seconds, and the coefficient of variation ("burstiness" —
+    * CV ≈ 1 is Poisson-like, ≫ 1 bursty, ≪ 1 metronomic), the behavior
+    * fingerprint bot-detection and engagement models start from. Gaps
+    * come from one user-partitioned ordered window (lag — parallel, no
+    * self-join); truncating each gap to integer seconds FIRST keeps
+    * every power sum exact in BIGINT (gap² ≤ ~10¹⁰ · gaps — no
+    * overflow, no double fold), so mean/CV are closed-form from exact
+    * sums and the median is the proven percentile() aggregate. */
+  def cadence(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_s",
+        expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+           sum(col("gap_s")).as("sx"),
+           sum(col("gap_s") * col("gap_s")).as("sxx"),
+           expr("percentile(gap_s, 0.5)").as("med"))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("sx").cast("double") / col("n_gaps"), 6).as("mean_gap_s"),
+        round(col("med"), 6).as("median_gap_s"),
+        when(col("sx") === 0L, lit(0d)).otherwise(round(
+          sqrt(greatest((col("sxx") - col("sx") * col("sx") / col("n_gaps"))
+                          .cast("double") / col("n_gaps"), lit(0d))) /
+          (col("sx").cast("double") / col("n_gaps")), 6)).as("burstiness"))
+  }
+
+  val cadenceOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |         (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |           // 1000000 AS gap_s
+      |  FROM e),
+      |gg AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL),
+      |agg AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |         CAST(sum(gap_s) AS BIGINT) AS sx,
+      |         CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx,
+      |         quantile_cont(gap_s, 0.5) AS med
+      |  FROM gg GROUP BY 1)
+      |SELECT user_id, n_gaps,
+      |       round(CAST(sx AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+      |       round(med, 6) AS median_gap_s,
+      |       CASE WHEN sx = 0 THEN 0.0 ELSE round(
+      |         sqrt(greatest(CAST(sxx - sx * sx / n_gaps AS DOUBLE) / n_gaps, 0)) /
+      |         (CAST(sx AS DOUBLE) / n_gaps), 6) END AS burstiness
+      |FROM agg
+      |""".stripMargin
 }
