@@ -34,4 +34,67 @@ object Validator {
   /** Reject empty inputs (reference: ingestion_task.py:32-33,91-93,151-153). */
   def requireNonEmpty(df: DataFrame, what: String): Unit =
     if (df.isEmpty) throw new IllegalStateException(s"empty input: $what")
+
+  /** Referential-integrity audit across the warehouse's FK relations:
+    * child row count, orphan rows (child rows whose FK value has no
+    * parent), and distinct missing keys, one row per relation — the
+    * V-family gate that catches a truncated dimension load before a
+    * fact join silently drops rows (or explodes them under a stale
+    * SCD). Scale shape per relation: the child side aggregates to
+    * DISTINCT key tallies first, so the anti-join probes key
+    * cardinality, never fact rows; parents broadcast when small. A
+    * clean warehouse reports zero orphans — the audit proving it is
+    * the product. */
+  def fkOrphans(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame = {
+    import graft.core.Tables
+    def audit(rel: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val tallies = child.select(col(fk).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val missing = tallies.join(
+        parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+      val totals = child.agg(count(lit(1)).as("child_rows"))
+      missing.agg(
+          coalesce(sum(col("n")), lit(0L)).as("orphan_rows"),
+          count(lit(1)).as("missing_keys"))
+        .crossJoin(broadcast(totals))
+        .select(lit(rel).as("relation"), col("child_rows"),
+                col("orphan_rows"), col("missing_keys"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      audit("lineitem->orders", li, "l_orderkey",
+            Tables.orders(spark, dir), "o_orderkey"),
+      audit("lineitem->part", li, "l_partkey",
+            Tables.part(spark, dir), "p_partkey"),
+      audit("lineitem->supplier", li, "l_suppkey",
+            Tables.supplier(spark, dir), "s_suppkey"),
+      audit("orders->customer", Tables.orders(spark, dir), "o_custkey",
+            Tables.customer(spark, dir), "c_custkey"),
+      audit("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+            Tables.nation(spark, dir), "n_nationkey"),
+      audit("supplier->nation", Tables.supplier(spark, dir), "s_nationkey",
+            Tables.nation(spark, dir), "n_nationkey")
+    ).reduce(_ unionByName _)
+  }
+
+  val fkOrphansOracle: String = {
+    def one(rel: String, child: String, fk: String,
+            parent: String, pk: String): String =
+      s"""SELECT '$rel' AS relation,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM $child) AS child_rows,
+         |       CAST(coalesce(sum(n), 0) AS BIGINT) AS orphan_rows,
+         |       CAST(count(*) AS BIGINT) AS missing_keys
+         |FROM (SELECT $fk AS k, count(*) AS n FROM $child GROUP BY 1) t
+         |WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = t.k)""".stripMargin
+    Seq(
+      one("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      one("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+    ).mkString("", "\nUNION ALL\n", "\n")
+  }
 }
