@@ -45,23 +45,30 @@ object Validator {
     * cardinality, never fact rows; parents broadcast when small. A
     * clean warehouse reports zero orphans — the audit proving it is
     * the product. */
+  /** One relation's audit row — child aggregates to distinct-key
+    * tallies before the anti-join (probe is key cardinality, never fact
+    * rows). Exposed for specs to plant orphans against. */
+  private[graft] def auditRelation(rel: String, child: DataFrame, fk: String,
+                                   parent: DataFrame, pk: String): DataFrame = {
+    val tallies = child.select(col(fk).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val missing = tallies.join(
+      parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+    val totals = child.agg(count(lit(1)).as("child_rows"))
+    missing.agg(
+        coalesce(sum(col("n")), lit(0L)).as("orphan_rows"),
+        count(lit(1)).as("missing_keys"))
+      .crossJoin(broadcast(totals))
+      .select(lit(rel).as("relation"), col("child_rows"),
+              col("orphan_rows"), col("missing_keys"))
+  }
+
   def fkOrphans(spark: org.apache.spark.sql.SparkSession,
                 dir: String): DataFrame = {
     import graft.core.Tables
     def audit(rel: String, child: DataFrame, fk: String,
-              parent: DataFrame, pk: String): DataFrame = {
-      val tallies = child.select(col(fk).as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
-      val missing = tallies.join(
-        parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
-      val totals = child.agg(count(lit(1)).as("child_rows"))
-      missing.agg(
-          coalesce(sum(col("n")), lit(0L)).as("orphan_rows"),
-          count(lit(1)).as("missing_keys"))
-        .crossJoin(broadcast(totals))
-        .select(lit(rel).as("relation"), col("child_rows"),
-                col("orphan_rows"), col("missing_keys"))
-    }
+              parent: DataFrame, pk: String): DataFrame =
+      auditRelation(rel, child, fk, parent, pk)
     val li = Tables.lineitem(spark, dir)
     Seq(
       audit("lineitem->orders", li, "l_orderkey",

@@ -132,4 +132,24 @@ class GovernanceOpsSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == want)
   }
+
+  // --------------------------------------------------------- fk orphans
+  test("fkOrphans: planted orphans are counted by rows AND distinct keys") {
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 99L), (5L, 99L),
+                    (6L, 77L)).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val got = graft.validate.Validator
+      .auditRelation("child->parent", child, "fk", parent, "pk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 orphan rows (fk 99 twice, 77 once) over 2 distinct missing keys
+    assert(got.toSeq == Seq(("child->parent", 6L, 3L, 2L)))
+  }
+
+  test("fkOrphans: the real warehouse audits clean (and proves all six edges run)") {
+    val got = graft.validate.Validator.fkOrphans(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(got.length == 6)
+    assert(got.forall { case (_, orphans, missing) => orphans == 0L && missing == 0L },
+      s"unexpected orphans: ${got.toSeq}")
+  }
 }
