@@ -339,6 +339,73 @@ object TextAnalysis {
       |      FROM scored GROUP BY 1)
       |""".stripMargin
 
+  /** Bigram negative log-likelihood per document — one LM order up from
+    * [[unigramNll]]: each transition scores
+    * `−ln p̂(cur | prev) = −ln ((c(prev,cur)+1)/(c(prev)+V))` with
+    * add-one smoothing, so repeated-phrase boilerplate (high bigram
+    * probability) separates from fluent-but-novel text in a way the
+    * unigram score cannot see.
+    *
+    * Shapes: the bigram stream is an order-local array expansion (no
+    * position self-join); the bigram count table is joined back
+    * CO-PARTITIONED on (prev, cur) — it is vocab²-bounded, too big to
+    * assume broadcastable — while the context-count table is
+    * vocab-bounded and broadcasts, exactly like the unigram table in
+    * [[unigramNll]]. Per-transition logprobs round to 6 dp and fold as
+    * exact integer micro-nats (the repo's log discipline), and the
+    * per-doc average is integer round-half-up. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"))
+      .trackPersist()
+    val bg = t.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS prev, tk[i + 1] AS cur))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .trackPersist()
+    val v = t.select(explode(col("tk")).as("token")).distinct().count()
+    val big = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bcnt"))
+    val ctx = bg.groupBy(col("prev")).agg(count(lit(1)).as("ccnt"))
+    bg.join(big, Seq("prev", "cur"))
+      .join(broadcast(ctx), Seq("prev"))
+      .withColumn("lp_micro",
+        round(round(log((col("bcnt") + 1).cast("double") /
+                        (col("ccnt") + lit(v.toDouble))), 6)
+          * -1000000d, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+              (expr("(2 * s + n_bigrams) div (2 * n_bigrams)").cast("double") / 1e6)
+                .as("nll"))
+  }
+
+  val bigramNllOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+      |b AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+      |      FROM f, unnest(generate_series(1, len(tk) - 1)) u(i)),
+      |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bcnt
+      |        FROM b GROUP BY 1, 2),
+      |ctx AS (SELECT prev, CAST(count(*) AS BIGINT) AS ccnt FROM b GROUP BY 1),
+      |consts AS (
+      |  SELECT count(DISTINCT token) AS v
+      |  FROM (SELECT unnest(tk) AS token FROM f)),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |         CAST(round(round(ln(CAST(big.bcnt + 1 AS DOUBLE) /
+      |                             (ctx.ccnt + consts.v)), 6)
+      |              * -1000000, 0) AS BIGINT) AS lp_micro
+      |  FROM b JOIN big USING (prev, cur) JOIN ctx USING (prev), consts)
+      |SELECT doc_id, n_bigrams,
+      |       CAST((2 * s + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1e6 AS nll
+      |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |             CAST(sum(lp_micro) AS BIGINT) AS s
+      |      FROM scored GROUP BY 1)
+      |""".stripMargin
+
   private val NllRates = Seq(1.0, 0.5, 0.25, 0.10, 0.05)
 
   /** Perplexity-bucketed corpus sampling (CCNet's selection step): rank

@@ -243,6 +243,48 @@ object TimeSeries {
           (col("sx").cast("double") / col("n_gaps")), 6)).as("burstiness"))
   }
 
+  /** Longest consecutive-day activity streak per user — gaps-and-islands
+    * on the distinct (user, day) frame: within a user, `day −
+    * row_number()` is constant exactly along a run of consecutive days,
+    * so one user-partitioned window (parallel) plus two hash aggregates
+    * yield streak lengths with no self-join and no spine explosion.
+    * Days are integer epoch-days, so the island key is pure integer
+    * arithmetic on both engines. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("d"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .distinct()
+      .withColumn("isl", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+           max(col("len")).as("longest_streak"),
+           count(lit(1)).as("n_streaks"))
+  }
+
+  val streaksOracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |         date_diff('day', DATE '1970-01-01',
+      |                   CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id,
+      |         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+      |  FROM d),
+      |runs AS (
+      |  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |       CAST(max(len) AS BIGINT) AS longest_streak,
+      |       CAST(count(*) AS BIGINT) AS n_streaks
+      |FROM runs GROUP BY 1
+      |""".stripMargin
+
   val cadenceOracle: String =
     """WITH e AS (
       |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

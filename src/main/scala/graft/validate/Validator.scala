@@ -104,4 +104,57 @@ object Validator {
       one("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
     ).mkString("", "\nUNION ALL\n", "\n")
   }
+
+  // --------------------------------------------------- table checksums
+
+  /** Key columns per warehouse table feeding [[tableChecksums]]:
+    * integer / string / date-typed columns only — float columns render
+    * differently across engines, so they stay out of the canonical row
+    * string by design (the checksum is a KEY-AND-DISCRETE-ATTRIBUTE
+    * fingerprint, the usual anti-entropy shape). */
+  private val ChecksumCols: Seq[(String, Seq[String])] = Seq(
+    "region"    -> Seq("r_regionkey", "r_name"),
+    "nation"    -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"  -> Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "supplier"  -> Seq("s_suppkey", "s_name", "s_nationkey"),
+    "part"      -> Seq("p_partkey", "p_brand", "p_type", "p_size"),
+    "orders"    -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem"  -> Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+    "events"    -> Seq("event_id", "user_id", "event_type"),
+    "documents" -> Seq("doc_id", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "label"))
+
+  /** Order-independent content checksum per table — the anti-entropy
+    * primitive for "do two replicas / two engines hold the same rows"
+    * without moving data: each row canonicalizes to a pipe-joined string
+    * of its key and discrete attributes, hashes through the portable
+    * 60-bit md5 prefix, and folds with XOR — commutative and
+    * associative, so the result is identical under ANY partitioning and
+    * any row order, and two sites compare one row per table. One
+    * map-side-combined aggregate per table; output is table-count-sized. */
+  def tableChecksums(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import graft.core.Tables
+    import graft.functions.TextFunctions.hash60
+    ChecksumCols.map { case (name, cols) =>
+      Tables.load(spark, dir, name)
+        .select(hash60(concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionByName _)
+  }
+
+  val tableChecksumsOracle: String = {
+    def one(name: String, cols: Seq[String]): String = {
+      // concat_ws skips NULLs on both engines (|| would null the row)
+      val s = "concat_ws('|', " +
+        cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")"
+      s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(bit_xor(CAST(CAST(('0x' || substr(md5($s), 1, 15)) AS UBIGINT) AS BIGINT)) AS BIGINT) AS checksum
+         |FROM $name""".stripMargin
+    }
+    ChecksumCols.map { case (n, cs) => one(n, cs) }
+      .mkString("", "\nUNION ALL\n", "\n")
+  }
 }
