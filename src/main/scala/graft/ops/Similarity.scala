@@ -105,6 +105,32 @@ object Similarity {
               cosine().as("cos")), k)
   }
 
+  /** Hard-negative mining for contrastive training: for every vector,
+    * the top-K most cosine-similar vectors with a DIFFERENT label — the
+    * near-boundary examples a metric-learning objective needs. This is
+    * the exact (oracle-checkable) kernel; at corpus scale the same
+    * label-filtered top-k runs over [[ivfTopK]]'s candidate lists
+    * instead of all pairs (the filter composes with any candidate
+    * generator — it lives in the pair stream, not the index). */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val n = vecs(spark, dir, spread = true).join(lab, Seq("vec_id"))
+    val pairs = n.as("a").join(n.as("b"),
+        col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+              col("b.vec_id").as("neighbor_id"),
+              col("b.label").as("neighbor_label"),
+              cosine().as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("vec_id"), col("label"), col("neighbor_id"),
+              col("neighbor_label"), round(col("cos"), 6).as("cosine"),
+              col("rank"))
+  }
+
   private val vecsCte: String =
     """n AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -125,6 +151,26 @@ object Similarity {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
        |  FROM p)
        |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= $K
+       |""".stripMargin
+
+  val hardNegativesOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+       |         b.label AS neighbor_label,
+       |         $dotSql / sqrt(a.n2 * b.n2) AS cos
+       |  FROM n a JOIN n b
+       |    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+       |r AS (
+       |  SELECT vec_id, label, neighbor_id, neighbor_label, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, label, neighbor_id, neighbor_label,
+       |       round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
        |FROM r WHERE rn <= $K
        |""".stripMargin
 

@@ -236,4 +236,101 @@ object Olap {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+
+  // --------------------------------------------------- Q4 shape (EXISTS)
+  private val LateDays = 365
+
+  /** TPC-H Q4 shape: per-priority count of orders with at least one line
+    * item shipped more than [[LateDays]] days after the order date — an
+    * EXISTS compiled as a LEFT SEMI join on the order key with the
+    * lateness predicate in the join condition, so each order contributes
+    * at most once no matter how many late items it has. Both sides are
+    * facts: the semi join shuffles co-partitioned on the key (never
+    * broadcast), and the 5-row aggregate follows. */
+  def orderPriorityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+              to_date(col("o_orderdate")).as("od"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(col("sd"), col("od")) > lit(LateDays),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_order_count"))
+  }
+
+  val orderPriorityAuditOracle: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_order_count
+       |FROM orders o
+       |WHERE EXISTS (
+       |  SELECT 1 FROM lineitem l
+       |  WHERE l.l_orderkey = o.o_orderkey
+       |    AND date_diff('day', CAST(o.o_orderdate AS DATE),
+       |                  CAST(l.l_shipdate AS DATE)) > $LateDays)
+       |GROUP BY 1
+       |""".stripMargin
+
+  // ------------------------------------------------- Q18 shape (HAVING)
+  private val LargeQty = 250
+
+  /** TPC-H Q18 shape: orders whose total quantity exceeds [[LargeQty]],
+    * with the customer and the stated total attached. Aggregate-
+    * below-join ORDER: lineitem collapses to one row per order FIRST
+    * (HAVING prunes there, map-side combined), and only the surviving
+    * handful of keys join to orders and customer — both co-partitioned
+    * fact joins; nothing is broadcast because customers scale with the
+    * data. Quantity sums are exact DECIMAL(18,2). */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") > lit(LargeQty))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              to_date(col("o_orderdate")).cast("string").as("o_date"),
+              col("total_qty").cast("double").as("total_qty"))
+  }
+
+  val largeOrdersOracle: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $LargeQty)
+       |SELECT c_custkey, c_name, o_orderkey,
+       |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+       |       CAST(total_qty AS DOUBLE) AS total_qty
+       |FROM big JOIN orders ON o_orderkey = l_orderkey
+       |         JOIN customer ON c_custkey = o_custkey
+       |""".stripMargin
+
+  // ------------------------------------------------ CUBE / grouping sets
+  /** Full CUBE over (returnflag, linestatus) with the grouping bitmask:
+    * all four aggregation levels (detail, each single-axis rollup, grand
+    * total) in ONE pass — Spark expands grouping sets inside a single
+    * hash aggregate (map-side combined), not four scans. Sums are exact
+    * per-row DECIMAL(18,6); the bitmask column pins each row's level so
+    * NULL-as-total is unambiguous cross-engine. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("level_id"),
+           count(lit(1)).as("n_items"),
+           sum(Exp.money(revenue)).cast("double").as("revenue"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("level_id"),
+              col("n_items"), col("revenue"))
+  }
+
+  val cubeSummaryOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS level_id,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |""".stripMargin
 }
