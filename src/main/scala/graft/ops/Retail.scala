@@ -333,6 +333,111 @@ object Retail {
               (col("p1_orders") * col("p2_orders")), 6).as("lift"))
   }
 
+  // ------------------------------------------------------- 2-D skyline
+
+  /** Pareto-optimal (skyline) parts — maximize retail price, minimize
+    * size: a part is dominated when some other part is at least as good
+    * on both axes and strictly better on one. Computed WITHOUT the n²
+    * dominance self-join: group to one row per price level (min size at
+    * that price), take the EXCLUSIVE prefix minimum of size over levels
+    * ordered by price descending via the distributed
+    * [[Rnk.globalPrefixMin]] — that is exactly "best size among strictly
+    * higher prices" — and join each part back to its level
+    * co-partitioned. Survival is two integer compares:
+    * `min_higher > size ∧ min_eq ≥ size`. Cost: one level aggregate +
+    * the two-pass prefix min over the LEVEL table (distinct prices, not
+    * parts) + one equi-join. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+        col("p_size"))
+    val levels = p.groupBy(col("price_cents"))
+      .agg(min(col("p_size")).as("min_eq"))
+    val withHigher = Rnk.globalPrefixMin(levels,
+      Seq(col("price_cents").desc), col("min_eq"), "min_higher")
+    p.join(withHigher, Seq("price_cents"))
+      .filter(col("min_higher") > col("p_size") &&
+              col("min_eq") >= col("p_size"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+  }
+
+  val skylinePartsOracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |         p_size
+      |  FROM part)
+      |SELECT p_partkey, price_cents, p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE (b.price_cents > a.price_cents AND b.p_size <= a.p_size)
+      |     OR (b.price_cents >= a.price_cents AND b.p_size < a.p_size))
+      |""".stripMargin
+
+  // ------------------------------------------------ open-order backlog
+
+  /** Daily open-order backlog — for every day in the corpus range, how
+    * many orders were placed but not yet fully shipped. Interval
+    * stabbing by PREFIX SUM, not per-day scans: each order contributes
+    * +1 at its order day and −1 the day after its last shipment, the
+    * deltas aggregate to one net per day, and the running total over the
+    * (date-range-bounded) day spine comes from the distributed
+    * [[Rnk.globalCumsum]]. Cost is order-linear + a spine-sized pass —
+    * against the naive `days × orders` EXISTS scan. Orders with no line
+    * items close same-day. */
+  def openOrdersDaily(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), epoch).as("d0"))
+    val e = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(datediff(to_date(col("l_shipdate")), epoch)).as("d1raw"))
+    val span = o.join(e, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("d0"),
+        greatest(col("d0"), coalesce(col("d1raw"), col("d0"))).as("d1"))
+      .trackPersist()
+    val deltas = span.select(col("d0").as("day"), lit(1L).as("net"))
+      .unionByName(span.select((col("d1") + 1).as("day"), lit(-1L).as("net")))
+      .groupBy(col("day")).agg(sum(col("net")).as("net"))
+    val range = span.agg(min(col("d0")).as("lo"), (max(col("d1")) + 1).as("hi"))
+    val spine = range.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val days = spine.join(deltas, Seq("day"), "left")
+      .select(col("day"), coalesce(col("net"), lit(0L)).as("net"))
+    Rnk.globalCumsum(days, Seq(col("day").asc), col("net"), "before")
+      .select(date_add(to_date(epoch), col("day").cast("int")).as("day"),
+              (col("before") + col("net")).as("open_orders"))
+  }
+
+  val openOrdersDailyOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0
+      |  FROM orders),
+      |e AS (
+      |  SELECT l_orderkey,
+      |         max(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS d1raw
+      |  FROM lineitem GROUP BY 1),
+      |span AS (
+      |  SELECT d0, greatest(d0, coalesce(d1raw, d0)) AS d1
+      |  FROM o LEFT JOIN e ON o_orderkey = l_orderkey),
+      |deltas AS (
+      |  SELECT d0 AS day, 1 AS net FROM span
+      |  UNION ALL
+      |  SELECT d1 + 1 AS day, -1 AS net FROM span),
+      |net AS (SELECT day, CAST(sum(net) AS BIGINT) AS net FROM deltas GROUP BY 1),
+      |r AS (SELECT min(d0) AS lo, max(d1) + 1 AS hi FROM span),
+      |days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM r),
+      |j AS (SELECT days.day, coalesce(net.net, 0) AS net
+      |      FROM days LEFT JOIN net USING (day))
+      |SELECT DATE '1970-01-01' + CAST(day AS INT) AS day,
+      |       CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |         AS open_orders
+      |FROM j
+      |""".stripMargin
+
   val basketRulesOracle: String =
     """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |p AS (

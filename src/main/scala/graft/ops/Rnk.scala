@@ -121,4 +121,51 @@ object Rnk {
       .withColumn(outCol, col("__local") + col("__offset"))
       .drop("__pid", "__local", "__offset", "__v")
   }
+
+  /** DISTRIBUTED global EXCLUSIVE prefix MINIMUM of `value` over a total
+    * order — the running-min sibling of [[globalCumsum]], and the
+    * primitive behind prefix-dominance operators (2-D skylines, "best so
+    * far" scans): `min(x) OVER (ORDER BY … ROWS … 1 PRECEDING)` without
+    * the single-partition WindowExec.
+    *
+    * Same two-pass shape: range-partition by the sort keys, run the
+    * exclusive running min INSIDE each partition (parallel), then fold in
+    * the minimum over all EARLIER partitions via a partition-count-sized
+    * offset table (min is associative and commutative, so the per-
+    * partition fold is exact). Rows before any value see Long.MaxValue —
+    * the min-monoid identity — so "no prefix yet" compares correctly
+    * against any real value. Values must be non-null and integral
+    * (callers pre-scale onto an integer grid), enforced loudly. */
+  def globalPrefixMin(df: DataFrame, order: Seq[Column], value: Column,
+                      outCol: String = "prefix_min"): DataFrame = {
+    import df.sparkSession.implicits._
+    val asLong = value.cast("long")
+    val guarded = when(
+      value.isNull.or(asLong.isNull)
+        .or(value.cast("double") =!= asLong.cast("double")),
+      raise_error(concat(
+        lit("globalPrefixMin: value must be non-null and integral, got "),
+        coalesce(value.cast("string"), lit("NULL"))))
+    ).otherwise(asLong)
+    val parted = df
+      .repartitionByRange(order: _*)
+      .withColumn("__v", guarded)
+      .withColumn("__pid", spark_partition_id())
+      .trackPersist()
+    val mins = parted.groupBy(col("__pid")).agg(min(col("__v")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MaxValue
+    val offsets = mins.map { case (pid, m) =>
+      val o = (pid, acc); acc = math.min(acc, m); o
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__premin"))
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__local",
+        coalesce(min(col("__v")).over(local), lit(Long.MaxValue)))
+      .join(offDf, Seq("__pid"))
+      .withColumn(outCol, least(col("__local"), col("__premin")))
+      .drop("__pid", "__local", "__premin", "__v")
+  }
 }

@@ -111,6 +111,71 @@ class RetailSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // ------------------------------------------------------ prefix min
+  test("globalPrefixMin equals the single-window running min on real data") {
+    import graft.ops.Rnk
+    // part has a UNIQUE key — the operator (like globalRank/globalCumsum)
+    // requires a tie-free total order; lineitem's planted duplicate rows
+    // would make the exclusive prefix order-dependent
+    val p = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_size").cast("long").as("v"))
+    val got = Rnk.globalPrefixMin(p, Seq(col("p_partkey").asc), col("v"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val rows = p.as[(Long, Long)].collect().sortBy(_._1)
+    var run = Long.MaxValue
+    rows.foreach { case (k, v) =>
+      assert(got(k) == run, s"part $k")
+      run = math.min(run, v)
+    }
+    assert(got(rows.head._1) == Long.MaxValue, "first row sees the identity")
+    spark.catalog.clearCache()
+  }
+
+  // --------------------------------------------------------- skyline
+  test("skylineParts equals brute-force Pareto domination") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"),
+        col("p_size")).as[(Long, Long, Int)].collect()
+    val want = parts.filter { case (_, pc, sz) =>
+      !parts.exists { case (_, bpc, bsz) =>
+        (bpc > pc && bsz <= sz) || (bpc >= pc && bsz < sz)
+      }
+    }.map(_._1).toSet
+    val got = Retail.skylineParts(spark, sf)
+      .as[(Long, Long, Int)].collect().map(_._1).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < parts.length)
+    spark.catalog.clearCache()
+  }
+
+  // ---------------------------------------------------- open backlog
+  test("openOrdersDaily equals a driver-side sweep; conserves to zero") {
+    // keep orders as ROWS, not a map — the corpus plants duplicate
+    // orderkeys (q_validate_dups counts them) and each row is an order
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d0"))
+      .as[(Long, Int)].collect().toSeq
+    val d1 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(max(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).as("d1"))
+      .as[(Long, Int)].collect().toMap
+    val spans = o.map { case (k, s) => (s, math.max(s, d1.getOrElse(k, s))) }
+    val got = Retail.openOrdersDaily(spark, sf)
+      .select(datediff(col("day"), lit("1970-01-01")), col("open_orders"))
+      .as[(Int, Long)].collect().toMap
+    val lo = spans.map(_._1).min
+    val hi = spans.map(_._2).max + 1
+    (lo to hi).foreach { d =>
+      val open = spans.count { case (s, e) => s <= d && d <= e }
+      assert(got(d) == open.toLong, s"day $d")
+    }
+    assert(got(hi) == 0L, "every order eventually closes")
+    spark.catalog.clearCache()
+  }
+
   // -------------------------------------------------------- RFM buckets
   test("rfmSegments: buckets follow the explicit rank formula") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
