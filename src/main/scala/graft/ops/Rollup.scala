@@ -61,4 +61,50 @@ object Rollup {
       |FROM events
       |GROUP BY 1, 2
       |""".stripMargin
+
+  // ------------------------------------------- incremental JOIN view
+
+  /** Incremental maintenance of a JOIN view (insert-only deltas on BOTH
+    * sides) — the aggregate companion above maintains Σ-state; this
+    * maintains A⋈B by the standard delta derivation
+    *
+    *   A'⋈B' = (A⋈B) ∪ (ΔA⋈B) ∪ (A'⋈ΔB)
+    *
+    * so refreshing the view touches only delta-sized join inputs (each
+    * delta joins one full side; the base⋈base term is the already-
+    * materialized view and is NOT recomputed). The three terms are
+    * disjoint by construction — every joined pair is new on exactly one
+    * side, with ΔA⋈ΔB landing in the third term because A' includes ΔA.
+    *
+    * The oracle scenario splits orders 90/10 and customers 95/5 by a
+    * deterministic key hash (the md5 bucket the sampling family uses),
+    * maintains the view through the two deltas, and must equal the
+    * from-scratch join of the full tables — the IVM correctness
+    * statement, hash-checked in DuckDB. */
+  def ivmJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val oIsBase = Sampling.bucket(col("o_orderkey"), "ivm_o") < lit((0.9 * Sampling.D).toLong)
+    val cIsBase = Sampling.bucket(col("c_custkey"), "ivm_c") < lit((0.95 * Sampling.D).toLong)
+    val a0 = o.filter(oIsBase);  val dA = o.filter(!oIsBase)
+    val b0 = c.filter(cIsBase);  val dB = c.filter(!cIsBase)
+    val aFull = a0.unionByName(dA)
+    def j(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+                col("c_mktsegment"), col("o_orderstatus"), col("total_cents"))
+    j(a0, b0)            // the materialized view (base ⋈ base)
+      .unionByName(j(dA, b0))   // ΔA against old B
+      .unionByName(j(aFull, dB)) // new A against ΔB
+  }
+
+  val ivmJoinOracle: String =
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_orderstatus,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |""".stripMargin
 }

@@ -19,7 +19,7 @@ import graft.functions.TextFunctions.hash60
   */
 object Sampling {
 
-  private val D = 10000L
+  private[ops] val D = 10000L
 
   /** Uniform bucket in [0, D) for `key` under `salt`. */
   def bucket(key: Column, salt: String): Column =

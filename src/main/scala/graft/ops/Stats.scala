@@ -145,6 +145,52 @@ object Stats {
       .withColumn("hi", round((col("bucket") + 1).cast("double") / 10, 1))
       .select(col("bucket"), col("lo"), col("hi"), col("n"))
 
+  /** Equi-DEPTH histogram of lineitem prices: decile bin edges come from
+    * the digest-narrowed EXACT quantiles ([[Sketches.exactQuantiles]] —
+    * two scans + state-sized driver traffic, no single-partition sort),
+    * and a third scan buckets every row against the 9 collected edge
+    * literals (a broadcast-free map-only pass) into a 10-row count
+    * table. Bucket id = number of edges strictly below the value, so
+    * heavy ties collapse buckets identically on every engine; each
+    * non-first bucket reports its lower edge. The equi-WIDTH companion
+    * is [[qualityHistogram]]. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val value = expr("CAST(round(l_extendedprice * 100) AS LONG)")
+    val edges = Sketches.exactQuantiles(Tables.lineitem(spark, dir), value,
+        (10 to 90 by 10))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val v = col("v")
+    val bucket = edges.map { case (_, e) =>
+      when(v > lit(e), 1).otherwise(0): Column
+    }.reduce(_ + _).cast("int")
+    val lowerEdge = edges.foldLeft(lit(null).cast("long")) {
+      case (acc, (pct, e)) => when(col("bucket") * 10 === pct, lit(e)).otherwise(acc)
+    }
+    Tables.lineitem(spark, dir).select(value.as("v")).na.drop()
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("lower_edge_cents", lowerEdge)
+      .select(col("bucket"), col("lower_edge_cents"), col("n_rows"))
+  }
+
+  val equiDepthHistogramOracle: String =
+    """WITH s AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+      |qs(pct) AS (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)),
+      |edges AS (
+      |  SELECT qs.pct, r.v AS e
+      |  FROM qs JOIN r ON r.rn = (qs.pct * (SELECT count(*) FROM s) + 99) // 100),
+      |b AS (
+      |  SELECT v, (SELECT count(*) FROM edges WHERE s.v > edges.e) AS bucket
+      |  FROM s)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |       (SELECT CAST(e AS BIGINT) FROM edges WHERE pct = bucket * 10)
+      |         AS lower_edge_cents,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM b GROUP BY bucket
+      |""".stripMargin
+
   /** Per-group robust location/scale: median, MAD (median absolute
     * deviation), and the Gaussian-consistent robust sigma (1.4826 × MAD)
     * — the outlier-resistant alternative to mean/stddev that winsorize

@@ -34,6 +34,40 @@ class MiningOlapSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ivmJoin: maintained view has the full join's cardinality; both deltas fire") {
+    // multiset equality with the from-scratch join is the oracle's job
+    // (hash-compared at sf0.01); here: exact cardinality — any overlap
+    // between the three delta terms would inflate it — and evidence
+    // that both delta populations are nonempty (the splits exercise the
+    // ΔA⋈B and A'⋈ΔB terms, not just the materialized base)
+    val full = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(graft.ops.Rollup.ivmJoinQuery(spark, sf).count() == full)
+    import graft.ops.Sampling
+    val dOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(!(Sampling.bucket(col("o_orderkey"), "ivm_o") < lit(9000L))).count()
+    val dCust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(!(Sampling.bucket(col("c_custkey"), "ivm_c") < lit(9500L))).count()
+    assert(dOrders > 0 && dCust > 0, s"deltas nonempty: $dOrders orders, $dCust customers")
+  }
+
+  test("equiDepthHistogram: buckets are near-balanced on real prices") {
+    val got = graft.ops.Stats.equiDepthHistogram(spark, sf)
+      .as[(Int, Option[Long], Long)].collect()
+    val n = got.map(_._3).sum
+    assert(got.length == 10 && got.map(_._1).sorted.sameElements(0 to 9))
+    got.foreach { case (b, lo, cnt) =>
+      assert(math.abs(cnt - n / 10.0) <= n * 0.02 + 1,
+        s"bucket $b has $cnt of $n — not equi-depth")
+      assert((b == 0) == lo.isEmpty, s"bucket $b lower edge presence")
+    }
+    // edges strictly increase where present
+    val edges = got.sortBy(_._1).flatMap(_._2)
+    assert(edges.sameElements(edges.sorted) && edges.distinct.length == edges.length)
+    spark.catalog.clearCache()
+  }
+
   test("cubeSummary: four levels, grand total matches the table count") {
     val got = Olap.cubeSummary(spark, sf).collect()
     val byLevel = got.groupBy(_.getInt(2))
