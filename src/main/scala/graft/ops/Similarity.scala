@@ -113,8 +113,15 @@ object Similarity {
     * instead of all pairs (the filter composes with any candidate
     * generator — it lives in the pair stream, not the index). */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    val n = vecs(spark, dir, spread = true).join(lab, Seq("vec_id"))
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // label comes out of the SAME scan as the vector — joining a second
+    // embeddings read on vec_id would add a shuffle in front of the
+    // all-pairs kernel and undo the Spread layout (measured at sf0.1:
+    // 6.5 s with the join, 0.85 s isolated min-of-5 without)
+    val n = graft.core.Spread(Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")))
+      .withColumn("n2", dot(col("v"), col("v")))
     val pairs = n.as("a").join(n.as("b"),
         col("a.vec_id") =!= col("b.vec_id") &&
           col("a.label") =!= col("b.label"))
