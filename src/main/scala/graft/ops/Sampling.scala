@@ -96,4 +96,59 @@ object Sampling {
        |       bp < ${(0.2 * D).toLong} AS in_sample
        |FROM b
        |""".stripMargin
+
+  // ------------------------------------- weighted sampling (A-Res race)
+
+  /** 2^60, the range of [[hash60]] — the denominator that turns a hash
+    * into a uniform double in (0, 1). */
+  private[graft] val H = 1152921504606846976.0 // 2^60
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: each key
+    * draws `u = Uniform(0,1)` and the k smallest values of `-ln(u) / w`
+    * win — equivalently an exponential race where key i holds an
+    * `Exp(w_i)` clock. Inclusion probability is proportional-to-weight
+    * at every prefix, the standard quality-weighted corpus cut
+    * (weight = doc quality, token count, dedup-cluster mass, ...).
+    *
+    * The uniform draw is `(hash60(salt:key) + 0.5) / 2^60` — hash-
+    * deterministic like everything else in this file (stable across
+    * partitionings, re-runs, and engines), never exactly 0 or 1 so the
+    * log is always finite.
+    *
+    * Scale: the plan is a projection + `TakeOrderedAndProject` — each
+    * task keeps its local top-k and the driver merges `partitions × k`
+    * candidate rows; no global sort, no shuffle of the data. Rows with
+    * non-positive weight are excluded (they would win with probability
+    * 0 anyway; filtering keeps the log's domain clean). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String = "ws"): DataFrame = {
+    val u = (hash60(concat(lit(salt + ":"), key.cast("string"))) + lit(0.5)) / lit(H)
+    val priority = -log(u) / weight.cast("double")
+    df.filter(weight.cast("double") > 0)
+      .withColumn("__p", priority)
+      // tie-break on the key: priorities are continuous so real ties are
+      // measure-zero, but a deterministic total order is this repo's rule
+      .orderBy(col("__p").asc, key.asc)
+      .limit(k)
+      .drop("__p")
+  }
+
+  private[ops] val WsK = 150
+
+  /** Query: a [[WsK]]-document corpus cut weighted by document length —
+    * long documents are proportionally more likely to be kept. */
+  def weightedQuery(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir)
+                     .select(col("doc_id"), col("source"), col("n_chars")),
+                   col("doc_id"), col("n_chars"), WsK)
+
+  val weightedOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars,
+       |         (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) + 0.5) / $H AS u
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT doc_id, source, n_chars FROM t
+       |ORDER BY -ln(u) / n_chars ASC, doc_id ASC
+       |LIMIT $WsK
+       |""".stripMargin
 }

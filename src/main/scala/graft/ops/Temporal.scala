@@ -259,4 +259,48 @@ object Temporal {
       |       CAST(count(*) AS BIGINT) AS events_n
       |FROM d GROUP BY 1
       |""".stripMargin
+
+  // ------------------------------------ point-in-time trailing features
+
+  /** Point-in-time feature extraction: every order annotated with its
+    * customer's trailing-90-day order count and spend, computed over
+    * STRICTLY EARLIER days only (`RANGE BETWEEN 90 PRECEDING AND 1
+    * PRECEDING` on a day-number axis). This is the feature-store
+    * correctness contract for training-data generation — a frame that
+    * included the current day would leak the label event into its own
+    * features, the classic target-leakage bug.
+    *
+    * The RANGE frame (not ROWS) makes same-day peers — and the corpus's
+    * planted duplicate order keys — see identical feature values, so the
+    * result is deterministic without any intra-day tiebreak. Spend is
+    * summed on the cents grid (exact-sum discipline: a float trailing
+    * sum would be accumulation-order-dependent).
+    *
+    * Scale: one hash-partitioned window keyed by customer — no global
+    * window, no join; skew is bounded by orders-per-customer. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+        .cast("int").as("day"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-90, -1)
+    o.withColumn("prior_cnt_90d", count(lit(1)).over(w).cast("long"))
+      .withColumn("prior_cents_90d",
+        coalesce(sum(col("cents")).over(w), lit(0L)))
+  }
+
+  val pitFeaturesOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS INT) AS day,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |       CAST(count(*) OVER w AS BIGINT) AS prior_cnt_90d,
+      |       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w, 0) AS BIGINT)
+      |         AS prior_cents_90d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+      |             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+      |""".stripMargin
 }

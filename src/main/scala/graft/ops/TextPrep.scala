@@ -321,4 +321,51 @@ object TextPrep {
        |       min(doc_id) AS first_doc
        |FROM s GROUP BY 1 HAVING count(*) >= 2
        |""".stripMargin
+
+  // ---------------------------------------------- corpus balance audit
+
+  /** Per-source corpus balance: document count, character mass and its
+    * share of the corpus, and the Shannon entropy (nats) of the
+    * language distribution INSIDE the source. Low entropy flags a
+    * source that quietly became monolingual; char share is the number
+    * the [[budgetSelect]] / temperature-mix knobs steer, so this is the
+    * audit read alongside them.
+    *
+    * Entropy uses the aggregation-friendly identity
+    * `H = ln(N) − Σ c·ln(c) / N` — one pass over (source, lang) counts,
+    * no per-row probability column. Shape: two nested hash aggregates
+    * (the second over ≤ sources × langs rows) plus a 1-row broadcast
+    * total; nothing here grows faster than the group count. */
+  def corpusBalance(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+    val bySrc = byLang.groupBy(col("source")).agg(
+      sum(col("cnt")).as("n_docs"),
+      sum(col("chars")).as("chars"),
+      sum(col("cnt") * log(col("cnt").cast("double"))).as("clogc"))
+    val tot = bySrc.agg(sum(col("chars")).as("total_chars"))
+    bySrc.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"), col("chars"),
+      round(log(col("n_docs").cast("double")) - col("clogc") / col("n_docs"), 6)
+        .as("lang_entropy"),
+      round(col("chars").cast("double") / col("total_chars"), 6).as("char_share"))
+  }
+
+  val corpusBalanceOracle: String =
+    """WITH bl AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1, 2),
+      |bs AS (
+      |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |         CAST(sum(chars) AS BIGINT) AS chars,
+      |         sum(cnt * ln(CAST(cnt AS DOUBLE))) AS clogc
+      |  FROM bl GROUP BY 1),
+      |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total_chars FROM bs)
+      |SELECT source, n_docs, chars,
+      |       round(ln(CAST(n_docs AS DOUBLE)) - clogc / n_docs, 6) AS lang_entropy,
+      |       round(CAST(chars AS DOUBLE) / total_chars, 6) AS char_share
+      |FROM bs CROSS JOIN tot
+      |""".stripMargin
 }

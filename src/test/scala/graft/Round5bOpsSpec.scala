@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, Temporal, TextPrep}
+
+/** Round-5 additions, batch 2: weighted sampling (Efraimidis–Spirakis),
+  * point-in-time trailing features, and the corpus balance audit. Each
+  * is checked against an independent recomputation or a hand-computed
+  * fixture, never against itself. */
+class Round5bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---------------------------------------------------- weighted sample
+
+  /** JVM-side mirror of the operator's priority: first 15 md5 hex chars
+    * as a long (hash60), uniform (h+0.5)/2^60, exponential race. */
+  private def priority(key: Long, w: Double): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ws:$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    -math.log((h + 0.5) / Sampling.H) / w
+  }
+
+  test("weightedSample equals an independent JVM recompute of the race") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val want = docs.as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+      .sortBy { case (id, w) => (priority(id, w.toDouble), id) }
+      .take(40).map(_._1).toSet
+    val got = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.size == 40)
+  }
+
+  test("weightedSample is stable under repartitioning and biased by weight") {
+    // 200 heavy keys (w=500) vs 200 light keys (w=1): a 100-row sample
+    // should be overwhelmingly heavy — P(light key beats a heavy key's
+    // Exp(500) clock) is tiny — and identical across partitionings
+    val df = (0L until 400L)
+      .map(k => (k, if (k < 200) 500 else 1))
+      .toDF("k", "w")
+    val a = Sampling.weightedSample(df, col("k"), col("w"), 100)
+      .select("k").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), col("k"), col("w"), 100)
+      .select("k").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.count(_ < 200) > 90, s"heavy keys in sample: ${a.count(_ < 200)}")
+  }
+
+  test("weightedSample drops non-positive weights") {
+    val df = Seq((1L, 10), (2L, 0), (3L, -5)).toDF("k", "w")
+    val got = Sampling.weightedSample(df, col("k"), col("w"), 10)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  // ------------------------------------------------------- PIT features
+
+  test("pitFeatures: strict day-exclusive trailing frame, duplicates see " +
+       "identical features") {
+    val dir = tmp("graft_pit")
+    // customer 1: orders on days 0, 30, 100, 121 (+ a same-day duplicate
+    // of the day-100 order); customer 2: a single order
+    val base = java.sql.Date.valueOf("1990-01-01").toLocalDate
+    def d(days: Int) = java.sql.Date.valueOf(base.plusDays(days))
+    Seq(
+      (10L, 1L, d(0), 10.00),
+      (11L, 1L, d(30), 20.00),
+      (12L, 1L, d(100), 40.00),
+      (12L, 1L, d(100), 40.00), // planted duplicate orderkey, same day
+      (13L, 1L, d(121), 80.00),
+      (20L, 2L, d(50), 5.00)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Temporal.pitFeatures(spark, dir)
+      .select("o_orderkey", "day", "prior_cnt_90d", "prior_cents_90d")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2, r._3, r._4))
+    // day 0: nothing prior; day 30: the day-0 order; day 100: frame
+    // [10, 99] → only day 30 (both duplicates excluded from each other:
+    // RANGE ends at 1 PRECEDING); day 121: frame [31, 120] → the two
+    // day-100 rows, NOT day 30
+    val want = Seq(
+      (10L, 0, 0L, 0L),
+      (11L, 30, 1L, 1000L),
+      (12L, 100, 1L, 2000L),
+      (12L, 100, 1L, 2000L),
+      (13L, 121, 2L, 8000L),
+      (20L, 50, 0L, 0L))
+    assert(got.sorted == want.sorted)
+  }
+
+  // ------------------------------------------------------ corpus balance
+
+  test("corpusBalance: entropy ln(2) for a 50/50 source, 0 for monolingual") {
+    val dir = tmp("graft_bal")
+    Seq(
+      (1L, "A", "en", 100),
+      (2L, "A", "en", 100),
+      (3L, "A", "de", 100),
+      (4L, "A", "de", 100),
+      (5L, "B", "en", 300),
+      (6L, "B", "en", 300)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextPrep.corpusBalance(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("A"); val b = got("B")
+    assert(a._2 == 4L && a._3 == 400L)
+    assert(math.abs(a._4 - math.log(2)) < 1e-6)
+    assert(a._5 == 0.4)
+    assert(b._2 == 2L && b._3 == 600L)
+    assert(b._4 == 0.0)
+    assert(b._5 == 0.6)
+  }
+}
