@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
@@ -107,4 +107,51 @@ object Rollup {
       |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |""".stripMargin
+
+  // --------------------------------- retraction-aware aggregate view
+
+  /** Signed per-(day, event_type) delta state: each row contributes with
+    * multiplicity `weight` (+1 insert, −1 retraction) to the count and
+    * the exact decimal sum. With weight ≡ +1 this is [[dailyState]]. */
+  def signedState(events: DataFrame, weight: Column): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(weight.cast("long")).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 6)) * weight.cast("long"))
+             .cast(DecimalType(18, 6)).as("sum_value"))
+
+  /** Merge signed delta state into the stored state and drop groups whose
+    * multiplicity reaches zero — the retraction subtlety insert-only IVM
+    * never faces: a fully-retracted group must VANISH from the view, not
+    * linger as a zero row (its avg would be 0/0). Count+sum are
+    * ABELIAN-group aggregates (inverses exist), so deletes need no
+    * re-scan of the base data; a MIN/MAX view would instead need a
+    * per-group recompute of retracted groups. */
+  def applyDeltas(state: DataFrame, delta: DataFrame): DataFrame =
+    merge(state, delta).filter(col("n_events") > 0)
+
+  /** Oracle scenario: the view is built from ALL events, then a CDC batch
+    * retracts a deterministic 10% of rows (the md5 bucket the sampling
+    * family uses) — the maintained view must equal a from-scratch rollup
+    * of the surviving rows. Delta-sized work only: the retraction batch
+    * aggregates before touching the state, and the state merge is
+    * group-count-sized. */
+  def ivmRetractQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val retracted = Sampling.bucket(col("event_id"), "ivm_r") < lit((0.1 * Sampling.D).toLong)
+    val state = dailyState(e)
+    val delta = signedState(e.filter(retracted), lit(-1))
+    present(applyDeltas(state, delta))
+  }
+
+  val ivmRetractOracle: String =
+    s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+       |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+       |FROM events
+       |WHERE CAST(CAST(('0x' || substr(md5('ivm_r:' || CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % ${Sampling.D}
+       |      >= ${(0.1 * Sampling.D).toLong}
+       |GROUP BY 1, 2
+       |""".stripMargin
 }

@@ -44,8 +44,8 @@ object Sketches {
     * [[mgSummary]]: at most `m` counters; a full table decrements all
     * (O(m) per trigger, amortized O(1)/row — each decrement retires m
     * prior increments). */
-  private def mgCounters(it: Iterator[String],
-                         m: Int): scala.collection.mutable.HashMap[String, Long] = {
+  private[graft] def mgCounters(it: Iterator[String],
+                                m: Int): scala.collection.mutable.HashMap[String, Long] = {
     val counters = scala.collection.mutable.HashMap.empty[String, Long]
     it.foreach { s =>
       counters.get(s) match {

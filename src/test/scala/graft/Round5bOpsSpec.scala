@@ -96,6 +96,70 @@ class Round5bOpsSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
   }
 
+  // ------------------------------------------------- retraction IVM
+
+  test("applyDeltas: fully-retracted groups vanish, partial ones shrink") {
+    import graft.ops.Rollup
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-06 10:00:00")
+    val base = Seq(
+      (ts1, "click", 10.0), (ts1, "click", 20.0),
+      (ts2, "view", 5.0)
+    ).toDF("ts", "event_type", "value")
+    val state = Rollup.dailyState(base)
+    // retract one of the two clicks and THE ONLY view
+    val retract = Seq((ts1, "click", 20.0), (ts2, "view", 5.0))
+      .toDF("ts", "event_type", "value")
+    val got = Rollup.present(
+        Rollup.applyDeltas(state, Rollup.signedState(retract, lit(-1))))
+      .as[(java.sql.Date, String, Long, Double, Double)].collect()
+    // the view group is GONE (not a zero row); clicks shrink to one row
+    assert(got.toSeq == Seq(
+      (java.sql.Date.valueOf("2024-01-05"), "click", 1L, 10.0, 10.0)))
+  }
+
+  // ------------------------------------------- streaming heavy hitters
+
+  test("TopKStream: MG state keeps the concatenated-stream bound across " +
+       "batches and never exceeds m counters") {
+    import graft.streaming.TopKStream
+    import graft.streaming.TopKStream.Keyed
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 50
+    val input = MemoryStream[Keyed]
+    val q = TopKStream.nominations(input.toDS(), m)
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_mg_ckpt").toString)
+      .start()
+    try {
+      // 4 batches: 300 distinct noise keys each (count 1) + a heavy key
+      // appearing 30 times per batch — spread thin relative to any
+      // single batch's volume but globally heavy
+      val batches = (0 until 4).map { b =>
+        val noise = (0 until 300).map(i => Keyed("all", s"noise_${b}_$i"))
+        val heavy = Seq.fill(30)(Keyed("all", "HEAVY"))
+        new scala.util.Random(b).shuffle(noise ++ heavy)
+      }
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val last = spark.table("mg_out")
+        .as[TopKStream.Nomination].collect()
+        .groupBy(_.n).maxBy(_._1)._2.toSeq
+      val totalN = 4 * 330
+      assert(last.forall(_.n == totalN))
+      assert(last.size <= m, s"state grew past m: ${last.size}")
+      val heavyEst = last.find(_.k == "HEAVY")
+      // true count 120 > N/m = 26.4 → guaranteed present, estimate
+      // within the MG bound [true − N/m, true]
+      assert(heavyEst.isDefined, "globally heavy key missing from state")
+      assert(heavyEst.get.est <= 120L &&
+             heavyEst.get.est >= 120L - totalN / m,
+             s"estimate ${heavyEst.get.est} outside MG bound")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------ corpus balance
 
   test("corpusBalance: entropy ln(2) for a 50/50 source, 0 for monolingual") {
