@@ -133,6 +133,48 @@ object Sampling {
       .drop("__p")
   }
 
+  /** Per-group variant of [[weightedSample]]: an independent k-row
+    * weighted cut INSIDE every group — "top-k quality-weighted docs per
+    * source", the stratified sibling of the global race. Same
+    * hash-deterministic priorities; selection is a row_number over a
+    * GROUP-partitioned window (parallel across groups, never a global
+    * sort), so the plan is one hash-partitioned window — the
+    * [[graft.ops.Rnk]] top-k-per-group shape. */
+  def weightedSamplePerGroup(df: DataFrame, group: Column, key: Column,
+                             weight: Column, k: Int,
+                             salt: String = "ws"): DataFrame = {
+    val u = (hash60(concat(lit(salt + ":"), key.cast("string"))) + lit(0.5)) / lit(H)
+    val priority = -log(u) / weight.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(priority.asc, key.asc)
+    df.filter(weight.cast("double") > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  private[ops] val WsGroupK = 5
+
+  /** Query: the [[WsGroupK]] length-weighted winners inside every
+    * source. */
+  def weightedPerGroupQuery(spark: SparkSession, dir: String): DataFrame =
+    weightedSamplePerGroup(Tables.documents(spark, dir)
+                             .select(col("doc_id"), col("source"), col("n_chars")),
+                           col("source"), col("doc_id"), col("n_chars"), WsGroupK)
+
+  val weightedPerGroupOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, n_chars,
+       |         (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) + 0.5) / $H AS u
+       |  FROM documents WHERE n_chars > 0),
+       |r AS (
+       |  SELECT doc_id, source, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY -ln(u) / n_chars ASC, doc_id ASC) AS rn
+       |  FROM t)
+       |SELECT doc_id, source, n_chars FROM r WHERE rn <= $WsGroupK
+       |""".stripMargin
+
   private[ops] val WsK = 150
 
   /** Query: a [[WsK]]-document corpus cut weighted by document length —

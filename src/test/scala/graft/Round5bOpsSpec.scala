@@ -53,6 +53,22 @@ class Round5bOpsSpec extends SparkSpec {
     assert(a.count(_ < 200) > 90, s"heavy keys in sample: ${a.count(_ < 200)}")
   }
 
+  test("weightedSamplePerGroup: independent k-cut per group, same race") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val rows = docs.as[(Long, String, Long)].collect().filter(_._3 > 0)
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      g.sortBy { case (id, _, w) => (priority(id, w.toDouble), id) }.take(3)
+    }.map(_._1).toSet
+    val got = Sampling.weightedSamplePerGroup(docs, col("source"),
+        col("doc_id"), col("n_chars"), 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    // every source contributes min(3, |source|)
+    val perSrc = rows.groupBy(_._2).view.mapValues(g => math.min(3, g.size)).toMap
+    assert(got.size == perSrc.values.sum)
+  }
+
   test("weightedSample drops non-positive weights") {
     val df = Seq((1L, 10), (2L, 0), (3L, -5)).toDF("k", "w")
     val got = Sampling.weightedSample(df, col("k"), col("w"), 10)
