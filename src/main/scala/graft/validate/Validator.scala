@@ -157,4 +157,64 @@ object Validator {
     ChecksumCols.map { case (n, cs) => one(n, cs) }
       .mkString("", "\nUNION ALL\n", "\n")
   }
+
+  // ------------------------------------------------- FK discovery
+
+  /** Candidate edges for containment-based FK inference: the five true
+    * warehouse edges plus one deliberately-false pair (order keys are
+    * NOT customer keys) so the query demonstrates discrimination, not
+    * just confirmation. */
+  private val FkCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"))
+
+  /** FK DISCOVERY (metadata inference, not audit): for each candidate
+    * column pair, the containment of the child's distinct values in the
+    * parent's — `|child ∩ parent| / |child|` on distinct sets — as an
+    * exact integer micro-ratio (`hits·10⁶ DIV n`, no float division to
+    * flap between engines). Containment 1.0 means every child value
+    * resolves (an FK candidate); the planted false edge scores low.
+    * This is how catalogs propose join edges over undocumented data
+    * lakes; [[fkOrphans]] is the enforcement pass once an edge is
+    * declared.
+    *
+    * Scale shape: each side first collapses to its DISTINCT key set
+    * (map-side combined, key-cardinality rows — never fact-sized), the
+    * probe is a LEFT SEMI equi-join between the two distinct sets, and
+    * the output is candidate-count-sized. Nothing here is quadratic in
+    * columns: the candidate list is declared, not all column pairs. */
+  def fkDiscovery(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    import graft.core.Tables
+    FkCandidates.map { case (ct, cc, pt, pc) =>
+      val child = Tables.load(spark, dir, ct).select(col(cc).as("v"))
+        .na.drop().distinct()
+      val parent = Tables.load(spark, dir, pt).select(col(pc).as("v"))
+        .na.drop().distinct()
+      val n = child.agg(count(lit(1)).as("n_child_distinct"))
+      val hits = child.join(parent, Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      n.crossJoin(hits).select(
+        lit(s"$ct.$cc->$pt.$pc").as("edge"),
+        col("n_child_distinct"), col("n_hits"),
+        expr("n_hits * 1000000 DIV n_child_distinct").as("containment_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  val fkDiscoveryOracle: String =
+    FkCandidates.map { case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct.$cc->$pt.$pc' AS edge,
+         |  (SELECT CAST(count(DISTINCT $cc) AS BIGINT) FROM $ct WHERE $cc IS NOT NULL) AS n_child_distinct,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |     (SELECT DISTINCT $cc AS v FROM $ct WHERE $cc IS NOT NULL) c
+         |     WHERE EXISTS (SELECT 1 FROM $pt p WHERE p.$pc = c.v)) AS n_hits,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |     (SELECT DISTINCT $cc AS v FROM $ct WHERE $cc IS NOT NULL) c
+         |     WHERE EXISTS (SELECT 1 FROM $pt p WHERE p.$pc = c.v)) * 1000000
+         |    // (SELECT count(DISTINCT $cc) FROM $ct WHERE $cc IS NOT NULL) AS containment_micro""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\n")
 }

@@ -176,6 +176,53 @@ class Round5bOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------------------------------------- bucketed anti-entropy
+
+  test("bucketDiff: one lost row flips exactly one bucket; a tampered " +
+       "cell flips one bucket with equal counts") {
+    import graft.reconcile.Reconcile
+    val rows = (1L to 1000L).map(k => (k, s"name_$k")).toDF("k", "name")
+    // lost row: counts differ in that row's bucket only
+    val lost = Reconcile.bucketDiff(rows, rows.filter(col("k") =!= 17L),
+        Seq("k", "name"), buckets = 64).collect()
+    assert(lost.length == 1)
+    assert(lost(0).getAs[Long]("n_src") == lost(0).getAs[Long]("n_tgt") + 1)
+    // tampered cell: same cardinality, checksum-only divergence
+    val tampered = rows.withColumn("name",
+      when(col("k") === 400L, lit("EVIL")).otherwise(col("name")))
+    val diff = Reconcile.bucketDiff(rows, tampered, Seq("k", "name"),
+        buckets = 64).collect()
+    // the flipped row hashes into a new bucket: at most 2 buckets move,
+    // and every divergent bucket has equal-or-off-by-one counts
+    assert(diff.nonEmpty && diff.length <= 2)
+    assert(Reconcile.bucketDiff(rows, rows, Seq("k", "name")).isEmpty)
+  }
+
+  // ---------------------------------------------------- FK discovery
+
+  test("fkDiscovery: containment equals a driver-side set computation " +
+       "and the planted false edge scores below the true edges") {
+    import graft.validate.Validator
+    val got = Validator.fkDiscovery(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def distinctOf(t: String, c: String): Set[Long] =
+      spark.read.parquet(s"$sf/$t.parquet").select(col(c).cast("long"))
+        .na.drop().distinct().as[Long].collect().toSet
+    got.foreach { case (edge, (n, hits, micro)) =>
+      val Array(childSide, parentSide) = edge.split("->")
+      val Array(ct, cc) = childSide.split("\\.")
+      val Array(pt, pc) = parentSide.split("\\.")
+      val child = distinctOf(ct, cc); val parent = distinctOf(pt, pc)
+      assert(n == child.size.toLong, edge)
+      assert(hits == (child intersect parent).size.toLong, edge)
+      assert(micro == hits * 1000000L / n, edge)
+    }
+    val falseEdge = got("orders.o_orderkey->customer.c_custkey")._3
+    val trueEdge = got("orders.o_custkey->customer.c_custkey")._3
+    assert(falseEdge < trueEdge, s"false $falseEdge !< true $trueEdge")
+  }
+
   // ------------------------------------------------------ corpus balance
 
   test("corpusBalance: entropy ln(2) for a 50/50 source, 0 for monolingual") {
