@@ -121,4 +121,86 @@ object Cdc {
       |UNION ALL
       |SELECT m + 2, 'Supplier#new2', 10.5 FROM mx
       |""".stripMargin
+
+  // -------------------------------------------------- CDC extraction
+
+  /** CDC EXTRACTION — the inverse of [[upsert]]: diff two keyed
+    * snapshots into the MINIMAL change batch (op ∈ insert/update/delete)
+    * that replays old → new. Key present only in `next` → insert; only
+    * in `prev` → delete; in both with any payload cell differing
+    * (null-safe) → update; identical rows emit nothing. Law (spec'd):
+    * `upsert(prev, extract(prev, next), key) == next`.
+    *
+    * This is how a changefeed is manufactured when the source system
+    * offers only snapshots (the nightly-full-export reality of most
+    * vendor feeds): downstream incremental consumers ([[upsert]],
+    * [[graft.ops.Rollup.applyDeltas]], [[Scd2.merge]]) then run on
+    * delta-sized input instead of the full export.
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key and a
+    * null-safe column compare — no window, no collect; output is
+    * churn-sized, not snapshot-sized.
+    *
+    * PRECONDITION: unique keys per snapshot (compact a log with
+    * [[latestByKey]] first) — a duplicate key would fan the join out. */
+  def extract(prev: DataFrame, next: DataFrame, key: Seq[String],
+              opCol: String = "op"): DataFrame = {
+    val payload = prev.columns.filterNot(key.contains).toSeq
+    require(next.columns.toSet == prev.columns.toSet,
+      s"Cdc.extract: snapshots must share a schema, got " +
+        s"${prev.columns.mkString(",")} vs ${next.columns.mkString(",")}")
+    val p = prev.select(prev.columns.map(c => col(c).as(s"p_$c")).toSeq :+
+      lit(true).as("p_present"): _*)
+    val n = next.select(next.columns.map(c => col(c).as(s"n_$c")).toSeq :+
+      lit(true).as("n_present"): _*)
+    val keyMatch = key.map(k => col(s"p_$k") <=> col(s"n_$k")).reduce(_ && _)
+    val changed = payload.map(c => !(col(s"p_$c") <=> col(s"n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    p.join(n, keyMatch, "full_outer")
+      .withColumn(opCol,
+        when(col("p_present").isNull, lit("insert"))
+          .when(col("n_present").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col(opCol).isNotNull)
+      // deletes carry the old payload (the key is what matters; keeping
+      // the last-known row makes the feed self-describing for auditing)
+      .select(key.map(k => coalesce(col(s"n_$k"), col(s"p_$k")).as(k)) ++
+        payload.map(c => coalesce(col(s"n_$c"), col(s"p_$c")).as(c)) :+
+        col(opCol): _*)
+  }
+
+  /** Oracle scenario on the unique-keyed part table: the previous
+    * snapshot is missing the "recently added" parts (hash bucket
+    * [0, 200)) and carries a stale retail price for bucket [200, 500);
+    * the next snapshot lost bucket [500, 600) to deletion. The extracted
+    * feed must name exactly those three churn sets. */
+  def extractQuery(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_brand"), col("p_size"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"))
+    val b = Sampling.bucket(col("p_partkey"), "cdcx")
+    val prev = part.filter(b >= 200)
+      .withColumn("price_cents",
+        when(b < 500, col("price_cents") + 999L).otherwise(col("price_cents")))
+    val next = part.filter(b < 500 || b >= 600)
+    extract(prev, next, Seq("p_partkey"))
+  }
+
+  val extractOracle: String = {
+    val bucket = "CAST(CAST(('0x' || substr(md5('cdcx:' || CAST(p_partkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 10000"
+    s"""WITH base AS (
+       |  SELECT p_partkey, p_brand, p_size,
+       |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+       |         $bucket AS b
+       |  FROM part)
+       |SELECT p_partkey, p_brand, p_size, price_cents, 'insert' AS op
+       |FROM base WHERE b < 200
+       |UNION ALL
+       |SELECT p_partkey, p_brand, p_size, price_cents, 'update' AS op
+       |FROM base WHERE b >= 200 AND b < 500
+       |UNION ALL
+       |SELECT p_partkey, p_brand, p_size, price_cents, 'delete' AS op
+       |FROM base WHERE b >= 500 AND b < 600
+       |""".stripMargin
+  }
 }

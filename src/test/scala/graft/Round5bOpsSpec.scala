@@ -198,6 +198,26 @@ class Round5bOpsSpec extends SparkSpec {
     assert(Reconcile.bucketDiff(rows, rows, Seq("k", "name")).isEmpty)
   }
 
+  // ---------------------------------------------------- CDC extraction
+
+  test("Cdc.extract emits the minimal feed and round-trips through upsert") {
+    import graft.ops.Cdc
+    val prev = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    val next = Seq((2L, "b", 20L), (3L, "C", 31L), (4L, "d", 40L))
+      .toDF("k", "name", "v")
+    val feed = Cdc.extract(prev, next, Seq("k"))
+      .as[(Long, String, Long, String)].collect().toSet
+    // minimal: unchanged key 2 emits nothing; delete carries old payload
+    assert(feed == Set(
+      (1L, "a", 10L, "delete"),
+      (3L, "C", 31L, "update"),
+      (4L, "d", 40L, "insert")))
+    val applied = Cdc.upsert(prev, Cdc.extract(prev, next, Seq("k")), Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(applied == next.as[(Long, String, Long)].collect().toSet)
+  }
+
   // ---------------------------------------------------- FK discovery
 
   test("fkDiscovery: containment equals a driver-side set computation " +
