@@ -163,9 +163,13 @@ object Cdc {
           .when(changed, lit("update")))
       .filter(col(opCol).isNotNull)
       // deletes carry the old payload (the key is what matters; keeping
-      // the last-known row makes the feed self-describing for auditing)
+      // the last-known row makes the feed self-describing for auditing).
+      // Payload picks by side PRESENCE, not coalesce — an update that
+      // sets a cell to NULL must emit NULL, not resurrect the old value
       .select(key.map(k => coalesce(col(s"n_$k"), col(s"p_$k")).as(k)) ++
-        payload.map(c => coalesce(col(s"n_$c"), col(s"p_$c")).as(c)) :+
+        payload.map(c =>
+          when(col("n_present").isNotNull, col(s"n_$c"))
+            .otherwise(col(s"p_$c")).as(c)) :+
         col(opCol): _*)
   }
 

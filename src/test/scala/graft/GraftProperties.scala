@@ -291,4 +291,44 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
   }
+
+  // CDC extract/upsert inverse law: for ANY two unique-keyed snapshots,
+  // replaying the extracted feed over prev reproduces next exactly
+  private val cdcSnapGen: Gen[List[(Int, Option[String], Int)]] =
+    Gen.chooseNum(0, 12).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 20)
+        s <- Gen.option(Gen.oneOf("", "a", "bb"))
+        v <- Gen.chooseNum(0, 5)
+      } yield (k, s, v))
+    }.map(_.distinctBy(_._1))
+
+  property("Cdc.extract then upsert reproduces the target snapshot") =
+    forAll(cdcSnapGen, cdcSnapGen) { (p, nx) =>
+      val prev = p.toDF("k", "s", "v")
+      val next = nx.toDF("k", "s", "v")
+      val feed = graft.ops.Cdc.extract(prev, next, Seq("k"))
+      // minimality: no feed row for a key whose row is identical
+      val unchanged = p.toSet.intersect(nx.toSet).map(_._1)
+      val feedKeys = feed.select("k").collect().map(_.getInt(0)).toSet
+      val applied = graft.ops.Cdc.upsert(prev, feed, Seq("k"))
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getInt(2)))
+        .toSet
+      Prop(applied == nx.toSet) :| "round-trip" &&
+        Prop(feedKeys.intersect(unchanged).isEmpty) :| "minimal"
+    }
+
+  // bucketDiff: summaries are layout-independent — identical frames
+  // diff empty under ANY partitioning, and dropping rows is always seen
+  property("bucketDiff is partition-invariant and catches any loss") =
+    forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 7), Gen.chooseNum(1, 5)) {
+      (n, parts, buckets) =>
+        val rows = (1 to n).map(k => (k, s"r$k")).toDF("k", "s")
+        val same = Reconcile.bucketDiff(rows, rows.repartition(parts),
+          Seq("k", "s"), buckets)
+        val lossy = Reconcile.bucketDiff(rows,
+          rows.filter($"k" =!= 1).repartition(parts), Seq("k", "s"), buckets)
+        Prop(same.isEmpty) :| "identical replicas" &&
+          Prop(lossy.count() == 1L) :| "one lost row, one bucket"
+    }
 }
