@@ -149,8 +149,11 @@ object Embeddings {
 
   /** Ranked k-means assignment frame (vec_id, v, n2, centroid_id, d2,
     * crank ≤ [[NProbe]]) — crank 1 is the home cluster ([[kmeansAssign]]);
-    * rank 2 is the multi-probe candidate list ([[semanticPairs]]). */
-  private def kmeansCore(spark: SparkSession, dir: String): DataFrame = {
+    * rank 2 is the multi-probe candidate list ([[semanticPairs]]) — plus
+    * the refined centroid table (centroid_id, cv, cn2) for
+    * [[clusterQuality]]. */
+  private def kmeansParts(spark: SparkSession,
+                          dir: String): (DataFrame, DataFrame) = {
     import graft.core.Caches.TrackedDataset
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -187,8 +190,69 @@ object Embeddings {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    assign(broadcast(cent1))
+    (assign(broadcast(cent1)), cent1)
   }
+
+  private def kmeansCore(spark: SparkSession, dir: String): DataFrame =
+    kmeansParts(spark, dir)._1
+
+  /** Cluster-quality audit over the k-means result (the number a corpus
+    * engineer reads before trusting the shards for semantic dedup or
+    * stratification): per cluster, member count, mean squared distance
+    * to the learned centroid, and the squared distance to the NEAREST
+    * other centroid (cohesion vs separation — the Davies-Bouldin
+    * ingredients, components kept separate so no cross-engine division).
+    *
+    * Portability: member distances enter the mean via the micro-integer
+    * fold (round to 6 dp → ×10⁶ BIGINT → integer round-half-up mean) —
+    * the unigram-NLL discipline, because a double Σd2 would be
+    * reduction-order-dependent. Centroid-pair distances are scalar
+    * expressions over the k-row centroid table (k² = 64 rows, broadcast
+    * join), same element-order dot fold both engines.
+    *
+    * Scale shape: everything downstream of the assignment is k-bounded;
+    * the assignment itself is the [[kmeansAssign]] map-only pass. */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, cent) = kmeansParts(spark, dir)
+    val within = assigned.filter(col("crank") === 1)
+      .select(col("centroid_id"),
+        expr("CAST(round(round(d2, 6) * 1000000, 0) AS BIGINT)").as("d2u"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("d2u")).as("s"))
+      .select(col("centroid_id"), col("n"),
+        expr("(2 * s + n) DIV (2 * n)").as("within_mean_micro"))
+    val a = cent.select(col("centroid_id"), col("cv").as("av"), col("cn2").as("an2"))
+    val b = cent.select(col("centroid_id").as("other_id"), col("cv").as("bv"),
+      col("cn2").as("bn2"))
+    val sep = a.join(broadcast(b), col("centroid_id") =!= col("other_id"))
+      .withColumn("cd2",
+        col("an2") - lit(2.0) * dot(col("av"), col("bv")) + col("bn2"))
+      .groupBy(col("centroid_id"))
+      .agg(round(min(col("cd2")), 6).as("min_sep"))
+    within.join(broadcast(sep), Seq("centroid_id"))
+  }
+
+  lazy val clusterQualityOracle: String =
+    s"""WITH $kmeansCtes,
+       |home AS (
+       |  SELECT centroid_id, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2 ASC, centroid_id) AS r
+       |    FROM scored1) WHERE r = 1),
+       |w AS (
+       |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(round(round(d2, 6) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM home GROUP BY 1),
+       |sep AS (
+       |  SELECT a.centroid_id,
+       |         round(min(a.cn2 - 2 * list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> a.cv[i] * b.cv[i])) + b.cn2), 6) AS min_sep
+       |  FROM c1n a JOIN c1n b ON a.centroid_id <> b.centroid_id
+       |  GROUP BY 1)
+       |SELECT centroid_id, n,
+       |       CAST((2 * s + n) // (2 * n) AS BIGINT) AS within_mean_micro, min_sep
+       |FROM w JOIN sep USING (centroid_id)
+       |""".stripMargin
 
   private val SemanticCosine = 0.4
 
@@ -272,8 +336,13 @@ object Embeddings {
        |        i -> a.v[i] * b.v[i])) / sqrt(a.n2 * b.n2) >= $SemanticCosine
        |""".stripMargin
 
-  val kmeansOracle: String =
-    s"""WITH n AS (
+  /** The shared DuckDB CTE chain for the k-means family (seeding →
+    * first assignment → decimal-exact centroid update → re-score):
+    * [[kmeansOracle]] ranks `scored1` to the home assignment;
+    * [[clusterQualityOracle]] additionally reads the refined centroid
+    * table `c1n`. Declared BEFORE both oracle vals (object init order). */
+  private val kmeansCtes: String =
+    s"""n AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
        |  FROM embeddings),
@@ -306,7 +375,10 @@ object Embeddings {
        |  SELECT n.vec_id, c.centroid_id,
        |         n.n2 - 2 * list_sum(list_transform(generate_series(1, $Dim),
        |           i -> n.v[i] * c.cv[i])) + c.cn2 AS d2
-       |  FROM n CROSS JOIN c1n c)
+       |  FROM n CROSS JOIN c1n c)""".stripMargin
+
+  val kmeansOracle: String =
+    s"""WITH $kmeansCtes
        |SELECT vec_id, centroid_id, round(d2, 6) AS d2 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |                               ORDER BY d2 ASC, centroid_id) AS r

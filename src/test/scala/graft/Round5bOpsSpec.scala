@@ -243,6 +243,31 @@ class Round5bOpsSpec extends SparkSpec {
     assert(falseEdge < trueEdge, s"false $falseEdge !< true $trueEdge")
   }
 
+  // ------------------------------------------------- cluster quality
+
+  test("clusterQuality: partitions the corpus, positive separation, and " +
+       "micro-mean matches the gated assignment frame") {
+    import graft.ops.Embeddings
+    val q = Embeddings.clusterQuality(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(q.map(_._2).sum == nVecs)        // every vector in exactly one cluster
+    assert(q.forall(_._4 > 0.0))            // refined centroids are distinct
+    assert(q.forall(_._3 >= 0L))
+    // recompute the micro-mean from the independently gated assignment
+    val d2 = Embeddings.kmeansAssign(spark, sf)
+      .select(col("centroid_id"),
+        expr("CAST(round(d2 * 1000000, 0) AS BIGINT)").as("u"))
+      .as[(Int, Long)].collect().groupBy(_._1)
+    q.foreach { case (c, n, mean, _) =>
+      val us = d2(c).map(_._2)
+      assert(n == us.length.toLong, s"cluster $c size")
+      val s = us.sum
+      assert(mean == (2 * s + n) / (2 * n), s"cluster $c micro-mean")
+    }
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------------------ corpus balance
 
   test("corpusBalance: entropy ln(2) for a 50/50 source, 0 for monolingual") {
