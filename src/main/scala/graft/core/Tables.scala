@@ -19,18 +19,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark cannot represent (µs max). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as a
-    * nanos-since-epoch long; truncate to micros exactly like DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP cast does, keeping both engines identical. */
+  /** The events table's `ts` normalizes to a session-tz TIMESTAMP (UTC
+    * sessions everywhere) whatever the snapshot's physical type:
+    *
+    *  - TIMESTAMP(NANOS) parquet (earlier snapshots): Spark cannot
+    *    represent nanos (µs max); sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as a
+    *    nanos-since-epoch long — truncate to micros exactly like DuckDB's
+    *    TIMESTAMP_NS → TIMESTAMP cast does.
+    *  - timestamp[us] without a zone (current snapshots): Spark infers
+    *    TIMESTAMP_NTZ, which `unix_micros` et al. reject — cast to
+    *    TIMESTAMP, which under the UTC session keeps the wall time
+    *    identical to DuckDB's naive read.
+    *
+    * Either way both engines see the same micros-precision instants. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer DIV, not `/`: ns epochs (~1.7e18) overflow double's exact range
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer DIV, not `/`: ns epochs (~1.7e18) overflow double's exact range
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -88,6 +88,58 @@ object Layout {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Compaction PLAN over a file manifest: pack manifest-ordered files
+    * into bins of ~`targetBytes` by the streaming-merge rule
+    * `bin = exclusive_prefix_sum(bytes) div target` — consecutive files
+    * group together (preserving any clustering the manifest order
+    * carries, e.g. partition path or commit time), every bin except
+    * possibly the last reaches the target, and a bin overflows the
+    * target by at most one file (the classic next-fit grouping real
+    * table-format compactors use; bin-minimal packing would reorder
+    * files and destroy the clustering).
+    *
+    * The prefix sum is [[Rnk.globalCumsum]] — the distributed two-pass,
+    * NOT a single-partition window — so the planner itself scales to a
+    * manifest of millions of files: one range partitioning of the
+    * manifest plus a partition-count-sized offset table. Returns one row
+    * per bin: file count, total bytes, and the [first, last] file-id
+    * range the compactor should rewrite together. */
+  def compactionPlan(manifest: DataFrame, fileId: Column, bytes: Column,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    Rnk.globalCumsum(
+        manifest.select(fileId.as("file_id"), bytes.as("bytes")),
+        Seq(col("file_id")), col("bytes"), "cum_before")
+      .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+           min(col("file_id")).as("first_file"),
+           max(col("file_id")).as("last_file"))
+  }
+
+  /** Oracle query: the compaction plan for the documents "manifest"
+    * (doc_id as file id, n_chars as file bytes) at an 8 KiB target —
+    * ~19 bins over the corpus snapshot. */
+  def compactionQuery(spark: SparkSession, dir: String): DataFrame =
+    compactionPlan(Tables.documents(spark, dir),
+      col("doc_id"), col("n_chars"), CompactTarget)
+
+  private val CompactTarget = 8192L
+
+  val compactionOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, n_chars,
+       |         coalesce(sum(n_chars) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM documents)
+       |SELECT CAST(cum // $CompactTarget AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       |       CAST(min(doc_id) AS BIGINT) AS first_file,
+       |       CAST(max(doc_id) AS BIGINT) AS last_file
+       |FROM c GROUP BY 1
+       |""".stripMargin
+
   /** Compact a parquet directory to ~`targetBytes` files: one coalesce
     * (no shuffle) sized from the current on-disk footprint, written to
     * `destPath`. Incremental-append warehouses run this out-of-band. */

@@ -79,22 +79,20 @@ object Retrieval {
     * long sum.
     *
     * Both input lists are top-50 frames — BOUNDED by construction — so
-    * the in-list rank windows and the final sort run over ≤50/≤100 rows
-    * regardless of corpus size (same boundedness argument as the report
-    * sink); the heavy work (scoring the corpus) happens in the two
-    * upstream operators, which are scan-shaped. */
+    * the in-list ranks ([[Rnk.boundedRank]] — window-free, so nothing in
+    * the plan is an unpartitioned WindowExec) and the final sort run over
+    * ≤50/≤100 rows regardless of corpus size (same boundedness argument
+    * as the report sink); the heavy work (scoring the corpus) happens in
+    * the two upstream operators, which are scan-shaped. */
   def hybridTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = lexicalTopK(spark, dir)
-      .withColumn("lex_rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
-          .cast("long"))
+    val lex = Rnk.boundedRank(
+        lexicalTopK(spark, dir),
+        struct(-col("score"), col("doc_id")), "lex_rank")
       .select(col("doc_id"), col("lex_rank"))
-    val flu = TextAnalysis.unigramNll(spark, dir)
-      .orderBy(col("nll").asc, col("doc_id")).limit(TopK)
-      .withColumn("nll_rank",
-        row_number().over(Window.orderBy(col("nll").asc, col("doc_id")))
-          .cast("long"))
+    val flu = Rnk.boundedRank(
+        TextAnalysis.unigramNll(spark, dir)
+          .orderBy(col("nll").asc, col("doc_id")).limit(TopK),
+        struct(col("nll"), col("doc_id")), "nll_rank")
       .select(col("doc_id"), col("nll_rank"))
     lex.join(flu, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("nll_rank"),

@@ -26,6 +26,38 @@ object Rnk {
       .drop("__rn")
   }
 
+  /** Rank (1-based) inside a BOUNDED frame WITHOUT a window: each row's
+    * rank is `1 + count(rows with a strictly smaller key)`, computed by
+    * broadcasting the frame's key column back onto itself and counting
+    * matches in one hash aggregate. Equals `row_number() OVER (ORDER BY
+    * key)` whenever `key` is a tie-free total order (callers append a
+    * unique tiebreak field, exactly as for [[globalRank]]).
+    *
+    * This exists for the top-k/limit-bounded frames (retrieval fusion
+    * lists, skew profiles — tens of rows by construction) where an
+    * unpartitioned `Window.orderBy` would be CORRECT but still funnels
+    * the frame through one WindowExec task and logs the
+    * "No Partition Defined" scale warning on every run. The broadcast
+    * self-comparison is O(n²) in the frame size — only ever call it on
+    * frames already bounded by an upstream `limit`; unbounded frames
+    * belong to [[globalRank]].
+    *
+    * `key` must be an orderable ascending key — compose descending
+    * numeric fields by negation, e.g.
+    * `struct(-col("score"), col("doc_id"))`. Grouping re-keys on every
+    * column of `df`, so the frame must not contain map-typed columns
+    * (none of the bounded frames do). */
+  def boundedRank(df: DataFrame, key: Column,
+                  rankCol: String = "rank"): DataFrame = {
+    val withKey = df.withColumn("__bkey", key)
+    val others = broadcast(withKey.select(col("__bkey").as("__okey")))
+    withKey
+      .join(others, col("__okey") < col("__bkey"), "left")
+      .groupBy(withKey.columns.map(col): _*)
+      .agg((count(col("__okey")) + 1L).as(rankCol))
+      .drop("__bkey")
+  }
+
   /** DISTRIBUTED global row_number over a total order — the scalable
     * replacement for `row_number() OVER (ORDER BY ...)`, which forces
     * every row into ONE WindowExec partition.

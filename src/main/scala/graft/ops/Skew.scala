@@ -58,22 +58,20 @@ object Skew {
     * One hash aggregate over the fact (map-side combinable), a 1-row
     * totals aggregate broadcast back, and a distributed TakeOrdered for
     * the top-20 — nothing key-cardinality-sized ever sorts globally. The
-    * in-list rank is a window over the BOUNDED 20-row frame. Integer
-    * arithmetic only (ppm is one `div`), so the profile hash-matches the
-    * oracle on any engine. */
+    * in-list rank is [[Rnk.boundedRank]] over the BOUNDED 20-row frame
+    * (window-free — no unpartitioned WindowExec anywhere in the plan).
+    * Integer arithmetic only (ppm is one `div`), so the profile
+    * hash-matches the oracle on any engine. */
   def keyProfile(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = graft.core.Tables.orders(spark, dir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
     val totals = counts.agg(sum(col("n")).as("total"),
                             count(lit(1)).as("n_keys"))
-    counts.crossJoin(broadcast(totals))
+    val top = counts.crossJoin(broadcast(totals))
       .orderBy(col("n").desc, col("o_custkey"))
       .limit(20)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n").desc, col("o_custkey")))
-          .cast("int"))
-      .select(col("rank"), col("o_custkey"), col("n"),
+    Rnk.boundedRank(top, struct(-col("n"), col("o_custkey")), "rank")
+      .select(col("rank").cast("int").as("rank"), col("o_custkey"), col("n"),
         expr("CAST(n * 1000000 div total AS BIGINT)").as("share_ppm"),
         col("total"), col("n_keys"))
   }

@@ -721,4 +721,54 @@ object TextAnalysis {
       |SELECT lang, ngram, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
       |FROM r WHERE rank <= 3
       |""".stripMargin
+
+  // ------------------------------------------------------ n-gram diversity
+
+  /** Per-SOURCE n-gram diversity: of all (doc, shingle) pairs a source
+    * contributes (3-gram shingles, per-doc distinct — the same shingle
+    * universe the dedup family uses), how many shingles are distinct
+    * across the source, and what fraction is cross-document repetition.
+    * A templated / boilerplate-heavy source (mirrored docs, generated
+    * pages, scraped nav chrome) shows a high `repetition_ppm` long before
+    * pairwise dedup runs — this is the cheap corpus-health screen that
+    * decides which sources are worth the pairwise pass, and it
+    * complements [[TextPrep.sourceDrift]] (token-distribution drift) with
+    * a within-source redundancy signal.
+    *
+    * Plan: ONE shingle-explode scan carrying `source` through the
+    * projection (no doc-dimension join), then one per-source aggregate
+    * with an exact distinct. At 100 TB the exact distinct is the
+    * bottleneck (it shuffles the (source, shingle) universe once);
+    * swapping `count_distinct` for `approx_count_distinct` keeps the
+    * identical single-scan shape with fixed-size HLL state — this exact
+    * formulation is the oracle-checkable baseline that approximation is
+    * validated against (same discipline as [[Contamination]]'s Bloom
+    * path). Integer ppm, so the result hash-matches any engine. */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
+    ngramDiversityOf(spark, docs(spark, dir))
+
+  private[graft] def ngramDiversityOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sh = d.select(
+      col("source"),
+      explode(call_function(graft.functions.GraftFunctions.ShingleName,
+        col("text"), lit(Dedup.ShingleN))).as("h"))
+    sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+           count_distinct(col("h")).as("n_distinct"))
+      .withColumn("repetition_ppm",
+        expr("(n_shingles - n_distinct) * 1000000 div n_shingles"))
+  }
+
+  val ngramDiversityOracle: String =
+    s"""WITH ${Dedup.shingleCte},
+       |ex AS (SELECT d.source, unnest(sh.sgl) AS h
+       |       FROM sh JOIN documents d USING (doc_id))
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_shingles,
+       |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       |       CAST((count(*) - count(DISTINCT h)) * 1000000 // count(*) AS BIGINT)
+       |         AS repetition_ppm
+       |FROM ex GROUP BY 1
+       |""".stripMargin
 }

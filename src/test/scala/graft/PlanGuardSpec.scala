@@ -211,28 +211,24 @@ class PlanGuardSpec extends SparkSpec {
     graft.core.Caches.release(spark)
   }
 
-  test("NO query in the full registry plans an unbounded single-partition window") {
+  test("NO query in the full registry plans ANY single-partition window") {
     // the scale-killer class: row_number()/sum() OVER (ORDER BY ...) with
-    // no PARTITION BY pulls every row through one task. A global window
-    // is tolerated ONLY when its input is already LIMIT-bounded (e.g.
-    // hybrid retrieval fuses two top-k lists of <=200 rows) — anything
-    // else must use the distributed two-pass (Rnk.globalRank/globalCumsum)
+    // no PARTITION BY pulls every row through one task (and WARNs on
+    // every run). Zero tolerance — unbounded frames use the distributed
+    // two-pass (Rnk.globalRank/globalCumsum), LIMIT-bounded top-k frames
+    // use the window-free Rnk.boundedRank.
     import org.apache.spark.sql.catalyst.plans.logical
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
       val optimized = fn(spark, sf).queryExecution.optimizedPlan
       optimized.foreach {
-        case w: logical.Window if w.partitionSpec.isEmpty =>
-          val limitBounded = w.child.collectFirst {
-            case _: logical.GlobalLimit => (); case _: logical.LocalLimit => ()
-          }.isDefined
-          if (!limitBounded) offenders += name
+        case w: logical.Window if w.partitionSpec.isEmpty => offenders += name
         case _ => ()
       }
       graft.core.Caches.release(spark)
     }
     spark.catalog.clearCache()
     assert(offenders.isEmpty,
-      s"unbounded global window in: ${offenders.distinct.mkString(", ")}")
+      s"single-partition window in: ${offenders.distinct.mkString(", ")}")
   }
 }

@@ -63,10 +63,12 @@ class RetailSpec extends SparkSpec {
 
   // ------------------------------------------------------------ streaks
   test("streaks equals a driver-side gaps-and-islands recomputation") {
-    val days = spark.read.parquet(s"$sf/events.parquet")
+    // Tables.events normalizes ts across snapshot physical types (nanos
+    // long vs timestamp[us]); reading the file raw here would re-encode
+    // one of them and break on the other
+    val days = graft.core.Tables.events(spark, sf)
       .select(col("user_id"),
-        datediff(to_date(expr("timestamp_micros(ts DIV 1000)")),
-                 lit("1970-01-01")).as("d"))
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
       .distinct().as[(Long, Int)].collect()
     val want = days.groupBy(_._1).map { case (u, xs) =>
       val ds = xs.map(_._2).distinct.sorted

