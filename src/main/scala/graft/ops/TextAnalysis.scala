@@ -760,6 +760,27 @@ object TextAnalysis {
         expr("(n_shingles - n_distinct) * 1000000 div n_shingles"))
   }
 
+  /** The 100 TB path for [[ngramDiversity]]: identical single-scan shape
+    * with `approx_count_distinct` (HLL++, fixed-size mergeable state) in
+    * place of the exact distinct — per-source state is KB-sized however
+    * many shingles a source has, so the aggregate never shuffles the
+    * (source, shingle) universe. Standard-error `rsd` defaults to Spark's
+    * 5%; the spec bounds the observed error against the exact baseline.
+    * Not oracle-checked (HLL layouts are engine-specific) — the exact
+    * twin is the gate, this is the documented-and-TESTED approximation. */
+  private[graft] def ngramDiversityApproxOf(spark: SparkSession,
+                                            d: DataFrame,
+                                            rsd: Double = 0.05): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sh = d.select(
+      col("source"),
+      explode(call_function(graft.functions.GraftFunctions.ShingleName,
+        col("text"), lit(Dedup.ShingleN))).as("h"))
+    sh.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+           approx_count_distinct(col("h"), rsd).as("n_distinct_approx"))
+  }
+
   val ngramDiversityOracle: String =
     s"""WITH ${Dedup.shingleCte},
        |ex AS (SELECT d.source, unnest(sh.sgl) AS h

@@ -62,6 +62,24 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram diversity approx (HLL scale path) tracks the exact distinct " +
+       "within the configured error band") {
+    val d = graft.core.Tables.documents(spark, sf)
+    val exact = graft.ops.TextAnalysis.ngramDiversityOf(spark, d)
+      .select(col("source"), col("n_distinct"))
+      .as[(String, Long)].collect().toMap
+    val approx = graft.ops.TextAnalysis.ngramDiversityApproxOf(spark, d)
+      .select(col("source"), col("n_distinct_approx"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (src, a) =>
+      val e = exact(src).toDouble
+      // rsd = 5% one-sigma; 4 sigma covers the 20-source fixture with
+      // huge slack while still catching an implementation swap-out
+      assert(math.abs(a - e) / e <= 0.20, s"source $src: approx $a vs exact $e")
+    }
+  }
+
   // ------------------------------------------------- compaction planner
 
   test("compaction plan: next-fit bins are contiguous, exhaustive, and " +
