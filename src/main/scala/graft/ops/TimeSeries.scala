@@ -309,4 +309,66 @@ object TimeSeries {
       |         (CAST(sx AS DOUBLE) / n_gaps), 6) END AS burstiness
       |FROM agg
       |""".stripMargin
+
+  // ---------------------------------------------------- CUSUM changepoint
+
+  /** One-sided CUSUM drift detector over the daily event volume — the
+    * sequential changepoint statistic (`S_t = max(0, S_{t-1} + (x_t − k))`)
+    * that flags a SUSTAINED upward level shift long before any single
+    * day trips a z-score gate ([[weekdayAnomalies]] catches spikes;
+    * this catches creep). The allowance `k` is the corpus's own mean
+    * daily volume (integer `total div days`), so the statistic
+    * accumulates only above-typical excess; the decision threshold `h`
+    * is one mean day's volume.
+    *
+    * The recurrence looks inherently serial, but the classic reduction
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` over the prefix sums `P` of
+    * `(x − k)` turns it into two DISTRIBUTED primitives:
+    * [[Rnk.globalCumsum]] for `P` and [[Rnk.globalPrefixMin]] for the
+    * running floor — no single-partition window anywhere, so the same
+    * plan holds whether the grain is 30 days or three years of
+    * per-minute buckets. All arithmetic is integer (counts and integer
+    * `div`), so the statistic hash-matches any engine. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(sum(col("n_events")).as("tot"),
+                        count(lit(1)).as("nd"))
+    val based = daily.crossJoin(broadcast(tot))
+      .withColumn("k", expr("tot div nd"))
+      .withColumn("excess", col("n_events") - col("k"))
+    val withP = Rnk.globalCumsum(based, Seq(col("d")), col("excess"), "p_before")
+      .withColumn("p", col("p_before") + col("excess"))
+    Rnk.globalPrefixMin(withP, Seq(col("d")), col("p"), "m_before")
+      // inclusive running floor of P, with the empty prefix P_0 = 0:
+      // m_before is EXCLUSIVE (Long.MaxValue on the first row), so fold
+      // in this row's P and the zero origin explicitly
+      .withColumn("cusum", col("p") - least(lit(0L), col("m_before"), col("p")))
+      .withColumn("shift_flag", col("cusum") >= col("k"))
+      .select(col("d"), col("n_events"), col("cusum"), col("shift_flag"))
+  }
+
+  val cusumChangepointOracle: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS d,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot,
+      |             CAST(count(*) AS BIGINT) AS nd FROM daily),
+      |b AS (SELECT d, n_events, tot // nd AS k, n_events - tot // nd AS excess
+      |      FROM daily CROSS JOIN t),
+      |p AS (SELECT d, n_events, k,
+      |             CAST(sum(excess) OVER (ORDER BY d
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+      |      FROM b),
+      |m AS (SELECT d, n_events, k, pp,
+      |             least(CAST(0 AS BIGINT), min(pp) OVER (ORDER BY d
+      |               ROWS UNBOUNDED PRECEDING)) AS mm
+      |      FROM p)
+      |SELECT CAST(d AS INT) AS d, n_events,
+      |       CAST(pp - mm AS BIGINT) AS cusum,
+      |       (pp - mm) >= k AS shift_flag
+      |FROM m
+      |""".stripMargin
 }

@@ -80,6 +80,51 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- CUSUM changepoint
+
+  test("cusum changepoint equals the serial recurrence") {
+    val out = graft.ops.TimeSeries.cusumChangepoint(spark, sf)
+      .select(col("d"), col("n_events"), col("cusum"), col("shift_flag"))
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    graft.core.Caches.release(spark)
+    // serial reference: S_t = max(0, S_{t-1} + (x_t - k)), k = mean day
+    val tot = out.map(_._2).sum
+    val k = tot / out.length
+    var s = 0L
+    out.foreach { case (_, x, cusum, flag) =>
+      s = math.max(0L, s + (x - k))
+      assert(cusum === s, s"cusum at x=$x")
+      assert(flag === (s >= k))
+    }
+    assert(out.map(_._2).sum === tot)
+  }
+
+  test("cusum flags a planted sustained level shift") {
+    // 20 quiet days of 100, then 10 days of 160: k = 120, the excess
+    // accumulates 40/day from day 21 — the flag must trip during the
+    // shifted block and stay untripped through the quiet block
+    val ev = (1 to 20).flatMap(d => (1 to 100).map(i => (d, i))) ++
+             (21 to 30).flatMap(d => (1 to 160).map(i => (d, i)))
+    val df = ev.toDF("d0", "i")
+      .select(expr("timestamp_micros(CAST(d0 AS BIGINT) * 86400000000)").as("ts"))
+    // reuse the operator's core by aggregating the same way inline
+    val daily = df.groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(sum(col("n_events")).as("tot"), count(lit(1)).as("nd"))
+    val based = daily.crossJoin(broadcast(tot))
+      .withColumn("k", expr("tot div nd"))
+      .withColumn("excess", col("n_events") - col("k"))
+    val withP = graft.ops.Rnk.globalCumsum(based, Seq(col("d")), col("excess"), "p_before")
+      .withColumn("p", col("p_before") + col("excess"))
+    val res = graft.ops.Rnk.globalPrefixMin(withP, Seq(col("d")), col("p"), "m_before")
+      .withColumn("cusum", col("p") - least(lit(0L), col("m_before"), col("p")))
+      .withColumn("shift_flag", col("cusum") >= col("k"))
+      .select(col("d"), col("shift_flag")).as[(Int, Boolean)].collect().toMap
+    graft.core.Caches.release(spark)
+    assert((1 to 20).forall(d => !res(d)), "quiet block must not flag")
+    assert(res(24) && res(30), "sustained shift must flag within a few days")
+  }
+
   // ------------------------------------------------- compaction planner
 
   test("compaction plan: next-fit bins are contiguous, exhaustive, and " +
