@@ -114,6 +114,46 @@ object TextAnalysis {
        |""".stripMargin
   }
 
+  /** Confusion matrix of the [[langid]] heuristic against the corpus's
+    * labeled `lang` column, with per-cell recall/precision in ppm — the
+    * classifier-calibration audit run before TRUSTING a cheap lang-ID
+    * gate to route documents at scale (a class the heuristic
+    * systematically swallows shows up as an off-diagonal cell with high
+    * recall_ppm loss, per-class, not as a single accuracy number).
+    *
+    * Plan: the prediction is a pure projection (one scan), the matrix a
+    * classes²-bounded hash aggregate, and the row/column totals are
+    * class-count-sized aggregates BROADCAST back onto the matrix —
+    * nothing in the plan scales with corpus size except the one scan.
+    * Integer ppm throughout. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cm = langid(spark, dir)
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val at = cm.groupBy(col("lang_actual")).agg(sum(col("n")).as("actual_total"))
+    val pt = cm.groupBy(col("lang_pred")).agg(sum(col("n")).as("pred_total"))
+    cm.join(broadcast(at), Seq("lang_actual"))
+      .join(broadcast(pt), Seq("lang_pred"))
+      .select(col("lang_actual"), col("lang_pred"), col("n"),
+              col("actual_total"), col("pred_total"),
+              expr("n * 1000000 div actual_total").as("recall_ppm"),
+              expr("n * 1000000 div pred_total").as("precision_ppm"))
+  }
+
+  val langidConfusionOracle: String =
+    s"""WITH base AS ($langidOracle),
+       |cm AS (SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |       FROM base GROUP BY 1, 2),
+       |at AS (SELECT lang_actual, CAST(sum(n) AS BIGINT) AS actual_total
+       |       FROM cm GROUP BY 1),
+       |pt AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS pred_total
+       |       FROM cm GROUP BY 1)
+       |SELECT cm.lang_actual, cm.lang_pred, n, actual_total, pred_total,
+       |       CAST(n * 1000000 // actual_total AS BIGINT) AS recall_ppm,
+       |       CAST(n * 1000000 // pred_total AS BIGINT) AS precision_ppm
+       |FROM cm JOIN at USING (lang_actual) JOIN pt USING (lang_pred)
+       |""".stripMargin
+
   // -------------------------------------------------------------- quality
   /** (uniq-ratio, length-score, stopword-ratio) component expressions of
     * the quality score — exposed for fusion into shared profiles. */

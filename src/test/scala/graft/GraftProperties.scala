@@ -331,4 +331,45 @@ object GraftProperties extends Properties("graft") {
         Prop(same.isEmpty) :| "identical replicas" &&
           Prop(lossy.count() == 1L) :| "one lost row, one bucket"
     }
+
+  // boundedRank: window-free rank equals the serial sort position for
+  // any tie-free key set, under any partitioning
+  property("boundedRank equals the sort position of its key") =
+    forAll(Gen.chooseNum(1, 30), Gen.chooseNum(1, 5)) { (n, parts) =>
+      // distinct keys via index-salted values: tie-free total order
+      val rows = (1 to n).map(i => (i.toLong, (i * 37 % n).toLong * n + i))
+      val df = rows.toDF("id", "key").repartition(parts)
+      val got = graft.ops.Rnk.boundedRank(
+          df, org.apache.spark.sql.functions.col("key"), "rank")
+        .select($"id", $"rank").as[(Long, Long)].collect().toMap
+      val want = rows.sortBy(_._2).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      got == want
+    }
+
+  // compactionPlan: next-fit bins partition the manifest exactly under
+  // any sizes/target/partitioning — counts and bytes are conserved and
+  // file-id ranges are contiguous and disjoint
+  property("compactionPlan conserves files and bytes in contiguous bins") =
+    forAll(
+      Gen.chooseNum(1, 25).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1L, 50L))),
+      Gen.chooseNum(5L, 60L), Gen.chooseNum(1, 5)) { (sizes, target, parts) =>
+      val manifest = sizes.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("fid", "bytes").repartition(parts)
+      val plan = graft.ops.Layout.compactionPlan(manifest,
+          $"fid", $"bytes", target)
+        .select($"bin", $"n_files", $"total_bytes", $"first_file", $"last_file")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      graft.core.Caches.release(spark)
+      val cums = sizes.scanLeft(0L)(_ + _).init
+      val want = sizes.indices.groupBy(i => cums(i) / target).toSeq
+        .map { case (bin, idx) =>
+          (bin, idx.size.toLong, idx.map(sizes).sum,
+           idx.min.toLong, idx.max.toLong) }
+        .sortBy(_._1)
+      Prop(plan.toSeq == want) :| "matches serial next-fit" &&
+        Prop(plan.map(_._2).sum == sizes.length.toLong) :| "file conservation" &&
+        Prop(plan.map(_._3).sum == sizes.sum) :| "byte conservation"
+    }
 }
