@@ -222,6 +222,26 @@ object Jsonl {
     df.write.mode(mode).json(path)
 }
 
+/** Binary-file DIRECTORY source — the ingest seam for raw media assets
+  * dropped as files (images/audio/video on a landing bucket) rather than
+  * as a binary column inside a table. Spark's `binaryFile` format yields
+  * (path, modificationTime, length, content) with partition-parallel
+  * listing and reading; `pathGlobFilter` prunes at the LISTING, so a
+  * mixed drop never opens the files it skips (deployments additionally
+  * cap `spark.sql.sources.binaryFile.maxLength` so a stray oversized
+  * asset fails loudly instead of OOMing a task). The content column
+  * feeds the exact byte-level decoders the binary-COLUMN path uses
+  * ([[graft.ops.Multimodal]] / [[graft.functions.ImageCodec]]), so
+  * file-drop and table-column multimodal ingest share one decode seam.
+  */
+object BinaryDir {
+  def read(spark: SparkSession, path: String,
+           glob: Option[String] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    glob.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+}
+
 /** REST-JSON source (reference: utils.py:34-105): driver-side GET with
   * optional OAuth2 password-grant Bearer auth, payload `{"data":[{...}]}`
   * materialized as a DataFrame. The HTTP transport is pluggable so tests

@@ -80,6 +80,28 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ binary-file ingest
+
+  test("binaryFile directory source: glob prunes at listing, content " +
+       "decodes through the shared image seam") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bindir")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", graft.functions.ImageCodec.writePng(7, 3, 1, 2, 3))
+    put("b.png", graft.functions.ImageCodec.writePng(12, 5, 9, 8, 7))
+    put("notes.txt", "not an image".getBytes("UTF-8"))
+    val read = graft.connect.BinaryDir.read(spark, dir.toString,
+      glob = Some("*.png"))
+    assert(read.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val payloads = read
+      .select(length(col("path")).cast("long").as("_1"), col("content").as("_2"))
+      .as[(Long, Array[Byte])]
+    val metas = graft.ops.Multimodal.decodeImageMeta(payloads)
+      .collect().map(r => (r.width, r.height)).toSet
+    assert(metas === Set((7, 3), (12, 5)), "both PNGs decode, txt pruned")
+  }
+
   // ---------------------------------------------------- CUSUM changepoint
 
   test("cusum changepoint equals the serial recurrence") {
