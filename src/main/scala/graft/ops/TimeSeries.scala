@@ -310,6 +310,85 @@ object TimeSeries {
       |FROM agg
       |""".stripMargin
 
+  // ----------------------------------------------------- rolling uniques
+
+  private val RollWindow = 7
+
+  /** Trailing-[[RollWindow]]-day DISTINCT users per day — the rolling
+    * reach metric (WAU-style) that a plain window frame cannot compute,
+    * because distinct does not decompose over frame slides. The exact
+    * formulation: dedupe to (day, user) grain once, let each day
+    * CONTRIBUTE to the [[RollWindow]] target days it falls inside
+    * (`explode(sequence(day, day+6))` — a bounded ×7 fan-out of the
+    * already-deduped pairs, not of raw events), then one distinct count
+    * per target day. Inner-joining back to observed days drops the
+    * phantom tail beyond the last day of data.
+    *
+    * At 100 TB the (day, user) fan-out is the bottleneck; the production
+    * path is [[rollingUniquesSketch]] — per-day HLL sketches merged
+    * across the window, so the shuffle carries days × KB-sized sketches
+    * instead of day-user pairs. This exact version is the
+    * oracle-checkable baseline the sketch twin is error-bounded against
+    * (same discipline as Contamination's Bloom path). */
+  def rollingUniques(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+              col("user_id"))
+      .distinct()
+      .trackPersist()
+    val daily = du.groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("n_unique_1d"))
+    val rolled = du
+      .withColumn("d", explode(expr(s"sequence(day, day + ${RollWindow - 1})")))
+      .groupBy(col("d"))
+      .agg(count_distinct(col("user_id")).as(s"n_unique_${RollWindow}d"))
+    daily.join(rolled, daily("day") === rolled("d"))
+      .select(col("d"), col("n_unique_1d"), col(s"n_unique_${RollWindow}d"))
+  }
+
+  /** The mergeable-sketch twin of [[rollingUniques]]: one HLL sketch per
+    * (day) — a single map-side-combinable aggregate over raw events —
+    * then each day's sketch joins the [[RollWindow]] windows it belongs
+    * to and `hll_union_agg` merges 7 KB-sized sketches per output row.
+    * Nothing in the plan is proportional to user cardinality after the
+    * first aggregate. Estimate error is the standard HLL bound
+    * (lgConfigK = 12 → ~1.6% rsd), spec-bounded against the exact twin.
+    * Not oracle-checked (sketch layouts are engine-specific). */
+  def rollingUniquesSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+              col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .trackPersist()
+    val days = sk.select(col("day").as("d"))
+    sk.withColumn("d", explode(expr(s"sequence(day, day + ${RollWindow - 1})")))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy(col("d"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as(s"n_unique_${RollWindow}d_est"))
+  }
+
+  val rollingUniquesOracle: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS INT)
+       |      AS day,
+       |    user_id
+       |  FROM events),
+       |daily AS (
+       |  SELECT day AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique_1d
+       |  FROM du GROUP BY 1),
+       |rolled AS (
+       |  SELECT d.d, CAST(count(DISTINCT du.user_id) AS BIGINT)
+       |           AS n_unique_${RollWindow}d
+       |  FROM (SELECT DISTINCT day AS d FROM du) d
+       |  JOIN du ON du.day BETWEEN d.d - ${RollWindow - 1} AND d.d
+       |  GROUP BY 1)
+       |SELECT d, n_unique_1d, n_unique_${RollWindow}d
+       |FROM daily JOIN rolled USING (d)
+       |""".stripMargin
+
   // ---------------------------------------------------- CUSUM changepoint
 
   /** One-sided CUSUM drift detector over the daily event volume — the

@@ -80,6 +80,41 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- rolling uniques
+
+  test("rolling uniques: 7-day trailing distinct equals a serial set union") {
+    val exact = graft.ops.TimeSeries.rollingUniques(spark, sf)
+      .select(col("d"), col("n_unique_1d"), col("n_unique_7d"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    graft.core.Caches.release(spark)
+    val du = graft.core.Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"),
+              col("user_id"))
+      .as[(Int, Long)].collect().toSet
+    val byDay = du.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    exact.foreach { case (d, n1, n7) =>
+      assert(n1 === byDay(d).size.toLong)
+      val want7 = (d - 6 to d).flatMap(byDay.get).flatten.toSet.size.toLong
+      assert(n7 === want7, s"day $d")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("rolling uniques sketch twin tracks exact within the HLL band") {
+    val exact = graft.ops.TimeSeries.rollingUniques(spark, sf)
+      .select(col("d"), col("n_unique_7d")).as[(Int, Long)].collect().toMap
+    graft.core.Caches.release(spark)
+    val est = graft.ops.TimeSeries.rollingUniquesSketch(spark, sf)
+      .select(col("d"), col("n_unique_7d_est").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    graft.core.Caches.release(spark)
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (d, a) =>
+      val e = exact(d).toDouble
+      assert(math.abs(a - e) / e <= 0.10, s"day $d: est $a vs exact $e")
+    }
+  }
+
   // ------------------------------------------------ binary-file ingest
 
   test("binaryFile directory source: glob prunes at listing, content " +
