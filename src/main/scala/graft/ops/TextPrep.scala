@@ -368,4 +368,52 @@ object TextPrep {
       |       round(CAST(chars AS DOUBLE) / total_chars, 6) AS char_share
       |FROM bs CROSS JOIN tot
       |""".stripMargin
+
+  // --------------------------------------------------- interleaved order
+
+  /** Deterministic TRAINING ORDER that interleaves sources by stride
+    * scheduling: document `r` of a source with `n_s` documents gets the
+    * virtual position `(2r−1)/(2n_s)` on the unit interval (integer ppm
+    * arithmetic), so every source spreads evenly across the epoch —
+    * reading the output in `train_pos` order never clumps a source, the
+    * property shuffled-concatenation only achieves in expectation and
+    * random seeds can violate badly for small sources. The final
+    * position is [[Rnk.globalRank]] over the tie-free
+    * (pos_key, source, src_rank) order — the distributed two-pass, no
+    * single-partition window — and per-source ranks are partitioned
+    * windows. One broadcast of the source-count table; everything else
+    * is scan + window + the rank's range partitioning. */
+  def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+    val ns = ranked.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val keyed = ranked.join(broadcast(ns), Seq("source"))
+      .withColumn("pos_key",
+        expr("((2 * src_rank - 1) * 1000000) div (2 * ns)"))
+      .drop("ns")
+    Rnk.globalRank(keyed,
+        Seq(col("pos_key"), col("source"), col("src_rank")), "train_pos")
+      .select(col("doc_id"), col("source"), col("src_rank"),
+              col("pos_key"), col("train_pos"))
+  }
+
+  val interleaveOrderOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |              AS BIGINT) AS src_rank
+      |  FROM documents),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+      |      FROM documents GROUP BY 1),
+      |k AS (
+      |  SELECT doc_id, s.source, src_rank,
+      |         ((2 * src_rank - 1) * 1000000) // (2 * ns) AS pos_key
+      |  FROM s JOIN n USING (source))
+      |SELECT doc_id, source, src_rank, CAST(pos_key AS BIGINT) AS pos_key,
+      |       CAST(row_number() OVER (ORDER BY pos_key, source, src_rank)
+      |            AS BIGINT) AS train_pos
+      |FROM k
+      |""".stripMargin
 }

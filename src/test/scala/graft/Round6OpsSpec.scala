@@ -80,6 +80,31 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- interleaved order
+
+  test("interleave order: train_pos is a permutation and no source clumps") {
+    val rows = graft.ops.TextPrep.interleaveOrder(spark, sf)
+      .select(col("source"), col("train_pos"))
+      .as[(String, Long)].collect()
+    graft.core.Caches.release(spark)
+    val n = rows.length
+    assert(rows.map(_._2).sorted.toSeq === (1L to n).toSeq, "permutation")
+    // stride guarantee: for a source holding share n_s/N, consecutive
+    // occurrences in training order are at most ~N/n_s + #sources apart
+    // (ties at one pos_key resolve by source name)
+    val bySrc = rows.groupBy(_._1)
+    val nSources = bySrc.size
+    bySrc.foreach { case (src, xs) =>
+      val pos = xs.map(_._2).sorted
+      val bound = n / xs.length + nSources
+      pos.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b - a <= bound, s"source $src clumps: gap ${b - a} > $bound")
+        case _ => ()
+      }
+    }
+  }
+
   // ----------------------------------------------------- rolling uniques
 
   test("rolling uniques: 7-day trailing distinct equals a serial set union") {
