@@ -67,6 +67,48 @@ object Embeddings {
            round(max(col("norm")), 6).as("max_norm"))
   }
 
+  /** Per-label PREFIX-ENERGY audit: what share of each vector's squared
+    * L2 norm lives in its first [[PrefixDims]] dimensions — the
+    * truncation-quality question behind matryoshka-style dimension cuts
+    * (serve 16 of 64 dims ⇒ the prefix share IS the retained cosine
+    * mass: `cos(v, v_prefix) = ‖v₁₆‖ / ‖v‖`, so energy share is cos²).
+    * A label whose min share is low cannot be truncated safely even if
+    * the average looks fine — hence min alongside mean. One scan, two
+    * fixed-order dot kernels per row, label-sized hash aggregate with
+    * the repo's exact-decimal group means. */
+  def prefixEnergy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val v = col("embedding").cast("array<double>")
+    val dot = graft.functions.GraftFunctions.DotName
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        round(call_function(dot, slice(v, 1, PrefixDims),
+                            slice(v, 1, PrefixDims)) /
+              call_function(dot, v, v), 6).as("share"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("share").cast("decimal(25,10)")).cast("double") /
+                 count(lit(1)), 6).as("mean_share"),
+           round(min(col("share")), 6).as("min_share"),
+           round(max(col("share")), 6).as("max_share"))
+  }
+
+  private val PrefixDims = 16
+
+  val prefixEnergyOracle: String =
+    s"""WITH s AS (
+       |  SELECT label,
+       |         round(list_sum(list_transform(v[1:$PrefixDims], x -> x * x)) /
+       |               list_sum(list_transform(v, x -> x * x)), 6) AS share
+       |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(CAST(share AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6)
+       |         AS mean_share,
+       |       round(min(share), 6) AS min_share,
+       |       round(max(share), 6) AS max_share
+       |FROM s GROUP BY 1
+       |""".stripMargin
+
   val labelStatsOracle: String =
     """WITH n AS (
       |  SELECT label,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -91,6 +91,75 @@ object Profiling {
        |       count(*) < $KAnon AS at_risk
        |FROM customer GROUP BY 1, 2
        |""".stripMargin
+
+  /** Samarati-style GENERALIZATION ladder for the k-anonymity gate: walk
+    * one suppression branch of the quasi-identifier lattice — from the
+    * full (nation, segment, coarse-balance) identifier up to no
+    * identifier at all — and report each level's equivalence-class
+    * profile, flagging the LEAST-generalized level that satisfies k
+    * (the release answer: "how much detail can this extract keep?").
+    * Each level is one map-side-combinable hash aggregate folded to a
+    * class-profile row; the level table is 4 rows, so the chosen-level
+    * comparison is a broadcast against a 1-row minimum. Scales as four
+    * aggregates over the governed table, independent of class skew. */
+  def kAnonGeneralization(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    def profile(level: Int, desc: String, keys: Seq[Column]): DataFrame = {
+      val grouped =
+        if (keys.isEmpty) cust.groupBy(lit(1).as("__all"))
+        else cust.groupBy(keys: _*)
+      grouped.agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_classes"),
+             min(col("c")).as("min_class_size"),
+             sum(when(col("c") < KAnon, 1L).otherwise(0L)).as("n_small_classes"))
+        .select(lit(level).as("level"), lit(desc).as("generalization"),
+                col("n_classes"), col("min_class_size"), col("n_small_classes"))
+    }
+    val levels = Seq(
+      profile(0, "nation,segment,acctbal_k",
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_k"))),
+      profile(1, "nation,segment", Seq(col("c_nationkey"), col("c_mktsegment"))),
+      profile(2, "nation", Seq(col("c_nationkey"))),
+      profile(3, "none", Seq.empty)
+    ).reduce(_ union _)
+    val ok = levels.filter(col("min_class_size") >= KAnon)
+      .agg(min(col("level")).as("lv"))
+    levels.crossJoin(broadcast(ok))
+      .select(col("level"), col("generalization"), col("n_classes"),
+              col("min_class_size"), col("n_small_classes"),
+              (col("min_class_size") >= KAnon).as("k_ok"),
+              coalesce(col("level") === col("lv"), lit(false)).as("chosen"))
+  }
+
+  val kAnonGeneralizationOracle: String = {
+    def lvl(level: Int, desc: String, groupBy: Option[String]) = {
+      val inner = groupBy match {
+        case Some(g) => s"SELECT count(*) AS c FROM customer GROUP BY $g"
+        case None    => s"SELECT count(*) AS c FROM customer"
+      }
+      s"""SELECT $level AS level, '$desc' AS generalization,
+         |       CAST(count(*) AS BIGINT) AS n_classes,
+         |       CAST(min(c) AS BIGINT) AS min_class_size,
+         |       CAST(sum(CASE WHEN c < $KAnon THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_small_classes
+         |FROM ($inner)""".stripMargin
+    }
+    val union = Seq(
+      lvl(0, "nation,segment,acctbal_k",
+        Some("c_nationkey, c_mktsegment, floor(c_acctbal / 1000)")),
+      lvl(1, "nation,segment", Some("c_nationkey, c_mktsegment")),
+      lvl(2, "nation", Some("c_nationkey")),
+      lvl(3, "none", None)).mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |$union),
+       |ok AS (SELECT min(level) AS lv FROM u WHERE min_class_size >= $KAnon)
+       |SELECT level, generalization, n_classes, min_class_size,
+       |       n_small_classes, min_class_size >= $KAnon AS k_ok,
+       |       coalesce(level = lv, FALSE) AS chosen
+       |FROM u CROSS JOIN ok
+       |""".stripMargin
+  }
 
   private val DriftBinWidth = 50L
 

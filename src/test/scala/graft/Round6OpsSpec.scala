@@ -80,6 +80,41 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------- prefix energy / k-anon
+
+  test("prefix energy: shares are in (0,1] and min <= mean <= max") {
+    val rows = graft.ops.Embeddings.prefixEnergy(spark, sf)
+      .select(col("mean_share"), col("min_share"), col("max_share"))
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (mean, mn, mx) =>
+      assert(mn > 0.0 && mx <= 1.0)
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9)
+    }
+  }
+
+  test("k-anon generalization ladder: monotone class coarsening, one " +
+       "chosen level at most, full-suppression level always satisfies k") {
+    val rows = graft.ops.Profiling.kAnonGeneralization(spark, sf)
+      .select(col("level"), col("n_classes"), col("min_class_size"),
+              col("k_ok"), col("chosen"))
+      .as[(Int, Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    // generalizing strictly merges classes: class counts non-increasing,
+    // min class size non-decreasing up the ladder
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, "coarser level cannot have more classes")
+        assert(b._3 >= a._3, "coarser level cannot shrink the min class")
+      case _ => ()
+    }
+    assert(rows.last._4, "the single-class level trivially satisfies k")
+    val chosen = rows.filter(_._5)
+    assert(chosen.length === 1 && chosen.head._4)
+    assert(rows.filter(_._4).map(_._1).min === chosen.head._1,
+      "chosen must be the least-generalized satisfying level")
+  }
+
   // --------------------------------------------------- interleaved order
 
   test("interleave order: train_pos is a permutation and no source clumps") {
