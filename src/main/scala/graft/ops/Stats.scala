@@ -282,4 +282,79 @@ object Stats {
        |FROM r CROSS JOIN n
        |""".stripMargin
   }
+
+  // ------------------------------------------------- correlation matrix
+
+  /** Columns of the correlation matrix, with their integer-grid scale
+    * (cents / basis points) — the repo-wide exact-sum discipline: scaled
+    * values are exact longs, so every moment accumulates exactly in
+    * DECIMAL(38,0) and the only floating-point step is the final
+    * ratio. */
+  private val CorrCols: Seq[(String, String, Long)] = Seq(
+    ("l_quantity", "quantity", 100L),
+    ("l_extendedprice", "extendedprice", 100L),
+    ("l_discount", "discount", 10000L),
+    ("l_tax", "tax", 10000L))
+
+  /** Pairwise Pearson correlations over the lineitem measures — the
+    * ANALYZE-style dependency profile a planner (or a feature-selection
+    * pass) reads before trusting independence assumptions. ONE scan and
+    * ONE hash aggregate produce every raw moment (n, Σx, Σx², Σxy for
+    * all 6 pairs) as exact DECIMAL(38,0) on the columns' integer grids;
+    * the 6 output rows are then a pure projection —
+    * `corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))` — where
+    * the decimal→double conversion is the IEEE round-to-nearest both
+    * engines share. No per-pair jobs, no corr() built-in (whose
+    * accumulation order is partition-dependent). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val scaled = CorrCols.map { case (c, name, s) =>
+      expr(s"CAST(round($c * $s) AS DECIMAL(38,0))").as(name)
+    }
+    val base = Tables.lineitem(spark, dir).select(scaled: _*)
+    val aggs =
+      CorrCols.map { case (_, n, _) => sum(col(n)).as(s"s_$n") } ++
+      CorrCols.map { case (_, n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
+      CorrCols.combinations(2).toSeq.map { case Seq((_, a, _), (_, b, _)) =>
+        sum(col(a) * col(b)).as(s"sp_${a}_$b")
+      }
+    val m = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+                     aggs: _*)
+    val pairRows = CorrCols.combinations(2).toSeq.map {
+      case Seq((_, a, _), (_, b, _)) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          round(
+            (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+              .cast("double") /
+            (sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+               .cast("double")) *
+             sqrt((col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+               .cast("double"))), 6).as("pearson_r"))
+    }
+    m.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.pearson_r"))
+  }
+
+  val corrMatrixOracle: String = {
+    val sums = CorrCols.map { case (c, n, s) =>
+      s"sum(CAST(round($c * $s) AS HUGEINT)) AS s_$n" }
+    val sqs = CorrCols.map { case (c, n, s) =>
+      s"sum(CAST(round($c * $s) AS HUGEINT) * CAST(round($c * $s) AS HUGEINT)) AS ss_$n" }
+    val prods = CorrCols.combinations(2).toSeq.map {
+      case Seq((ca, a, sa), (cb, b, sb)) =>
+        s"sum(CAST(round($ca * $sa) AS HUGEINT) * CAST(round($cb * $sb) AS HUGEINT)) AS sp_${a}_$b" }
+    val branches = CorrCols.combinations(2).toSeq.map {
+      case Seq((_, a, _), (_, b, _)) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+           |        (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+           |         sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))), 6)
+           |    AS pearson_r
+           |FROM m""".stripMargin }
+    s"""WITH m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |         ${(sums ++ sqs ++ prods).mkString(",\n         ")}
+       |  FROM lineitem)
+       |${branches.mkString("\nUNION ALL\n")}
+       |""".stripMargin
+  }
 }

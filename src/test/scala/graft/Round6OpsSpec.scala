@@ -80,6 +80,31 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------- correlation matrix
+
+  test("corr matrix: 6 pairs, |r| <= 1, matches a driver-side recompute") {
+    val rows = graft.ops.Stats.corrMatrix(spark, sf)
+      .select(col("col_a"), col("col_b"), col("pearson_r"))
+      .as[(String, String, Double)].collect()
+    assert(rows.length === 6)
+    rows.foreach { case (_, _, r) => assert(math.abs(r) <= 1.0 + 1e-9) }
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice"))
+      .as[(Double, Double)].collect()
+    val n = li.length.toDouble
+    val (sx, sy) = (li.map(_._1).sum, li.map(_._2).sum)
+    val sxx = li.map(v => v._1 * v._1).sum
+    val syy = li.map(v => v._2 * v._2).sum
+    val sxy = li.map(v => v._1 * v._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.collect {
+      case ("quantity", "extendedprice", r) => r
+      case ("extendedprice", "quantity", r) => r
+    }.head
+    assert(math.abs(got - want) < 1e-6, s"got $got want $want")
+  }
+
   // ---------------------------------------------- prefix energy / k-anon
 
   test("prefix energy: shares are in (0,1] and min <= mean <= max") {
