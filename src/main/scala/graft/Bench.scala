@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed headline queries carried in the stdout envelope. */
+  private[graft] val Headline = Seq(
+    "q_olap_pricing_summary", "q_customer_sales_report",
+    "q_dedup_minhash_lsh")
+
+  /** The FINAL stdout line — the only thing the bench driver parses, and
+    * it captures only the TAIL of stdout (the full per-query map at 97
+    * queries, ~3.5 KB, overflowed that window for three rounds:
+    * "parsed": null). The envelope therefore carries only the total, an
+    * error COUNT, and the fixed headline timings; BenchEnvelopeSpec
+    * pins it under 300 bytes for any plausible inputs so a future edit
+    * cannot silently regrow it. The complete per-query map goes to
+    * bench_last.json. */
+  private[graft] def envelope(total: Double, headline: Seq[(String, Double)],
+                              nErrors: Int, reps: Int, sfName: String): String = {
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val headJson = headline.map { case (h, v) => jstr(h) + ":" + r3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headJson,"errors":$nErrors,"reps":$reps,"sf":${jstr(sfName)}}"""
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core on the box (the driver's bench host has 32);
@@ -115,13 +143,11 @@ object Bench {
     // only the total, an error COUNT, and three fixed headline queries
     // (<300 bytes measured); the complete per-query map goes to
     // bench_last.json below.
-    val headline = Seq("q_olap_pricing_summary", "q_customer_sales_report",
-                       "q_dedup_minhash_lsh")
     val resultMap = results.toMap
-    val headJson = headline.flatMap(h => resultMap.get(h).map(v => jstr(h) + ":" + r3(v)))
-      .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headJson,"errors":${errors.size},"reps":$reps,"sf":"$sfName"}"""
+    val line = envelope(total,
+      Headline.flatMap(h => resultMap.get(h).map(h -> _)),
+      errors.size, reps, sfName)
     // on-disk mirror with the FULL per-query map (same 3-decimal rounding);
     // never parsed by the driver, read locally and by BASELINE.md updates
     try {
