@@ -56,6 +56,33 @@ object EventOps {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  // ------------------------------------------------------- sliding uniques
+  /** SLIDING-window distinct users (HLL estimate) — the streaming twin of
+    * [[graft.ops.TimeSeries.rollingUniquesSketch]]'s rolling-reach shape:
+    * `window(ts, length, slide)` assigns each event to every window it
+    * falls in, and `approx_count_distinct` keeps one fixed-size HLL per
+    * open window — the only state a stream can afford for rolling
+    * distinct (exact distinct state grows with user cardinality and can
+    * never be evicted). Deterministic for a given input set (hash-based,
+    * order-independent), so the streaming run equals the batch run on the
+    * same frame EXACTLY — the stream==batch equality is spec-gated, not
+    * bounded. Works unchanged on a batch frame; streaming callers append
+    * a watermark so closed windows seal and state is evicted. */
+  def slidingUniques(events: DataFrame, length: String = "70 minutes",
+                     slide: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), length, slide))
+      .agg(approx_count_distinct(col("user_id")).as("n_unique_est"))
+      .select(col("window.start").as("win_start"),
+              col("window.end").as("win_end"), col("n_unique_est"))
+
+  /** The same sliding-uniques aggregate as a watermark-evicted stream. */
+  def streamingSlidingUniques(stream: DataFrame,
+                              watermark: String = "2 hours",
+                              length: String = "70 minutes",
+                              slide: String = "10 minutes"): DataFrame =
+    slidingUniques(stream.withWatermark("ts", watermark), length, slide)
+
   // --------------------------------------------------------- trending top-k
   /** Trending event types: the top-`k` types per tumbling hour by count,
     * deterministic event_type tiebreak. The rank window is partitioned

@@ -318,4 +318,33 @@ class StreamingSpec extends SparkSpec {
       assert(got == want && got.length == 2, s"stream $got vs batch $want")
     } finally q.stop()
   }
+
+  test("sliding uniques stream == batch exactly (same HLL, same windows)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // users revisit across overlapping windows; distinct-per-window is
+    // NOT decomposable, which is exactly what the sliding HLL covers
+    val events = (0 until 36).map { i =>
+      Event(i.toLong, ts(i * 5L), (i % 7).toLong, "click", 1.0)
+    }
+    val input = MemoryStream[Event]
+    val q = EventOps.streamingSlidingUniques(input.toDF())
+      .writeStream.format("memory").queryName("slide_uni")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(events.take(20))
+      q.processAllAvailable()
+      input.addData(events.drop(20))
+      q.processAllAvailable()
+      val got = spark.table("slide_uni")
+        .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      val want = EventOps.slidingUniques(events.toDF())
+        .as[(Timestamp, Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      assert(got == want, s"stream $got vs batch $want")
+      // overlapping windows must each see their own distinct set: with 7
+      // users cycling every 35 minutes, every full 70-minute window holds
+      // all 7 — and partial edge windows hold fewer
+      assert(want.map(_._3).max == 7L)
+      assert(want.map(_._3).min < 7L)
+    } finally q.stop()
+  }
 }
