@@ -75,7 +75,14 @@ object Embeddings {
     * A label whose min share is low cannot be truncated safely even if
     * the average looks fine — hence min alongside mean. One scan, two
     * fixed-order dot kernels per row, label-sized hash aggregate with
-    * the repo's exact-decimal group means. */
+    * the repo's exact-decimal group means.
+    *
+    * Zero-norm vectors are explicitly NULLed out of the share (nullif on
+    * the denominator, mirrored in the oracle): a 0/0 division would
+    * otherwise produce NaN in Spark but a different degradation in
+    * DuckDB, breaking the hash match the first time an all-zero
+    * embedding lands in a snapshot. NULL shares drop out of mean/min/max
+    * identically on both engines while `n` still counts the row. */
   def prefixEnergy(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val v = col("embedding").cast("array<double>")
@@ -84,7 +91,7 @@ object Embeddings {
       .select(col("label"),
         round(call_function(dot, slice(v, 1, PrefixDims),
                             slice(v, 1, PrefixDims)) /
-              call_function(dot, v, v), 6).as("share"))
+              nullif(call_function(dot, v, v), lit(0.0)), 6).as("share"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
            round(sum(col("share").cast("decimal(25,10)")).cast("double") /
@@ -99,7 +106,7 @@ object Embeddings {
     s"""WITH s AS (
        |  SELECT label,
        |         round(list_sum(list_transform(v[1:$PrefixDims], x -> x * x)) /
-       |               list_sum(list_transform(v, x -> x * x)), 6) AS share
+       |               nullif(list_sum(list_transform(v, x -> x * x)), 0), 6) AS share
        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
        |SELECT label, CAST(count(*) AS BIGINT) AS n,
        |       round(CAST(sum(CAST(share AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6)

@@ -46,16 +46,35 @@ object Rnk {
     * numeric fields by negation, e.g.
     * `struct(-col("score"), col("doc_id"))`. Grouping re-keys on every
     * column of `df`, so the frame must not contain map-typed columns
-    * (none of the bounded frames do). */
+    * (none of the bounded frames do).
+    *
+    * The tie-free contract is ENFORCED, not just documented: the same
+    * self-comparison also counts equal keys, and any key matched by more
+    * than itself raises at execution time. Without the guard, two fully
+    * identical rows would silently collapse into one group with a wrong
+    * rank (the group sums both rows' matches) — a dropped row is worse
+    * than a loud failure.
+    *
+    * The input frame is persisted (graft-tracked) before the self-join:
+    * the frame is tiny but its LINEAGE may be arbitrarily heavy (the
+    * retrieval fusion ranks top-k cuts of corpus-scoring subplans), and
+    * the broadcast side would otherwise re-execute that whole upstream a
+    * second time. */
   def boundedRank(df: DataFrame, key: Column,
                   rankCol: String = "rank"): DataFrame = {
-    val withKey = df.withColumn("__bkey", key)
+    val withKey = df.withColumn("__bkey", key).trackPersist()
     val others = broadcast(withKey.select(col("__bkey").as("__okey")))
     withKey
-      .join(others, col("__okey") < col("__bkey"), "left")
+      .join(others, col("__okey") <= col("__bkey"), "left")
       .groupBy(withKey.columns.map(col): _*)
-      .agg((count(col("__okey")) + 1L).as(rankCol))
-      .drop("__bkey")
+      .agg(count(when(col("__okey") < col("__bkey"), lit(1))).as("__lt"),
+           count(when(col("__okey") === col("__bkey"), lit(1))).as("__eq"))
+      .withColumn(rankCol,
+        when(col("__eq") > 1, raise_error(concat(
+          lit("boundedRank: tied key violates the tie-free contract: "),
+          col("__bkey").cast("string"))))
+          .otherwise(col("__lt") + 1L))
+      .drop("__bkey", "__lt", "__eq")
   }
 
   /** DISTRIBUTED global row_number over a total order — the scalable

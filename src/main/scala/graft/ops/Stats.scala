@@ -305,7 +305,17 @@ object Stats {
     * `corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))` — where
     * the decimal→double conversion is the IEEE round-to-nearest both
     * engines share. No per-pair jobs, no corr() built-in (whose
-    * accumulation order is partition-dependent). */
+    * accumulation order is partition-dependent).
+    *
+    * Exactness bound: the largest cross terms in the final combination
+    * (`n·Σxy`, `Σx·Σy`) grow as n²·x̄² on the integer grid. The widest
+    * scaled column here is extendedprice in cents (≲1.1e7, so x² ≲
+    * 1.3e14), which keeps every term inside DECIMAL(38,0) up to
+    * n ≈ 10¹² rows — two orders above the ~10¹⁰-row lineitem of a
+    * 100 TB deployment. Past that bound ANSI mode fails loudly (no
+    * silent NULL r): the documented extension is centered arithmetic —
+    * subtract per-column integer means on the grid first, which drops
+    * the magnitudes from n²·x̄² to n²·var and buys ~6 more digits. */
   def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
     val scaled = CorrCols.map { case (c, name, s) =>
       expr(s"CAST(round($c * $s) AS DECIMAL(38,0))").as(name)

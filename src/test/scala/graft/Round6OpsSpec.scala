@@ -21,6 +21,21 @@ class Round6OpsSpec extends SparkSpec {
     assert(ranked === Map(4L -> 1L, 1L -> 2L, 5L -> 3L, 3L -> 4L, 2L -> 5L))
   }
 
+  test("boundedRank fails loudly on tied keys instead of dropping rows") {
+    // two fully identical rows: the old groupBy-everything shape silently
+    // collapsed them into one output row with a summed (wrong) rank
+    val tied = Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("id", "score")
+    val e = intercept[Exception] {
+      graft.ops.Rnk.boundedRank(tied, struct(col("score"), col("id")))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("tie-free")),
+      s"expected the tie-free contract error, got: $e")
+  }
+
   test("boundedRank plans no window operator at all") {
     val df = Seq((1L, 30L), (2L, 10L)).toDF("id", "score")
     val p = graft.ops.Rnk.boundedRank(df, struct(col("score"), col("id")))
