@@ -236,54 +236,67 @@ object Similarity {
   }
 
   // --------------------------------------------------------------- IVF (ANN)
-  private val Cents = 8
-  private val NProbe = 2
 
-  /** IVF-flat approximate top-K: vectors are partitioned into [[Cents]]
-    * inverted lists by nearest centroid; each query probes its [[NProbe]]
-    * closest lists and brute-forces only inside them.
+  /** IVF parameter derivations — ONE place, mirrored exactly (integer
+    * ceil-division, IEEE sqrt) by the SQL oracle so both engines train
+    * the identical index whatever the corpus size:
+    *   cents  = max(4, ⌈√n⌉)        — the standard IVF-flat list count
+    *                                   (list size ≈ probe cost ≈ √n);
+    *   probes = ⌈2·cents/5⌉ default — the probe budget the sf0.1 recall
+    *                                   audit measured at recall ≥ 0.7
+    *                                   (sweep rows: lo=⌈c/8⌉, mid=⌈c/4⌉).
+    * Hardcoded Cents=8/NProbe=2 (recall 0.462) are gone: a fixed list
+    * count stops partitioning anything at 10⁹ vectors, and a fixed probe
+    * count has no recall target. */
+  private[graft] def defaultCents(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+  private[graft] def probeLo(cents: Int): Int = (cents + 7) / 8
+  private[graft] def probeMid(cents: Int): Int = (cents + 3) / 4
+  private[graft] def probeHi(cents: Int): Int = (2 * cents + 4) / 5
+
+  /** IVF-flat index build: vectors partitioned into `cents` inverted
+    * lists by nearest centroid, each vector RANKED against the trained
+    * centroids with `crank ≤ maxProbe` retained (crank 1 = home list =
+    * the index; crank ≤ p = the lists a probe budget of `p` searches).
     *
-    * Centroid training is deterministic seeding — the [[Cents]] vectors
+    * Centroid training is deterministic seeding — the `cents` vectors
     * with the smallest md5(vec_id) — followed by ONE Lloyd re-centering
     * sweep (cosine-home members, reduction-order-free decimal means — the
     * identical update derivation the k-means oracle pins bit-exactly), so
-    * lists adapt to the data instead of to 8 arbitrary corpus vectors.
-    * Measured on the sf0.1 recall audit ([[annRecall]]): re-centering
-    * lifts IVF recall 0.445 → 0.462 at the same probe budget
-    * (Cents=8, NProbe=2) — a real but modest gain; the bigger recall
-    * lever at this corpus remains NProbe. The SQL oracle performs the
-    * same seed → mean → reassign derivation, so results stay
-    * engine-independent.
+    * lists adapt to the data instead of to `cents` arbitrary corpus
+    * vectors. The SQL oracle performs the same count → seed → mean →
+    * reassign derivation, so results stay engine-independent.
     *
-    * Scale: the centroid table is tiny and BROADCAST, so seeding
-    * assignment, the re-centering aggregate (k × dims cells), and final
-    * assignment are all map-only or hash-agg passes over the corpus (C
-    * dot products per row, no corpus shuffle). The candidate join
-    * shuffles by centroid_id — Σ_c |probe_c|·|list_c| pair volume instead
-    * of n². Recall is a GATED number via [[annRecall]]. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    * Scale: the centroid table is cents-sized and BROADCAST, so seeding
+    * assignment, the re-centering aggregate (cents × dims cells), and
+    * final assignment are all map-only or hash-agg passes over the corpus
+    * (cents dot products per row, no corpus shuffle); the corpus count
+    * that sizes the index is one action on the persisted vector frame. */
+  private def ivfRanked(spark: SparkSession, dir: String,
+                        maxProbe: Int => Int): (DataFrame, Int) = {
     import spark.implicits._
     val n = vecs(spark, dir)
       .trackPersist()
-    // deterministic seeding: TakeOrdered over (md5(vec_id), vec_id) — an
-    // 8-row driver action (IVF training is inherently driver-coordinated)
+    val cents = defaultCents(n.count())
+    // deterministic seeding: TakeOrdered over (md5(vec_id), vec_id) — a
+    // cents-row driver action (IVF training is inherently driver-coordinated)
     val seeds = n.withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(Cents)
+      .orderBy(col("h"), col("vec_id")).limit(cents)
       .select(col("vec_id"), col("v"), col("n2")).collect()
     val seedDf = broadcast(
       seeds.zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Double](1), r.getDouble(2))
       }.toSeq.toDF("centroid_id", "cv", "cn2"))
-    def rank(cent: DataFrame): DataFrame = n.crossJoin(cent)
+    def rank(cent: DataFrame, keep: Int): DataFrame = n.crossJoin(cent)
       .withColumn("ccos", dot(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
       .withColumn("crank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))))
-      .filter(col("crank") <= NProbe)
+      .filter(col("crank") <= keep)
       .select(col("vec_id"), col("v"), col("n2"), col("centroid_id"), col("crank"))
     // one Lloyd sweep: exact decimal per-dim means of each list's HOME
     // members (same update as Embeddings.kmeansCore — bit-exact vs SQL)
-    val cent1 = rank(seedDf).filter(col("crank") === 1)
+    val cent1 = rank(seedDf, 1)
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
@@ -292,24 +305,45 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    val ranked = rank(broadcast(cent1)).trackPersist()
+    (rank(broadcast(cent1), maxProbe(cents)).trackPersist(), cents)
+  }
+
+  /** Candidate generation + exact re-rank for one probe budget over a
+    * built index: probe side = `crank ≤ nprobe`, index side = home lists
+    * (crank 1). The candidate join shuffles by centroid_id —
+    * Σ_c |probe_c|·|list_c| pair volume instead of n². */
+  private def ivfTopKFrom(ranked: DataFrame, nprobe: Int): DataFrame = {
     val index = ranked.filter(col("crank") === 1) // each vector lives in ONE list
-    val pairs = ranked.as("a").join(index.as("b"),
+    val pairs = ranked.filter(col("crank") <= nprobe).as("a").join(index.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
               cosine().as("cos"))
-      .distinct() // a neighbor can appear via both probed lists
+      .distinct() // a neighbor can appear via several probed lists
     topK(pairs)
   }
 
-  val ivfOracle: String =
+  /** IVF-flat approximate top-K at the default (recall-targeted) probe
+    * budget; parameters derive from the corpus size ([[defaultCents]] /
+    * [[probeHi]]). Recall is a GATED number via [[annRecall]] — the
+    * probe-budget sweep rows document the recall/cost curve. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, cents) = ivfRanked(spark, dir, probeHi)
+    ivfTopKFrom(ranked, probeHi(cents))
+  }
+
+  /** The shared IVF pipeline as SQL, with the probe budget expression
+    * injected — `npSql` sees `cents` (the derived list count) in scope. */
+  private def ivfOracleAt(npSql: String): String =
     s"""WITH $vecsCte,
+       |par AS (
+       |  SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS INT)) AS cents FROM n),
+       |np AS (SELECT ($npSql) AS np FROM par),
        |cent0 AS (
        |  SELECT centroid_id, v AS cv, n2 AS cn2 FROM (
        |    SELECT vec_id, v, n2,
        |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS centroid_id
-       |    FROM n) WHERE centroid_id < $Cents),
+       |    FROM n) WHERE centroid_id < (SELECT cents FROM par)),
        |scored0 AS (
        |  SELECT n.vec_id, n.v, c.centroid_id,
        |         list_sum(list_transform(generate_series(1, $Dim), i -> n.v[i] * c.cv[i]))
@@ -339,7 +373,7 @@ object Similarity {
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY ccos DESC, centroid_id) AS crank
        |  FROM scored),
-       |probe AS (SELECT * FROM assigned WHERE crank <= $NProbe),
+       |probe AS (SELECT * FROM assigned WHERE crank <= (SELECT np FROM np)),
        |idx AS (SELECT * FROM assigned WHERE crank = 1),
        |p AS (
        |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
@@ -354,14 +388,27 @@ object Similarity {
        |FROM r WHERE rn <= $K
        |""".stripMargin
 
+  // integer ceil-divisions, identical in Scala (/ on positive Int) and
+  // DuckDB (// on positive INT): the same three budgets as probeLo/Mid/Hi
+  private val NpLoSql = "(cents + 7) // 8"
+  private val NpMidSql = "(cents + 3) // 4"
+  private val NpHiSql = "(2 * cents + 4) // 5"
+
+  val ivfOracle: String = ivfOracleAt(NpHiSql)
+
   // ----------------------------------------------------------- ANN recall
   private val ProbeMod = 5
 
   /** Recall of each ANN variant against the exact brute-force top-K, as
     * an oracle-checkable query: one row per method with truth/matched
-    * pair counts and micro-averaged recall. Deterministic because the
-    * hyperplanes and IVF seeding are fixed derivations — the accuracy
-    * trade-off becomes a GATED number instead of a spec assertion.
+    * pair counts and micro-averaged recall — including an IVF
+    * PROBE-BUDGET SWEEP (`ivf_lo` = ⌈cents/8⌉, `ivf_mid` = ⌈cents/4⌉,
+    * `ivf` = the ⌈2·cents/5⌉ default [[ivfTopK]] serves), so the
+    * recall/cost curve is a gated artifact, not a tuning anecdote.
+    * Deterministic because the hyperplanes and IVF seeding are fixed
+    * derivations — the accuracy trade-off becomes a GATED number instead
+    * of a spec assertion. The sweep shares ONE index build (the ranked
+    * frame is persisted; each budget is a filter over it).
     *
     * Scale: the truth side is the exact O(n²) baseline, so recall is
     * measured over a PROBE SAMPLE (`vec_id % `[[ProbeMod]]` = 0`, 20%)
@@ -375,7 +422,7 @@ object Similarity {
     val probe = col("vec_id") % ProbeMod === 0
     val bf = bruteForceTopK(spark, dir).filter(probe)
       .select("vec_id", "neighbor_id")
-      .trackPersist() // two consumers (one per method)
+      .trackPersist() // multiple consumers (one per method row)
     def stat(method: String, approx: DataFrame): DataFrame =
       bf.join(approx.filter(probe)
             .select(col("vec_id"), col("neighbor_id"), lit(1).as("hit")),
@@ -385,7 +432,11 @@ object Similarity {
         .select(lit(method).as("method"), col("truth_pairs"), col("matched_pairs"),
                 round(col("matched_pairs").cast("double") / col("truth_pairs"), 6)
                   .as("recall"))
-    stat("lsh", lshTopK(spark, dir)).unionByName(stat("ivf", ivfTopK(spark, dir)))
+    val (ranked, cents) = ivfRanked(spark, dir, probeHi)
+    stat("lsh", lshTopK(spark, dir))
+      .unionByName(stat("ivf_lo", ivfTopKFrom(ranked, probeLo(cents))))
+      .unionByName(stat("ivf_mid", ivfTopKFrom(ranked, probeMid(cents))))
+      .unionByName(stat("ivf", ivfTopKFrom(ranked, probeHi(cents))))
   }
 
   val annRecallOracle: String =
@@ -393,12 +444,24 @@ object Similarity {
        |           WHERE vec_id % $ProbeMod = 0),
        |lsh AS (SELECT vec_id, neighbor_id FROM ($lshOracle)
        |        WHERE vec_id % $ProbeMod = 0),
-       |ivf AS (SELECT vec_id, neighbor_id FROM ($ivfOracle)
+       |ivf_lo AS (SELECT vec_id, neighbor_id FROM (${ivfOracleAt(NpLoSql)})
+       |        WHERE vec_id % $ProbeMod = 0),
+       |ivf_mid AS (SELECT vec_id, neighbor_id FROM (${ivfOracleAt(NpMidSql)})
+       |        WHERE vec_id % $ProbeMod = 0),
+       |ivf AS (SELECT vec_id, neighbor_id FROM (${ivfOracleAt(NpHiSql)})
        |        WHERE vec_id % $ProbeMod = 0),
        |st AS (
        |  SELECT 'lsh' AS method,
        |         (SELECT count(*) FROM bf) AS t,
        |         (SELECT count(*) FROM bf JOIN lsh USING (vec_id, neighbor_id)) AS m
+       |  UNION ALL
+       |  SELECT 'ivf_lo',
+       |         (SELECT count(*) FROM bf),
+       |         (SELECT count(*) FROM bf JOIN ivf_lo USING (vec_id, neighbor_id))
+       |  UNION ALL
+       |  SELECT 'ivf_mid',
+       |         (SELECT count(*) FROM bf),
+       |         (SELECT count(*) FROM bf JOIN ivf_mid USING (vec_id, neighbor_id))
        |  UNION ALL
        |  SELECT 'ivf',
        |         (SELECT count(*) FROM bf),
