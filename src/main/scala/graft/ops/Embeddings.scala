@@ -473,11 +473,16 @@ object Embeddings {
       .trackPersist()
     val a = x.select(col("vec_id"), col("i"), col("xi"))
     val b = x.select(col("vec_id"), col("i").as("j"), col("xi").as("xj"))
+    // `+ 0.0` collapses IEEE signed zeros: a tiny negative mean rounds to
+    // -0.0 in DuckDB but +0.0 in Spark (whose round drops the sign), and
+    // the correctness driver's string-sorted row compare treats "-0.0"
+    // and "0.0" as different keys — one such cell misaligns the whole
+    // sorted frame (surfaced at sf0.1: cell (17,52) ≈ -4e-8)
     a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"),
-           round(sum((col("xi") * col("xj")).cast("decimal(25,10)"))
-                   .cast("double") / count(lit(1)), 6).as("gram"))
+           (round(sum((col("xi") * col("xj")).cast("decimal(25,10)"))
+                   .cast("double") / count(lit(1)), 6) + lit(0.0)).as("gram"))
   }
 
   val gramMatrixOracle: String =
@@ -487,7 +492,7 @@ object Embeddings {
        |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
        |       CAST(count(*) AS BIGINT) AS n,
        |       round(CAST(sum(CAST(a.xi * b.xi AS DECIMAL(25,10))) AS DOUBLE)
-       |             / count(*), 6) AS gram
+       |             / count(*), 6) + 0.0 AS gram
        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
        |GROUP BY 1, 2
        |""".stripMargin

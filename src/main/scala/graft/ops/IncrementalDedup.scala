@@ -77,7 +77,13 @@ object IncrementalDedup {
     * exact batch [[classify]] logic runs unchanged — stream-vs-batch
     * parity by construction, no separate streaming code path. The index
     * stays fixed for the stream's lifetime; rebuilding it (e.g. nightly,
-    * folding in the day's accepted docs) is a batch concern. */
+    * folding in the day's accepted docs) is a batch concern.
+    *
+    * The append goes through the EPOCH-KEYED idempotent sink
+    * ([[graft.connect.Warehouse.appendHistoryBatch]]): foreachBatch is
+    * at-least-once, and the plain daily append would duplicate a replayed
+    * micro-batch after a crash (it would also clobber earlier same-day
+    * batches under the day-scoped idempotent daily write). */
   def classifyStream(stream: DataFrame, index: Index,
                      warehouse: graft.connect.Warehouse, entity: String,
                      checkpoint: String, runDate: graft.core.RunDate)
@@ -85,11 +91,11 @@ object IncrementalDedup {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           val classified = graft.ops.Exp.stampDayDt(
             classify(batch.sparkSession, batch, index), runDate)
-          warehouse.appendHistory(classified, entity)
+          warehouse.appendHistoryBatch(classified, entity, epochId)
         }
       }
 

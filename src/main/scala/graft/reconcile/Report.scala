@@ -2,11 +2,47 @@ package graft.reconcile
 
 import org.apache.spark.sql.DataFrame
 
+/** Report delivery seam — the engine twin of the reference's emailed
+  * report END STATE (reference: Raptor.py:656-682 builds a MIME message
+  * with the HTML body and ships it over SMTP, Raptor.py:161-268). The
+  * transport is deliberately pluggable: the engine renders a bounded
+  * HTML body and hands `(subject, html)` to whatever carrier the
+  * deployment wires in — SMTP, a chat webhook, or the file-based default
+  * below. Keeping the seam this narrow means no mail dependency in the
+  * engine and a hermetically testable contract. */
+trait ReportSink {
+  def deliver(subject: String, html: String): Unit
+}
+
+/** File-backed default sink: each delivery lands as a self-contained
+  * HTML document under `dir` (subject as the title), named by a
+  * filesystem-safe slug of the subject — the audit-trail twin of the
+  * reference's inbox. Same-subject deliveries overwrite (one current
+  * report per subject, like re-running the reference's email job). */
+final class FileReportSink(dir: String) extends ReportSink {
+  private[reconcile] def slug(subject: String): String = {
+    val s = subject.toLowerCase.map(c =>
+      if (c.isLetterOrDigit) c else '_').replaceAll("_+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    if (s.isEmpty) "report" else s.take(80)
+  }
+  def deliver(subject: String, html: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val doc =
+      s"""<!DOCTYPE html>
+         |<html><head><meta charset="utf-8"><title>${Report.escapeHtml(subject)}</title></head>
+         |<body><h2>${Report.escapeHtml(subject)}</h2>
+         |$html
+         |</body></html>""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, slug(subject) + ".html"), doc)
+  }
+}
+
 /** Driver-side report rendering — the engine's equivalent of the
   * reference's HTML email body (reference: Raptor.py:206-268,656-682:
-  * `df.limit(n).toPandas().to_html()` + SMTP). Rendering and transport
-  * stay OUT of the engine core: this renders bounded samples to HTML;
-  * delivery (mail/slack/file) is the caller's concern.
+  * `df.limit(n).toPandas().to_html()` + SMTP). Rendering stays bounded
+  * (limit(n) before collect); delivery goes through [[ReportSink]].
   */
 object Report {
 
@@ -45,6 +81,16 @@ object Report {
        |$sample""".stripMargin
   }
 
+  /** Render the full reconciliation report and push it through the
+    * delivery seam — the one-call twin of the reference's
+    * `submit_raptor_request` end state (render → email,
+    * Raptor.py:656-682). */
+  def deliver(diff: DiffResult, subject: String, sink: ReportSink,
+              sampleRows: Int = 15): Unit =
+    sink.deliver(subject, reconciliation(diff, sampleRows))
+
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private[reconcile] def escapeHtml(s: String): String = escape(s)
 }

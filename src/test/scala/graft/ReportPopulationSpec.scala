@@ -23,6 +23,35 @@ class ReportPopulationSpec extends SparkSpec {
     assert(html.linesIterator.count(_.startsWith("<tr>")) == 4) // header + 3
   }
 
+  test("report delivery round-trips through the pluggable sink seam") {
+    // the reference's end state is an EMAILED report (Raptor.py:656-682);
+    // the engine's transport seam is (subject, html) => Unit with a
+    // file-based default — render a real diff through it and read the
+    // delivered document back
+    val src = Seq((1, "a<b"), (2, "y")).toDF("id", "v")
+    val tgt = Seq((1, "a>b"), (2, "y")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_report_sink").toString
+    val sink = new graft.reconcile.FileReportSink(dir)
+    Report.deliver(Reconcile.diff(src, tgt, Seq("id")),
+      "Raptor Recon: sales vs sales_replica (2024-06-01)", sink)
+    val path = java.nio.file.Path.of(dir,
+      "raptor_recon_sales_vs_sales_replica_2024_06_01.html")
+    assert(java.nio.file.Files.exists(path), "slugged delivery file")
+    val doc = java.nio.file.Files.readString(path)
+    assert(doc.contains("<title>Raptor Recon: sales vs sales_replica (2024-06-01)</title>"))
+    assert(doc.contains("<h3>Row counts</h3>") && doc.contains("a&lt;b"))
+    assert(!doc.contains("a<b"), "cell content stays escaped through the seam")
+    // same-subject redelivery overwrites (one current report per subject)
+    Report.deliver(Reconcile.diff(src, src, Seq("id")),
+      "Raptor Recon: sales vs sales_replica (2024-06-01)", sink)
+    assert(java.nio.file.Files.list(java.nio.file.Path.of(dir)).count() == 1)
+    // a custom transport plugs in through the same seam
+    var delivered: (String, String) = null
+    Report.deliver(Reconcile.diff(src, tgt, Seq("id")), "subj",
+      (s: String, h: String) => delivered = (s, h))
+    assert(delivered._1 == "subj" && delivered._2.contains("<h3>Row counts</h3>"))
+  }
+
   test("population pipeline: REST fake -> backtick-safe rename -> guarded write") {
     val body =
       """{"data":[
