@@ -67,15 +67,22 @@ object Dedup {
       .agg(collect_set(col("h")).as("sgl"), minAggs: _*)
   }
 
-  /** (doc_id, band, key) LSH band keys from a signature frame. */
-  private[ops] def bandKeysOf(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+  /** (doc_id, band, key) LSH band keys from a signature frame, for any
+    * (bands × rowsPerBand) split of the [[NumHashes]] signature — the
+    * banding config is the recall/candidate-volume dial ([[lshRecall]]'s
+    * sweep measures it; collision prob at similarity J is
+    * `1 − (1 − J^rows)^bands`). */
+  private[ops] def bandKeysOf(sig: DataFrame, bands: Int = Bands,
+                              rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand == NumHashes,
+      s"banding $bands x $rowsPerBand must tile the $NumHashes-component signature")
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"bk_$b")
     }
     sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
-        explode(array((0 until Bands).map(b => col(s"bk_$b")): _*)).as("bk"))
+        explode(array((0 until bands).map(b => col(s"bk_$b")): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
@@ -357,7 +364,16 @@ object Dedup {
     // signature table (the artifact an LSH pipeline materializes anyway)
     val sig = signatures(spark, docs(spark, dir))
       .trackPersist()
-    val banded = bandKeysOf(sig)
+    minhashLshFrom(sig, Bands, RowsPerBand)
+  }
+
+  /** Candidate generation + exact-Jaccard verify for one banding config
+    * over a built signature table ([[lshRecall]]'s sweep shares the
+    * persisted table across configs, the [[Similarity.annRecall]]
+    * pattern). */
+  private def minhashLshFrom(sig: DataFrame, bands: Int,
+                             rowsPerBand: Int): DataFrame = {
+    val banded = bandKeysOf(sig, bands, rowsPerBand)
 
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -377,12 +393,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  val minhashLshOracle: String = {
+  private def minhashLshOracleAt(bands: Int, rowsPerBand: Int): String = {
     val mh = (0 until NumHashes).map(i =>
       s"list_min(list_transform(sgl, h -> (h & $M30) * ${HashA(i)} + ${HashB(i)})) AS mh_$i")
       .mkString(",\n         ")
-    val bandSelects = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
       s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $shingleCte,
@@ -408,6 +424,8 @@ object Dedup {
        |""".stripMargin
   }
 
+  val minhashLshOracle: String = minhashLshOracleAt(Bands, RowsPerBand)
+
   /** Dedup survivorship: the corpus AFTER near-duplicate removal — every
     * document either untouched by the pair graph (`unique`) or the
     * canonical representative of its cluster (`canonical`, the smallest
@@ -431,37 +449,62 @@ object Dedup {
        |WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id
        |""".stripMargin
 
+  /** Banding configs the recall sweep measures: 16 signature components
+    * split as (bands × rowsPerBand). More bands = higher collision
+    * probability at the same similarity (`1 − (1 − J^rows)^bands`) =
+    * higher recall at more candidate volume; the 4×4 default is the
+    * config [[minhashLsh]] serves. */
+  private[ops] val BandSweep: Seq[(String, Int, Int)] = Seq(
+    ("minhash_8x2", 8, 2), ("minhash_lsh", Bands, RowsPerBand),
+    ("minhash_2x8", 2, 8))
+
   /** Recall of banded MinHash-LSH against the exact inverted-index
-    * Jaccard truth, as a gated one-row query — the banding parameters'
-    * accuracy trade-off becomes a checked number, the dedup twin of
-    * [[Similarity.annRecall]]. Both sides verify candidates exactly, so
-    * LSH output ⊆ truth and recall is the one free variable. At corpus
-    * scale the truth side runs on a document sample; the measurement
-    * plumbing is unchanged. */
+    * Jaccard truth, as a gated query — one row per BANDING CONFIG
+    * ([[BandSweep]]: 8×2 / 4×4 default / 2×8), so the banding
+    * parameters' recall/candidate-volume trade-off is a checked curve,
+    * the dedup twin of [[Similarity.annRecall]]'s probe-budget sweep.
+    * Both sides verify candidates exactly, so LSH output ⊆ truth and
+    * recall is the one free variable; all configs share ONE persisted
+    * signature table (the 16 components are computed once — a config is
+    * just a different grouping of them). At corpus scale the truth side
+    * runs on a document sample; the measurement plumbing is unchanged. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val approx = minhashLsh(spark, dir)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
-    truth.join(approx, Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("truth_pairs"),
-           coalesce(sum(col("hit")), lit(0)).cast("long").as("matched_pairs"))
-      .select(lit("minhash_lsh").as("method"),
-              col("truth_pairs"), col("matched_pairs"),
-              round(col("matched_pairs").cast("double") / col("truth_pairs"), 6)
-                .as("recall"))
+      .trackPersist() // one consumer per sweep row
+    val sig = signatures(spark, docs(spark, dir))
+      .trackPersist()
+    BandSweep.map { case (label, bands, rpb) =>
+      val approx = minhashLshFrom(sig, bands, rpb)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      truth.join(approx, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("truth_pairs"),
+             coalesce(sum(col("hit")), lit(0)).cast("long").as("matched_pairs"))
+        .select(lit(label).as("method"),
+                col("truth_pairs"), col("matched_pairs"),
+                round(col("matched_pairs").cast("double") / col("truth_pairs"), 6)
+                  .as("recall"))
+    }.reduce(_ unionByName _)
   }
 
-  val lshRecallOracle: String =
+  val lshRecallOracle: String = {
+    val approxCtes = BandSweep.map { case (label, bands, rpb) =>
+      s"a_$label AS (SELECT doc_a, doc_b FROM (${minhashLshOracleAt(bands, rpb)}))"
+    }.mkString(",\n")
+    val rows = BandSweep.map { case (label, _, _) =>
+      s"""SELECT '$label' AS method,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+         |       (SELECT CAST(count(*) AS BIGINT)
+         |        FROM truth JOIN a_$label USING (doc_a, doc_b)) AS matched_pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
     s"""WITH truth AS (SELECT doc_a, doc_b FROM ($jaccardPairsOracle)),
-       |approx AS (SELECT doc_a, doc_b FROM ($minhashLshOracle)),
+       |$approxCtes,
        |st AS (
-       |  SELECT (SELECT count(*) FROM truth) AS t,
-       |         (SELECT count(*) FROM truth JOIN approx USING (doc_a, doc_b)) AS m)
-       |SELECT 'minhash_lsh' AS method, CAST(t AS BIGINT) AS truth_pairs,
-       |       CAST(m AS BIGINT) AS matched_pairs,
-       |       round(CAST(m AS DOUBLE) / t, 6) AS recall
+       |$rows)
+       |SELECT method, truth_pairs, matched_pairs,
+       |       round(CAST(matched_pairs AS DOUBLE) / truth_pairs, 6) AS recall
        |FROM st
        |""".stripMargin
+  }
 
   // ---------------------------------------------------------- split leakage
   private val LeakTrainPct = 0.8

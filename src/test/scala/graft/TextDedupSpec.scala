@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size.toDouble >= exact.size * 0.8)
   }
 
+  test("lsh recall sweep: recall is monotone in band count, default holds its floor") {
+    val r = Dedup.lshRecall(spark, sf).collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r.keySet == Set("minhash_8x2", "minhash_lsh", "minhash_2x8"))
+    r.values.foreach { case (t, m, rec) =>
+      assert(t > 0 && m >= 0 && m <= t && rec >= 0.0 && rec <= 1.0)
+    }
+    // collision prob 1-(1-J^rows)^bands is increasing in bands at fixed
+    // signature width: 2x8 <= 4x4 (default) <= 8x2
+    assert(r("minhash_2x8")._3 <= r("minhash_lsh")._3 + 1e-9)
+    assert(r("minhash_lsh")._3 <= r("minhash_8x2")._3 + 1e-9)
+    assert(r("minhash_lsh")._3 >= 0.8,
+      s"default 4x4 recall ${r("minhash_lsh")._3} below floor")
+    graft.core.Caches.release(spark)
+  }
+
   test("components: transitive chains collapse to one cluster with min label") {
     import spark.implicits._
     // chain 1~2~3, pair 10~11, chain 20~21~22~23 (longer than one hop)
