@@ -69,4 +69,34 @@ class JdbcSpec extends SparkSpec {
       Jdbc.ensureSchema(cfg, "bad;DROP TABLE x")
     }
   }
+
+  test("type mapping round-trip: decimal, date, timestamp, boolean survive the dialect") {
+    // the dialect seam the reference actually exercises on Postgres
+    // (money as DECIMAL, DAY_DT as DATE, LOAD_TSTMP as TIMESTAMP):
+    // proven here against the Derby dialect — a deployment should run
+    // this same case against real Postgres before first use (COVERAGE.md
+    // S1 known-seam note)
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "12345.678900", "2024-06-01", "2024-06-01 12:34:56.789", true),
+      (2L, "-0.000001", "1999-12-31", "2000-01-01 00:00:00", false))
+      .toDF("id", "amt", "d", "ts", "flag")
+      .select(col("id"), col("amt").cast("decimal(18,6)").as("amt"),
+              col("d").cast("date").as("d"),
+              col("ts").cast("timestamp").as("ts"), col("flag"))
+    Jdbc.write(df, cfg, "typed", SaveMode.Overwrite)
+    val back = Jdbc.readTable(spark, cfg, "typed")
+    val byName = back.schema.map(f => f.name.toLowerCase -> f.dataType).toMap
+    assert(byName("amt") == org.apache.spark.sql.types.DecimalType(18, 6))
+    assert(byName("d") == org.apache.spark.sql.types.DateType)
+    assert(byName("ts") == org.apache.spark.sql.types.TimestampType)
+    assert(byName("flag") == org.apache.spark.sql.types.BooleanType)
+    val row = back.filter(col("id") === 1L).collect()(0)
+    assert(row.getAs[java.math.BigDecimal]("amt") ==
+      new java.math.BigDecimal("12345.678900"))
+    assert(row.getAs[java.sql.Date]("d") == java.sql.Date.valueOf("2024-06-01"))
+    assert(row.getAs[java.sql.Timestamp]("ts") ==
+      java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789"))
+    assert(row.getAs[Boolean]("flag"))
+  }
 }
