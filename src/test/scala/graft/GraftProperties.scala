@@ -372,4 +372,62 @@ object GraftProperties extends Properties("graft") {
         Prop(plan.map(_._2).sum == sizes.length.toLong) :| "file conservation" &&
         Prop(plan.map(_._3).sum == sizes.sum) :| "byte conservation"
     }
+
+  // boundedRank tie guard: a frame with any duplicated key RAISES; a
+  // tie-free frame never does (complement of the equality law above)
+  property("boundedRank raises iff the key has ties") =
+    forAll(Gen.chooseNum(1, 12), Gen.chooseNum(1, 3), Gen.oneOf(true, false)) {
+      (n, parts, dup) =>
+        val base = (1 to n).map(i => (i.toLong, i.toLong * 7))
+        val rows = if (dup) base :+ base.head else base
+        val df = rows.toDF("id", "key").repartition(parts)
+        val threw =
+          try {
+            graft.ops.Rnk.boundedRank(df,
+              org.apache.spark.sql.functions.col("key")).collect(); false
+          } catch { case e: Throwable =>
+            def m(t: Throwable): Boolean = t != null &&
+              (Option(t.getMessage).exists(_.contains("tie-free")) || m(t.getCause))
+            m(e)
+          }
+        graft.core.Caches.release(spark)
+        threw == dup
+    }
+
+  // atomic staging: after any sequence of publishes, readers see exactly
+  // the LAST complete snapshot (never a blend, never a partial)
+  property("staging pointer swap: read equals the last publish") =
+    forAll(Gen.chooseNum(1, 3).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 8)))) { sizes =>
+      val wh = new graft.connect.ParquetWarehouse(
+        java.nio.file.Files.createTempDirectory("graft_prop_stg").toString)
+      sizes.zipWithIndex.foreach { case (sz, gen) =>
+        wh.writeStaging((1 to sz).map(i => (i.toLong, gen)).toDF("id", "gen"),
+          "t")
+      }
+      val got = wh.readStaging(spark, "t")
+        .as[(Long, Int)].collect().toSet
+      val lastGen = sizes.length - 1
+      got == (1 to sizes.last).map(i => (i.toLong, lastGen)).toSet
+    }
+
+  // idempotent daily history: per day, the LAST write wins; days never
+  // interfere — the union over days of final writes is exactly history
+  property("daily history: last write per day wins, days are independent") =
+    forAll(Gen.chooseNum(1, 3), Gen.chooseNum(1, 3)) { (days, rewrites) =>
+      val wh = new graft.connect.ParquetWarehouse(
+        java.nio.file.Files.createTempDirectory("graft_prop_hist").toString)
+      val dates = (1 to days).map(d => f"2024-06-$d%02d")
+      for (d <- dates; r <- 1 to rewrites) {
+        val rows = (1 to r).map(i => (i.toLong, d))
+          .toDF("id", "tag")
+          .withColumn("day_dt",
+            org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(d)))
+        wh.appendHistory(rows, "t")
+      }
+      val got = wh.readHistory(spark, "t")
+        .select("id", "tag").as[(Long, String)].collect().toSet
+      val want = dates.flatMap(d => (1 to rewrites).map(i => (i.toLong, d))).toSet
+      got == want
+    }
 }
