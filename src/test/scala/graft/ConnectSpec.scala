@@ -184,6 +184,40 @@ class ConnectSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("backfill: date-range marts are idempotent and heal a torn day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = new ParquetWarehouse(tmpDir("graft_backfill"))
+    // a cheap mart over the 5-row region table keeps the spec fast while
+    // exercising the full materialize path (stamp + gate + day write)
+    val tiny = graft.pipelines.Marts.Mart("region_counts", Seq("r_regionkey"),
+      (s, d) => graft.core.Tables.load(s, d, "region")
+        .select(col("r_regionkey"), col("r_name")))
+    val out = graft.pipelines.Backfill.marts(spark, sf,
+      "2024-06-01", "2024-06-03", wh, Seq(tiny))
+    assert(out.map(_._1._1) == Seq("2024-06-01", "2024-06-02", "2024-06-03"))
+    assert(out.forall(_._2 == 5L))
+    val hist = wh.readHistory(spark, "region_counts")
+    assert(hist.count() == 15)
+    assert(hist.select("day_dt").distinct().count() == 3)
+    // simulate a TORN middle day (a crashed run left one row), then
+    // re-run JUST that day: the partial day heals, other days untouched
+    wh.appendHistory(
+      Seq((99L, "torn")).toDF("r_regionkey", "r_name")
+        .withColumn("day_dt", lit(java.sql.Date.valueOf("2024-06-02"))),
+      "region_counts")
+    assert(wh.readHistory(spark, "region_counts").count() == 11)
+    graft.pipelines.Backfill.marts(spark, sf,
+      "2024-06-02", "2024-06-02", wh, Seq(tiny))
+    val healed = wh.readHistory(spark, "region_counts")
+    assert(healed.count() == 15)
+    assert(healed.filter(col("day_dt") === "2024-06-02").count() == 5)
+    // inverted range fails fast
+    intercept[IllegalArgumentException] {
+      graft.pipelines.Backfill.dateRange("2024-06-03", "2024-06-01")
+    }
+  }
+
   test("ingestion: duplicate gate aborts before any write") {
     import spark.implicits._
     val wh = new ParquetWarehouse(tmpDir("graft_wh_dup"))
