@@ -332,6 +332,27 @@ object Similarity {
     ivfTopKFrom(ranked, probeHi(cents))
   }
 
+  /** Persist a built IVF index as a parquet artifact, PARTITIONED BY
+    * `centroid_id` — the real ANN serving layout: the index is built
+    * once (nightly) and probed by separate jobs, and a probe that
+    * filters to its candidate lists prunes to exactly those partitions
+    * at the scan. The corpus-derived `cents` rides along as a column so
+    * the loaded index is self-describing. */
+  def saveIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val (ranked, cents) = ivfRanked(spark, dir, probeHi)
+    ranked.withColumn("cents", lit(cents))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Top-K at the default probe budget served from a SAVED index — no
+    * rebuild, bit-identical to [[ivfTopK]] on the same corpus
+    * (spec-gated equivalence). */
+  def ivfTopKFromSaved(spark: SparkSession, path: String): DataFrame = {
+    val loaded = spark.read.parquet(path)
+    val cents = loaded.select(max(col("cents"))).head().getInt(0)
+    ivfTopKFrom(loaded.drop("cents"), probeHi(cents))
+  }
+
   /** The shared IVF pipeline as SQL, with the probe budget expression
     * injected — `npSql` sees `cents` (the derived list count) in scope. */
   private def ivfOracleAt(npSql: String): String =

@@ -5,6 +5,24 @@ import graft.ops.{Multimodal, Similarity}
 
 class SimilaritySpec extends SparkSpec {
 
+  test("IVF index save/load: probes from the saved index equal a fresh build") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString + "/ivf"
+    Similarity.saveIndex(spark, sf, path)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val fresh = key(Similarity.ivfTopK(spark, sf))
+    val served = key(Similarity.ivfTopKFromSaved(spark, path))
+    assert(served == fresh && fresh.nonEmpty)
+    // the artifact is centroid-partitioned: a probe's list filter prunes
+    // at the directory level
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("centroid_id=")))
+    graft.core.Caches.release(spark)
+  }
+
   test("brute-force top-k: k rows per vector, self excluded, cosine in [-1,1]") {
     val out = Similarity.bruteForceTopK(spark, sf).collect()
     assert(out.nonEmpty)
