@@ -506,6 +506,100 @@ object Dedup {
        |""".stripMargin
   }
 
+  // ------------------------------------------------- segment-grain dedup
+  private val SegTokens = 30
+  // doc-local segment index packed with doc_id into ONE portable long for
+  // the first-occurrence min; bound asserted nowhere near: docs are ~1e2
+  // tokens, the pack allows 1e5 segments (3e6 tokens) per doc
+  private val SegPack = 100000L
+
+  /** SEGMENT-grain exact dedup with document reassembly — the
+    * paragraph/line dedup every CCNet-style pipeline runs INSIDE
+    * documents, at the whitespace corpus's natural grain: disjoint
+    * [[SegTokens]]-token segments. Every segment whose text already
+    * occurred earlier in the corpus (first occurrence = minimum
+    * (doc_id, segment_id), packed into one integer so the min is a
+    * plain long aggregate on both engines) is DROPPED; the document is
+    * reassembled from its kept segments in order. Output per doc:
+    * segment counts, kept token count, dropped ppm, and the md5 of the
+    * reassembled text (narrow gated stand-in for the text itself, the
+    * [[TextPrep.chunks]] convention).
+    *
+    * This is a different operator from [[exact]] (whole-doc) and
+    * [[jaccardPairs]] (near-dup pairs): it removes boilerplate repeated
+    * ACROSS distinct documents while keeping their unique remainder —
+    * at 100 TB the segment-hash groupBy is one corpus-linear shuffle of
+    * 8-byte-hash-keyed rows (same shape as [[fingerprints]]), and
+    * reassembly is a per-doc sorted fold, never cross-document. */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val seg = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(SegTokens.toLong)))
+          .as(Seq("seg_id", "s")))
+      .select(col("doc_id"), col("seg_id").cast("long").as("seg_id"),
+        least(col("n") - col("s"), lit(SegTokens.toLong)).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("s") + 1).cast("int"), lit(SegTokens))))
+          .as("seg_md5"),
+        concat_ws(" ",
+          slice(col("tk"), (col("s") + 1).cast("int"), lit(SegTokens)))
+          .as("seg_text"))
+      .trackPersist() // two consumers: first-occurrence table + reassembly
+    val firsts = seg.groupBy(col("seg_md5"))
+      .agg(min(col("doc_id") * SegPack + col("seg_id")).as("first_key"))
+    seg.join(firsts, Seq("seg_md5"))
+      .withColumn("kept",
+        col("doc_id") * SegPack + col("seg_id") === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("seg_id"), col("seg_text"))))),
+            s => s.getField("seg_text")))).as("kept_md5"))
+      // integer ppm (div, not /): both engines floor on the same grid
+      .withColumn("dropped_ppm",
+        expr("(n_segments - n_kept) * 1000000 div n_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+              col("kept_tokens"), col("dropped_ppm"), col("kept_md5"))
+  }
+
+  val segmentDedupOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |n AS (SELECT doc_id, tk, len(tk) AS n FROM d),
+       |seg AS (
+       |  SELECT doc_id, s // $SegTokens AS seg_id,
+       |         least(n - s, $SegTokens) AS n_tok,
+       |         md5(array_to_string(list_slice(tk, s + 1, least(s + $SegTokens, n)), ' ')) AS seg_md5,
+       |         array_to_string(list_slice(tk, s + 1, least(s + $SegTokens, n)), ' ') AS seg_text
+       |  FROM (SELECT doc_id, tk, n, unnest(generate_series(0, n - 1, $SegTokens)) AS s
+       |        FROM n)),
+       |firsts AS (
+       |  SELECT seg_md5, min(doc_id * $SegPack + seg_id) AS first_key
+       |  FROM seg GROUP BY 1),
+       |k AS (
+       |  SELECT seg.*, (doc_id * $SegPack + seg_id = first_key) AS kept
+       |  FROM seg JOIN firsts USING (seg_md5))
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_segments,
+       |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |       CAST((count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END)) * 1000000
+       |            // count(*) AS BIGINT) AS dropped_ppm,
+       |       md5(coalesce(array_to_string(
+       |         list(seg_text ORDER BY seg_id) FILTER (WHERE kept), ' '), ''))
+       |         AS kept_md5
+       |FROM k GROUP BY 1
+       |""".stripMargin
+
   // ---------------------------------------------------------- split leakage
   private val LeakTrainPct = 0.8
   private val LeakValidPct = 0.2
