@@ -531,10 +531,12 @@ object Dedup {
     * at 100 TB the segment-hash groupBy is one corpus-linear shuffle of
     * 8-byte-hash-keyed rows (same shape as [[fingerprints]]), and
     * reassembly is a per-doc sorted fold, never cross-document. */
-  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val seg = docs(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
+  /** (doc_id, seg_id, n_tok, seg_md5, seg_text) disjoint
+    * [[SegTokens]]-token segments of an arbitrary (doc_id, text) frame —
+    * the shared grain of [[segmentDedup]] and the incremental scrub
+    * ([[graft.ops.IncrementalDedup.scrubSegments]]). */
+  private[ops] def segmentsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("tk"))
       .withColumn("n", size(col("tk")))
       .select(col("doc_id"), col("tk"), col("n"),
         posexplode(sequence(lit(0), col("n") - 1, lit(SegTokens.toLong)))
@@ -547,6 +549,10 @@ object Dedup {
         concat_ws(" ",
           slice(col("tk"), (col("s") + 1).cast("int"), lit(SegTokens)))
           .as("seg_text"))
+
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val seg = segmentsOf(docs(spark, dir))
       .trackPersist() // two consumers: first-occurrence table + reassembly
     val firsts = seg.groupBy(col("seg_md5"))
       .agg(min(col("doc_id") * SegPack + col("seg_id")).as("first_key"))

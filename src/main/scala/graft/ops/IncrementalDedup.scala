@@ -99,6 +99,65 @@ object IncrementalDedup {
         }
       }
 
+  // -------------------------------------------------- segment-grain scrub
+
+  /** Segment index for the incremental scrub: the distinct segment
+    * hashes of the reference corpus — a natural warehouse artifact
+    * (hash-only, ~16 bytes/segment; the text stays in the corpus). */
+  def buildSegmentIndex(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Dedup.segmentsOf(corpus).select(col("seg_md5")).distinct()
+  }
+
+  /** Scrub an incoming batch against a segment index: every
+    * [[Dedup.segmentsOf]]-grain segment whose text already exists in the
+    * index is DROPPED and the document reassembled from the rest — the
+    * incremental (O(batch) probe) twin of [[Dedup.segmentDedup]]'s
+    * corpus-wide pass, emitting the actual cleaned text (sink-bound,
+    * not oracle-bound). A doc whose every segment is indexed boilerplate
+    * comes out with empty text and `n_kept = 0` — the caller's drop
+    * signal. Join shape: one left_anti-style probe of batch segments
+    * against the hash index, then a per-doc sorted fold; nothing is
+    * proportional to the corpus. */
+  def scrubSegments(spark: SparkSession, batch: DataFrame,
+                    segmentIndex: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val seg = Dedup.segmentsOf(batch)
+    val kept = seg.join(segmentIndex, Seq("seg_md5"), "left_anti")
+    seg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segments"))
+      .join(
+        kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+               sum(col("n_tok")).as("kept_tokens"),
+               concat_ws(" ", transform(
+                 array_sort(collect_list(struct(col("seg_id"), col("seg_text")))),
+                 s => s.getField("seg_text"))).as("kept_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Streaming scrub: each micro-batch of documents is scrubbed against
+    * the static segment index and appended to the warehouse through the
+    * epoch-keyed idempotent sink (same at-least-once reasoning as
+    * [[classifyStream]]). */
+  def scrubStream(stream: DataFrame, segmentIndex: DataFrame,
+                  warehouse: graft.connect.Warehouse, entity: String,
+                  checkpoint: String, runDate: graft.core.RunDate)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val scrubbed = graft.ops.Exp.stampDayDt(
+            scrubSegments(batch.sparkSession, batch, segmentIndex), runDate)
+          warehouse.appendHistoryBatch(scrubbed, entity, epochId)
+        }
+      }
+
   /** Oracle-checked query: index the docs with doc_id < [[SplitAt]],
     * classify the rest as an incoming batch. */
   val SplitAt = 400L

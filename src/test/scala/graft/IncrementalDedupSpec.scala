@@ -39,6 +39,56 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("segment scrub: indexed boilerplate drops, unique text survives, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // index corpus: one 30-token boilerplate segment (w0..w29)
+    val boiler = (0 until 30).map(i => s"w$i").mkString(" ")
+    val fresh = (0 until 30).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((1L, boiler)).toDF("doc_id", "text")
+    val idx = IncrementalDedup.buildSegmentIndex(spark, corpus)
+
+    // batch semantics: doc 10 = boilerplate + fresh -> fresh survives;
+    // doc 11 = boilerplate only -> scrubbed empty
+    val batch = Seq((10L, s"$boiler $fresh"), (11L, boiler))
+      .toDF("doc_id", "text")
+    val out = IncrementalDedup.scrubSegments(spark, batch, idx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(10L) == ((2L, 1L, 30L, fresh)))
+    assert(out(11L) == ((1L, 0L, 0L, "")))
+
+    // streaming twin over corpus docs: two micro-batches through the
+    // epoch-keyed warehouse sink equal the one-shot batch scrub
+    val all = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
+    val corpusIdx = IncrementalDedup.buildSegmentIndex(spark,
+      all.filter(col("doc_id") < 400)).persist()
+    val newDocs = all.filter(col("doc_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val wh = new graft.connect.ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_scrub_wh").toString)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalDedup.scrubStream(
+      input.toDS().toDF("doc_id", "text"), corpusIdx, wh, "scrubbed",
+      "/tmp/graft_ckpt_scrub_" + System.nanoTime(),
+      graft.core.RunDate("2024-06-01")).start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_segments", "n_kept", "kept_tokens", "kept_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4))).toSet
+    val streamed = keyed(wh.readHistory(spark, "scrubbed"))
+    val oneShot = keyed(IncrementalDedup.scrubSegments(spark,
+      all.filter(col("doc_id") >= 400), corpusIdx))
+    corpusIdx.unpersist()
+    assert(streamed == oneShot && oneShot.nonEmpty)
+  }
+
   test("new batch classifies as exact_dup / near_dup / new against the index") {
     val all = graft.core.Tables.documents(spark, sf).select("doc_id", "text")
     val corpus = all.filter(col("doc_id") < 400)
