@@ -394,6 +394,27 @@ object GraftProperties extends Properties("graft") {
         threw == dup
     }
 
+  // segment scrub laws: an empty index is identity (every segment
+  // survives); the batch's own index drops everything
+  property("segment scrub: empty index keeps all, self index drops all") =
+    forAll(Gen.chooseNum(1, 5).flatMap(nd =>
+      Gen.listOfN(nd, Gen.chooseNum(1, 70)))) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(w => s"t${i}_$w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val empty = Seq.empty[String].toDF("seg_md5")
+      val keptAll = graft.ops.IncrementalDedup
+        .scrubSegments(spark, docs, empty)
+        .select($"doc_id", $"n_segments", $"n_kept").as[(Long, Long, Long)]
+        .collect()
+      val selfIdx = graft.ops.IncrementalDedup.buildSegmentIndex(spark, docs)
+      val keptNone = graft.ops.IncrementalDedup
+        .scrubSegments(spark, docs, selfIdx)
+        .select($"n_kept", $"kept_text").as[(Long, String)].collect()
+      Prop(keptAll.forall { case (_, n, k) => n == k && n > 0 }) :| "identity" &&
+        Prop(keptNone.forall { case (k, t) => k == 0L && t.isEmpty }) :| "self-drop"
+    }
+
   // atomic staging: after any sequence of publishes, readers see exactly
   // the LAST complete snapshot (never a blend, never a partial)
   property("staging pointer swap: read equals the last publish") =
