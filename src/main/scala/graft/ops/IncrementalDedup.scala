@@ -230,4 +230,76 @@ object IncrementalDedup {
        |LEFT JOIN near n ON b.doc_id = n.doc_id
        |""".stripMargin
   }
+  // -------------------------------------------------- bloom-prefiltered probe
+
+  /** Exact-duplicate probe of a new batch against a fingerprint index
+    * with a BLOOM-FILTER PREFILTER — the shape that keeps the daily
+    * ingest probe map-side at 100 TB. [[classify]]'s exact arm joins the
+    * WHOLE batch's fingerprints against the index; here the index first
+    * collapses into one Bloom blob (Spark's native `BloomFilterAggregate`
+    * via `graft_bloom_agg`, a distributed fold), the batch is filtered
+    * map-side with `might_contain` — no shuffle for the overwhelming
+    * non-duplicate majority — and only the surviving CANDIDATES meet the
+    * index in an exact confirm join that removes Bloom false positives.
+    * False negatives are impossible, so the result is IDENTICAL to the
+    * plain exact probe (which is exactly what the oracle checks): the
+    * Bloom filter changes the plan, never the answer.
+    *
+    * Join shape after the prefilter: the candidate set (≈ dup-rate ×
+    * batch + fpp × batch) is broadcast against the index scan, so the
+    * index never shuffles; the per-doc `min` then aggregates only actual
+    * matches. The index IS scanned twice (Bloom build + confirm probe) —
+    * two columnar scans of a hash-only warehouse table, no
+    * recomputation. Size `expectedItems` to the index cardinality; the
+    * blob is `max(8 × items, 1 MiB)` bits (~1 GiB per 10⁹ indexed docs —
+    * broadcastable; past that, shard the index by hash prefix and run
+    * one probe per shard). */
+  def bloomClassify(spark: SparkSession, newDocs: DataFrame,
+                    fingerprints: DataFrame,
+                    expectedItems: Long = 1000000L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import graft.functions.GraftFunctions.{BloomAggName, BloomContainsName}
+    val idx = fingerprints.withColumnRenamed("doc_id", "idx_doc_id")
+    val bf: Array[Byte] = idx
+      .agg(call_function(BloomAggName, xxhash64(col("exact_fp")),
+        lit(expectedItems), lit((expectedItems * 8).max(1048576L))).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    val candidates = Dedup.fingerprints(newDocs)
+      .filter(call_function(BloomContainsName, lit(bf),
+        xxhash64(col("exact_fp"))))
+    val confirmed = idx.join(broadcast(candidates), Seq("exact_fp"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("idx_doc_id")).as("dup_of"))
+    newDocs.select(col("doc_id"))
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "exact_dup").otherwise("new")
+          .as("status"),
+        col("dup_of"))
+  }
+
+  /** Oracle-checked query for the Bloom-prefiltered probe: same
+    * [[SplitAt]] split as [[query]]. The oracle is the PLAIN exact
+    * probe — Bloom is a plan optimization with an unchanged answer, and
+    * hash-matching the unfiltered SQL is precisely the proof. */
+  def bloomQuery(spark: SparkSession, dir: String): DataFrame = {
+    val all = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < SplitAt)
+    val batch = all.filter(col("doc_id") >= SplitAt)
+    bloomClassify(spark, batch, Dedup.fingerprints(corpus))
+  }
+
+  val bloomOracle: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < $SplitAt),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= $SplitAt),
+       |fp_c AS (SELECT doc_id, md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS exact_fp FROM corpus),
+       |fp_b AS (SELECT doc_id, md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS exact_fp FROM batch),
+       |conf AS (
+       |  SELECT b.doc_id, min(c.doc_id) AS dup_of
+       |  FROM fp_b b JOIN fp_c c ON b.exact_fp = c.exact_fp GROUP BY 1)
+       |SELECT b.doc_id,
+       |       CASE WHEN conf.dup_of IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS status,
+       |       conf.dup_of
+       |FROM batch b LEFT JOIN conf ON b.doc_id = conf.doc_id
+       |""".stripMargin
 }

@@ -193,4 +193,85 @@ object Sampling {
        |ORDER BY -ln(u) / n_chars ASC, doc_id ASC
        |LIMIT $WsK
        |""".stripMargin
+
+  // ----------------------------------------- length-distribution matching
+
+  /** DISTRIBUTION-MATCHING downsample: reshape every source's document-
+    * LENGTH distribution onto the global one — the curation move that
+    * stops a source full of stubs (or one of mega-pages) from skewing
+    * what the model sees, without touching the source mix itself
+    * (that is [[TextPrep]]'s temperature mix). For each (source,
+    * length-bucket) cell the target count is
+    * `global_bucket_share × source_total` and the cell keeps
+    * `min(1, target/actual)` of its docs by the deterministic per-doc
+    * hash draw — only ever downsampling (a cell below target keeps
+    * everything; nothing is invented).
+    *
+    * Integer end to end: the target is a DECIMAL(38,0)-exact integral
+    * div (counts can be 10¹²-scale at 100 TB, and `n_bucket × n_src`
+    * overflows BIGINT), the keep threshold is quota-in-[0,D) integral
+    * arithmetic, and the draw is the corpus-standard `hash60` bucket —
+    * so the audit hash-matches any engine. Plan shape: two doc-grain
+    * scans (cell counts, then the filtered recount), three broadcast
+    * dimension joins at (source)/(bucket)/1-row grain, and a broadcast
+    * of the (source × 10)-cell quota table back onto the second scan —
+    * no row-grain shuffle anywhere. */
+  def lengthMatch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("least(n_chars div 200, 9)").as("len_bucket"))
+    val sb = d.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val byBucket = d.groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_bucket"))
+    val grand = d.agg(count(lit(1)).as("grand"))
+    val quota = sb
+      .join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byBucket), Seq("len_bucket"))
+      .crossJoin(broadcast(grand))
+      .withColumn("target_n",
+        expr("CAST(n_bucket AS DECIMAL(38,0)) * n_src div grand"))
+      .withColumn("quota_d",
+        least(lit(D), expr(s"$D * target_n div n_docs")))
+    val kept = d
+      .withColumn("b", bucket(col("doc_id"), "lenmatch"))
+      .join(broadcast(quota.select(col("source"), col("len_bucket"),
+        col("quota_d").as("q"))), Seq("source", "len_bucket"))
+      .filter(col("b") < col("q"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_kept"))
+    quota
+      .join(kept, Seq("source", "len_bucket"), "left")
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        col("target_n"), col("quota_d"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  val lengthMatchOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, least(n_chars // 200, 9) AS len_bucket
+       |  FROM documents),
+       |sb AS (SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM d GROUP BY 1, 2),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM d GROUP BY 1),
+       |b AS (SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_bucket FROM d GROUP BY 1),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS grand FROM d),
+       |quota AS (
+       |  SELECT sb.source, sb.len_bucket, sb.n_docs,
+       |         CAST(CAST(b.n_bucket AS HUGEINT) * s.n_src // g.grand AS BIGINT) AS target_n
+       |  FROM sb JOIN s USING (source) JOIN b USING (len_bucket) CROSS JOIN g),
+       |q2 AS (SELECT source, len_bucket, n_docs, target_n,
+       |              CAST(least($D, $D * target_n // n_docs) AS BIGINT) AS quota_d
+       |       FROM quota),
+       |kept AS (
+       |  SELECT d.source, d.len_bucket, CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM d JOIN q2 ON d.source = q2.source AND d.len_bucket = q2.len_bucket
+       |  WHERE CAST(CAST(('0x' || substr(md5('lenmatch:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $D < q2.quota_d
+       |  GROUP BY 1, 2)
+       |SELECT q2.source, q2.len_bucket, q2.n_docs, q2.target_n, q2.quota_d,
+       |       coalesce(k.n_kept, 0) AS n_kept
+       |FROM q2 LEFT JOIN kept k
+       |  ON q2.source = k.source AND q2.len_bucket = k.len_bucket
+       |""".stripMargin
 }

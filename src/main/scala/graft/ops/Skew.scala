@@ -94,6 +94,85 @@ object Skew {
       |FROM top
       |""".stripMargin
 
+  /** Join-blowup PREFLIGHT: estimate a join's output size from per-key
+    * count profiles BEFORE running it — the check a 100 TB join gets in
+    * review, mechanized. For an equi-join on `key`, the exact output
+    * cardinality is `Σ_k n_left(k) · n_right(k)`; this computes that sum
+    * plus the top-`k` contributing keys, each with its share of the
+    * estimated output and the overall amplification vs the left rows
+    * that actually participate (keys present on BOTH sides — unmatched
+    * keys contribute nothing to an equi-join's output).
+    * A handful of keys carrying most of `share_ppm` means salt them
+    * ([[saltedJoin]]) or pre-aggregate; `amp_x1000` ≫ 1000 means the
+    * join multiplies its input and downstream sizing must assume the
+    * estimated total, not the scan size.
+    *
+    * Cost: two map-side-combinable count aggregates (key-cardinality
+    * output, never row-sized), one key-grain join, two 1-row totals
+    * broadcast back, and a distributed TakeOrdered for the top-k — the
+    * profile is free compared to the join it de-risks. The key-grain
+    * profile is persisted (it feeds the totals and the top-k);
+    * integer-only arithmetic so the profile hash-matches any engine. */
+  def joinPreflight(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    topK: Int = 20): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val lc = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val perKey = lc.join(rc, Seq("key"))
+      .withColumn("est_pairs", col("n_left") * col("n_right"))
+      .trackPersist()
+    val totals = perKey.agg(sum(col("est_pairs")).as("est_total"),
+                            sum(col("n_left")).as("rows_left"))
+    val top = perKey.crossJoin(broadcast(totals))
+      .orderBy(col("est_pairs").desc, col("key"))
+      .limit(topK)
+    Rnk.boundedRank(top, struct(-col("est_pairs"), col("key")), "rank")
+      .select(col("rank").cast("int").as("rank"), col("key"),
+        col("n_left"), col("n_right"), col("est_pairs"),
+        expr("CAST(est_pairs * 1000000 div est_total AS BIGINT)")
+          .as("share_ppm"),
+        col("est_total"),
+        expr("CAST(est_total * 1000 div rows_left AS BIGINT)")
+          .as("amp_x1000"))
+  }
+
+  /** Oracle-checked preflight of the lineitem⋈lineitem self-join on
+    * `l_partkey` — the same-part pair analysis whose output is Σ n(k)²,
+    * the canonical accidental-blowup shape. */
+  def joinPreflightQuery(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    joinPreflight(li, "l_partkey", li, "l_partkey")
+  }
+
+  val joinPreflightOracle: String =
+    """WITH lc AS (
+      |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_left
+      |  FROM lineitem GROUP BY 1),
+      |rc AS (
+      |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_right
+      |  FROM lineitem GROUP BY 1),
+      |per_key AS (
+      |  SELECT key, n_left, n_right, n_left * n_right AS est_pairs
+      |  FROM lc JOIN rc USING (key)),
+      |totals AS (
+      |  SELECT CAST(sum(est_pairs) AS BIGINT) AS est_total,
+      |         CAST(sum(n_left) AS BIGINT) AS rows_left FROM per_key),
+      |top AS (
+      |  SELECT key, n_left, n_right, est_pairs, est_total, rows_left
+      |  FROM per_key CROSS JOIN totals
+      |  ORDER BY est_pairs DESC, key LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY est_pairs DESC, key) AS INT) AS rank,
+      |       key, n_left, n_right, est_pairs,
+      |       CAST(est_pairs * 1000000 // est_total AS BIGINT) AS share_ppm,
+      |       est_total,
+      |       CAST(est_total * 1000 // rows_left AS BIGINT) AS amp_x1000
+      |FROM top
+      |""".stripMargin
+
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
                 partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
     val saltCol = "__salt"

@@ -230,6 +230,65 @@ object TextAnalysis {
       |FROM agg
       |""".stripMargin
 
+  /** Vocabulary COVERAGE CURVE: the fraction of total token mass covered
+    * by the top-k most frequent tokens, for k ∈ [[CoverageKs]] — the
+    * measurement that sizes a tokenizer vocabulary (or a
+    * stop-list/cache): "32k types cover 97% of tokens" is this query's
+    * output. Builds on [[vocab]]'s DISTRIBUTED frequency rank
+    * (Rnk.globalRank — no single-partition window at any vocabulary
+    * size); the curve itself is ONE conditional-sum aggregate over the
+    * ranked vocabulary and a 3-row projection. Integer arithmetic
+    * (parts-per-million div) end to end. */
+  val CoverageKs: Seq[Long] = Seq(100L, 1000L, 10000L)
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = vocab(spark, dir)
+    val aggs =
+      CoverageKs.map(k =>
+        sum(when(col("rank") <= k, col("total_count")).otherwise(0L))
+          .as(s"c_$k")) :+
+      max(col("rank")).as("vocab_size")
+    val m = ranked.agg(sum(col("total_count")).as("grand"), aggs: _*)
+    val rows = CoverageKs.map { k =>
+      struct(lit(k).as("top_k"),
+        least(lit(k), col("vocab_size")).as("tokens_in_vocab"),
+        col(s"c_$k").as("covered_count"),
+        col("grand").as("total_count"),
+        expr(s"CAST(c_$k * 1000000 div grand AS BIGINT)")
+          .as("coverage_ppm"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  val vocabCoverageOracle: String = {
+    val branches = CoverageKs.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS top_k,
+         |       least($k, vocab_size) AS tokens_in_vocab,
+         |       c_$k AS covered_count, grand AS total_count,
+         |       CAST(c_$k * 1000000 // grand AS BIGINT) AS coverage_ppm
+         |FROM m""".stripMargin
+    }
+    val sums = CoverageKs.map(k =>
+      s"CAST(sum(CASE WHEN rank <= $k THEN total_count ELSE 0 END) AS BIGINT) AS c_$k")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |agg AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS total_count
+       |  FROM tok GROUP BY 1),
+       |ranked AS (
+       |  SELECT total_count,
+       |         row_number() OVER (ORDER BY total_count DESC, token) AS rank
+       |  FROM agg),
+       |m AS (
+       |  SELECT CAST(sum(total_count) AS BIGINT) AS grand,
+       |         CAST(max(rank) AS BIGINT) AS vocab_size,
+       |         ${sums.mkString(",\n         ")}
+       |  FROM ranked)
+       |${branches.mkString("\nUNION ALL\n")}
+       |""".stripMargin
+  }
+
   // ---------------------------------------------------------- OOV coverage
   private val VocabMinCount = 50L
 

@@ -428,6 +428,86 @@ object TimeSeries {
       .select(col("d"), col("n_events"), col("cusum"), col("shift_flag"))
   }
 
+  /** Autocorrelation of the daily revenue series at lags 1..[[AcfLags]] —
+    * the seasonality probe run before trusting any day-over-day trend
+    * model (a strong lag-7 spike means weekday seasonality must be
+    * removed first; see [[weekdayAnomalies]]).
+    *
+    * Estimator: Pearson r over the aligned pairs (x_t, x_{t+ℓ}) for each
+    * lag ℓ — the regression (lag-scatter) form, computed only on days
+    * both present in the series (the rollup skips empty days; orders is
+    * dense so at this corpus the two conventions coincide). All moments
+    * accumulate as exact DECIMAL(38,0) on the cents grid — the
+    * [[Stats.corrMatrix]] discipline, so the statistic hash-matches any
+    * engine; the only floating-point steps are the shared IEEE
+    * double division and sqrt. Magnitude bound: daily revenue at a
+    * 100 TB deployment is ~10¹³ cents, so `n·Σxy ≲ 10⁴·(10⁴·10²⁶) =
+    * 10³⁴` — inside DECIMAL(38,0) with four digits to spare.
+    *
+    * Plan shape: ONE day-grain rollup (the only data-sized shuffle),
+    * persisted and reused as both sides of the lag join; the shifted
+    * side is broadcast (day-count-sized — bounded by the calendar range,
+    * not the row count), so the 7-lag align is map-side; the final
+    * aggregate is 7 rows. */
+  val AcfLags = 7
+
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"))
+        .as("rev"))
+    acfOf(daily, AcfLags)
+  }
+
+  /** ACF core over an arbitrary `(day DATE, rev DECIMAL(38,0))` series —
+    * factored out so specs can drive constructed series (an exactly
+    * linear series must return acf = 1.0 at every lag). */
+  def acfOf(series: DataFrame, lags: Int): DataFrame = {
+    val daily = series.trackPersist()
+    val shifted = broadcast(
+      daily.select(col("day").as("lag_day"), col("rev").as("rev_lag")))
+    daily
+      .select(col("day"), col("rev"),
+        explode(array((1 to lags).map(lit): _*)).as("lag"))
+      .withColumn("lag_day", date_add(col("day"), col("lag")))
+      .join(shifted, Seq("lag_day"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("rev")).as("sx"), sum(col("rev_lag")).as("sy"),
+        sum(col("rev") * col("rev")).as("sxx"),
+        sum(col("rev_lag") * col("rev_lag")).as("syy"),
+        sum(col("rev") * col("rev_lag")).as("sxy"))
+      .select(col("lag"),
+        col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+             .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double"))), 6).as("acf"))
+  }
+
+  val acfOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev
+       |  FROM orders GROUP BY 1),
+       |lags AS (SELECT CAST(unnest(generate_series(1, $AcfLags)) AS INT) AS lag),
+       |pairs AS (
+       |  SELECT l.lag, a.rev AS x, b.rev AS y
+       |  FROM daily a CROSS JOIN lags l
+       |  JOIN daily b ON b.day = a.day + l.lag),
+       |m AS (
+       |  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+       |         sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM pairs GROUP BY 1)
+       |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+       |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+       |FROM m
+       |""".stripMargin
+
   val cusumChangepointOracle: String =
     """WITH daily AS (
       |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS d,

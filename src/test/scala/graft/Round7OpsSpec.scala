@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: Bloom-prefiltered exact dedup probe, daily-revenue
+  * autocorrelation, and the join-blowup preflight. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  /** Plain exact probe (no Bloom) — the semantics bloomClassify must
+    * reproduce bit-for-bit. */
+  private def exactProbe(batch: DataFrame, corpus: DataFrame): Set[(Long, String, Option[Long])] = {
+    val fpOf = (d: DataFrame) => d.select(col("doc_id"),
+      md5(concat_ws(" ", split(trim(lower(col("text"))), "\\s+"))).as("fp"))
+    val conf = fpOf(batch).join(
+        fpOf(corpus).withColumnRenamed("doc_id", "idx"), Seq("fp"))
+      .groupBy("doc_id").agg(min("idx").as("dup_of"))
+    batch.select("doc_id").join(conf, Seq("doc_id"), "left")
+      .collect().map { r =>
+        val d = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        (r.getLong(0), if (d.isDefined) "exact_dup" else "new", d)
+      }.toSet
+  }
+
+  private def bloomResult(batch: DataFrame, corpus: DataFrame,
+                          expected: Long): Set[(Long, String, Option[Long])] =
+    ops.IncrementalDedup.bloomClassify(spark, batch,
+        ops.IncrementalDedup.buildIndex(spark, corpus).fingerprints, expected)
+      .collect().map { r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }.toSet
+
+  test("bloomClassify equals the plain exact probe (dups and non-dups)") {
+    val corpus = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon",
+      3L -> "  ALPHA   beta GAMMA ")
+    val batch = docs(10L -> "alpha beta gamma", 11L -> "zeta eta",
+      12L -> "delta  epsilon", 13L -> "theta iota kappa")
+    val got = bloomResult(batch, corpus, expected = 100L)
+    assert(got === exactProbe(batch, corpus))
+    // normalization folds case/whitespace: 10 matches the min doc (1)
+    assert(got.contains((10L, "exact_dup", Some(1L))))
+    assert(got.contains((13L, "new", None)))
+  }
+
+  test("bloom false positives are removed by the confirm join") {
+    // a deliberately undersized filter (expectedItems=1 at the 1 MiB
+    // floor for 200 indexed docs) raises the fp rate; the confirm join
+    // must still produce the exact answer
+    val corpus = docs((1L to 200L).map(i => i -> s"corpus doc number $i"): _*)
+    val batch = docs((1000L to 1100L).map(i => i -> s"probe doc number $i"): _*)
+    assert(bloomResult(batch, corpus, expected = 1L) ===
+      exactProbe(batch, corpus))
+  }
+
+  test("acfOf returns exactly 1.0 at every lag for a linear series") {
+    val series = (0 until 40).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        BigDecimal(100 + 7 * i))
+    }.toDF("day", "rev")
+      .select(col("day"), col("rev").cast("decimal(38,0)").as("rev"))
+    val rows = ops.TimeSeries.acfOf(series, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3))
+    // n_pairs shrinks by one per lag on a dense series
+    assert(rows.map(_._2).toSeq === Seq(39L, 38L, 37L))
+    assert(rows.forall(_._3 === 1.0))
+  }
+
+  test("acfOf detects period-2 alternation: acf(1) < 0 < acf(2)") {
+    val series = (0 until 30).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        BigDecimal(if (i % 2 == 0) 1000 else 10))
+    }.toDF("day", "rev")
+      .select(col("day"), col("rev").cast("decimal(38,0)").as("rev"))
+    val byLag = ops.TimeSeries.acfOf(series, 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(byLag(1) < -0.9)
+    assert(byLag(2) > 0.9)
+  }
+
+  test("joinPreflight computes exact per-key and total estimates") {
+    val left = Seq("a", "a", "a", "b", "d").toDF("k")
+    val right = Seq("a", "a", "c", "c", "c", "c", "c", "d").toDF("k")
+    val rows = ops.Skew.joinPreflight(left, "k", right, "k", topK = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    // matching keys: a (3×2=6), d (1×1=1); est_total=7, rows_left=4
+    // (only keys present on both sides enter the profile)
+    assert(rows.map(t => (t._1, t._2, t._5)).toSeq ===
+      Seq((1, "a", 6L), (2, "d", 1L)))
+    val a = rows.head
+    assert((a._3, a._4) === (3L, 2L))
+    assert(a._6 === 6L * 1000000L / 7L)   // share_ppm
+    assert(a._7 === 7L)                   // est_total
+    assert(a._8 === 7L * 1000L / 4L)      // amp vs matched left rows
+  }
+
+  test("vocabCoverage: monotone in k, exact at full vocabulary") {
+    val rows = ops.TextAnalysis.vocabCoverage(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    core.Caches.release(spark)
+    assert(rows.map(_._1).toSeq === Seq(100L, 1000L, 10000L))
+    // coverage never decreases with k, never exceeds 1e6 ppm
+    assert(rows.sliding(2).forall { case Array(a, b) => a._5 <= b._5 })
+    assert(rows.forall(_._5 <= 1000000L))
+    // a k that swallows the whole vocabulary covers every token exactly
+    rows.filter(r => r._2 < r._1).foreach { r =>
+      assert(r._3 === r._4); assert(r._5 === 1000000L)
+    }
+  }
+
+  test("lengthMatch: only downsamples, keeps everything at-or-under target") {
+    val rows = ops.Sampling.lengthMatch(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, bkt, nDocs, target, quota, kept) =>
+      val cell = s"($src, $bkt)"
+      assert(kept <= nDocs, cell)
+      assert(quota <= 10000L, cell)
+      // a cell already at/below its target keeps every document
+      if (target >= nDocs) { assert(quota === 10000L, cell)
+                             assert(kept === nDocs, cell) }
+    }
+    // per-source doc counts reconcile against the raw table
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val raw = core.Tables.documents(spark, sf)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.toMap === raw)
+  }
+
+  test("join preflight estimate equals the real join's output count") {
+    val li = core.Tables.lineitem(spark, sf).select("l_partkey")
+    val est = ops.Skew.joinPreflightQuery(spark, sf)
+      .select("est_total").head().getLong(0)
+    val actual = li.join(li.withColumnRenamed("l_partkey", "k"),
+      col("l_partkey") === col("k")).count()
+    assert(est === actual)
+    core.Caches.release(spark)
+  }
+}
