@@ -197,6 +197,89 @@ object TextAnalysis {
        |""".stripMargin
   }
 
+  /** QUANTILE NORMALIZATION of the per-doc quality score ACROSS SOURCES:
+    * each document's score is replaced by the GLOBAL score distribution's
+    * value at the document's within-source rank decile — after which "top
+    * 30% by quality" means the same thing in every source, and one global
+    * threshold can't silently keep all of an easy-scoring source and none
+    * of a harsh-scoring one. This is the calibration step run before any
+    * cross-source quality gate.
+    *
+    * Decile grain ([[QnormB]] buckets): a doc in its source's b-th score
+    * decile maps to the global b-th-decile upper-edge score (the order
+    * statistic at global rank `b·N/B` — exact, not interpolated, so the
+    * mapping hash-matches any engine on the already-oracle-checked
+    * [[quality]] scores).
+    *
+    * Scale shape — deliberately NO per-source windows (a 30%-of-corpus
+    * source would serialize a `PARTITION BY source` rank into one task):
+    * both rank passes are [[Rnk.globalRank]] range-partition sorts.
+    * Within-source ranks come from the (source, score, doc_id)-ordered
+    * global rank minus each source's minimum rank (source-grain
+    * broadcast); global decile edges are B rows picked from the (score,
+    * doc_id)-ordered rank by a broadcast join. */
+  val QnormB = 10
+
+  def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val scored = quality(spark, dir).select(col("doc_id"), col("quality_score"))
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val g = Rnk.globalRank(scored, Seq(col("quality_score"), col("doc_id")),
+      "grank").trackPersist()
+    val tot = g.agg(count(lit(1)).as("n"))
+    val targets = broadcast(tot.select(
+        explode(array((1 to QnormB).map(lit): _*)).as("gb"), col("n"))
+      .withColumn("target", expr(s"CAST(gb AS BIGINT) * n div $QnormB")))
+    val edges = broadcast(g.join(targets, col("grank") === col("target"))
+      .select(col("gb").cast("long").as("gb"),
+        col("quality_score").as("norm_score")))
+    val s = Rnk.globalRank(scored,
+      Seq(col("source"), col("quality_score"), col("doc_id")), "srank")
+    val srcBase = s.groupBy(col("source"))
+      .agg(min(col("srank")).as("r0"), count(lit(1)).as("n_src"))
+    s.join(broadcast(srcBase), Seq("source"))
+      .withColumn("src_bucket",
+        expr(s"(srank - r0) * $QnormB div n_src"))
+      .join(edges, col("gb") === col("src_bucket") + 1L)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_bucket"), col("norm_score"))
+  }
+
+  val qualityQuantileNormOracle: String = {
+    val en = langProfiles.toMap.apply("en").map("'" + _ + "'").mkString(",")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(list_distinct(tk)) * 1.0 / len(tk) AS uniq,
+       |         least(len(tk) * 1.0 / 100.0, 1.0) AS lens,
+       |         len(list_filter(tk, x -> list_contains([$en], x))) * 1.0 / len(tk) AS stp
+       |  FROM t),
+       |scored AS (
+       |  SELECT m.doc_id, d.source,
+       |         round(uniq * 0.4 + lens * 0.3 + stp * 0.3, 6) AS q
+       |  FROM m JOIN documents d ON m.doc_id = d.doc_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+       |gr AS (SELECT doc_id, q,
+       |              CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS grank
+       |       FROM scored),
+       |targets AS (
+       |  SELECT CAST(unnest(generate_series(1, $QnormB)) AS BIGINT) AS gb, n
+       |  FROM tot),
+       |edges AS (
+       |  SELECT t.gb, g.q AS norm_score
+       |  FROM targets t JOIN gr g ON g.grank = t.gb * t.n // $QnormB),
+       |sr AS (SELECT doc_id, source, q,
+       |              CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS srank,
+       |              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |       FROM scored)
+       |SELECT sr.doc_id, sr.source, sr.q AS quality_score,
+       |       CAST((srank - 1) * $QnormB // n_src AS BIGINT) AS src_bucket,
+       |       e.norm_score
+       |FROM sr JOIN edges e ON e.gb = (srank - 1) * $QnormB // n_src + 1
+       |""".stripMargin
+  }
+
   // ---------------------------------------------------------------- vocab
   /** Corpus vocabulary: per token, document frequency, total occurrence
     * count, and frequency rank. One explode + one hash aggregation; the

@@ -486,6 +486,51 @@ object TimeSeries {
              .cast("double"))), 6).as("acf"))
   }
 
+  /** Per-group OLS TREND SLOPE: for each order priority, the
+    * least-squares slope of its daily revenue series against the day
+    * index — the "is this segment growing or shrinking, and how fast"
+    * readout, computed exactly. `slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`
+    * with x the epoch-day integer and y the day's revenue in cents; all
+    * moments are DECIMAL(38,0)-exact per the [[acf]]/corrMatrix
+    * discipline (x ≤ ~2·10⁴, y ≤ ~10¹³ cents/day at 100 TB ⇒ the n·Σxy
+    * cross term stays ≤ ~10²⁴), so only the final IEEE division is
+    * floating point. One (group × day)-grain rollup, one group-grain
+    * aggregate — two map-side-combinable shuffles, output rows = groups. */
+  def trendSlopeBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("x"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"))
+        .as("y"))
+      .withColumn("xd", col("x").cast("decimal(38,0)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("xd")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("xd") * col("y")).as("sxy"))
+      .select(col("o_orderpriority"),
+        col("n").cast("long").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope_cents_per_day"))
+
+  val trendSlopeByOracle: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS TIMESTAMP)) AS HUGEINT) AS x,
+      |         sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+      |         sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * x) AS sxx, sum(x * y) AS sxy
+      |  FROM daily GROUP BY 1)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_days,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day
+      |FROM m
+      |""".stripMargin
+
   val acfOracle: String =
     s"""WITH daily AS (
        |  SELECT CAST(o_orderdate AS DATE) AS day,

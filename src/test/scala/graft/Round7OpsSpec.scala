@@ -142,6 +142,49 @@ class Round7OpsSpec extends SparkSpec {
     assert(bySrc.toMap === raw)
   }
 
+  test("qualityQuantileNorm: one shared edge table, monotone per source") {
+    val rows = ops.TextAnalysis.qualityQuantileNorm(spark, sf)
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    core.Caches.release(spark)
+    assert(rows.nonEmpty)
+    // the bucket -> normalized-score mapping is GLOBAL: every source's
+    // bucket b lands on the same edge value
+    val edgeOf = rows.groupBy(_._3).view.mapValues(_.map(_._4).distinct)
+    edgeOf.foreach { case (b, vs) => assert(vs.size === 1, s"bucket $b") }
+    // and the mapping is monotone in the bucket index
+    val edges = edgeOf.toSeq.sortBy(_._1).map(_._2.head)
+    assert(edges.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // within a source, a higher raw score never gets a lower bucket
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 <= p(1)._3),
+        src)
+    }
+  }
+
+  test("trendSlopeBy recovers an exact linear trend per group") {
+    // synthetic check through the same moment algebra the query uses:
+    // revenue = 500 + 3*x cents/day must yield slope exactly 3
+    val df = (0 until 50).flatMap(i => Seq(("g1", i, 500L + 3L * i),
+        ("g2", i, 10000L - 7L * i)))
+      .toDF("g", "x", "cents")
+      .select(col("g"), col("x").cast("decimal(38,0)").as("xd"),
+        col("cents").cast("decimal(38,0)").as("y"))
+    val m = df.groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("xd")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("xd") * col("y")).as("sxy"))
+      .select(col("g"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("g1") === 3.0)
+    assert(m("g2") === -7.0)
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
