@@ -455,6 +455,127 @@ object Embeddings {
        |FROM qq
        |""".stripMargin
 
+  // ------------------------------------------------- product quantization
+
+  private[ops] val PqM = 4                  // subspaces
+  private[ops] val PqSubDim = Dim / PqM     // 16 dims each
+  private[ops] val PqK = 8                  // codes per subspace
+
+  /** PRODUCT QUANTIZATION: train a per-subspace codebook (the [[PqM]] ×
+    * [[PqK]] compressed representation behind IVF-PQ serving indexes —
+    * each 64-float vector becomes [[PqM]] one-byte codes, a 64× memory
+    * cut that turns billion-vector ANN from a RAM problem into a table)
+    * and emit every vector's code + residual per subspace. Training is
+    * the [[kmeansAssign]] recipe applied independently per subspace:
+    * deterministic seeding (same md5-ranked seed vectors, sliced), one
+    * decimal-exact Lloyd update, reassign. `avg(d2)` over the output is
+    * the quantization distortion a recall budget is traded against;
+    * more iterations repeat the same two stages (the oracle pins one,
+    * exercising both moving parts bit-exactly).
+    *
+    * Scale shape: subspace explode is ×[[PqM]] on the scan; both
+    * assignment passes are broadcast-codebook map-only scores with a
+    * (vec, sub)-partitioned 8-row argmin window; the update is one hash
+    * aggregate bounded by PqM × PqK × subdim. Nothing grows faster than
+    * corpus × PqK. Distance is `n2 − 2·dot + cn2` in that exact
+    * sequence both engines, dot folded in element order. */
+  def productQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .trackPersist() // seeding collect + the subspace explode
+    val subs = vecs
+      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("sub"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+      .trackPersist() // two assignment passes + the update
+    val seedVecs = vecs.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .select(col("v")).collect()
+    val seedRows = for {
+      (r, j) <- seedVecs.zipWithIndex
+      m <- 0 until PqM
+    } yield (m, j, r.getSeq[Double](0).slice(m * PqSubDim, (m + 1) * PqSubDim))
+    val seedDf = broadcast(seedRows.toSeq.toDF("sub", "code", "cv")
+      .withColumn("cn2", dot(col("cv"), col("cv"))))
+    def assign(cb: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2").asc, col("code"))
+      subs.join(cb, Seq("sub"))
+        .withColumn("d2",
+          col("sn2") - lit(2.0) * dot(col("sv"), col("cv")) + col("cn2"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("vec_id"), col("sub"), col("sv"), col("code"), col("d2"))
+    }
+    val cb1 = assign(seedDf)
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("sub"), col("code"), col("dim"))
+      .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+            count(lit(1))).as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    assign(broadcast(cb1))
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(col("d2"), 6).as("d2"))
+  }
+
+  val productQuantizeOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ms AS (SELECT CAST(unnest(generate_series(0, ${PqM - 1})) AS INT) AS sub),
+       |sn AS (
+       |  SELECT vec_id, sub,
+       |         list_slice(v, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim) AS sv,
+       |         list_sum(list_transform(
+       |           list_slice(v, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim),
+       |           x -> x * x)) AS sn2
+       |  FROM n CROSS JOIN ms),
+       |seedv AS (
+       |  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM n),
+       |seedn AS (
+       |  SELECT sub, CAST(rn - 1 AS INT) AS code,
+       |         list_slice(v, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim) AS cv,
+       |         list_sum(list_transform(
+       |           list_slice(v, sub * $PqSubDim + 1, sub * $PqSubDim + $PqSubDim),
+       |           x -> x * x)) AS cn2
+       |  FROM seedv CROSS JOIN ms WHERE rn <= $PqK),
+       |scored0 AS (
+       |  SELECT s.vec_id, s.sub, s.sv, c.code,
+       |         s.sn2 - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |           i -> s.sv[i] * c.cv[i])) + c.cn2 AS d2
+       |  FROM sn s JOIN seedn c ON s.sub = c.sub),
+       |a0 AS (
+       |  SELECT vec_id, sub, sv, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                 ORDER BY d2 ASC, code) AS r
+       |    FROM scored0) WHERE r = 1),
+       |m1 AS (
+       |  SELECT sub, code, i AS dim,
+       |         CAST(sum(CAST(sv[i] AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS m
+       |  FROM a0, unnest(generate_series(1, $PqSubDim)) t(i)
+       |  GROUP BY 1, 2, 3),
+       |c1 AS (SELECT sub, code, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
+       |c1n AS (
+       |  SELECT sub, code, cv,
+       |         list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM c1),
+       |scored1 AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |         s.sn2 - 2 * list_sum(list_transform(generate_series(1, $PqSubDim),
+       |           i -> s.sv[i] * c.cv[i])) + c.cn2 AS d2
+       |  FROM sn s JOIN c1n c ON s.sub = c.sub)
+       |SELECT vec_id, sub, code, round(d2, 6) AS d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                               ORDER BY d2 ASC, code) AS r
+       |  FROM scored1) WHERE r = 1
+       |""".stripMargin
+
   /** Uncentered Gram (second-moment) matrix of the embedding corpus:
     * `G[i][j] = E[x_i·x_j]` for `i ≤ j` — the d(d+1)/2-cell input PCA /
     * whitening / feature-correlation audits start from (covariance is

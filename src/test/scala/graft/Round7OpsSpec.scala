@@ -185,6 +185,23 @@ class Round7OpsSpec extends SparkSpec {
     assert(m("g2") === -7.0)
   }
 
+  test("productQuantize: 4 codes per vector, bounded codebook, d2 >= 0") {
+    val rows = ops.Embeddings.productQuantize(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    core.Caches.release(spark)
+    val nVecs = core.Tables.embeddings(spark, sf).count()
+    assert(rows.length === 4 * nVecs)
+    // every (vec, sub) cell appears exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 4))
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 8))
+    // squared residuals: non-negative up to float round-off
+    assert(rows.forall(_._4 >= -1e-6))
+    // the trained codebook stays within its 4x8 budget
+    assert(rows.map(r => (r._2, r._3)).distinct.length <= 32)
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
