@@ -181,6 +181,71 @@ object Similarity {
        |FROM r WHERE rn <= $K
        |""".stripMargin
 
+  /** LABEL-NOISE AUDIT (kNN disagreement): for every vector, how many of
+    * its [[KnnLabelK]] exact nearest neighbors carry a DIFFERENT label —
+    * the standard mislabeled-sample miner (confident-learning shape): a
+    * point whose neighborhood votes against its own label is flagged
+    * `suspect` for relabel/review before training. Disagreement is
+    * integer ppm; `suspect` = strict neighbor majority. This is the
+    * exact oracle-checkable kernel; at corpus scale the identical
+    * groupBy composes over [[ivfTopK]]'s candidate lists (the filter
+    * and vote live in the pair stream, not the index — same
+    * composition note as [[hardNegatives]]). */
+  private val KnnLabelK = 10
+
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    labelNoiseOf(graft.core.Spread(Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))), KnnLabelK)
+  }
+
+  /** [[labelNoise]] core over any `(vec_id, label, v)` frame — exposed
+    * so specs can drive planted-mislabel fixtures. */
+  def labelNoiseOf(vectors: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val n = vectors.withColumn("n2", dot(col("v"), col("v")))
+    val pairs = n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("neighbor_id"),
+        col("b.label").as("neighbor_label"), cosine().as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("neighbor_label") =!= col("label"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("disagree_ppm",
+        expr("n_disagree * 1000000 div n_neighbors"))
+      .withColumn("suspect", col("n_disagree") * 2 > col("n_neighbors"))
+  }
+
+  val labelNoiseOracle: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS n2
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id, a.label, b.label AS neighbor_label, b.vec_id AS neighbor_id,
+       |         $dotSql / sqrt(a.n2 * b.n2) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, label, neighbor_label,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p),
+       |g AS (
+       |  SELECT vec_id, label,
+       |         CAST(count(*) AS BIGINT) AS n_neighbors,
+       |         CAST(sum(CASE WHEN neighbor_label <> label THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+       |  FROM r WHERE rn <= $KnnLabelK GROUP BY 1, 2)
+       |SELECT vec_id, label, n_neighbors, n_disagree,
+       |       CAST(n_disagree * 1000000 // n_neighbors AS BIGINT) AS disagree_ppm,
+       |       n_disagree * 2 > n_neighbors AS suspect
+       |FROM g
+       |""".stripMargin
+
   // -------------------------------------------------------------- LSH (ANN)
   /** Sign-pattern bucket id of a vector against the fixed hyperplanes. */
   private def bucket(v: Column): Column =

@@ -202,6 +202,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)).distinct.length <= 32)
   }
 
+  test("labelNoise flags a planted mislabel, spares clean points") {
+    // two tight clusters of 8; one point in cluster A carries a wrong
+    // label — its whole neighborhood votes against it
+    def jitter(base: Array[Double], i: Int): Seq[Double] =
+      base.zipWithIndex.map { case (x, d) => x + 0.001 * ((i + d) % 3) }.toSeq
+    val a = Array(1.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 1.0, 0.0, 0.0)
+    val rows =
+      (0 until 8).map(i => (i.toLong, if (i == 3) 9 else 0, jitter(a, i))) ++
+      (8 until 16).map(i => (i.toLong, 1, jitter(b, i)))
+    val df = rows.toDF("vec_id", "label", "v")
+      .select(col("vec_id"), col("label"),
+        col("v").cast("array<double>").as("v"))
+    val out = ops.Similarity.labelNoiseOf(df, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(3L) === true)          // the planted mislabel
+    assert(out.count(_._2) === 1)     // and nothing else
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
