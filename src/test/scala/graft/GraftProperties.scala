@@ -451,4 +451,57 @@ object GraftProperties extends Properties("graft") {
       val want = dates.flatMap(d => (1 to rewrites).map(i => (i.toLong, d))).toSet
       got == want
     }
+
+  // Bloom prefilter is a plan optimization, never an answer change: for
+  // any corpus/batch (overlapping token soups, forced-collision filter
+  // sizing included), bloomClassify == the plain exact-probe semantics
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(1, 10).flatMap { n =>
+      Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0, 60)
+        words <- Gen.chooseNum(1, 4)
+        toks <- Gen.listOfN(words, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      } yield (id.toLong, toks.mkString(" ")))
+    }.map(_.distinctBy(_._1))
+
+  property("bloomClassify == exact probe for any corpus/batch") =
+    forAll(docGen, docGen, Gen.oneOf(1L, 1000000L)) { (corpus, batch, items) =>
+      val c = corpus.toDF("doc_id", "text")
+      val b = batch.map { case (id, t) => (id + 1000L, t) }.toDF("doc_id", "text")
+      val idx = graft.ops.IncrementalDedup.buildIndex(spark, c).fingerprints
+      val got = graft.ops.IncrementalDedup.bloomClassify(spark, b, idx, items)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // reference semantics recomputed directly on the driver
+      val norm = (t: String) => t.trim.toLowerCase.split("\\s+").mkString(" ")
+      val minDup = corpus.groupBy(d => norm(d._2))
+        .map { case (k, ds) => k -> ds.map(_._1).min }
+      val want = batch.map { case (id, t) =>
+        minDup.get(norm(t)) match {
+          case Some(d) => (id + 1000L, "exact_dup", d)
+          case None => (id + 1000L, "new", -1L)
+        }
+      }.toSet
+      got == want
+    }
+
+  // the preflight estimate is EXACT for equi-joins: est_total equals the
+  // real join's output count for any key multisets on either side
+  private val keysGen: Gen[List[Int]] =
+    Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 8)))
+
+  property("joinPreflight est_total == real equi-join cardinality") =
+    forAll(keysGen, keysGen) { (l, r) =>
+      val lf = l.toDF("k")
+      val rf = r.toDF("k")
+      val prof = graft.ops.Skew.joinPreflight(lf, "k", rf, "k", topK = 50)
+        .collect()
+      graft.core.Caches.release(spark)
+      val actual = lf.join(rf.withColumnRenamed("k", "k2"),
+        org.apache.spark.sql.functions.col("k") ===
+          org.apache.spark.sql.functions.col("k2")).count()
+      if (prof.isEmpty) actual == 0L
+      else prof.head.getAs[Long]("est_total") == actual
+    }
 }
