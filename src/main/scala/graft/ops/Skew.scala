@@ -173,6 +173,63 @@ object Skew {
       |FROM top
       |""".stripMargin
 
+  /** SHUFFLE-partition straggler PREFLIGHT — the partner of
+    * [[joinPreflight]] for aggregations: simulate hash-partitioning the
+    * key space over `partitions` reducers and report each reducer's key
+    * count, row load, and load-vs-average (×1000) — `load_x1000` ≫ 1000
+    * on one partition predicts the straggler that decides whether to
+    * salt ([[saltedAgg]]), raise the partition count, or let AQE split.
+    * The simulated placement uses the corpus-standard deterministic
+    * md5-60 hash (NOT the engine's internal hash) so the profile
+    * hash-matches any engine — the point is the load SHAPE under a
+    * uniform hash, which any good hash reproduces.
+    *
+    * Cost: one map-side-combinable key-count aggregate (key-cardinality
+    * output), one partition-count-sized regroup, a 1-row total broadcast
+    * back. Integer arithmetic throughout. */
+  def shufflePreflight(df: DataFrame, key: Column,
+                       partitions: Int): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val parts = counts
+      .withColumn("p", pmod(
+        hash60(concat(lit("shuf:"), col("key").cast("string"))),
+        lit(partitions.toLong)))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+    val tot = parts.agg(sum(col("n_rows")).as("total"))
+    parts.crossJoin(broadcast(tot))
+      .select(col("p").cast("int").as("partition"), col("n_keys"),
+        col("n_rows"),
+        expr("n_rows * 1000000 div total").as("load_ppm"),
+        expr(s"n_rows * $partitions * 1000 div total").as("load_x1000"))
+  }
+
+  private val PreflightPartitions = 32
+
+  /** Oracle-checked straggler preflight of a groupBy(user_id) shuffle of
+    * the event log across [[PreflightPartitions]] reducers. */
+  def shufflePreflightQuery(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    shufflePreflight(graft.core.Tables.events(spark, dir), col("user_id"),
+      PreflightPartitions)
+
+  val shufflePreflightOracle: String =
+    s"""WITH c AS (
+       |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |p AS (
+       |  SELECT CAST(CAST(('0x' || substr(md5('shuf:' || CAST(key AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % $PreflightPartitions AS p,
+       |         CAST(count(*) AS BIGINT) AS n_keys,
+       |         CAST(sum(n) AS BIGINT) AS n_rows
+       |  FROM c GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM p)
+       |SELECT CAST(p AS INT) AS partition, n_keys, n_rows,
+       |       CAST(n_rows * 1000000 // total AS BIGINT) AS load_ppm,
+       |       CAST(n_rows * $PreflightPartitions * 1000 // total AS BIGINT) AS load_x1000
+       |FROM p CROSS JOIN t
+       |""".stripMargin
+
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
                 partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
     val saltCol = "__salt"

@@ -221,6 +221,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.count(_._2) === 1)     // and nothing else
   }
 
+  test("shufflePreflight conserves totals and exposes a planted hot key") {
+    // 900 rows of one hot key + 100 singleton keys across 32 partitions
+    val df = ((0 until 900).map(_ => 7777L) ++ (1L to 100L)).toDF("k")
+    val rows = ops.Skew.shufflePreflight(df, col("k"), 32)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._3).sum === 1000L)          // every row lands somewhere
+    assert(rows.map(_._2).sum === 101L)           // every key lands once
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 32))
+    // the hot key's partition carries >=90% of the load: load_x1000 is
+    // rows*32*1000/total >= 0.9*32000
+    assert(rows.map(_._5).max >= 28000L)
+    // and the profile is deterministic across runs
+    val again = ops.Skew.shufflePreflight(df, col("k"), 32)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(again === rows.map(r => (r._1, r._3)).toSet)
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
