@@ -211,6 +211,47 @@ class PlanGuardSpec extends SparkSpec {
     graft.core.Caches.release(spark)
   }
 
+  test("bloom probe: map-side might_contain prefilter, confirm join broadcast") {
+    val p = plan(graft.ops.IncrementalDedup.bloomQuery(spark, sf))
+    // the prefilter is IN the plan (a projection-level filter, pre-join)
+    assert(p.contains("might_contain"), "bloom prefilter must be planned")
+    // candidates broadcast into the CONFIRM join (on exact_fp) -- the
+    // index never enters a shuffle join there; the final doc_id left
+    // join against the batch is batch-grain and may legitimately SMJ
+    assert(p.contains("BroadcastHashJoin [exact_fp"),
+      "confirm join must broadcast the candidates")
+    assert(!p.contains("SortMergeJoin [exact_fp"),
+      "index side must not sort-merge-shuffle on the fingerprint")
+  }
+
+  test("acf: one day-grain rollup, lag align is a broadcast join") {
+    val df = graft.ops.TimeSeries.acf(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "calendar-bounded side must broadcast")
+    graft.core.Caches.release(spark)
+  }
+
+  test("lengthMatch: dimension joins broadcast, no row-grain join shuffle") {
+    val p = plan(graft.ops.Sampling.lengthMatch(spark, sf))
+    // source/bucket dimensions and the quota table broadcast onto the
+    // doc-grain scans; the only tolerated SMJ is the cell-grain
+    // quota<->kept reconciliation (source x 10 rows), never a join
+    // keyed on doc_id
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "dimension/quota joins must broadcast")
+    assert(!p.contains("SortMergeJoin [doc_id"),
+      "no doc-grain sort-merge join")
+  }
+
+  test("quantile normalization: both rank passes are range partitionings") {
+    val df = graft.ops.TextAnalysis.qualityQuantileNorm(spark, sf)
+    val p = plan(df)
+    assert("rangepartitioning".r.findAllIn(p).length >= 2,
+      "both globalRank passes must range-partition (no global window sort)")
+    graft.core.Caches.release(spark)
+  }
+
   test("NO query in the full registry plans ANY single-partition window") {
     // the scale-killer class: row_number()/sum() OVER (ORDER BY ...) with
     // no PARTITION BY pulls every row through one task (and WARNs on
