@@ -240,6 +240,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(again === rows.map(r => (r._1, r._3)).toSet)
   }
 
+  test("entity resolution: transitive chain clusters, longest name survives") {
+    // n1-n2 and n2-n3 are within distance 2, n1-n3 only transitively;
+    // all share the (first2, last2) block. n10 is an unrelated singleton.
+    val recs = Seq(
+      (1L, "mnop qrstu"),   // longest -> canonical
+      (2L, "mnp qrstu"),
+      (3L, "mn qrstu"),
+      (10L, "beta gamma"))
+      .toDF("record_id", "name")
+    val out = ops.EntityResolution.resolve(recs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    core.Caches.release(spark)
+    val byId = out.map(t => t._1 -> t).toMap
+    // the chain collapses to one entity labeled by the minimum id
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).forall(id => byId(id)._3 == "mnop qrstu"))
+    assert(byId(1L)._4 === 3L)
+    // the unrelated record stays its own entity
+    assert(byId(10L)._2 === 10L && byId(10L)._4 === 1L)
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
