@@ -188,4 +188,229 @@ object ImageCodec {
     }
     out
   }
+
+  // ------------------------------------------------- pixel-level layer
+
+  /** Decoded raster: row-major RGB, 3 bytes per pixel, top-down. */
+  final case class ImagePixels(format: String, width: Int, height: Int,
+                               rgb: Array[Byte])
+
+  /** Write a real truecolor-8 PNG with per-pixel content:
+    * `px(x, y) -> 0xRRGGBB`. Same container layout as [[writePng]]
+    * (filter-0 rows, one zlib IDAT). */
+  def writePngPixels(width: Int, height: Int,
+                     px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = 1 + 3 * width
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val o = y * stride
+      raw(o) = 0 // filter: None
+      var x = 0
+      while (x < width) {
+        val c = px(x, y)
+        raw(o + 1 + 3 * x) = (c >>> 16).toByte
+        raw(o + 2 + 3 * x) = (c >>> 8).toByte
+        raw(o + 3 + 3 * x) = c.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32Bytes(width) ++ be32Bytes(height) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Write a real 24-bit BMP with per-pixel content — rows stored
+    * BOTTOM-UP per the positive-height BMP contract (the solid-color
+    * [[writeBmp]] is row-order-invariant, pattern content is not). */
+  def writeBmpPixels(width: Int, height: Int,
+                     px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowBytes = (3 * width + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val out = new Array[Byte](54 + dataSize)
+    def putLe32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, 54 + dataSize); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+    out(26) = 1; out(28) = 24
+    putLe32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      val o = 54 + (height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        val c = px(x, y)
+        out(o + 3 * x) = c.toByte            // B
+        out(o + 3 * x + 1) = (c >>> 8).toByte  // G
+        out(o + 3 * x + 2) = (c >>> 16).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL pixel decode — the full raster, not just the header — for the
+    * two containers whose pixel layers need no external codec library:
+    * truecolor-8 PNG (zlib inflate via `java.util.zip` + all five row
+    * filters reversed, IDAT chunks concatenated) and 24-bit
+    * uncompressed BMP (bottom-up padded rows, BGR→RGB). Returns None
+    * for other formats/corrupt payloads — callers route those to the
+    * rejects side-channel, same contract as [[decode]]. */
+  def decodePixels(bytes: Array[Byte]): Option[ImagePixels] =
+    try {
+      if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig))
+        decodePngPixels(bytes)
+      else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M')
+        decodeBmpPixels(bytes)
+      else None
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: java.util.zip.DataFormatException => None
+    }
+
+  private def decodePngPixels(b: Array[Byte]): Option[ImagePixels] = {
+    if (be32(b, 8) != 13 ||
+        !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+      return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || u8(b, 24) != 8 || u8(b, 25) != 2) return None
+    // walk chunks, concatenating every IDAT (encoders may split them)
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = be32(b, p)
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(b, p + 8, len)
+      if (typ == "IEND") done = true
+      p += 12 + len // length + type + data + crc
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var off = 0
+    while (!inflater.finished() && off < raw.length) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      if (n == 0 && inflater.needsInput()) return None // truncated
+      off += n
+    }
+    inflater.end()
+    if (off != raw.length) return None
+    // reverse the per-row filters (spec §9: None/Sub/Up/Average/Paeth);
+    // bpp = 3 for truecolor-8
+    val out = new Array[Byte](h * stride)
+    def paeth(a: Int, bb: Int, c: Int): Int = {
+      val pp = a + bb - c
+      val pa = math.abs(pp - a); val pb = math.abs(pp - bb)
+      val pc = math.abs(pp - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+    }
+    var y = 0
+    while (y < h) {
+      val filter = u8(raw, y * (1 + stride))
+      val ro = y * (1 + stride) + 1
+      val oo = y * stride
+      var i = 0
+      while (i < stride) {
+        val x = u8(raw, ro + i)
+        val left = if (i >= 3) u8(out, oo + i - 3) else 0
+        val up = if (y > 0) u8(out, oo - stride + i) else 0
+        val ul = if (y > 0 && i >= 3) u8(out, oo - stride + i - 3) else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + ((left + up) >> 1)
+          case 4 => x + paeth(left, up, ul)
+          case _ => return None
+        }
+        out(oo + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(ImagePixels("png", w, h, out))
+  }
+
+  private def decodeBmpPixels(b: Array[Byte]): Option[ImagePixels] = {
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18); val h = le32(b, 22)
+    if (w <= 0 || h <= 0 || le16(b, 28) != 24) return None
+    val rowBytes = (3 * w + 3) / 4 * 4
+    if (dataOff + rowBytes * h > b.length) return None
+    val out = new Array[Byte](h * 3 * w)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        out((y * w + x) * 3) = b(src + 3 * x + 2)     // R
+        out((y * w + x) * 3 + 1) = b(src + 3 * x + 1) // G
+        out((y * w + x) * 3 + 2) = b(src + 3 * x)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImagePixels("bmp", w, h, out))
+  }
+
+  // ------------------------------------------------- perceptual hash
+
+  /** 9×8 unit-space point-sampled grayscale grid (72 ints): sample
+    * (i, j) reads the pixel containing unit point
+    * `((i+0.5)/9, (j+0.5)/8)`, grayscaled by the integer ITU weights
+    * `(299r + 587g + 114b) / 1000`. Point sampling in UNIT coordinates
+    * is what makes the grid RESOLUTION-INVARIANT for content defined on
+    * a coarse cell grid: the same image rendered at k× the size samples
+    * the same cells, so re-encoded/rescaled duplicates collide. */
+  def sampleGrid9x8(p: ImagePixels): Array[Int] = {
+    val g = new Array[Int](72)
+    var j = 0
+    while (j < 8) {
+      val py = (j * 2 + 1) * p.height / 16 // floor(((j+0.5)/8) * h)
+      var i = 0
+      while (i < 9) {
+        val pxi = (i * 2 + 1) * p.width / 18
+        val o = (py * p.width + pxi) * 3
+        g(j * 9 + i) = ((p.rgb(o) & 0xff) * 299 + (p.rgb(o + 1) & 0xff) * 587 +
+          (p.rgb(o + 2) & 0xff) * 114) / 1000
+        i += 1
+      }
+      j += 1
+    }
+    g
+  }
+
+  /** Difference hash over the 9×8 grid: bit (j·8+i) set iff
+    * `grid(j,i+1) > grid(j,i)` — 64 bits of horizontal gradient sign,
+    * the classic dHash. */
+  def dHash64(grid: Array[Int]): Long = {
+    var h = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (grid(j * 9 + i + 1) > grid(j * 9 + i))
+          h |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    h
+  }
 }

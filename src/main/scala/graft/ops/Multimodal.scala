@@ -352,4 +352,96 @@ object Multimodal {
       |       upper(hex(substr(text, 1, 8))) AS head_hex
       |FROM documents
       |""".stripMargin
+
+  // --------------------------------------------- perceptual image dedup
+
+  /** Twin-image ids live above this offset. */
+  private val TwinSpace = 1000000000L
+
+  /** Per-cell grayscale of the 3×3 id-pattern: cell k carries the k-th
+    * nibble of the id, scaled into [8, 248] — INJECTIVE on ids < 2³⁶, so
+    * two different ids can never produce the same sampled grid (the
+    * guarantee the oracle's "twins and nothing else" prediction rests
+    * on). Gray in all three channels makes the ITU grayscale exact. */
+  private def cellGray(id: Long, k: Int): Int =
+    ((id >> (4 * k)) & 15L).toInt * 16 + 8
+
+  private def patternPx(id: Long, w: Int, h: Int)(x: Int, y: Int): Int = {
+    val g = cellGray(id, (y / (h / 3)) * 3 + (x / (w / 3)))
+    (g << 16) | (g << 8) | g
+  }
+
+  /** Synthesize, per document, a REAL rendered pattern image and its
+    * RE-ENCODED twin: same logical content, 2× the resolution, the
+    * OTHER container (PNG↔BMP) — the duplicate class byte-level hashing
+    * can never catch (different bytes, different length, different
+    * format). Render sizes are multiples of 3 so the 3×3 content cells
+    * align to pixel boundaries at every scale. */
+  def imageVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base =
+            if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
+            else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          val twin =
+            if (id % 2 == 0)
+              writeBmpPixels(2 * w0, 2 * h0, patternPx(id, 2 * w0, 2 * h0))
+            else writePngPixels(2 * w0, 2 * h0, patternPx(id, 2 * w0, 2 * h0))
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** PERCEPTUAL image dedup over real container bytes: full pixel
+    * decode ([[graft.functions.ImageCodec.decodePixels]] — zlib
+    * inflate + PNG row unfilter, BMP bottom-up rows), the
+    * resolution-invariant 9×8 point-sampled grayscale grid, and the
+    * 64-bit dHash. Candidates collide on the dHash equi-join key and
+    * VERIFY on the full grid (the LSH nominate-then-verify discipline —
+    * dHash alone loses information, the grid compare restores
+    * exactness), so the output is precisely the set of
+    * perceptually-identical pairs: each image and its re-encoded
+    * rescaled twin, which the oracle predicts by formula. Near-dup (small
+    * Hamming distance) generalizes by banding the 64 bits with the
+    * [[graft.ops.Dedup]] SimHash machinery; the scan-side cost is one
+    * decode per image, hash-grain shuffle only. */
+  def imageNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.ImageCodec
+    val rasters = imageVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          ImageCodec.decodePixels(bytes).map { p =>
+            val grid = ImageCodec.sampleGrid9x8(p)
+            (id, p.format, p.width, grid.toSeq, ImageCodec.dHash64(grid))
+          }
+        }
+      }
+      .toDF("doc_id", "format", "w", "grid", "dhash")
+      .trackPersist() // both sides of the candidate self-join
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.grid") === col("b.grid"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.format").as("format_a"), col("b.format").as("format_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imageNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
 }

@@ -486,6 +486,25 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  // pixel-level codec law: writePngPixels/writeBmpPixels → decodePixels
+  // reproduces the exact raster for any dims and content
+  property("pixel codecs round-trip arbitrary rasters (png + bmp)") =
+    forAll(Gen.chooseNum(1, 24), Gen.chooseNum(1, 24), Gen.long) { (w, h, seed) =>
+      import graft.functions.ImageCodec
+      val rng = new scala.util.Random(seed)
+      val px = Array.fill(h, w)(rng.nextInt(1 << 24))
+      def f(x: Int, y: Int): Int = px(y)(x)
+      def rgbOf(x: Int, y: Int, c: Int): Int = (px(y)(x) >>> (16 - 8 * c)) & 0xff
+      Seq(ImageCodec.writePngPixels(w, h, f), ImageCodec.writeBmpPixels(w, h, f))
+        .forall { bytes =>
+          val d = ImageCodec.decodePixels(bytes).get
+          d.width == w && d.height == h &&
+            (0 until h * w * 3).forall { i =>
+              (d.rgb(i) & 0xff) == rgbOf(i / 3 % w, i / 3 / w, i % 3)
+            }
+        }
+    }
+
   // the preflight estimate is EXACT for equi-joins: est_total equals the
   // real join's output count for any key multisets on either side
   private val keysGen: Gen[List[Int]] =

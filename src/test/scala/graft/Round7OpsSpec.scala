@@ -263,6 +263,86 @@ class Round7OpsSpec extends SparkSpec {
     assert(byId(10L)._2 === 10L && byId(10L)._4 === 1L)
   }
 
+  test("png decoder reverses all five row filters") {
+    import graft.functions.ImageCodec
+    // reference raster from the filter-0 writer; then re-encode the same
+    // raster with each PNG filter type applied to every row and assert
+    // the decoder reproduces it
+    val (w, h) = (7, 5)
+    def f(x: Int, y: Int): Int = ((x * 37 + y * 91) % 256) * 0x010101 + x
+    val ref = ImageCodec.decodePixels(ImageCodec.writePngPixels(w, h, f)).get
+    val stride = 3 * w
+    for (filter <- 1 to 4) {
+      val raw = new Array[Byte](h * (1 + stride))
+      def out(y: Int, i: Int): Int = ref.rgb(y * stride + i) & 0xff
+      for (y <- 0 until h) {
+        raw(y * (1 + stride)) = filter.toByte
+        for (i <- 0 until stride) {
+          val x = out(y, i)
+          val left = if (i >= 3) out(y, i - 3) else 0
+          val up = if (y > 0) out(y - 1, i) else 0
+          val ul = if (y > 0 && i >= 3) out(y - 1, i - 3) else 0
+          val paeth = {
+            val p = left + up - ul
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          val enc = filter match {
+            case 1 => x - left
+            case 2 => x - up
+            case 3 => x - ((left + up) >> 1)
+            case 4 => x - paeth
+          }
+          raw(y * (1 + stride) + 1 + i) = enc.toByte
+        }
+      }
+      // wrap the filtered scanlines in a real container by splicing the
+      // deflated body into the writer's framing
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+      val plain = ImageCodec.writePngPixels(w, h, f)
+      // rebuild: signature + IHDR (8..33) + our IDAT chunk + IEND; CRCs
+      // are not validated by the decoder (content equality is the check)
+      val idatData = bos.toByteArray
+      val lenBytes = java.nio.ByteBuffer.allocate(4).putInt(idatData.length).array()
+      val idat = lenBytes ++ "IDAT".getBytes ++ idatData ++ Array[Byte](0, 0, 0, 0)
+      val iend = Array[Byte](0, 0, 0, 0) ++ "IEND".getBytes ++ Array[Byte](0, 0, 0, 0)
+      val png = plain.take(33) ++ idat ++ iend
+      val got = ImageCodec.decodePixels(png)
+      assert(got.isDefined, s"filter $filter failed to decode")
+      assert(got.get.rgb.toSeq === ref.rgb.toSeq, s"filter $filter wrong pixels")
+    }
+  }
+
+  test("perceptual grid is resolution-invariant for cell-aligned content") {
+    import graft.functions.ImageCodec
+    def img(id: Long, scale: Int) = {
+      val w = (9 + 3 * (id % 4).toInt) * scale
+      val h = (9 + 3 * (id % 3).toInt) * scale
+      def g(x: Int, y: Int): Int = {
+        val v = (((id >> (4 * ((y / (h / 3)) * 3 + x / (w / 3)))) & 15L)
+          .toInt * 16 + 8)
+        v * 0x010101
+      }
+      ImageCodec.decodePixels(ImageCodec.writePngPixels(w, h, g)).get
+    }
+    for (id <- Seq(1L, 7L, 42L, 999L)) {
+      val g1 = ImageCodec.sampleGrid9x8(img(id, 1))
+      val g2 = ImageCodec.sampleGrid9x8(img(id, 2))
+      val g5 = ImageCodec.sampleGrid9x8(img(id, 5))
+      assert(g1.toSeq === g2.toSeq)
+      assert(g1.toSeq === g5.toSeq)
+      assert(ImageCodec.dHash64(g1) === ImageCodec.dHash64(g2))
+    }
+    // distinct ids produce distinct grids (the oracle's uniqueness claim)
+    assert(ImageCodec.sampleGrid9x8(img(1L, 1)).toSeq !==
+      ImageCodec.sampleGrid9x8(img(2L, 1)).toSeq)
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
