@@ -91,4 +91,74 @@ object AudioCodec {
     }
     out
   }
+
+  // ------------------------------------------------ sample-level layer
+
+  /** Decoded PCM stream: interleaved frame-major 16-bit samples. */
+  final case class AudioSamples(sampleRate: Int, channels: Int,
+                                samples: Array[Short])
+
+  /** REAL sample decode for 16-bit PCM WAV: the same hardened RIFF walk
+    * as [[decode]], plus the little-endian sample payload itself. */
+  def decodeSamples(b: Array[Byte]): Option[AudioSamples] =
+    try {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12L
+      var rate = 0; var ch = 0; var bits = 0
+      var dataAt = -1; var dataLen = -1L
+      while (i + 8 <= b.length) {
+        val at = i.toInt
+        val id = tag(b, at); val size = le32(b, at + 4).toLong & 0xffffffffL
+        id match {
+          case "fmt " =>
+            if (le16(b, at + 8) != 1) return None
+            ch = le16(b, at + 10); rate = le32(b, at + 12); bits = le16(b, at + 22)
+          case "data" =>
+            dataAt = at + 8
+            dataLen = math.min(size, (b.length - i - 8).toLong)
+          case _ => ()
+        }
+        i += 8L + size + (size & 1L)
+      }
+      if (rate <= 0 || ch <= 0 || bits != 16 || dataAt < 0 || dataLen < 0)
+        return None
+      val n = (dataLen / 2L).toInt
+      val out = new Array[Short](n)
+      var s = 0
+      while (s < n) {
+        out(s) = le16(b, dataAt + 2 * s).toShort
+        s += 1
+      }
+      Some(AudioSamples(rate, ch, out))
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** 8-window mean-absolute-amplitude profile in UNIT TIME: window w
+    * sums |sample| over the frames in `[w·n/8, (w+1)·n/8)` across ALL
+    * channels. Channel-summing makes a mono→stereo re-layout scale the
+    * whole profile uniformly (×2), and a uniform gain change scales it
+    * too — both erased by [[normalizeProfile]]. */
+  def energyProfile8(a: AudioSamples): Array[Long] = {
+    val frames = a.samples.length / a.channels
+    val e = new Array[Long](8)
+    var f = 0
+    while (f < frames) {
+      val w = (f.toLong * 8 / frames).toInt
+      var c = 0
+      while (c < a.channels) {
+        e(w) += math.abs(a.samples(f * a.channels + c).toLong)
+        c += 1
+      }
+      f += 1
+    }
+    e
+  }
+
+  /** Scale-invariant integer normalization: `p_w = e_w·10⁶ div max(e)`.
+    * Exactly invariant under any uniform rational rescale of the profile
+    * (floor((k·e)·10⁶ / (k·m)) = floor(e·10⁶ / m)); all-silence → all
+    * zeros. */
+  def normalizeProfile(e: Array[Long]): Array[Long] = {
+    val m = e.max
+    if (m == 0L) new Array[Long](8) else e.map(x => x * 1000000L / m)
+  }
 }

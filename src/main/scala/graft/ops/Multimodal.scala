@@ -435,6 +435,80 @@ object Multimodal {
         col("a.w").as("w_a"), col("b.w").as("w_b"))
   }
 
+  // --------------------------------------------- perceptual audio dedup
+
+  /** Window amplitude of the id-pattern stream: window 0 is a constant
+    * PILOT (the profile's fixed maximum, which pins the normalization
+    * denominator), windows 1–7 carry id nibbles scaled ×4 — even, so the
+    * half-gain twin divides exactly — making the normalized profile
+    * injective on ids < 2²⁸. */
+  private def audioNibbleAmp(id: Long, w: Int): Int =
+    if (w == 0) 64 else (((id >> (4 * (w - 1))) & 15L).toInt + 1) * 4
+
+  /** Per document, a REAL mono PCM WAV with the 8-window id pattern and
+    * its re-mastered twin: STEREO layout at HALF the gain — different
+    * bytes, different byte length, different channel count; identical
+    * perceptual content. */
+  def audioVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val frames = 8 * ((id % 6).toInt + 2)
+          def amp(s: Int): Int =
+            audioNibbleAmp(id, (s.toLong * 8 / frames).toInt)
+          def signed(s: Int, a: Int): Short =
+            (if (s % 2 == 0) a else -a).toShort
+          val base = graft.functions.AudioCodec.writeWav(8000, 1, frames,
+            (s, _) => signed(s, amp(s)))
+          val twin = graft.functions.AudioCodec.writeWav(8000, 2, frames,
+            (s, _) => signed(s, amp(s) / 2))
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** PERCEPTUAL audio dedup over real WAV bytes: full PCM sample decode
+    * ([[graft.functions.AudioCodec.decodeSamples]]), the unit-time
+    * 8-window energy profile, and the scale-invariant integer
+    * normalization — gain changes and mono↔stereo re-layouts both
+    * scale the raw profile uniformly and cancel in the normalization,
+    * so a re-mastered copy collides with its original while byte-level
+    * hashing sees two unrelated blobs. Candidates equi-join on a
+    * deterministic fold of the normalized profile and VERIFY on the
+    * full profile (nominate-then-verify); the oracle predicts exactly
+    * the twin pairs by formula. */
+  def audioNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.AudioCodec
+    val profiles = audioVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          AudioCodec.decodeSamples(bytes).map { s =>
+            val p = AudioCodec.normalizeProfile(AudioCodec.energyProfile8(s))
+            val fp = p.foldLeft(1125899906842597L)((h, x) => h * 31 + x)
+            (id, s.channels, p.toSeq, fp)
+          }
+        }
+      }
+      .toDF("doc_id", "channels", "profile", "fp")
+      .trackPersist() // both sides of the candidate self-join
+    profiles.as("a").join(profiles.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.profile") === col("b.profile"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.channels").as("channels_a"), col("b.channels").as("channels_b"))
+  }
+
+  val audioNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b,
+       |       1 AS channels_a, 2 AS channels_b
+       |FROM documents
+       |""".stripMargin
+
   val imageNearDupOracle: String =
     s"""SELECT doc_id AS doc_a,
        |       doc_id + $TwinSpace AS doc_b,

@@ -505,6 +505,31 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  // sample-level audio law: writeWav -> decodeSamples reproduces the
+  // exact PCM stream, and the normalized energy profile is invariant
+  // under exact gain halving and mono->stereo duplication
+  property("wav sample decode round-trips; profile gain/layout invariant") =
+    forAll(Gen.chooseNum(1, 3), Gen.chooseNum(8, 64), Gen.long) { (ch, n, seed) =>
+      import graft.functions.AudioCodec
+      val rng = new scala.util.Random(seed)
+      // even amplitudes so the half-gain variant divides exactly
+      val pcm = Array.fill(n, ch)((rng.nextInt(8192) - 4096) * 2)
+      val bytes = AudioCodec.writeWav(8000, ch, n, (s, c) => pcm(s)(c).toShort)
+      val got = AudioCodec.decodeSamples(bytes).get
+      val roundTrip = got.channels == ch && got.sampleRate == 8000 &&
+        got.samples.length == n * ch &&
+        (0 until n * ch).forall(i => got.samples(i) == pcm(i / ch)(i % ch))
+      val p0 = AudioCodec.normalizeProfile(AudioCodec.energyProfile8(got))
+      val half = AudioCodec.decodeSamples(
+        AudioCodec.writeWav(8000, ch, n, (s, c) => (pcm(s)(c) / 2).toShort)).get
+      val wide = AudioCodec.decodeSamples(
+        AudioCodec.writeWav(8000, 2 * ch, n,
+          (s, c) => pcm(s)(c % ch).toShort)).get
+      val pHalf = AudioCodec.normalizeProfile(AudioCodec.energyProfile8(half))
+      val pWide = AudioCodec.normalizeProfile(AudioCodec.energyProfile8(wide))
+      roundTrip && p0.sameElements(pHalf) && p0.sameElements(pWide)
+    }
+
   // the preflight estimate is EXACT for equi-joins: est_total equals the
   // real join's output count for any key multisets on either side
   private val keysGen: Gen[List[Int]] =
