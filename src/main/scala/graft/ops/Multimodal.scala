@@ -509,6 +509,85 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  // --------------------------------------------- perceptual video dedup
+
+  /** Per document, a REAL AVI whose frames are real rendered images
+    * (PNG or BMP pattern frames — frame t's pattern id is `id·4 + t`,
+    * injective jointly in (id, t) below 2³⁶ so frame-grid SEQUENCES are
+    * unique per video), plus its re-encoded twin: same frames at 2× the
+    * resolution in the OTHER image container. */
+  def videoVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val k = (id % 3).toInt + 2
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          def framesAt(scale: Int, png: Boolean): Seq[Array[Byte]] =
+            (0 until k).map { t =>
+              val fid = id * 4 + t
+              val (w, h) = (w0 * scale, h0 * scale)
+              if (png) writePngPixels(w, h, patternPx(fid, w, h))
+              else writeBmpPixels(w, h, patternPx(fid, w, h))
+            }
+          val base = graft.functions.VideoCodec.writeAvi(w0, h0, 40000,
+            framesAt(1, png = id % 2 == 0))
+          val twin = graft.functions.VideoCodec.writeAvi(2 * w0, 2 * h0, 40000,
+            framesAt(2, png = id % 2 != 0))
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** PERCEPTUAL video dedup: real AVI chunk walk → per-frame REAL pixel
+    * decode → per-frame resolution-invariant 9×8 grids, concatenated in
+    * frame order into the video's perceptual signature. A re-encoded
+    * copy (different resolution AND different frame container) collides
+    * with its original; byte hashing sees nothing. Same
+    * nominate-then-verify shape as the image/audio twins: equi-join on
+    * a deterministic fold, verify on the full grid sequence. */
+  def videoNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.{ImageCodec, VideoCodec}
+    val sigs = videoVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          VideoCodec.decodeMeta(bytes).flatMap { meta =>
+            val grids = VideoCodec.frames(bytes)
+              .flatMap(f => ImageCodec.decodePixels(f))
+              .map(ImageCodec.sampleGrid9x8)
+            if (grids.isEmpty) None
+            else {
+              val sig = grids.flatten.toSeq
+              val fp = sig.foldLeft(1125899906842597L)((h, x) => h * 31 + x)
+              Some((id, grids.length, meta.width, sig, fp))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "w", "sig", "fp")
+      .trackPersist() // both sides of the candidate self-join
+    sigs.as("a").join(sigs.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_frames").as("n_frames"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val videoNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b,
+       |       CAST(doc_id % 3 + 2 AS INT) AS n_frames,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   val imageNearDupOracle: String =
     s"""SELECT doc_id AS doc_a,
        |       doc_id + $TwinSpace AS doc_b,
