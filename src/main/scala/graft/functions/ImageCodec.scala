@@ -396,6 +396,57 @@ object ImageCodec {
     g
   }
 
+  // ------------------------------------------------- metadata scrubbing
+
+  /** Chunk types of a PNG, in file order. */
+  def pngChunkTypes(b: Array[Byte]): Seq[String] = {
+    if (!(b.length >= 8 && b.take(8).sameElements(PngSig))) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = be32(b, p)
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      out += typ
+      if (typ == "IEND") done = true
+      p += 12 + len
+    }
+    out.toSeq
+  }
+
+  /** Splice a `tEXt` metadata chunk (key + NUL + value, per the PNG
+    * spec) immediately after IHDR — how EXIF-era tooling embeds
+    * author/GPS/comment payloads. */
+  def withTextChunk(png: Array[Byte], key: String, value: String): Array[Byte] = {
+    val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      value.getBytes("ISO-8859-1")
+    val at = 8 + 12 + 13 // signature + IHDR chunk (len+type+13+crc)
+    png.take(at) ++ chunk("tEXt", data) ++ png.drop(at)
+  }
+
+  /** METADATA SCRUB: re-emit the PNG keeping only the chunks the pixels
+    * need (IHDR, PLTE, tRNS, IDAT, IEND) — drops tEXt/zTXt/iTXt/eXIf/
+    * tIME and every other ancillary chunk, the byte-level privacy pass a
+    * media corpus runs before publication (author names, GPS tags,
+    * toolchain fingerprints all live in ancillary chunks). The pixel
+    * stream is untouched by construction. Returns None for non-PNG. */
+  def stripAncillary(b: Array[Byte]): Option[Array[Byte]] = {
+    if (!(b.length >= 8 && b.take(8).sameElements(PngSig))) return None
+    val keep = Set("IHDR", "PLTE", "tRNS", "IDAT", "IEND")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b, 0, 8)
+    var p = 8
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = be32(b, p)
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      if (keep(typ)) out.write(b, p, 12 + len)
+      if (typ == "IEND") done = true
+      p += 12 + len
+    }
+    Some(out.toByteArray)
+  }
+
   /** Difference hash over the 9×8 grid: bit (j·8+i) set iff
     * `grid(j,i+1) > grid(j,i)` — 64 bits of horizontal gradient sign,
     * the classic dHash. */

@@ -588,6 +588,50 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  // ----------------------------------------------- image metadata scrub
+
+  /** IMAGE METADATA SCRUB, end to end at the byte level: every document
+    * gets a real PNG with a real `tEXt` chunk carrying simulated PII
+    * (`user<id>@example.com` under the `auth` key — the shape
+    * author/GPS/toolchain tags take in the wild), and the scrub
+    * re-emits the container keeping only pixel-bearing chunks. The
+    * oracle predicts the chunk counts and the exact byte shrinkage by
+    * formula; `pixels_intact` re-decodes both payloads and compares the
+    * full rasters — the scrub must never touch the image itself. */
+  def imageScrubQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageCodec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base = ImageCodec.writePngPixels(w0, h0, patternPx(id, w0, h0))
+          val tagged = ImageCodec.withTextChunk(base, "auth",
+            s"user$id@example.com")
+          val scrubbed = ImageCodec.stripAncillary(tagged).get
+          val intact = java.util.Arrays.equals(
+            ImageCodec.decodePixels(tagged).get.rgb,
+            ImageCodec.decodePixels(scrubbed).get.rgb)
+          (id, ImageCodec.pngChunkTypes(tagged).length,
+            ImageCodec.pngChunkTypes(scrubbed).length,
+            (tagged.length - scrubbed.length).toLong, intact)
+        }
+      }
+      .toDF("doc_id", "chunks_before", "chunks_after", "removed_bytes",
+        "pixels_intact")
+  }
+
+  /** tEXt chunk = 12 bytes of framing + "auth" + NUL +
+    * "user<id>@example.com" ⇒ 33 + digits(id) bytes removed. */
+  val imageScrubOracle: String =
+    """SELECT doc_id,
+      |       4 AS chunks_before, 3 AS chunks_after,
+      |       CAST(33 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS removed_bytes,
+      |       TRUE AS pixels_intact
+      |FROM documents
+      |""".stripMargin
+
   val imageNearDupOracle: String =
     s"""SELECT doc_id AS doc_a,
        |       doc_id + $TwinSpace AS doc_b,

@@ -343,6 +343,42 @@ class Round7OpsSpec extends SparkSpec {
       ImageCodec.sampleGrid9x8(img(2L, 1)).toSeq)
   }
 
+  test("png metadata scrub: drops every ancillary chunk, idempotent") {
+    import graft.functions.ImageCodec
+    val base = ImageCodec.writePngPixels(9, 9, (x, y) => x * 29 + y)
+    val tagged = ImageCodec.withTextChunk(
+      ImageCodec.withTextChunk(base, "gps", "51.5,-0.1"), "auth", "someone")
+    assert(ImageCodec.pngChunkTypes(tagged) ===
+      Seq("IHDR", "tEXt", "tEXt", "IDAT", "IEND"))
+    val scrubbed = ImageCodec.stripAncillary(tagged).get
+    assert(ImageCodec.pngChunkTypes(scrubbed) === Seq("IHDR", "IDAT", "IEND"))
+    // pixels untouched, and scrubbing a clean file is the identity
+    assert(ImageCodec.decodePixels(scrubbed).get.rgb.toSeq ===
+      ImageCodec.decodePixels(base).get.rgb.toSeq)
+    assert(ImageCodec.stripAncillary(scrubbed).get.toSeq === scrubbed.toSeq)
+    assert(ImageCodec.stripAncillary("nope".getBytes).isEmpty)
+  }
+
+  test("zip extraction round-trips entry names, sizes, and hashes") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val entries = Seq("a.txt" -> "hello", "b/c.txt" -> "world world")
+    entries.foreach { case (n, c) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val got = Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
+      .map { e =>
+        val b = new Array[Byte](64)
+        val n = zis.read(b)
+        e.getName -> new String(b, 0, n, "UTF-8")
+      }.toList
+    assert(got === entries.toList)
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
