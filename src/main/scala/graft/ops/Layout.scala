@@ -153,4 +153,41 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(destPath)
     files.toLong
   }
+
+  /** ROW-GROUP AUDIT: read the parquet FOOTERS of a dataset (no data
+    * pages touched) and emit one row per row group — file, ordinal, row
+    * count, compressed/uncompressed byte size. The layout-governance
+    * readout behind [[compactionPlan]]'s sizing decisions and the
+    * `maxPartitionBytes` tuning at 100 TB: a table whose row groups are
+    * 4 MB needs compaction before scan parallelism means anything, one
+    * whose groups are 2 GB can't split. Footers are read in TASKS (one
+    * per file partition), so a million-file lake audits in parallel;
+    * driver traffic is the audit rows, not the footers. */
+  def rowGroups(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(path).inputFiles.toSeq
+    spark.createDataset(files)
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { fs =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        fs.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+              case (b, i) =>
+                val name = f.substring(f.lastIndexOf('/') + 1)
+                val chunks = b.getColumns.asScala
+                (name, i, b.getRowCount,
+                  chunks.map(_.getTotalSize).sum,
+                  chunks.map(_.getTotalUncompressedSize).sum)
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("file", "row_group_id", "num_rows", "compressed_bytes",
+        "uncompressed_bytes")
+  }
 }

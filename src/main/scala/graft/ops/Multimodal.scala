@@ -411,11 +411,13 @@ object Multimodal {
     * Hamming distance) generalizes by banding the 64 bits with the
     * [[graft.ops.Dedup]] SimHash machinery; the scan-side cost is one
     * decode per image, hash-grain shuffle only. */
-  def imageNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.core.Caches.TrackedDataset
+  /** (doc_id, format, w, grid, dhash) perceptual signatures of a
+    * payload set — the per-image decode + grid + dHash pass shared by
+    * the corpus-wide near-dup join and the incremental probe. */
+  def imageSignatures(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
     import graft.functions.ImageCodec
-    val rasters = imageVariantPayloads(spark, dir)
+    payloads
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           ImageCodec.decodePixels(bytes).map { p =>
@@ -425,6 +427,11 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "format", "w", "grid", "dhash")
+  }
+
+  def imageNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val rasters = imageSignatures(imageVariantPayloads(spark, dir))
       .trackPersist() // both sides of the candidate self-join
     rasters.as("a").join(rasters.as("b"),
         col("a.dhash") === col("b.dhash") &&
@@ -585,6 +592,53 @@ object Multimodal {
        |       CAST(doc_id % 3 + 2 AS INT) AS n_frames,
        |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
        |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
+  // ------------------------------------- incremental perceptual probe
+
+  /** Classify a BATCH of image signatures against a perceptual-index
+    * table — the daily-ingest shape of [[imageNearDupQuery]], mirroring
+    * [[graft.ops.IncrementalDedup.classify]]: probe cost is O(batch),
+    * never O(corpus). Candidates equi-join on dhash, verify on the full
+    * grid; `dup_of` is the lowest matching indexed id. The index is the
+    * natural warehouse artifact ((doc_id, grid, dhash) — a few hundred
+    * bytes per image, no payloads). */
+  def classifyImages(batch: DataFrame, index: DataFrame): DataFrame = {
+    val idx = index.select(col("doc_id").as("idx_doc_id"),
+      col("grid").as("idx_grid"), col("dhash"))
+    val matched = batch.join(idx,
+        batch("dhash") === idx("dhash") &&
+          batch("grid") === idx("idx_grid"))
+      .groupBy(batch("doc_id").as("doc_id"))
+      .agg(min(col("idx_doc_id")).as("dup_of"))
+    batch.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "dup").otherwise("new").as("status"),
+        col("dup_of"))
+  }
+
+  /** Index the BASE images of documents below [[ImageIndexSplit]];
+    * probe EVERY twin as the incoming batch. A twin whose base is
+    * indexed classifies `dup` (of exactly that base — grid uniqueness);
+    * the rest are `new`. */
+  val ImageIndexSplit = 250L
+
+  def imageDedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    val all = imageVariantPayloads(spark, dir).trackPersist()
+    val index = imageSignatures(
+      all.filter(_._1 < ImageIndexSplit))
+    val batch = imageSignatures(all.filter(_._1 >= TwinSpace))
+    classifyImages(batch, index)
+  }
+
+  val imageDedupIncrementalOracle: String =
+    s"""SELECT doc_id + $TwinSpace AS doc_id,
+       |       CASE WHEN doc_id < $ImageIndexSplit THEN 'dup' ELSE 'new' END AS status,
+       |       CASE WHEN doc_id < $ImageIndexSplit THEN doc_id END AS dup_of
        |FROM documents
        |""".stripMargin
 

@@ -379,6 +379,75 @@ class Round7OpsSpec extends SparkSpec {
     assert(got === entries.toList)
   }
 
+  test("rowGroups audit: footer row counts reconcile with the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rg").toString
+    (1L to 5000L).toDF("id").repartition(3).write.mode("overwrite").parquet(dir)
+    val audit = ops.Layout.rowGroups(spark, dir).collect()
+    assert(audit.nonEmpty)
+    assert(audit.map(_.getLong(2)).sum === 5000L)
+    // compression is real: compressed <= uncompressed, both positive
+    audit.foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(3) <= r.getLong(4))
+    }
+    // the audit names exactly the data files on disk
+    val parts = new java.io.File(dir).list().filter(_.endsWith(".parquet")).toSet
+    assert(audit.map(_.getString(0)).toSet === parts)
+  }
+
+  test("streaming image classify equals the batch probe (foreachBatch twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // index: base images of ids 1..6; stream: twins of 1..10 in two batches
+    val payloads = ops.Multimodal.imageVariantPayloads(spark, sf)
+    val index = ops.Multimodal.imageSignatures(
+      payloads.filter(p => p._1 < 7L && p._1 >= 1L)).collect()
+    val indexDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(index.toSeq), index.head.schema)
+    val twins = ops.Multimodal.imageSignatures(
+      payloads.filter(p => p._1 >= 1000000000L && p._1 <= 1000000010L))
+      .collect().sortBy(_.getLong(0))
+    core.Caches.release(spark)
+    val input = MemoryStream[Long]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Option[Long])]()
+    val twinsById = twins.map(r => r.getLong(0) -> r).toMap
+    val q = input.toDS().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        val ids = batch.collect()
+        if (ids.nonEmpty) {
+          val sigs = spark.createDataFrame(
+            spark.sparkContext.parallelize(ids.toSeq.map(twinsById)),
+            twins.head.schema)
+          ops.Multimodal.classifyImages(sigs, indexDf).collect().foreach { r =>
+            sink.add((r.getLong(0), r.getString(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData(twins.map(_.getLong(0)).take(5): _*)
+      q.processAllAvailable()
+      input.addData(twins.map(_.getLong(0)).drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sink.toArray(Array.empty[(Long, String, Option[Long])]).toSet
+    val batchRes = ops.Multimodal.classifyImages(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(twins.toSeq), twins.head.schema),
+        indexDf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed === batchRes)
+    // and the classification itself is right: indexed bases -> dup
+    assert(batchRes.forall { case (id, st, d) =>
+      val base = id - 1000000000L
+      if (base >= 1L && base < 7L) st == "dup" && d.contains(base)
+      else st == "new" && d.isEmpty
+    })
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
