@@ -416,4 +416,68 @@ object TextPrep {
       |            AS BIGINT) AS train_pos
       |FROM k
       |""".stripMargin
+
+  // ------------------------------------------------- HTML → text extract
+
+  /** HTML markup synthesized around each document's text BY FORMULA
+    * (title/heading boilerplate + every space promoted to a paragraph
+    * break), so the extraction oracle can rebuild the identical markup
+    * in SQL and verify the full strip. */
+  private def htmlOf: Column =
+    concat(
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title></head><body><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"),
+      regexp_replace(col("text"), " ", "</p><p>"),
+      lit("</p></body></html>"))
+
+  /** HTML → TEXT extraction — step one of every web-corpus pipeline:
+    * tags become whitespace (`<[^>]*>` → space, never empty — else
+    * `<p>a</p><p>b</p>` would weld words together), whitespace
+    * collapses, and the audit emits tag count, markup overhead in ppm,
+    * and the md5 of the recovered text. Pure codegen'd `regexp_replace`
+    * projections over one scan — no UDF, no shuffle; the regex is
+    * dialect-portable (same semantics in Java regex and RE2/DuckDB).
+    * The oracle rebuilds the identical markup in SQL and replays the
+    * strip; a Round7OpsSpec case additionally pins the end-to-end
+    * guarantee that the recovered text equals the ORIGINAL document
+    * text (whitespace-normalized) — the extraction is lossless on
+    * text content. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("html", htmlOf)
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(col("html"), lit("<[^>]*>"), lit(" ")),
+        lit("\\s+"), lit(" "))))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("html"), lit("<[^>]*>"), lit(0)))
+          .cast("long").as("n_tags"),
+        length(col("html")).cast("long").as("html_len"),
+        length(col("clean")).cast("long").as("text_len"),
+        expr("CAST((length(html) - length(clean)) * 1000000 div length(html) AS BIGINT)")
+          .as("markup_ppm"),
+        md5(col("clean")).as("clean_md5"))
+
+  val htmlExtractOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |         '</title></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |         '</h1><p>' || replace(text, ' ', '</p><p>') ||
+      |         '</p></body></html>' AS html
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, text, html,
+      |         trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |                             '\s+', ' ', 'g')) AS clean
+      |  FROM h)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+      |       CAST(length(html) AS BIGINT) AS html_len,
+      |       CAST(length(clean) AS BIGINT) AS text_len,
+      |       CAST((length(html) - length(clean)) * 1000000 // length(html) AS BIGINT) AS markup_ppm,
+      |       md5(clean) AS clean_md5
+      |FROM c
+      |""".stripMargin
 }
