@@ -274,6 +274,60 @@ object EventOps {
       | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
       |""".stripMargin
 
+  /** UNATTRIBUTED clicks — the abandonment metric: clicks with NO
+    * purchase by the same user in the following hour. ONE transform for
+    * batch and streaming: a LEFT OUTER interval join + null filter
+    * (streaming left-outer emits the null-extended row only once the
+    * WATERMARK proves no match can still arrive — exactly the
+    * "waited an hour, nobody bought" semantics; in batch the same plan
+    * is an ordinary left join). The anti-join formulation would be the
+    * batch idiom, but streaming has no left_anti interval join — the
+    * null-filtered left-outer IS the streaming-portable anti. */
+  def unattributedClicks(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+                          col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+                             col("event_id").as("purchase_id"),
+                             col("ts").as("purchase_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .filter(col("purchase_id").isNull)
+      .select(col("user_id"), col("click_id"), col("click_ts"))
+  }
+
+  /** Streaming twin: both sides watermarked so the join can seal "no
+    * match arrived" per click and evict its state. */
+  def streamingUnattributedClicks(clickStream: DataFrame,
+                                  purchaseStream: DataFrame,
+                                  watermark: String = "2 hours"): DataFrame =
+    unattributedClicks(clickStream.withWatermark("ts", watermark),
+                       purchaseStream.withWatermark("ts", watermark))
+
+  def unattributedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    unattributedClicks(e.filter(col("event_type") === "click"),
+                       e.filter(col("event_type") === "purchase"))
+  }
+
+  val unattributedOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, c.click_ts
+      |FROM c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p
+      |  WHERE p.user_id = c.user_id
+      |    AND p.purchase_ts >= c.click_ts
+      |    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |""".stripMargin
+
   // -------------------------------------------------------- warehouse sink
   /** Continuously append a streaming frame's micro-batches into the
     * two-layer warehouse history (foreachBatch: each batch is a normal

@@ -95,6 +95,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming left-outer interval join: unattributed clicks match batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksIn = MemoryStream[Event]
+    val buysIn = MemoryStream[Event]
+    val q = EventOps.streamingUnattributedClicks(
+        clicksIn.toDS().toDF(), buysIn.toDS().toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("unattr")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // click 1 converts (purchase 30 min later); click 2 does not
+      val clicks = Seq(Event(1, ts(0), 1, "click", 0.0),
+                       Event(2, ts(10), 2, "click", 0.0))
+      val buys = Seq(Event(10, ts(30), 1, "purchase", 5.0))
+      clicksIn.addData(clicks: _*)
+      buysIn.addData(buys: _*)
+      q.processAllAvailable()
+      // the null-extended row for click 2 can only be emitted once the
+      // watermark proves no purchase can still arrive in its hour
+      clicksIn.addData(Event(3, ts(300), 3, "click", 0.0))
+      buysIn.addData(Event(11, ts(300), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("unattr")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventOps.unattributedClicks(clicks.toDF(), buys.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((2L, 2L)))
+      // every sealed batch result is in the stream output (click 3's fate
+      // is still open at the last watermark, so compare on batch-1 ids)
+      assert(batch.subsetOf(streamed))
+      assert(!streamed.exists(_._2 == 1L), "converted click must not appear")
+    } finally q.stop()
+  }
+
   test("streaming windowed agg emits the same closed windows as batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
