@@ -132,4 +132,72 @@ object Packing {
       |WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 10000
       |      < CAST(floor(r.keep_rate * 10000) AS BIGINT)
       |""".stripMargin
+
+  // ----------------------------------------------------- padding waste
+
+  private val PadBatch = 32L
+
+  /** PADDING-WASTE AUDIT for batched inference: fixed-size batches pad
+    * every sequence to the batch maximum, so batch composition decides
+    * how many compute tokens are burned on padding. Two strategies over
+    * the same corpus, quantified exactly: `arrival` (doc_id order — what
+    * a naive loader does) vs `sorted` (length-sorted batching — the
+    * standard bucketing fix). Output per strategy: batch count, real
+    * tokens, padded tokens, and waste ppm — the number that justifies
+    * adding the sort shuffle to an inference pipeline.
+    *
+    * Both batch assignments use the DISTRIBUTED [[Rnk.globalRank]]
+    * (`batch = (rank−1) div B`) — no single-partition window at any
+    * corpus size; the per-batch max/sum aggregate is batch-count-sized.
+    * Integer arithmetic throughout. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      .trackPersist() // both strategies rank the same frame
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      Rnk.globalRank(base, order, "rank")
+        .withColumn("batch", expr(s"(rank - 1) div $PadBatch"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
+             sum(col("n_tok")).as("tok"))
+        .agg(count(lit(1)).as("n_batches"),
+             sum(col("tok")).as("total_tokens"),
+             sum(col("mx") * col("n")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("(padded_tokens - total_tokens) * 1000000 div padded_tokens")
+            .as("waste_ppm"))
+    strategy("arrival", Seq(col("doc_id")))
+      .unionByName(strategy("sorted", Seq(col("n_tok"), col("doc_id"))))
+  }
+
+  val paddingWasteOracle: String = {
+    def cte(name: String, order: String) =
+      s"""${name}_r AS (
+         |  SELECT n_tok, (row_number() OVER (ORDER BY $order) - 1) // $PadBatch AS batch
+         |  FROM base),
+         |${name}_b AS (
+         |  SELECT batch, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(max(n_tok) AS BIGINT) AS mx,
+         |         CAST(sum(n_tok) AS BIGINT) AS tok
+         |  FROM ${name}_r GROUP BY 1),
+         |${name}_s AS (
+         |  SELECT '$name' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         |         CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |         CAST(sum(mx * n) AS BIGINT) AS padded_tokens
+         |  FROM ${name}_b)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |${cte("arrival", "doc_id")},
+       |${cte("sorted", "n_tok, doc_id")}
+       |SELECT strategy, n_batches, total_tokens, padded_tokens,
+       |       CAST((padded_tokens - total_tokens) * 1000000 // padded_tokens AS BIGINT) AS waste_ppm
+       |FROM (SELECT * FROM arrival_s UNION ALL SELECT * FROM sorted_s)
+       |""".stripMargin
+  }
 }

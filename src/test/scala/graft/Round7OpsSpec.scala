@@ -498,6 +498,23 @@ class Round7OpsSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("padding waste: sorted batching never loses to arrival order") {
+    val rows = ops.Packing.paddingWaste(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    core.Caches.release(spark)
+    val (a, s) = (rows("arrival"), rows("sorted"))
+    assert(a._1 === s._1)              // same batch count
+    assert(a._2 === s._2)              // same real tokens
+    // length-sorted contiguous batching minimizes sum-of-batch-maxima
+    // among equal-size batchings (exchange argument), so it can never
+    // pad more than the arrival assignment
+    assert(s._3 <= a._3)
+    assert(s._4 <= a._4)
+    assert(s._3 >= s._2)               // padded >= real always
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
