@@ -50,6 +50,63 @@ object Embeddings {
       |GROUP BY 1, 2
       |""".stripMargin
 
+  /** EMBEDDING-SPACE STABILITY across snapshot halves: split the corpus
+    * by `vec_id % 2`, compute each label's per-split centroid, and emit
+    * the cosine between the two centroids — ≈1 for a stable space; a
+    * label whose halves disagree has heterogeneous or drifting
+    * embeddings (re-embedding mid-corpus, label noise, a mixed
+    * concept). The self-split form is the calibration baseline for the
+    * cross-snapshot run (same code, two real snapshots).
+    *
+    * Portability discipline: centroids round to 6 dp and convert to the
+    * exact micro-integer grid; all cross products and norms sum as
+    * BIGINT (≤ ~10¹² here), so the only floating point is the final
+    * shared IEEE division — the cosine hash-matches any engine. */
+  def splitDriftCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("split"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("split"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(round(CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(1), 6) * 1000000, 0) AS BIGINT)")
+          .as("cm"))
+    val a = c.filter(col("split") === 0)
+      .select(col("label"), col("dim"), col("cm").as("cm_a"), col("n").as("n_a"))
+    val b = c.filter(col("split") === 1)
+      .select(col("label"), col("dim"), col("cm").as("cm_b"), col("n").as("n_b"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("cm_a") * col("cm_b")).as("sp"),
+        sum(col("cm_a") * col("cm_a")).as("s0"),
+        sum(col("cm_b") * col("cm_b")).as("s1"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("sp").cast("double") /
+          (sqrt(col("s0").cast("double")) * sqrt(col("s1").cast("double"))), 6)
+          .as("cosine"))
+  }
+
+  val splitDriftCentroidsOracle: String =
+    """WITH e AS (
+      |  SELECT label, vec_id % 2 AS split, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, split, i AS dim, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(round(round(CAST(sum(CAST(v[i] AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6) * 1000000, 0) AS BIGINT) AS cm
+      |  FROM e, unnest(generate_series(1, 64)) t(i)
+      |  GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.label, a.n AS n_a, b.n AS n_b,
+      |         a.cm AS cm_a, b.cm AS cm_b
+      |  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+      |  WHERE a.split = 0 AND b.split = 1)
+      |SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+      |       round(CAST(sum(cm_a * cm_b) AS DOUBLE) /
+      |             (sqrt(CAST(sum(cm_a * cm_a) AS DOUBLE)) *
+      |              sqrt(CAST(sum(cm_b * cm_b) AS DOUBLE))), 6) AS cosine
+      |FROM j GROUP BY 1
+      |""".stripMargin
+
   /** Per-label corpus statistics: count, mean vector norm, and the norm
     * spread — drift fingerprints comparable between corpus snapshots. */
   def labelStats(spark: SparkSession, dir: String): DataFrame = {

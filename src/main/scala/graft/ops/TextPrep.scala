@@ -417,6 +417,56 @@ object TextPrep {
       |FROM k
       |""".stripMargin
 
+  // --------------------------------------------- source vocabulary overlap
+
+  /** PAIRWISE SOURCE VOCABULARY OVERLAP: Jaccard of distinct-token sets
+    * for every source pair — the redundancy map that says which feeds
+    * cover the same content space (candidates for dropping, or for the
+    * pairwise dedup pass [[graft.ops.Dedup]] prices per pair). Shape:
+    * one distinct (source, token) projection, a token-grain self-join
+    * whose per-token fan-out is bounded by C(|sources|, 2) — never
+    * token² — and source-pair-grain aggregates with the vocab sizes
+    * broadcast back. Integer ppm Jaccard via inclusion–exclusion. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .trackPersist() // both sides of the pair join + the size dimension
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("vsize", "v_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("vsize", "v_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("n_inter"),
+        expr("n_inter * 1000000 div (v_a + v_b - n_inter)")
+          .as("jaccard_ppm"))
+  }
+
+  val sourceOverlapOracle: String =
+    """WITH v AS (
+      |  SELECT DISTINCT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS vsize FROM v GROUP BY 1),
+      |i AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.source_a, i.source_b, sa.vsize AS v_a, sb.vsize AS v_b, i.n_inter,
+      |       CAST(i.n_inter * 1000000 // (sa.vsize + sb.vsize - i.n_inter) AS BIGINT) AS jaccard_ppm
+      |FROM i
+      |JOIN s sa ON i.source_a = sa.source
+      |JOIN s sb ON i.source_b = sb.source
+      |""".stripMargin
+
   // ------------------------------------------------- HTML → text extract
 
   /** HTML markup synthesized around each document's text BY FORMULA
