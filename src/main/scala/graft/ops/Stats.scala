@@ -367,4 +367,123 @@ object Stats {
        |${branches.mkString("\nUNION ALL\n")}
        |""".stripMargin
   }
+
+  // ------------------------------------------------------ A/B significance
+
+  /** TWO-PROPORTION Z-TEST for a hash-split experiment: users split into
+    * arms by the deterministic assignment hash (the [[graft.ops.Sampling]]
+    * device — stable under reruns and repartitioning), conversion =
+    * "made a purchase of value ≥ 150" (every fixture user purchases
+    * SOMETHING, so plain any-purchase conversion is 1.0 in both arms
+    * and the pooled variance degenerates to zero), and the pooled z
+    * statistic decides whether the arms differ. The analytics primitive
+    * behind every experimentation readout, exact where it can be: user
+    * sets and conversion counts are exact integers; the z formula is one
+    * shared-structure IEEE expression over those integers, so the
+    * statistic hash-matches any engine. |z| ≥ 1.96 flags 5%
+    * significance. One distinct-user aggregate, one arm-grain regroup,
+    * 1-row output — nothing user-cardinality-sized leaves the shuffle. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+          1).otherwise(0)).as("converted"))
+      .withColumn("arm", Sampling.bucket(col("user_id"), "ab") % 2)
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("c").as("conv_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("c").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("CAST(conv_a * 1000000 div n_a AS BIGINT)").as("rate_a_ppm"),
+        expr("CAST(conv_b * 1000000 div n_b AS BIGINT)").as("rate_b_ppm"),
+        round((col("conv_a").cast("double") / col("n_a").cast("double") -
+               col("conv_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+      .withColumn("significant", abs(col("z")) >= 1.96)
+  }
+
+  val abTestOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(max(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+      |         CAST(CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 10000 % 2 AS arm
+      |  FROM events GROUP BY 1),
+      |arms AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b,
+      |         (a.c + b.c) * 1.0 / (a.n + b.n) AS p_pool
+      |  FROM arms a CROSS JOIN arms b WHERE a.arm = 0 AND b.arm = 1)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |       CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+      |       CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+      |       round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) /
+      |             sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+      |       abs((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) /
+      |           sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b))) >= 1.96 AS significant
+      |FROM w
+      |""".stripMargin
+
+  // ---------------------------------------------------- Neyman allocation
+
+  private val NeymanBudget = 2000L
+
+  /** NEYMAN (optimal) ALLOCATION of a sampling budget across strata:
+    * n_h ∝ N_h·S_h — big, high-variance strata earn more samples than
+    * proportional allocation gives them; the survey-sampling upgrade to
+    * [[graft.ops.Sampling.stratified]]'s flat rates. Per-stratum std
+    * comes from exact decimal power sums (population variance,
+    * `clamp ≥ 0` before the sqrt); the weights N_h·S_h convert to the
+    * exact micro-integer grid so the ALLOCATION arithmetic (shares,
+    * floors) is pure BIGINT and engine-identical. Output: per source,
+    * size, std (micro), and the allocated sample count for a
+    * [[NeymanBudget]]-document budget. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("decimal(38,0)").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"))
+      .withColumn("var",
+        greatest((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n") * col("n")).cast("double"), lit(0.0)))
+      .withColumn("w_micro",
+        expr("CAST(round(CAST(n AS DOUBLE) * sqrt(var) * 1000000, 0) AS BIGINT)"))
+    val tot = m.agg(sum(col("w_micro")).as("w_tot"))
+    m.crossJoin(broadcast(tot))
+      .select(col("source"),
+        col("n").cast("long").as("n_docs"),
+        expr("CAST(round(sqrt(var) * 1000000, 0) AS BIGINT)").as("std_micro"),
+        expr(s"CAST($NeymanBudget * w_micro div w_tot AS BIGINT)").as("alloc_n"))
+  }
+
+  val neymanAllocationOracle: String =
+    s"""WITH m AS (
+       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+       |         sum(CAST(n_chars AS HUGEINT)) AS s,
+       |         sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS ss
+       |  FROM documents GROUP BY 1),
+       |v AS (
+       |  SELECT source, n,
+       |         greatest(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE), 0.0) AS var
+       |  FROM m),
+       |w AS (
+       |  SELECT source, n, var,
+       |         CAST(round(CAST(n AS DOUBLE) * sqrt(var) * 1000000, 0) AS BIGINT) AS w_micro
+       |  FROM v),
+       |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM w)
+       |SELECT source, CAST(n AS BIGINT) AS n_docs,
+       |       CAST(round(sqrt(var) * 1000000, 0) AS BIGINT) AS std_micro,
+       |       CAST($NeymanBudget * w_micro // w_tot AS BIGINT) AS alloc_n
+       |FROM w CROSS JOIN t
+       |""".stripMargin
 }

@@ -515,6 +515,28 @@ class Round7OpsSpec extends SparkSpec {
     assert(s._3 >= s._2)               // padded >= real always
   }
 
+  test("abTest: arms partition the users, z finite") {
+    val r = ops.Stats.abTest(spark, sf).head()
+    val users = core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) === users)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
+  }
+
+  test("neymanAllocation: budget conserved, variance drives the split") {
+    val rows = ops.Stats.neymanAllocation(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // floors can under-spend but never over-spend the budget
+    assert(rows.map(_._4).sum <= 2000L)
+    assert(rows.forall(_._4 >= 0L))
+    // a stratum with more mass-times-spread never gets fewer samples
+    val byWeight = rows.sortBy(r => r._2 * r._3)
+    assert(byWeight.sliding(2).forall(p => p.length < 2 || p(0)._4 <= p(1)._4 + 1))
+  }
+
   test("join preflight estimate equals the real join's output count") {
     val li = core.Tables.lineitem(spark, sf).select("l_partkey")
     val est = ops.Skew.joinPreflightQuery(spark, sf)
