@@ -280,6 +280,46 @@ object TextAnalysis {
        |""".stripMargin
   }
 
+  /** FLESCH READING-EASE per document — the readability member of the
+    * quality-signal family (a corpus whose reading ease collapses
+    * between snapshots has drifted toward boilerplate or word salad):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`, with
+    * syllables approximated by vowel-group count (the standard
+    * dictionary-free proxy) and sentences by terminal-punctuation count
+    * (floored at 1 — fixture prose is often unpunctuated). Counting is
+    * regexp_extract_all (codegen'd, dialect-portable patterns); the
+    * score is one shared-structure IEEE expression over exact integer
+    * counts. One scan, no shuffle. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 6))
+
+  val readabilityOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+      |         greatest(CAST(1 AS BIGINT),
+      |                  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS n_sentences,
+      |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |       round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+      |                     - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
+      |FROM t
+      |""".stripMargin
+
   // ---------------------------------------------------------------- vocab
   /** Corpus vocabulary: per token, document frequency, total occurrence
     * count, and frequency rank. One explode + one hash aggregation; the

@@ -531,6 +531,44 @@ object TimeSeries {
       |FROM m
       |""".stripMargin
 
+  /** WEEKDAY-SEASONAL DECOMPOSITION of daily revenue: each day's cents
+    * split into its weekday mean (the seasonal component) and the
+    * residual — the detrending step [[acf]]'s lag-7 spike says is needed
+    * before any day-over-day model. Weekday is computed as
+    * `(epoch_day + 4) mod 7` (1970-01-01 was a Thursday; 0 = Sunday) —
+    * pure integer arithmetic, no locale/dialect weekday function on
+    * either engine. The weekday mean is an exact integer division of
+    * exact cents sums, the residual an exact subtraction: the whole
+    * decomposition hash-matches. Day-grain rollup + a 7-row broadcast. */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_cents"))
+      .withColumn("weekday", (col("d") + 4) % 7)
+    val idx = daily.groupBy(col("weekday"))
+      .agg(expr("sum(rev_cents) div count(1)").as("weekday_mean"))
+    daily.join(broadcast(idx), Seq("weekday"))
+      .select(col("d"), col("weekday"), col("rev_cents"),
+        col("weekday_mean"),
+        (col("rev_cents") - col("weekday_mean")).as("residual"))
+  }
+
+  val seasonalDecomposeOracle: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS TIMESTAMP)) AS d,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |w AS (SELECT d, (d + 4) % 7 AS weekday, rev_cents FROM daily),
+      |idx AS (
+      |  SELECT weekday, CAST(sum(rev_cents) // count(*) AS BIGINT) AS weekday_mean
+      |  FROM w GROUP BY 1)
+      |SELECT CAST(w.d AS INT) AS d, CAST(w.weekday AS INT) AS weekday,
+      |       w.rev_cents, idx.weekday_mean,
+      |       w.rev_cents - idx.weekday_mean AS residual
+      |FROM w JOIN idx USING (weekday)
+      |""".stripMargin
+
   val acfOracle: String =
     s"""WITH daily AS (
        |  SELECT CAST(o_orderdate AS DATE) AS day,
