@@ -279,6 +279,7 @@ object ImageCodec {
       else None
     } catch {
       case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
       case _: java.util.zip.DataFormatException => None
     }
 
@@ -288,12 +289,20 @@ object ImageCodec {
       return None
     val w = be32(b, 16); val h = be32(b, 20)
     if (w <= 0 || h <= 0 || u8(b, 24) != 8 || u8(b, 25) != 2) return None
+    // crafted headers with huge dims would overflow the Int allocation
+    // sizes below (h*(1+3w)) into a NegativeArraySizeException — bound
+    // the raster in Long space before allocating anything
+    if (h.toLong * (1L + 3L * w) > Int.MaxValue) return None
     // walk chunks, concatenating every IDAT (encoders may split them)
     val idat = new java.io.ByteArrayOutputStream()
     var p = 8
     var done = false
     while (!done && p + 8 <= b.length) {
       val len = be32(b, p)
+      // hostile/corrupt length fields: negative lengths or lengths that
+      // run past the buffer would stall or overrun the walk — reject
+      // the payload (contract: corrupt ⇒ None), never spin in a task
+      if (len < 0 || p.toLong + 12L + len > b.length) return None
       val typ = new String(b, p + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(b, p + 8, len)
       if (typ == "IEND") done = true
@@ -351,8 +360,11 @@ object ImageCodec {
     val dataOff = le32(b, 10)
     val w = le32(b, 18); val h = le32(b, 22)
     if (w <= 0 || h <= 0 || le16(b, 28) != 24) return None
-    val rowBytes = (3 * w + 3) / 4 * 4
-    if (dataOff + rowBytes * h > b.length) return None
+    // all size math in Long space: crafted huge dims must fail the
+    // bounds check, not overflow past it into a bad allocation
+    if (h.toLong * 3L * w > Int.MaxValue) return None
+    val rowBytes = ((3L * w + 3) / 4 * 4).toInt
+    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length) return None
     val out = new Array[Byte](h * 3 * w)
     var y = 0
     while (y < h) {
@@ -406,6 +418,8 @@ object ImageCodec {
     var done = false
     while (!done && p + 8 <= b.length) {
       val len = be32(b, p)
+      // corrupt length field: stop the walk (never loop in place)
+      if (len < 0 || p.toLong + 12L + len > b.length) return out.toSeq
       val typ = new String(b, p + 4, 4, "US-ASCII")
       out += typ
       if (typ == "IEND") done = true
@@ -439,6 +453,8 @@ object ImageCodec {
     var done = false
     while (!done && p + 8 <= b.length) {
       val len = be32(b, p)
+      // corrupt length field ⇒ reject the payload, never loop in place
+      if (len < 0 || p.toLong + 12L + len > b.length) return None
       val typ = new String(b, p + 4, 4, "US-ASCII")
       if (keep(typ)) out.write(b, p, 12 + len)
       if (typ == "IEND") done = true

@@ -167,7 +167,7 @@ object Layout {
     import spark.implicits._
     val files = spark.read.parquet(path).inputFiles.toSeq
     spark.createDataset(files)
-      .repartition(math.min(files.size, 32))
+      .repartition(math.max(1, math.min(files.size, 32))) // 0 files ⇒ empty frame, not IAE
       .mapPartitions { fs =>
         val conf = new org.apache.hadoop.conf.Configuration()
         fs.flatMap { f =>

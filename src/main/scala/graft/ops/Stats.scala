@@ -399,15 +399,19 @@ object Stats {
       .withColumn("p_pool",
         (col("conv_a") + col("conv_b")).cast("double") /
           (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z_raw",
+        (col("conv_a").cast("double") / col("n_a").cast("double") -
+         col("conv_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double"))))
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
         expr("CAST(conv_a * 1000000 div n_a AS BIGINT)").as("rate_a_ppm"),
         expr("CAST(conv_b * 1000000 div n_b AS BIGINT)").as("rate_b_ppm"),
-        round((col("conv_a").cast("double") / col("n_a").cast("double") -
-               col("conv_b").cast("double") / col("n_b").cast("double")) /
-          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
-            (lit(1.0) / col("n_a").cast("double") +
-             lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
-      .withColumn("significant", abs(col("z")) >= 1.96)
+        round(col("z_raw"), 6).as("z"),
+        // threshold the UNROUNDED statistic, same as the oracle — a z
+        // within 5e-7 of ±1.96 must not flip the flag on one side only
+        (abs(col("z_raw")) >= 1.96).as("significant"))
   }
 
   val abTestOracle: String =
