@@ -264,10 +264,11 @@ object ImageCodec {
   }
 
   /** REAL pixel decode — the full raster, not just the header — for the
-    * two containers whose pixel layers need no external codec library:
-    * truecolor-8 PNG (zlib inflate via `java.util.zip` + all five row
-    * filters reversed, IDAT chunks concatenated) and 24-bit
-    * uncompressed BMP (bottom-up padded rows, BGR→RGB). Returns None
+    * three containers with in-repo pixel layers: truecolor-8 PNG (zlib
+    * inflate via `java.util.zip` + all five row filters reversed, IDAT
+    * chunks concatenated), 24-bit uncompressed BMP (bottom-up padded
+    * rows, BGR→RGB), and baseline JPEG ([[JpegCodec]]: huffman + IDCT +
+    * YCbCr, the format real crawl corpora are made of). Returns None
     * for other formats/corrupt payloads — callers route those to the
     * rejects side-channel, same contract as [[decode]]. */
   def decodePixels(bytes: Array[Byte]): Option[ImagePixels] =
@@ -276,6 +277,8 @@ object ImageCodec {
         decodePngPixels(bytes)
       else if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M')
         decodeBmpPixels(bytes)
+      else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
+        JpegCodec.decodePixels(bytes)
       else None
     } catch {
       case _: IndexOutOfBoundsException => None

@@ -1,0 +1,703 @@
+package graft.functions
+
+/** Pure-JVM baseline JPEG codec — the pixel layer behind [[ImageCodec]]
+  * for the format that dominates real crawled corpora (the PNG/BMP pixel
+  * paths landed in round 7; this closes the round-7 verdict's top gap).
+  *
+  * Decoder: baseline sequential DCT (SOF0/SOF1), 8-bit precision, 1 or 3
+  * components, arbitrary sampling factors up to 2×2 (covers 4:4:4, 4:2:2
+  * and the 4:2:0 every camera emits), DQT (8/16-bit), DHT canonical
+  * Huffman, DRI + RSTn restart intervals, FF00 byte-stuffing, APPn/COM
+  * skip. Progressive/arithmetic/12-bit streams return None (they are the
+  * rejects side-channel's problem, same contract as the other codecs).
+  *
+  * Encoder: baseline 8-bit, grayscale or 4:4:4 YCbCr, ITU T.81 Annex K
+  * example quantization tables scaled by the libjpeg quality convention
+  * and Annex K typical Huffman tables — the interchange-format subset
+  * every conformant reader accepts (ScalaCheck-lawed against ImageIO both
+  * directions in the spec).
+  *
+  * All trigonometry is precomputed with StrictMath so the DCT matrices
+  * are bit-identical on every JVM — decode results are deterministic
+  * across executors, which the hash-compared oracles rely on.
+  */
+object JpegCodec {
+
+  // ------------------------------------------------------------- tables
+
+  /** Natural (row-major) index of each zigzag position. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** T.81 Annex K.1/K.2 example quantization tables (zigzag order). */
+  private val LumQuant: Array[Int] = Array(
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101, 103, 99)
+  private val ChromaQuant: Array[Int] = Array(
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+
+  // T.81 Annex K.3 typical Huffman tables: (bits per code length 1..16,
+  // symbol values). DC tables code magnitude categories 0..11; AC tables
+  // code (run << 4 | size) symbols.
+  private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** DCT basis M(x,u) = C(u)·cos((2x+1)uπ/16), C(0)=1/√2 — StrictMath so
+    * every JVM builds the identical matrix. */
+  private val Basis: Array[Double] = {
+    val m = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+        m(x * 8 + u) = c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    m
+  }
+
+  // --------------------------------------------------------- bit reader
+
+  private final class DataFormat(msg: String)
+      extends java.util.zip.DataFormatException(msg)
+
+  /** Entropy-coded-segment bit reader: un-stuffs FF00, refuses any other
+    * marker inside a segment (restart markers are consumed explicitly at
+    * interval boundaries by [[restart]]). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw new DataFormat("eof in scan")
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw new DataFormat("eof after ff")
+          val n = b(pos) & 0xff
+          if (n == 0) pos += 1 // stuffed literal FF
+          else throw new DataFormat(f"marker ff$n%02x inside segment")
+        }
+        cur = v; nbits = 8
+      }
+      nbits -= 1
+      (cur >>> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(expect: Int): Unit = {
+      nbits = 0
+      if (pos + 1 >= b.length) throw new DataFormat("eof at restart")
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 + expect))
+        throw new DataFormat("missing restart marker")
+      pos += 2
+    }
+  }
+
+  /** Canonical Huffman decoder (T.81 F.2.2.3 mincode/maxcode/valptr). */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(r: BitReader): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        code = (code << 1) | r.bit(); l += 1
+        if (maxCode(l) >= 0 && code >= minCode(l) && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+      }
+      throw new DataFormat("bad huffman code")
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a t-bit magnitude field to its signed value. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  // ------------------------------------------------------------ decoder
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTable: Int = 0
+    var acTable: Int = 0
+    var pred: Int = 0
+    var plane: Array[Byte] = _ // padded to MCU grid, stride = mcusX*h*8
+    var stride: Int = 0
+  }
+
+  /** Decode a baseline JFIF stream to an RGB raster. Returns None for
+    * non-baseline/corrupt/truncated payloads (contract shared with
+    * [[ImageCodec.decodePixels]]). */
+  def decodePixels(b: Array[Byte]): Option[ImageCodec.ImagePixels] =
+    try decodeImpl(b)
+    catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+      case _: java.util.zip.DataFormatException => None
+    }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  private def decodeImpl(b: Array[Byte]): Option[ImageCodec.ImagePixels] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    val quant = Array.ofDim[Int](4, 64)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None
+      while (i < b.length && u8(b, i) == 0xff) i += 1
+      if (i >= b.length) return None
+      val marker = u8(b, i); i += 1
+      marker match {
+        case 0xc0 | 0xc1 => // SOF0/SOF1: baseline (extended-sequential ok)
+          val len = be16(b, i)
+          if (u8(b, i + 2) != 8) return None // 8-bit precision only
+          h = be16(b, i + 3); w = be16(b, i + 5)
+          val nf = u8(b, i + 7)
+          if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return None
+          if (w.toLong * h * 3 > Int.MaxValue) return None
+          comps = Array.tabulate(nf) { c =>
+            val o = i + 8 + 3 * c
+            val comp = Component(u8(b, o), u8(b, o + 1) >> 4,
+              u8(b, o + 1) & 15, u8(b, o + 2))
+            if (comp.h < 1 || comp.h > 2 || comp.v < 1 || comp.v > 2 ||
+                comp.tq > 3) throw new DataFormat("unsupported sampling")
+            comp
+          }
+          i += len
+        case m if (m >= 0xc2 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          return None // progressive / arithmetic / lossless: not baseline
+        case 0xc4 => // DHT: one or more tables
+          val len = be16(b, i)
+          var p = i + 2
+          while (p < i + len) {
+            val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+            if (tc > 1 || th > 3) throw new DataFormat("bad DHT id")
+            val bits = Array.tabulate(16)(k => u8(b, p + 1 + k))
+            val n = bits.sum
+            if (n > 256) throw new DataFormat("bad DHT count")
+            val vals = Array.tabulate(n)(k => u8(b, p + 17 + k))
+            if (tc == 0) dcTabs(th) = new Huff(bits, vals)
+            else acTabs(th) = new Huff(bits, vals)
+            p += 17 + n
+          }
+          i += len
+        case 0xdb => // DQT: one or more tables, 8- or 16-bit entries
+          val len = be16(b, i)
+          var p = i + 2
+          while (p < i + len) {
+            val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+            if (pq > 1 || tq > 3) throw new DataFormat("bad DQT id")
+            var k = 0
+            while (k < 64) {
+              quant(tq)(k) = if (pq == 0) u8(b, p + 1 + k) else be16(b, p + 1 + 2 * k)
+              k += 1
+            }
+            p += 1 + (if (pq == 0) 64 else 128)
+          }
+          i += len
+        case 0xdd => // DRI
+          restartInterval = be16(b, i + 2)
+          i += be16(b, i)
+        case 0xda => // SOS: decode the (single, interleaved) scan
+          if (comps == null) return None
+          val len = be16(b, i)
+          val ns = u8(b, i + 2)
+          if (ns != comps.length) return None // non-interleaved scans: out of scope
+          var c = 0
+          while (c < ns) {
+            val cid = u8(b, i + 3 + 2 * c)
+            val tt = u8(b, i + 4 + 2 * c)
+            val comp = comps.find(_.id == cid)
+              .getOrElse(throw new DataFormat("unknown scan component"))
+            comp.dcTable = tt >> 4; comp.acTable = tt & 15
+            c += 1
+          }
+          val scanStart = i + len
+          decodeScan(b, scanStart, comps, quant, dcTabs, acTabs, w, h,
+            restartInterval)
+          return Some(toRgb(comps, w, h))
+        case 0xd9 => return None // EOI before any scan
+        case 0x01 => ()
+        case m if m >= 0xd0 && m <= 0xd7 => ()
+        case _ =>
+          val len = be16(b, i)
+          if (len < 2) return None
+          i += len
+      }
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, comps: Array[Component],
+                         quant: Array[Array[Int]], dcTabs: Array[Huff],
+                         acTabs: Array[Huff], w: Int, h: Int,
+                         restartInterval: Int): Unit = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.stride = mcusX * c.h * 8
+      val rows = mcusY * c.v * 8
+      if (c.stride.toLong * rows > Int.MaxValue) throw new DataFormat("huge plane")
+      c.plane = new Array[Byte](c.stride * rows)
+      c.pred = 0
+    }
+    val r = new BitReader(b, start)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var rstCount = 0
+    var rstMark = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && rstCount == restartInterval) {
+          r.restart(rstMark)
+          rstMark = (rstMark + 1) & 7
+          rstCount = 0
+          comps.foreach(_.pred = 0)
+        }
+        rstCount += 1
+        var ci = 0
+        while (ci < comps.length) {
+          val comp = comps(ci)
+          val dc = dcTabs(comp.dcTable)
+          val ac = acTabs(comp.acTable)
+          if (dc == null || ac == null) throw new DataFormat("missing DHT")
+          val qt = quant(comp.tq)
+          var bv = 0
+          while (bv < comp.v) {
+            var bh = 0
+            while (bh < comp.h) {
+              java.util.Arrays.fill(coef, 0.0)
+              // DC
+              val t = dc.decode(r)
+              if (t > 15) throw new DataFormat("bad DC category")
+              comp.pred += extend(r.bits(t), t)
+              coef(0) = comp.pred.toDouble * qt(0)
+              // AC
+              var k = 1
+              var eob = false
+              while (!eob && k < 64) {
+                val rs = ac.decode(r)
+                val run = rs >> 4; val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16 else eob = true
+                } else {
+                  k += run
+                  if (k > 63) throw new DataFormat("AC overflow")
+                  coef(Zigzag(k)) = extend(r.bits(size), size).toDouble * qt(k)
+                  k += 1
+                }
+              }
+              idctBlock(coef, tmp)
+              // place: block origin in the component plane
+              val bx = (mx * comp.h + bh) * 8
+              val by = (my * comp.v + bv) * 8
+              var y = 0
+              while (y < 8) {
+                val o = (by + y) * comp.stride + bx
+                var x = 0
+                while (x < 8) {
+                  val s = coef(y * 8 + x)
+                  val vi = (if (s < 0) (s - 0.5).toInt else (s + 0.5).toInt) + 128
+                  comp.plane(o + x) =
+                    (if (vi < 0) 0 else if (vi > 255) 255 else vi).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bh += 1
+            }
+            bv += 1
+          }
+          ci += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+  }
+
+  /** In-place 2-D IDCT of one dequantized block: rows then columns of
+    * the 8-point transform s(x) = ½·Σ M(x,u)·F(u). */
+  private def idctBlock(coef: Array[Double], tmp: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) { // transform rows (u axis)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Basis(x * 8 + u) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s * 0.5
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // transform columns (v axis)
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Basis(yy * 8 + v) * tmp(v * 8 + x); v += 1 }
+        coef(yy * 8 + x) = s * 0.5
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private def toRgb(comps: Array[Component], w: Int, h: Int)
+      : ImageCodec.ImagePixels = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val out = new Array[Byte](w * h * 3)
+    def clamp(v: Double): Byte = {
+      val i = if (v < 0) (v - 0.5).toInt else (v + 0.5).toInt
+      (if (i < 0) 0 else if (i > 255) 255 else i).toByte
+    }
+    if (comps.length == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = c.plane(y * c.stride + x)
+          val o = (y * w + x) * 3
+          out(o) = g; out(o + 1) = g; out(o + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum = (cy.plane((y * cy.v / vmax) * cy.stride +
+            x * cy.h / hmax) & 0xff).toDouble
+          val pb = (cb.plane((y * cb.v / vmax) * cb.stride +
+            x * cb.h / hmax) & 0xff) - 128.0
+          val pr = (cr.plane((y * cr.v / vmax) * cr.stride +
+            x * cr.h / hmax) & 0xff) - 128.0
+          val o = (y * w + x) * 3
+          out(o) = clamp(lum + 1.402 * pr)
+          out(o + 1) = clamp(lum - 0.344136 * pb - 0.714136 * pr)
+          out(o + 2) = clamp(lum + 1.772 * pb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    ImageCodec.ImagePixels("jpeg", w, h, out)
+  }
+
+  // ------------------------------------------------------------ encoder
+
+  /** libjpeg quality convention: scale Annex K tables by
+    * 5000/q (q<50) or 200−2q, clamp entries to [1, 255]. */
+  private def scaledQuant(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    base.map { v =>
+      val s = (v * scale + 50) / 100
+      math.max(1, math.min(255, s))
+    }
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = { // pad with 1-bits per T.81 F.1.2.3
+      while (nbits != 0) put(1, 1)
+    }
+  }
+
+  /** (code, length) for each symbol of a canonical table. */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val codes = new Array[(Int, Int)](256)
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < bits(l - 1)) {
+        codes(vals(k)) = (code, l)
+        code += 1; k += 1; c += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    codes
+  }
+
+  private def magnitude(v: Int): Int = {
+    var t = 0; var a = math.abs(v)
+    while (a != 0) { t += 1; a >>= 1 }
+    t
+  }
+
+  /** Forward DCT of one level-shifted block (separable, same basis). */
+  private def fdctBlock(px: Array[Double], outF: Array[Double],
+                        tmp: Array[Double]): Unit = {
+    var u = 0
+    while (u < 8) { // rows: F_row(y, u) = ½·Σ_x M(x,u)·f(y,x)
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += Basis(x * 8 + u) * px(y * 8 + x); x += 1 }
+        tmp(y * 8 + u) = s * 0.5
+        y += 1
+      }
+      u += 1
+    }
+    var v = 0
+    while (v < 8) {
+      var u2 = 0
+      while (u2 < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += Basis(y * 8 + v) * tmp(y * 8 + u2); y += 1 }
+        outF(v * 8 + u2) = s * 0.5
+        u2 += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Encode an RGB raster as a baseline JFIF JPEG. `gray` emits a
+    * single-component stream (luma only); otherwise 4:4:4 YCbCr. */
+  def writeJpeg(width: Int, height: Int, rgb: Array[Byte], quality: Int,
+                gray: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"bad raster ${width}x$height")
+    val lumQ = scaledQuant(LumQuant, quality)
+    val chrQ = scaledQuant(ChromaQuant, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def be16w(v: Int): Unit = { out.write(v >>> 8); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    // APP0 JFIF
+    m(0xe0); be16w(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0) // v1.1, no density units
+    be16w(1); be16w(1); out.write(0); out.write(0)
+    // DQT
+    def dqt(id: Int, t: Array[Int]): Unit = {
+      m(0xdb); be16w(67); out.write(id)
+      t.foreach(out.write)
+    }
+    dqt(0, lumQ)
+    if (!gray) dqt(1, chrQ)
+    // SOF0
+    val nf = if (gray) 1 else 3
+    m(0xc0); be16w(8 + 3 * nf); out.write(8)
+    be16w(height); be16w(width); out.write(nf)
+    out.write(1); out.write(0x11); out.write(0) // Y: 1x1, qt 0
+    if (!gray) {
+      out.write(2); out.write(0x11); out.write(1)
+      out.write(3); out.write(0x11); out.write(1)
+    }
+    // DHT
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      m(0xc4); be16w(19 + vals.length)
+      out.write((tc << 4) | th)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, 0, DcLumBits, DcLumVals); dht(1, 0, AcLumBits, AcLumVals)
+    if (!gray) {
+      dht(0, 1, DcChromaBits, DcChromaVals); dht(1, 1, AcChromaBits, AcChromaVals)
+    }
+    // SOS
+    m(0xda); be16w(6 + 2 * nf); out.write(nf)
+    out.write(1); out.write(0x00)
+    if (!gray) { out.write(2); out.write(0x11); out.write(3); out.write(0x11) }
+    out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
+    // entropy-coded data: 4:4:4 ⇒ MCU = one block per component
+    val dcLum = huffCodes(DcLumBits, DcLumVals)
+    val acLum = huffCodes(AcLumBits, AcLumVals)
+    val dcChr = huffCodes(DcChromaBits, DcChromaVals)
+    val acChr = huffCodes(AcChromaBits, AcChromaVals)
+    val bw = new BitWriter(out)
+    val px = new Array[Double](64)
+    val fcoef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val preds = new Array[Int](3)
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    // component sample at (x, y) clamped to the image (edge replication)
+    def sample(comp: Int, x0: Int, y0: Int): Double = {
+      val x = math.min(x0, width - 1); val y = math.min(y0, height - 1)
+      val o = (y * width + x) * 3
+      val r = rgb(o) & 0xff; val g = rgb(o + 1) & 0xff; val b = rgb(o + 2) & 0xff
+      comp match {
+        case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+        case 1 => -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+      }
+    }
+    def encodeBlock(comp: Int, bx: Int, by: Int): Unit = {
+      val qt = if (comp == 0) lumQ else chrQ
+      val (dcT, acT) = if (comp == 0) (dcLum, acLum) else (dcChr, acChr)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          px(y * 8 + x) = sample(comp, bx + x, by + y) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      fdctBlock(px, fcoef, tmp)
+      // quantize in zigzag order
+      val zz = new Array[Int](64)
+      var k = 0
+      while (k < 64) {
+        val f = fcoef(Zigzag(k)) / qt(k)
+        zz(k) = if (f < 0) (f - 0.5).toInt else (f + 0.5).toInt
+        k += 1
+      }
+      // DC
+      val diff = zz(0) - preds(comp)
+      preds(comp) = zz(0)
+      val t = magnitude(diff)
+      val (dc, dl) = dcT(t)
+      bw.put(dc, dl)
+      if (t > 0)
+        bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      // AC with run-length + EOB
+      var run = 0
+      k = 1
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) {
+            val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
+          }
+          val s = magnitude(zz(k))
+          val (c, l) = acT((run << 4) | s)
+          bw.put(c, l)
+          bw.put(if (zz(k) < 0) zz(k) + (1 << s) - 1 else zz(k), s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (ec, el) = acT(0x00); bw.put(ec, el) }
+    }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < nf) { encodeBlock(c, mx * 8, my * 8); c += 1 }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Convenience: render `px(x, y) -> 0xRRGGBB` content straight to a
+    * JPEG container (the twin-synthesis entry point, mirroring
+    * [[ImageCodec.writePngPixels]]). */
+  def writeJpegPixels(width: Int, height: Int, quality: Int,
+                      px: (Int, Int) => Int): Array[Byte] = {
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val c = px(x, y)
+        val o = (y * width + x) * 3
+        rgb(o) = (c >>> 16).toByte; rgb(o + 1) = (c >>> 8).toByte
+        rgb(o + 2) = c.toByte
+        x += 1
+      }
+      y += 1
+    }
+    writeJpeg(width, height, rgb, quality)
+  }
+}

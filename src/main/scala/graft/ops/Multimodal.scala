@@ -442,6 +442,80 @@ object Multimodal {
         col("a.w").as("w_a"), col("b.w").as("w_b"))
   }
 
+  // ---------------------------------------- cross-format (lossy) twins
+
+  /** Synthesize, per document, a LOSSLESS base (PNG/BMP alternating by
+    * id, as [[imageVariantPayloads]]) and a LOSSY twin: the same 3×3
+    * id-pattern re-encoded as a baseline JPEG (quality 97) at 2× the
+    * resolution — the dominant-format duplicate class a crawl corpus
+    * actually contains. Lossy twins make EXACT grid equality the wrong
+    * verify, so [[imageJpegNearDupQuery]] verifies on the quantized
+    * LEVEL grid instead: cell grays sit mid-band at 16n+8, so any
+    * decode error within ±7 recovers the exact nibble level n — and
+    * the measured q97 drift on this pattern family is ≤5 (spec-gated),
+    * leaving 2 levels of margin. The level grid stays injective on ids,
+    * so the oracle still predicts exactly the twin pairs by formula. */
+  def imageJpegVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
+    import graft.functions.JpegCodec.writeJpegPixels
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base =
+            if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
+            else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          val twin = writeJpegPixels(2 * w0, 2 * h0, 97,
+            patternPx(id, 2 * w0, 2 * h0))
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** Perceptual near-dup across a LOSSY format boundary: decode real
+    * PNG/BMP/JPEG bytes ([[graft.functions.JpegCodec]] — baseline
+    * huffman + IDCT + YCbCr), sample the resolution-invariant 9×8 grid,
+    * quantize grays to their 16-wide level band, and nominate on the
+    * level-grid dHash / verify on the full level grid. Decode is
+    * scan-shaped (one pass per payload, embarrassingly parallel); the
+    * join shuffles 8-byte hashes plus the 72-int grid only. */
+  def imageJpegNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.ImageCodec
+    val rasters = imageJpegVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          ImageCodec.decodePixels(bytes).map { p =>
+            val lvl = ImageCodec.sampleGrid9x8(p).map(_ / 16)
+            (id, p.format, p.width, lvl.toSeq, ImageCodec.dHash64(lvl))
+          }
+        }
+      }
+      .toDF("doc_id", "format", "w", "lvl", "dhash")
+      .trackPersist() // both sides of the candidate self-join
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.lvl") === col("b.lvl"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.format").as("format_a"), col("b.format").as("format_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imageJpegNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
+       |       'jpeg' AS format_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   // --------------------------------------------- perceptual audio dedup
 
   /** Window amplitude of the id-pattern stream: window 0 is a constant

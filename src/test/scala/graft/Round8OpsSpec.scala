@@ -68,6 +68,144 @@ class Round8OpsSpec extends SparkSpec {
       ImageCodec.withTextChunk(png, "Author", "x")).isDefined)
   }
 
+  // --- baseline JPEG codec (round-7 verdict item 1) ---
+
+  private def rasterOf(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = px(x, y); val o = (y * w + x) * 3
+      rgb(o) = (c >>> 16).toByte; rgb(o + 1) = (c >>> 8).toByte
+      rgb(o + 2) = c.toByte
+    }
+    rgb
+  }
+
+  private def maxDiff(a: Array[Byte], b: Array[Byte]): Int =
+    a.zip(b).map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)) }.max
+
+  private def imageIoDecodeRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = img.getRGB(x, y); val o = (y * w + x) * 3
+      rgb(o) = ((c >> 16) & 0xff).toByte; rgb(o + 1) = ((c >> 8) & 0xff).toByte
+      rgb(o + 2) = (c & 0xff).toByte
+    }
+    (w, h, rgb)
+  }
+
+  private def imageIoEncodeJpeg(w: Int, h: Int, rgb: Array[Byte],
+                                quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) |
+        (rgb(o + 2) & 0xff))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    out.toByteArray
+  }
+
+  // a soft-gradient pattern: cell structure + smooth variation, both
+  // well inside baseline JPEG's representable range at quality 90
+  private def softPx(seed: Int)(x: Int, y: Int): Int = {
+    val r = 32 + ((x / 4 + seed) % 6) * 32
+    val g = 32 + ((y / 4 + seed) % 6) * 32
+    val b = 32 + (((x + y) / 8) % 6) * 32
+    (r << 16) | (g << 8) | b
+  }
+
+  private def maxLumaDiff(a: Array[Byte], b: Array[Byte]): Double = {
+    def lum(r: Array[Byte], i: Int): Double =
+      0.299 * (r(i * 3) & 0xff) + 0.587 * (r(i * 3 + 1) & 0xff) +
+        0.114 * (r(i * 3 + 2) & 0xff)
+    (0 until a.length / 3).map(i => math.abs(lum(a, i) - lum(b, i))).max
+  }
+
+  test("jpeg round-trip: own encoder -> own decoder stays close") {
+    val w = 40; val h = 32
+    val src = rasterOf(w, h, softPx(3))
+    val jpg = graft.functions.JpegCodec.writeJpeg(w, h, src, 90)
+    val dec = graft.functions.ImageCodec.decodePixels(jpg).get
+    assert(dec.format == "jpeg" && dec.width == w && dec.height == h)
+    // q90 on 4px color cells: chroma quantization rings at cell edges
+    // (measured 20); luma — what the perceptual grid reads — stays tight
+    assert(maxDiff(src, dec.rgb) <= 24,
+      s"own roundtrip rgb drift ${maxDiff(src, dec.rgb)}")
+    assert(maxLumaDiff(src, dec.rgb) <= 10.0,
+      s"own roundtrip luma drift ${maxLumaDiff(src, dec.rgb)}")
+  }
+
+  test("jpeg header decode still reports dims for own encoder output") {
+    val jpg = graft.functions.JpegCodec.writeJpegPixels(24, 15, 85, softPx(1))
+    val m = graft.functions.ImageCodec.decode(jpg).get
+    assert(m.format == "jpeg" && m.width == 24 && m.height == 15 &&
+      m.channels == 3)
+  }
+
+  test("imageio reads our jpeg and sees our content") {
+    val w = 33; val h = 26 // non-multiple-of-8 dims: edge blocks matter
+    val src = rasterOf(w, h, softPx(5))
+    val jpg = graft.functions.JpegCodec.writeJpeg(w, h, src, 92)
+    val (dw, dh, drgb) = imageIoDecodeRgb(jpg)
+    assert(dw == w && dh == h)
+    assert(maxDiff(src, drgb) <= 32, s"imageio rgb drift ${maxDiff(src, drgb)}")
+    assert(maxLumaDiff(src, drgb) <= 10.0,
+      s"imageio luma drift ${maxLumaDiff(src, drgb)}")
+  }
+
+  test("our decoder matches imageio's decode of imageio-encoded jpeg (4:2:0)") {
+    val w = 48; val h = 37
+    val src = rasterOf(w, h, softPx(2))
+    val jpg = imageIoEncodeJpeg(w, h, src, 0.92f)
+    val ours = graft.functions.ImageCodec.decodePixels(jpg).get
+    val (dw, dh, theirs) = imageIoDecodeRgb(jpg)
+    assert(ours.width == dw && ours.height == dh)
+    // LUMA is the exactness law: both decoders run the same standard on
+    // the full-resolution Y plane, so they must agree within IDCT
+    // rounding (measured 1.6). RGB legitimately diverges more — chroma
+    // upsampling METHOD is unspecified by the standard (ours: nearest;
+    // ImageIO: triangular), so only a loose bound holds there.
+    val dl = maxLumaDiff(ours.rgb, theirs)
+    assert(dl <= 4.0, s"luma decoder divergence $dl")
+    assert(maxDiff(ours.rgb, theirs) <= 96,
+      s"rgb decoder divergence ${maxDiff(ours.rgb, theirs)}")
+  }
+
+  test("jpeg grayscale stream decodes") {
+    val w = 24; val h = 16
+    val src = rasterOf(w, h, (x, y) => { val g = (x * 8 + y) & 0xff; (g << 16) | (g << 8) | g })
+    val jpg = graft.functions.JpegCodec.writeJpeg(w, h, src, 90, gray = true)
+    val dec = graft.functions.ImageCodec.decodePixels(jpg).get
+    assert(dec.width == w && dec.height == h)
+    // luma-only: compare against the ITU luma of the source
+    var worst = 0
+    for (i <- 0 until w * h) {
+      val o = i * 3
+      val lum = (0.299 * (src(o) & 0xff) + 0.587 * (src(o + 1) & 0xff) +
+        0.114 * (src(o + 2) & 0xff)).round.toInt
+      worst = math.max(worst, math.abs((dec.rgb(o) & 0xff) - lum))
+    }
+    assert(worst <= 12, s"gray drift $worst")
+  }
+
+  test("corrupt jpeg returns None") {
+    val jpg = graft.functions.JpegCodec.writeJpegPixels(16, 16, 90, softPx(0))
+    assert(graft.functions.ImageCodec.decodePixels(jpg.take(40)).isEmpty)
+    val bad = jpg.clone(); bad(6) = 0x7f // corrupt APP0 length region
+    // any outcome but a hang/throw is fine; just assert no exception
+    graft.functions.ImageCodec.decodePixels(bad)
+  }
+
   // --- empty-table layout audit (advice: Layout.rowGroups) ---
 
   test("rowGroups on an empty table returns an empty frame") {
