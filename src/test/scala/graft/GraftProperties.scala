@@ -505,6 +505,63 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  // baseline JPEG law vs the independent ImageIO implementation: for any
+  // raster, (a) our encoder's output is readable by ImageIO, and (b) on
+  // ImageIO-encoded bytes our decoder agrees with ImageIO's decoder on
+  // the full-resolution LUMA plane within IDCT rounding. (RGB is not
+  // lawful across decoders: chroma-upsampling method is unspecified.)
+  property("jpeg codec agrees with imageio on luma both directions") =
+    forAll(Gen.chooseNum(9, 40), Gen.chooseNum(9, 40), Gen.long) { (w, h, seed) =>
+      import graft.functions.{ImageCodec, JpegCodec}
+      val rng = new scala.util.Random(seed)
+      // smooth-ish content (8px cells): keeps quantization drift small so
+      // the law bounds measure decoder agreement, not encoder loss
+      val cells = Array.fill(6, 6)(rng.nextInt(256))
+      def f(x: Int, y: Int): Int = {
+        val g = cells(math.min(y / 8, 5))(math.min(x / 8, 5))
+        (g << 16) | (g << 8) | g
+      }
+      def lum(r: Array[Byte], i: Int): Double =
+        0.299 * (r(i * 3) & 0xff) + 0.587 * (r(i * 3 + 1) & 0xff) +
+          0.114 * (r(i * 3 + 2) & 0xff)
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = f(x, y); val o = (y * w + x) * 3
+        rgb(o) = (c >>> 16).toByte; rgb(o + 1) = (c >>> 8).toByte
+        rgb(o + 2) = c.toByte
+      }
+      // (a) our encode -> imageio decode
+      val ours = JpegCodec.writeJpeg(w, h, rgb, 95)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+      val aOk = img != null && img.getWidth == w && img.getHeight == h && {
+        (0 until w * h).forall { i =>
+          val c = img.getRGB(i % w, i / w)
+          val il = 0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+            0.114 * (c & 0xff)
+          math.abs(il - lum(rgb, i)) <= 10.0
+        }
+      }
+      // (b) imageio encode -> both decoders, luma agreement
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpeg", bos)
+      val theirsBytes = bos.toByteArray
+      val mine = ImageCodec.decodePixels(theirsBytes).get
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(theirsBytes))
+      val bOk = mine.width == w && mine.height == h && {
+        (0 until w * h).forall { i =>
+          val c = ref.getRGB(i % w, i / w)
+          val il = 0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+            0.114 * (c & 0xff)
+          math.abs(il - lum(mine.rgb, i)) <= 4.0
+        }
+      }
+      aOk && bOk
+    }
+
   // sample-level audio law: writeWav -> decodeSamples reproduces the
   // exact PCM stream, and the normalized energy profile is invariant
   // under exact gain halving and mono->stereo duplication
