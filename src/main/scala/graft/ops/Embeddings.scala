@@ -537,25 +537,41 @@ object Embeddings {
     * corpus × PqK. Distance is `n2 − 2·dot + cn2` in that exact
     * sequence both engines, dot folded in element order. */
   def productQuantize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.functions.GraftFunctions.ensureRegistered(spark)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .trackPersist() // seeding collect + the subspace explode
+    val (assigned, _) = pqModel(vecs)
+    assigned.select(col("vec_id"), col("sub"), col("code"),
+      round(col("d2"), 6).as("d2"))
+  }
+
+  /** PQ training + assignment as a reusable model: input (vec_id, v)
+    * [persisted by the caller], output (assignments, codebook) where
+    * assignments = (vec_id, sub, sv, code, d2) after the one pinned
+    * Lloyd sweep and codebook = (sub, code, cv, cn2). Shared by
+    * [[productQuantize]] and the IVF-PQ composed serving path
+    * ([[Similarity.ivfpqTopK]]), so both gates exercise the identical
+    * derivation. */
+  private[ops] def pqModel(vecs: DataFrame, nSub: Int = PqM,
+                           nCodes: Int = PqK): (DataFrame, DataFrame) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val subDim = Dim / nSub
     val subs = vecs
-      .select(col("vec_id"), explode(array((0 until PqM).map(m =>
+      .select(col("vec_id"), explode(array((0 until nSub).map(m =>
         struct(lit(m).as("sub"),
-          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("s"))
+          slice(col("v"), m * subDim + 1, subDim).as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
       .withColumn("sn2", dot(col("sv"), col("sv")))
       .trackPersist() // two assignment passes + the update
     val seedVecs = vecs.withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .orderBy(col("h"), col("vec_id")).limit(nCodes)
       .select(col("v")).collect()
     val seedRows = for {
       (r, j) <- seedVecs.zipWithIndex
-      m <- 0 until PqM
-    } yield (m, j, r.getSeq[Double](0).slice(m * PqSubDim, (m + 1) * PqSubDim))
+      m <- 0 until nSub
+    } yield (m, j, r.getSeq[Double](0).slice(m * subDim, (m + 1) * subDim))
     val seedDf = broadcast(seedRows.toSeq.toDF("sub", "code", "cv")
       .withColumn("cn2", dot(col("cv"), col("cv"))))
     def assign(cb: DataFrame): DataFrame = {
@@ -577,9 +593,7 @@ object Embeddings {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    assign(broadcast(cb1))
-      .select(col("vec_id"), col("sub"), col("code"),
-        round(col("d2"), 6).as("d2"))
+    (assign(broadcast(cb1)), cb1)
   }
 
   val productQuantizeOracle: String =

@@ -418,6 +418,227 @@ object Similarity {
     ivfTopKFrom(loaded.drop("cents"), probeHi(cents))
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** PQ serving-codebook shape: 8 subspaces × 16 codes = 8 one-byte
+    * codes per vector (a 64× memory cut vs the 64-double raster) —
+    * finer than the 4×8 distortion-audit codebook [[Embeddings.PqM]]
+    * pins, because the serving path is judged on RECALL, not on
+    * exercising the Lloyd machinery. */
+  private val PqServeM = 8
+  private val PqServeK = 16
+
+  /** Exact-re-rank shortlist size: ⌈n/10⌉ (floor 20) PQ-nominated
+    * candidates per query get exact re-scoring. Derived from the corpus
+    * size like `cents`, because the probed-candidate pool grows with
+    * the corpus and a FIXED shortlist would shrink recall as n grows;
+    * n/10 keeps the exact work a constant fraction of one probe's
+    * candidate volume (≪ n² always). */
+  private def rerankR(n: Long): Int =
+    math.max(4 * K, math.ceil(n / 5.0).toInt)
+
+  /** IVF-PQ composed serving path — the memory shape that makes
+    * billion-vector ANN feasible: the probed inverted lists hold PQ
+    * CODES ([[Embeddings.pqModel]]: 4 one-byte codes/vector, a 128×
+    * memory cut vs the 64-double raster), candidates are scored with
+    * the ASYMMETRIC approximate cosine against the code reconstruction
+    * (dot(q, x̂) — identical to the classic per-subspace ADC lookup sum,
+    * since dot distributes over the concatenated subspaces), and only
+    * the top-[[RerankR]] shortlist per query is re-scored exactly from
+    * the full vectors. Scale: the codebook is 32 rows and broadcast;
+    * reconstruction is a map over the code column; the exact re-rank
+    * join is shortlist-sized (R·n rows), never list-sized. Recall at
+    * equal probe budget is a GATED number beside IVF-flat in
+    * [[annRecall]] (spec gates the gap ≤ 0.05). */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, cents) = ivfRanked(spark, dir, probeHi)
+    ivfpqTopKFrom(ranked, probeHi(cents))
+  }
+
+  private def ivfpqTopKFrom(ranked: DataFrame, nprobe: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    // every vector has a crank-1 (home) row: that's the full corpus
+    val base = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("n2"))
+    val shortR = rerankR(base.count()) // ranked is persisted: cheap action
+    val (codes, codebook) =
+      Embeddings.pqModel(base.select("vec_id", "v"), PqServeM, PqServeK)
+    // reconstruct x̂ from codes via the broadcast 32-row codebook; vn2
+    // in the same element-order fold both engines
+    val recon = codes.select(col("vec_id"), col("sub"), col("code"))
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cv")))),
+        s => s.getField("cv"))).as("vhat"))
+      .withColumn("vn2", dot(col("vhat"), col("vhat")))
+    val index = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(recon, Seq("vec_id"))
+    val cand = ranked.filter(col("crank") <= nprobe)
+      .select(col("vec_id"), col("v"), col("n2"), col("centroid_id")).as("a")
+      .join(index.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        (dot(col("a.v"), col("b.vhat")) /
+          sqrt(col("a.n2") * col("b.vn2"))).as("acos"))
+      .distinct() // a neighbor can appear via several probed lists
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("neighbor_id"))
+    val shortlist = cand.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortR)
+      .select(col("vec_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist only
+    val pairs = shortlist
+      .join(base.select(col("vec_id"), col("v").as("av"), col("n2").as("an2")),
+        Seq("vec_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v").as("bv"),
+        col("n2").as("bn2")), Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("av"), col("bv")) / sqrt(col("an2") * col("bn2"))).as("cos"))
+    topK(pairs)
+  }
+
+  /** The PQ codebook/codes/reconstruction pipeline as SQL CTEs (suffix
+    * names with nothing — used once per oracle): mirrors
+    * [[Embeddings.pqModel]] + the reconstruction join bit-for-bit. */
+  private def pqReconCte: String = {
+    val m = PqServeM; val sd = Dim / PqServeM; val k = PqServeK
+    s"""ms AS (SELECT CAST(unnest(generate_series(0, ${m - 1})) AS INT) AS sub),
+       |sn AS (
+       |  SELECT vec_id, sub,
+       |         list_slice(v, sub * $sd + 1, sub * $sd + $sd) AS sv,
+       |         list_sum(list_transform(
+       |           list_slice(v, sub * $sd + 1, sub * $sd + $sd),
+       |           x -> x * x)) AS sn2
+       |  FROM n CROSS JOIN ms),
+       |seedv AS (
+       |  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM n),
+       |seedn AS (
+       |  SELECT sub, CAST(rn - 1 AS INT) AS code,
+       |         list_slice(v, sub * $sd + 1, sub * $sd + $sd) AS cv,
+       |         list_sum(list_transform(
+       |           list_slice(v, sub * $sd + 1, sub * $sd + $sd),
+       |           x -> x * x)) AS cn2
+       |  FROM seedv CROSS JOIN ms WHERE rn <= $k),
+       |pscored0 AS (
+       |  SELECT s.vec_id, s.sub, s.sv, c.code,
+       |         s.sn2 - 2 * list_sum(list_transform(generate_series(1, $sd),
+       |           i -> s.sv[i] * c.cv[i])) + c.cn2 AS d2
+       |  FROM sn s JOIN seedn c ON s.sub = c.sub),
+       |pa0 AS (
+       |  SELECT vec_id, sub, sv, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                 ORDER BY d2 ASC, code) AS r
+       |    FROM pscored0) WHERE r = 1),
+       |pm1 AS (
+       |  SELECT sub, code, i AS dim,
+       |         CAST(sum(CAST(sv[i] AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS m
+       |  FROM pa0, unnest(generate_series(1, $sd)) t(i)
+       |  GROUP BY 1, 2, 3),
+       |pc1 AS (SELECT sub, code, list(m ORDER BY dim) AS cv FROM pm1 GROUP BY 1, 2),
+       |pc1n AS (
+       |  SELECT sub, code, cv,
+       |         list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM pc1),
+       |pscored1 AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |         s.sn2 - 2 * list_sum(list_transform(generate_series(1, $sd),
+       |           i -> s.sv[i] * c.cv[i])) + c.cn2 AS d2
+       |  FROM sn s JOIN pc1n c ON s.sub = c.sub),
+       |pcodes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |                                 ORDER BY d2 ASC, code) AS r
+       |    FROM pscored1) WHERE r = 1),
+       |recon AS (
+       |  SELECT r.vec_id, r.vhat,
+       |         list_sum(list_transform(r.vhat, x -> x * x)) AS vn2 FROM (
+       |    SELECT p.vec_id, flatten(list(c.cv ORDER BY p.sub)) AS vhat
+       |    FROM pcodes p JOIN pc1n c ON p.sub = c.sub AND p.code = c.code
+       |    GROUP BY p.vec_id) r)""".stripMargin
+  }
+
+  /** IVF-PQ pipeline as SQL at an injected probe budget: IVF CTEs
+    * (identical to [[ivfOracleAt]] through `assigned`) + PQ CTEs +
+    * shortlist + exact re-rank. */
+  private def ivfpqOracleAt(npSql: String): String =
+    s"""WITH $vecsCte,
+       |par AS (
+       |  SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS INT)) AS cents FROM n),
+       |np AS (SELECT ($npSql) AS np FROM par),
+       |cent0 AS (
+       |  SELECT centroid_id, v AS cv, n2 AS cn2 FROM (
+       |    SELECT vec_id, v, n2,
+       |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS centroid_id
+       |    FROM n) WHERE centroid_id < (SELECT cents FROM par)),
+       |scored0 AS (
+       |  SELECT n.vec_id, n.v, c.centroid_id,
+       |         list_sum(list_transform(generate_series(1, $Dim), i -> n.v[i] * c.cv[i]))
+       |           / sqrt(n.n2 * c.cn2) AS ccos
+       |  FROM n, cent0 c),
+       |home0 AS (
+       |  SELECT vec_id, v, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY ccos DESC, centroid_id) AS r
+       |    FROM scored0) WHERE r = 1),
+       |m1 AS (
+       |  SELECT centroid_id, i AS dim,
+       |         CAST(sum(CAST(v[i] AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS m
+       |  FROM home0, unnest(generate_series(1, $Dim)) t(i)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT centroid_id, cv,
+       |         list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM (
+       |    SELECT centroid_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY 1)),
+       |scored AS (
+       |  SELECT n.vec_id, n.v, n.n2, c.centroid_id,
+       |         list_sum(list_transform(generate_series(1, $Dim), i -> n.v[i] * c.cv[i]))
+       |           / sqrt(n.n2 * c.cn2) AS ccos
+       |  FROM n, cent c),
+       |assigned AS (
+       |  SELECT vec_id, v, n2, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY ccos DESC, centroid_id) AS crank
+       |  FROM scored),
+       |${pqReconCte},
+       |probe AS (SELECT * FROM assigned WHERE crank <= (SELECT np FROM np)),
+       |idx AS (
+       |  SELECT a.vec_id, a.centroid_id, r.vhat, r.vn2
+       |  FROM assigned a JOIN recon r ON a.vec_id = r.vec_id
+       |  WHERE a.crank = 1),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+       |         list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> a.v[i] * b.vhat[i])) / sqrt(a.n2 * b.vn2) AS acos
+       |  FROM probe a JOIN idx b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |rpar AS (
+       |  SELECT GREATEST(${4 * K}, CAST(ceil(count(*) / 5.0) AS INT)) AS r FROM n),
+       |short AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT vec_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY acos DESC, neighbor_id) AS srank
+       |    FROM cand) WHERE srank <= (SELECT r FROM rpar)),
+       |p AS (
+       |  SELECT s.vec_id, s.neighbor_id,
+       |         list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> a.v[i] * b.v[i])) / sqrt(a.n2 * b.n2) AS cos
+       |  FROM short s
+       |  JOIN n a ON a.vec_id = s.vec_id
+       |  JOIN n b ON b.vec_id = s.neighbor_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INT) AS rank
+       |FROM r WHERE rn <= $K
+       |""".stripMargin
+
+  val ivfpqOracle: String = ivfpqOracleAt("(2 * cents + 4) // 5")
+
   /** The shared IVF pipeline as SQL, with the probe budget expression
     * injected — `npSql` sees `cents` (the derived list count) in scope. */
   private def ivfOracleAt(npSql: String): String =
@@ -523,6 +744,9 @@ object Similarity {
       .unionByName(stat("ivf_lo", ivfTopKFrom(ranked, probeLo(cents))))
       .unionByName(stat("ivf_mid", ivfTopKFrom(ranked, probeMid(cents))))
       .unionByName(stat("ivf", ivfTopKFrom(ranked, probeHi(cents))))
+      // IVF-PQ at the SAME probe budget as ivf: the sweep row that
+      // prices the 128× index-memory cut in recall (spec gates ≤ 0.05)
+      .unionByName(stat("ivfpq", ivfpqTopKFrom(ranked, probeHi(cents))))
   }
 
   val annRecallOracle: String =
@@ -535,6 +759,8 @@ object Similarity {
        |ivf_mid AS (SELECT vec_id, neighbor_id FROM (${ivfOracleAt(NpMidSql)})
        |        WHERE vec_id % $ProbeMod = 0),
        |ivf AS (SELECT vec_id, neighbor_id FROM (${ivfOracleAt(NpHiSql)})
+       |        WHERE vec_id % $ProbeMod = 0),
+       |ivfpq AS (SELECT vec_id, neighbor_id FROM (${ivfpqOracleAt(NpHiSql)})
        |        WHERE vec_id % $ProbeMod = 0),
        |st AS (
        |  SELECT 'lsh' AS method,
@@ -551,7 +777,11 @@ object Similarity {
        |  UNION ALL
        |  SELECT 'ivf',
        |         (SELECT count(*) FROM bf),
-       |         (SELECT count(*) FROM bf JOIN ivf USING (vec_id, neighbor_id)))
+       |         (SELECT count(*) FROM bf JOIN ivf USING (vec_id, neighbor_id))
+       |  UNION ALL
+       |  SELECT 'ivfpq',
+       |         (SELECT count(*) FROM bf),
+       |         (SELECT count(*) FROM bf JOIN ivfpq USING (vec_id, neighbor_id)))
        |SELECT method, CAST(t AS BIGINT) AS truth_pairs,
        |       CAST(m AS BIGINT) AS matched_pairs,
        |       round(CAST(m AS DOUBLE) / t, 6) AS recall

@@ -206,6 +206,17 @@ class Round8OpsSpec extends SparkSpec {
     graft.functions.ImageCodec.decodePixels(bad)
   }
 
+  // --- IVF-PQ recall gate (round-7 verdict item 2) ---
+
+  test("ivfpq recall within 0.05 of ivf-flat at equal probe budget") {
+    val recall = graft.ops.Similarity.annRecall(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(recall.contains("ivfpq") && recall.contains("ivf"))
+    val gap = recall("ivf") - recall("ivfpq")
+    assert(gap <= 0.05, s"ivfpq recall gap $gap (ivf=${recall("ivf")}, " +
+      s"ivfpq=${recall("ivfpq")})")
+  }
+
   // --- empty-table layout audit (advice: Layout.rowGroups) ---
 
   test("rowGroups on an empty table returns an empty frame") {
