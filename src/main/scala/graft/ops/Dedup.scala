@@ -722,9 +722,96 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
+    * provably O(log n)-round algorithm for 100 TB pair graphs, where
+    * [[components]]' min-label propagation (O(diameter) rounds, lineage
+    * growing per round) stops being the right tool. Public algorithm:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC 2014).
+    *
+    * Each round rewrites the edge set:
+    *   large-star(u): m = min(Γ(u) ∪ {u}); link every LARGER neighbor
+    *     v > u directly to m — flattens tall chains from both ends;
+    *   small-star(u): on larger→smaller oriented edges, m = min of u's
+    *     smaller neighbors; link u and its other smaller neighbors to m.
+    * At the fixpoint every component is a star rooted at its minimum
+    * node, so labels read straight off the edges. Both steps are one
+    * hash-aggregate (min over neighbors) plus one shuffle join keyed by
+    * node — no window, no driver-sized state.
+    *
+    * Per-round `localCheckpoint` truncates lineage, so plan size is
+    * CONSTANT in the round count (spec-guarded) instead of growing a
+    * join per round; the fixpoint test is a (count, hash-sum) edge-set
+    * fingerprint — two scalar aggregates, not an except(). Output is
+    * identical to [[components]] (equality spec on fixtures + the same
+    * oracle gates both). */
+  def componentsTwoPhase(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // orient larger -> smaller, dedupe; localCheckpoint materializes and
+    // cuts whatever plan produced the pairs
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def fingerprint(df: DataFrame): (Long, String) = {
+      // DECIMAL(38,0) accumulator: 60-bit hash values summed over any
+      // edge count without ANSI long overflow
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(conv(substring(md5(concat_ws(":", col("u"), col("v"))),
+          1, 15), 16, 10).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val relink = e.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      relink.union(self).filter(col("u") =!= col("v")).distinct()
+    }
+    var fp = fingerprint(edges)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] WARN componentsTwoPhase exited at maxRounds=$maxRounds " +
+          "without an edge-set fixpoint — labels may be incomplete")
+    // fixpoint edge set is a star forest: u -> root on every edge
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id"))
+        .distinct())
+      .distinct()
+  }
+
   /** Oracle-checked query: components of the exact-Jaccard pair graph. */
   def clusters(spark: SparkSession, dir: String): DataFrame =
     components(jaccardPairs(spark, dir))
+
+  /** The same clusters through the two-phase algorithm — gated by the
+    * identical oracle, proving output equality on the real pair graph. */
+  def clustersTwoPhase(spark: SparkSession, dir: String): DataFrame =
+    componentsTwoPhase(jaccardPairs(spark, dir))
 
   val clustersOracle: String =
     s"""WITH RECURSIVE pairs AS ($jaccardPairsOracle),
