@@ -253,6 +253,64 @@ class Round8OpsSpec extends SparkSpec {
       .forall(_.getClass.getSimpleName.contains("LogicalRDD")))
   }
 
+  // --- incremental entity resolution (round-7 verdict item 4) ---
+
+  test("incremental ER merges entities bridged by a new record") {
+    import spark.implicits._
+    import graft.ops.EntityResolution
+    // registry: two entities in the SAME block ("da"+"rp") that do not
+    // link directly — lev("datapipe corp","datapipexxxx corp") = 4
+    val reg2 = Seq((10L, "datapipe corp"), (20L, "datapipexxxx corp"))
+      .toDF("record_id", "name")
+    val full0 = EntityResolution.resolve(reg2).select("record_id", "entity_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full0(10L) != full0(20L), "fixture must start unmerged")
+    // the bridge sits lev 2 from BOTH: merges the two registry entities
+    val bridge = Seq((30L, "datapipexx corp")).toDF("record_id", "name")
+    val inc = EntityResolution.resolveIncremental(reg2, bridge)
+      .select("record_id", "entity_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = EntityResolution.resolve(reg2.unionByName(bridge))
+      .select("record_id", "entity_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc(10L) == inc(20L) && inc(30L) == inc(10L),
+      "bridge record must merge both entities")
+    graft.core.Caches.release(spark)
+  }
+
+  test("streaming ER twin: final micro-batch equals batch re-resolution") {
+    import spark.implicits._
+    import graft.ops.EntityResolution
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = EntityResolution.records(spark, sf)
+    val registry = all.filter(col("record_id") < 1000000000000L)
+    val feed = all.filter(col("record_id") >= 1000000000000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    @volatile var last: Array[(Long, Long, String, Long)] = Array.empty
+    val q = EntityResolution.resolveStream(
+      input.toDS().toDF("record_id", "name"), registry,
+      "/tmp/graft_ckpt_er_" + System.nanoTime()) { (resolved, _) =>
+        last = resolved.select("record_id", "entity_id", "canonical_name",
+          "n_members").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      }.start()
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batch = EntityResolution.resolve(all)
+      .select("record_id", "entity_id", "canonical_name", "n_members")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(last.toSet == batch.toSet,
+      s"stream twin diverged: ${last.toSet.diff(batch.toSet).take(3)}")
+    graft.core.Caches.release(spark)
+  }
+
   // --- empty-table layout audit (advice: Layout.rowGroups) ---
 
   test("rowGroups on an empty table returns an empty frame") {
