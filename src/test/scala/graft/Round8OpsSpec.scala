@@ -311,6 +311,23 @@ class Round8OpsSpec extends SparkSpec {
     graft.core.Caches.release(spark)
   }
 
+  // --- WARC ingestion (round-7 verdict item 5) ---
+
+  test("warc member walk parses both records; corrupt bytes do not throw") {
+    import spark.implicits._
+    val payloads = graft.ops.Archives.warcPayloads(spark, sf).take(3)
+    payloads.foreach { case (id, bytes) =>
+      val recs = graft.ops.Archives.warcRecordsOf(bytes)
+      assert(recs.length == 2)
+      assert(recs(0)._1("warc-type") == "warcinfo")
+      assert(recs(1)._1("warc-type") == "response")
+      assert(recs(1)._1("warc-target-uri") == s"http://example.com/doc/$id")
+      // corrupt: truncated mid-member and garbage both end the walk calmly
+      assert(graft.ops.Archives.warcRecordsOf(bytes.take(20)).isEmpty)
+      graft.ops.Archives.warcRecordsOf(Array.fill[Byte](64)(0x55))
+    }
+  }
+
   // --- empty-table layout audit (advice: Layout.rowGroups) ---
 
   test("rowGroups on an empty table returns an empty frame") {
