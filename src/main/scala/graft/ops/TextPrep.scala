@@ -276,6 +276,150 @@ object TextPrep {
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopK
        |""".stripMargin
 
+  // ------------------------------------------------------ full BPE loop
+
+  /** Merges the gated [[bpeVocab]] query performs (SQL-replayed); the
+    * spec drives the same trainer to a 200-symbol vocab against an
+    * independent in-memory golden. */
+  private val BpeGateMerges = 12
+
+  /** Left-to-right non-overlapping merge of one adjacent pair — the
+    * textbook BPE rewrite (same semantics as a string `replace` over the
+    * space-joined symbol string, which is how the oracle replays it). */
+  private[graft] def mergeSyms(s: IndexedSeq[String], a: String, b: String)
+      : IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** FULL BPE TRAINING LOOP — iterate merges to a target count with the
+    * corpus RE-PAIRED INCREMENTALLY (the real tokenizer-training shape):
+    *
+    *  - corpus-linear work happens ONCE (the word-frequency aggregate);
+    *    the loop runs over the distinct-word dictionary, which is
+    *    bounded by the language, not the corpus — the collapse that
+    *    makes BPE training feasible at 100 TB;
+    *  - the pair-count table lives on the DRIVER (bounded by the
+    *    symbol-pair alphabet — state-sized, like the MG candidate sets),
+    *    so choosing the next merge is a map lookup, not a Spark job;
+    *  - each round runs ONE rewrite pass over the dictionary (words not
+    *    containing the pair pass through untouched and report no delta)
+    *    plus one delta aggregate over the CHANGED words only — the
+    *    incremental aggregation that replaces recounting every pair
+    *    every round; `localCheckpoint` per round keeps lineage flat;
+    *  - determinism: best pair = (max count, then lexicographically
+    *    smallest (a, b)) — ScalaCheck-lawed independent of partitioning
+    *    and input order, and replayed identically by the SQL oracle.
+    *
+    * Returns the merge table (rank, sym_a, sym_b, merged, pair_count). */
+  def bpeTrain(words: DataFrame, numMerges: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var cur: org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)] =
+      words.as[(String, Long)]
+        .map { case (w, f) => (w.map(_.toString).toIndexedSeq, f) }
+        .localCheckpoint()
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    cur.flatMap { case (s, f) =>
+        s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, f))
+      }.toDF("a", "b", "f").groupBy("a", "b")
+      .agg(sum(col("f")).as("c")).collect()
+      .foreach(r => counts((r.getString(0), r.getString(1))) = r.getLong(2))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    while (rank <= numMerges && counts.nonEmpty) {
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      merges += ((rank, a, b, a + b, c))
+      val (aa, bb) = (a, b)
+      val next = cur.map { case (syms, f) =>
+        val merged = mergeSyms(syms, aa, bb)
+        (merged, f, if (merged.length != syms.length) syms else null)
+      }.localCheckpoint() // ONE rewrite job; lineage stays flat
+      // delta aggregate over changed words only (old pairs −f, new +f)
+      val deltas = next.filter(_._3 != null)
+        .flatMap { case (nw, f, ow) =>
+          ow.iterator.zip(ow.iterator.drop(1)).map(p => (p._1, p._2, -f)) ++
+            nw.iterator.zip(nw.iterator.drop(1)).map(p => (p._1, p._2, f))
+        }.toDF("a", "b", "d").groupBy("a", "b")
+        .agg(sum(col("d")).as("d")).collect()
+      deltas.foreach { r =>
+        val k = (r.getString(0), r.getString(1))
+        val v = counts.getOrElse(k, 0L) + r.getLong(2)
+        if (v > 0) counts(k) = v else counts.remove(k)
+      }
+      cur.unpersist()
+      cur = next.map(t => (t._1, t._2))
+      rank += 1
+    }
+    cur.unpersist()
+    merges.toSeq.toDF("rank", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** The word-frequency dictionary the trainer runs over. */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+
+  /** Oracle-gated query: the first [[BpeGateMerges]] merges of the full
+    * loop over the documents word dictionary. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(bpeWords(spark, dir), BpeGateMerges)
+
+  /** The SQL replay is GENERATED: one (pairs → best → rewrite) round
+    * per merge, unrolled [[BpeGateMerges]] times — the symbol string is
+    * space-joined, so the left-to-right non-overlapping `replace` of
+    * `' a b '` with `' ab '` is exactly [[mergeSyms]]. Materialized
+    * CTEs keep each state referenced twice from re-evaluating. */
+  val bpeVocabOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |wf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tk
+        |  WHERE len(w) >= 1 GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(list_transform(
+        |           generate_series(1, length(w)), i -> substring(w, i, 1)),
+        |           ' ') || ' ' AS s, freq
+        |  FROM wf)""".stripMargin)
+    for (r <- 1 to BpeGateMerges) {
+      val p = r - 1
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS c
+        |  FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM s$p),
+        |       unnest(generate_series(1, len(t) - 1)) u(i)
+        |  GROUP BY 1, 2),
+        |b$r AS MATERIALIZED (
+        |  SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+        |s$r AS MATERIALIZED (
+        |  SELECT replace(s,
+        |           ' ' || (SELECT a FROM b$r) || ' ' || (SELECT b FROM b$r) || ' ',
+        |           ' ' || (SELECT a FROM b$r) || (SELECT b FROM b$r) || ' ') AS s,
+        |         freq
+        |  FROM s$p)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to BpeGateMerges).map { r =>
+      s"""SELECT $r AS rank, (SELECT a FROM b$r) AS sym_a,
+         |       (SELECT b FROM b$r) AS sym_b,
+         |       (SELECT a || b FROM b$r) AS merged,
+         |       (SELECT c FROM b$r) AS pair_count""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+    sb.append("\n")
+    sb.toString
+  }
+
   private val SpanN = 8
 
   /** Cross-document repeated token spans — the exact-substring dedup

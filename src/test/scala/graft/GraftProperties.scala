@@ -562,6 +562,27 @@ object GraftProperties extends Properties("graft") {
       aOk && bOk
     }
 
+  // BPE merge-order determinism: the same corpus produces the identical
+  // merge sequence whatever the partitioning or input order — ties are
+  // broken by (count desc, pair asc), never by arrival
+  property("bpe merge sequence is partition- and order-independent") =
+    forAll(Gen.chooseNum(4, 16), Gen.long) { (n, seed) =>
+      val rng = new scala.util.Random(seed)
+      val alphabet = "abcd"
+      val words = (0 until n).map { _ =>
+        val len = 1 + rng.nextInt(6)
+        (Seq.fill(len)(alphabet(rng.nextInt(4))).mkString,
+          1L + rng.nextInt(5))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String)] =
+        graft.ops.TextPrep.bpeTrain(df, 6).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+          .toSeq.sortBy(_._1)
+      val a = run(words.toDF("w", "freq").repartition(1))
+      val b = run(rng.shuffle(words).toDF("w", "freq").repartition(5))
+      a == b
+    }
+
   // sample-level audio law: writeWav -> decodeSamples reproduces the
   // exact PCM stream, and the normalized energy profile is invariant
   // under exact gain halving and mono->stereo duplication

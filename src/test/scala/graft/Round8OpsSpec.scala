@@ -377,6 +377,63 @@ class Round8OpsSpec extends SparkSpec {
       s"history must hold each record exactly once, got $hist")
   }
 
+  // --- full BPE merge loop (round-7 verdict item 7) ---
+
+  /** Independent textbook replay: full pair RECOUNT every round (the
+    * trainer re-pairs incrementally — agreeing outputs check exactly
+    * that machinery). */
+  private def bpeGolden(words: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    def merge1(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var ws = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      ws.foreach { case (s, f) =>
+        s.iterator.zip(s.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((rank, a, b, a + b, c))
+        ws = ws.map { case (s, f) => (merge1(s, a, b), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe trainer to a 200-symbol vocab equals the independent golden replay") {
+    import spark.implicits._
+    val words = graft.core.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+    val wordSeq = words.as[(String, Long)].collect().toSeq
+    val alphabet = wordSeq.flatMap(_._1.toSeq).distinct.size
+    val target = 200
+    val numMerges = target - alphabet
+    assert(numMerges > 50, s"fixture alphabet $alphabet leaves too few merges")
+    val got = graft.ops.TextPrep.bpeTrain(words, numMerges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    val want = bpeGolden(wordSeq, numMerges)
+    assert(got.length == want.length, s"${got.length} vs ${want.length} merges")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"diverged: $g vs $w") }
+  }
+
   // --- empty-table layout audit (advice: Layout.rowGroups) ---
 
   test("rowGroups on an empty table returns an empty frame") {
