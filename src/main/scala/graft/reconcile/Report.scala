@@ -39,6 +39,64 @@ final class FileReportSink(dir: String) extends ReportSink {
   }
 }
 
+/** SMTP transport for the report seam — the reference's actual end
+  * state (Raptor.py:656-682: MIME message over smtplib). Speaks plain
+  * RFC 5321 over a socket (EHLO / MAIL FROM / RCPT TO / DATA / QUIT) —
+  * no mail dependency — and ships the HTML as a base64
+  * `text/html; charset=utf-8` MIME part, which sidesteps dot-stuffing
+  * and line-length limits entirely. Non-ASCII subjects go as RFC 2047
+  * encoded-words. Round-tripped against an in-test socket SMTP server
+  * in ReportPopulationSpec (subject, recipients, decoded body). */
+final class SmtpReportSink(host: String, port: Int, from: String,
+                           recipients: Seq[String]) extends ReportSink {
+  require(recipients.nonEmpty, "SmtpReportSink needs at least one recipient")
+
+  private def encodedSubject(s: String): String =
+    if (s.forall(c => c >= 32 && c < 127)) s
+    else "=?utf-8?B?" + java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8")) + "?="
+
+  private[graft] def mimeMessage(subject: String, html: String): String = {
+    val b64 = java.util.Base64.getMimeEncoder(76, "\r\n".getBytes("US-ASCII"))
+      .encodeToString(html.getBytes("UTF-8"))
+    s"From: <$from>\r\n" +
+      s"To: ${recipients.map(r => s"<$r>").mkString(", ")}\r\n" +
+      s"Subject: ${encodedSubject(subject)}\r\n" +
+      "MIME-Version: 1.0\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: base64\r\n" +
+      "\r\n" + b64
+  }
+
+  def deliver(subject: String, html: String): Unit = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      sock.setSoTimeout(15000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "US-ASCII"))
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, "US-ASCII"))
+      def expect(code: String): Unit = {
+        var line = in.readLine()
+        // skip multi-line continuation replies ("250-...")
+        while (line != null && line.length > 3 && line.charAt(3) == '-')
+          line = in.readLine()
+        if (line == null || !line.startsWith(code))
+          throw new java.io.IOException(s"smtp: expected $code, got $line")
+      }
+      def send(cmd: String): Unit = { out.write(cmd); out.write("\r\n"); out.flush() }
+      expect("220")
+      send("EHLO graft"); expect("250")
+      send(s"MAIL FROM:<$from>"); expect("250")
+      recipients.foreach { r => send(s"RCPT TO:<$r>"); expect("250") }
+      send("DATA"); expect("354")
+      send(mimeMessage(subject, html))
+      send("."); expect("250")
+      send("QUIT"); expect("221")
+    } finally sock.close()
+  }
+}
+
 /** Driver-side report rendering — the engine's equivalent of the
   * reference's HTML email body (reference: Raptor.py:206-268,656-682:
   * `df.limit(n).toPandas().to_html()` + SMTP). Rendering stays bounded

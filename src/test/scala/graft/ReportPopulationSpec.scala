@@ -52,6 +52,75 @@ class ReportPopulationSpec extends SparkSpec {
     assert(delivered._1 == "subj" && delivered._2.contains("<h3>Row counts</h3>"))
   }
 
+  test("smtp sink delivers subject/recipients/body to a real socket server") {
+    // minimal in-test RFC 5321 server on an ephemeral port: records the
+    // envelope and DATA payload, answers the canonical reply codes
+    val server = new java.net.ServerSocket(0)
+    @volatile var envelope = List.empty[String]
+    @volatile var data = ""
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "US-ASCII"))
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "US-ASCII"))
+      def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+      reply("220 graft-test ESMTP")
+      var line = in.readLine()
+      var inData = false
+      val buf = new StringBuilder
+      while (line != null) {
+        if (inData) {
+          if (line == ".") {
+            data = buf.toString; inData = false; reply("250 OK")
+          } else buf.append(line).append("\r\n")
+        } else {
+          val u = line.toUpperCase
+          if (u.startsWith("EHLO")) { reply("250-graft-test"); reply("250 OK") }
+          else if (u.startsWith("MAIL FROM") || u.startsWith("RCPT TO")) {
+            envelope = envelope :+ line; reply("250 OK")
+          } else if (u.startsWith("DATA")) { inData = true; reply("354 go") }
+          else if (u.startsWith("QUIT")) { reply("221 bye"); line = null }
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.start()
+    try {
+      val html = "<table><tr><td>42 &amp; rising</td></tr></table>"
+      val sink = new graft.reconcile.SmtpReportSink("127.0.0.1",
+        server.getLocalPort, "etl@example.com",
+        Seq("ops@example.com", "data@example.com"))
+      sink.deliver("Reconciliation Report", html)
+      t.join(15000)
+      assert(envelope == List("MAIL FROM:<etl@example.com>",
+        "RCPT TO:<ops@example.com>", "RCPT TO:<data@example.com>"))
+      assert(data.contains("Subject: Reconciliation Report"))
+      assert(data.contains("To: <ops@example.com>, <data@example.com>"))
+      assert(data.contains("Content-Type: text/html; charset=utf-8"))
+      // body survives the wire bit-for-bit through the base64 part
+      val b64 = data.split("\r\n\r\n", 2)(1).replace("\r\n", "")
+      val decoded = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+      assert(decoded == html)
+    } finally server.close()
+  }
+
+  test("smtp sink encodes non-ascii subjects as rfc 2047 words") {
+    val sink = new graft.reconcile.SmtpReportSink("127.0.0.1", 25,
+      "a@example.com", Seq("b@example.com"))
+    val msg = sink.mimeMessage("Résumé ✓", "<p>x</p>")
+    val enc = msg.linesIterator.find(_.startsWith("Subject: ")).get
+      .stripPrefix("Subject: ")
+    assert(enc.startsWith("=?utf-8?B?") && enc.endsWith("?="))
+    val decoded = new String(java.util.Base64.getDecoder.decode(
+      enc.stripPrefix("=?utf-8?B?").stripSuffix("?=")), "UTF-8")
+    assert(decoded == "Résumé ✓")
+    // ascii subjects stay readable
+    assert(sink.mimeMessage("Plain Report", "x")
+      .contains("Subject: Plain Report"))
+  }
+
   test("population pipeline: REST fake -> backtick-safe rename -> guarded write") {
     val body =
       """{"data":[
