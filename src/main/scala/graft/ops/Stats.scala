@@ -307,29 +307,51 @@ object Stats {
     * engines share. No per-pair jobs, no corr() built-in (whose
     * accumulation order is partition-dependent).
     *
-    * Exactness bound: the largest cross terms in the final combination
-    * (`n·Σxy`, `Σx·Σy`) grow as n²·x̄² on the integer grid. The widest
-    * scaled column here is extendedprice in cents (≲1.1e7, so x² ≲
-    * 1.3e14), which keeps every term inside DECIMAL(38,0) up to
-    * n ≈ 10¹² rows — two orders above the ~10¹⁰-row lineitem of a
-    * 100 TB deployment. Past that bound ANSI mode fails loudly (no
-    * silent NULL r): the documented extension is centered arithmetic —
-    * subtract per-column integer means on the grid first, which drops
-    * the magnitudes from n²·x̄² to n²·var and buys ~6 more digits. */
-  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val scaled = CorrCols.map { case (c, name, s) =>
+    * Exactness at ANY n — CENTERED arithmetic: Pearson r is invariant
+    * under per-column integer shifts, and the invariance is EXACT on
+    * the grid (`nΣx'y' − Σx'Σy' ≡ nΣxy − ΣxΣy` as an integer identity
+    * for x' = x − cₓ), so the moments pass first computes the integer
+    * mean shift `cₓ = Σx div n` (one cheap 4-column pre-aggregate) and
+    * accumulates moments of the CENTERED values. Cross terms then grow
+    * as n²·var instead of n²·x̄² — with the fixture measures' spreads
+    * that is ~10 digits of extra headroom over the old uncentered
+    * bound, and a mean-dominated column (the adversarial case: huge
+    * offset, small variance — exactly where the old form overflowed
+    * DECIMAL(38,0)) costs nothing. The final doubles are bit-identical
+    * to the uncentered formula's, so the oracle stays byte-for-byte
+    * unchanged; GraftProperties pins r against an exact BigDecimal
+    * replay at magnitudes that overflow the uncentered form.
+    * (`div` truncation matches DuckDB `//` flooring because the
+    * measures are non-negative — the documented precondition.) */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    corrMatrixOf(Tables.lineitem(spark, dir), CorrCols)
+
+  /** Generic centered core over any frame + (column, name, grid scale)
+    * spec — see [[corrMatrix]]. */
+  private[graft] def corrMatrixOf(src: DataFrame,
+                                  cols: Seq[(String, String, Long)]): DataFrame = {
+    val scaled = cols.map { case (c, name, s) =>
       expr(s"CAST(round($c * $s) AS DECIMAL(38,0))").as(name)
     }
-    val base = Tables.lineitem(spark, dir).select(scaled: _*)
+    val base = src.select(scaled: _*)
+    // pass 1: integer mean shifts (4 sums + count; the scan is cheap —
+    // column-pruned to the measure columns)
+    val shifts = base.agg(count(lit(1)).cast("decimal(38,0)").as("n0"),
+      cols.map { case (_, n, _) => sum(col(n)).as(s"m_$n") }: _*)
+    // pass 2: centered values, then the one moment aggregate
+    val centered = base.crossJoin(broadcast(shifts))
+      .select(cols.map { case (_, n, _) =>
+        (col(n) - expr(s"CAST(m_$n div n0 AS DECIMAL(38,0))")).as(n)
+      }: _*)
     val aggs =
-      CorrCols.map { case (_, n, _) => sum(col(n)).as(s"s_$n") } ++
-      CorrCols.map { case (_, n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
-      CorrCols.combinations(2).toSeq.map { case Seq((_, a, _), (_, b, _)) =>
+      cols.map { case (_, n, _) => sum(col(n)).as(s"s_$n") } ++
+      cols.map { case (_, n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
+      cols.combinations(2).toSeq.map { case Seq((_, a, _), (_, b, _)) =>
         sum(col(a) * col(b)).as(s"sp_${a}_$b")
       }
-    val m = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-                     aggs: _*)
-    val pairRows = CorrCols.combinations(2).toSeq.map {
+    val m = centered.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+                         aggs: _*)
+    val pairRows = cols.combinations(2).toSeq.map {
       case Seq((_, a, _), (_, b, _)) =>
         struct(lit(a).as("col_a"), lit(b).as("col_b"),
           round(

@@ -562,6 +562,36 @@ object GraftProperties extends Properties("graft") {
       aOk && bOk
     }
 
+  // centered corrMatrix: exact at magnitudes where the uncentered form
+  // overflows DECIMAL(38,0) (huge mean offset, small variance) — r must
+  // match an exact BigDecimal replay
+  property("centered corrMatrix exact at adversarial magnitudes") =
+    forAll(Gen.chooseNum(5, 30), Gen.long) { (n, seed) =>
+      val rng = new scala.util.Random(seed)
+      val offset = 500000000000000000L // 5e17: n·Σx² ≈ 4e38 uncentered
+      val rows = (0 until n).map { i =>
+        (offset + i * 7 + rng.nextInt(1000).toLong,
+          offset + i * 13 + rng.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("x", "y")
+      val got = graft.ops.Stats
+        .corrMatrixOf(df, Seq(("x", "x", 1L), ("y", "y", 1L)))
+        .collect()(0).getDouble(2)
+      // exact replay with BigInt moments (BigDecimal's default
+      // MathContext.DECIMAL128 would round the 36-digit squares)
+      val bx = rows.map(r => BigInt(r._1)); val by = rows.map(r => BigInt(r._2))
+      val bn = BigInt(n)
+      val sx = bx.sum; val sy = by.sum
+      val sxx = bx.map(v => v * v).sum; val syy = by.map(v => v * v).sum
+      val sxy = bx.zip(by).map { case (a, b) => a * b }.sum
+      val num = (bn * sxy - sx * sy).toDouble
+      val den = math.sqrt((bn * sxx - sx * sx).toDouble) *
+        math.sqrt((bn * syy - sy * sy).toDouble)
+      val want = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.abs(got - want) <= 1e-6
+    }
+
   // BPE merge-order determinism: the same corpus produces the identical
   // merge sequence whatever the partitioning or input order — ties are
   // broken by (count desc, pair asc), never by arrival

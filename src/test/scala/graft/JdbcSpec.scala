@@ -99,4 +99,36 @@ class JdbcSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789"))
     assert(row.getAs[Boolean]("flag"))
   }
+
+  test("postgres dialect emits the deployment DDL (no server needed)") {
+    import org.apache.spark.sql.types._
+    import graft.connect.{GraftDialect, PostgresDialect, DerbyDialect}
+    // URL dispatch: first deployment is a config change
+    assert(GraftDialect.forUrl("jdbc:postgresql://db:5432/raptor") eq PostgresDialect)
+    assert(GraftDialect.forUrl("jdbc:derby:memory:x;create=true") eq DerbyDialect)
+    // the reference's exact self-heal statement (Raptor.py:41-58)
+    assert(PostgresDialect.createSchemaSql("raptor") ==
+      "CREATE SCHEMA IF NOT EXISTS raptor")
+    assert(DerbyDialect.createSchemaSql("raptor") == "CREATE SCHEMA raptor")
+    // DECIMAL / date / timestamp / string / binary mapping divergences
+    assert(PostgresDialect.typeDdl(DecimalType(18, 6)) == "NUMERIC(18,6)")
+    assert(PostgresDialect.typeDdl(DecimalType(38, 10)) == "NUMERIC(38,10)")
+    assert(DerbyDialect.typeDdl(DecimalType(38, 10)) == "DECIMAL(31,10)") // Derby caps at 31
+    assert(PostgresDialect.typeDdl(StringType) == "TEXT")
+    assert(DerbyDialect.typeDdl(StringType) == "VARCHAR(32672)")
+    assert(PostgresDialect.typeDdl(DoubleType) == "DOUBLE PRECISION")
+    assert(PostgresDialect.typeDdl(BinaryType) == "BYTEA")
+    assert(PostgresDialect.typeDdl(DateType) == "DATE")
+    assert(PostgresDialect.typeDdl(TimestampType) == "TIMESTAMP")
+    // full CREATE TABLE over a representative mart schema
+    val schema = StructType(Seq(
+      StructField("day_dt", DateType, nullable = false),
+      StructField("customer_name", StringType),
+      StructField("total_sales", DecimalType(18, 6)),
+      StructField("loaded_at", TimestampType)))
+    assert(PostgresDialect.createTableSql("raptor.sales_mart", schema) ==
+      "CREATE TABLE \"raptor\".\"sales_mart\" (" +
+        "\"day_dt\" DATE NOT NULL, \"customer_name\" TEXT, " +
+        "\"total_sales\" NUMERIC(18,6), \"loaded_at\" TIMESTAMP)")
+  }
 }
