@@ -282,4 +282,62 @@ object Profiling {
       |       round(CAST(s AS DOUBLE) / 1e6 / nt, 6) AS mi_total
       |FROM scored, mi
       |""".stripMargin
+
+  // ------------------------------------------------- randomized response
+
+  /** Flip probability in [[graft.ops.Sampling.D]]-ths: 1/4 — local DP
+    * with epsilon = ln(p_keep/p_flip) = ln 3. */
+  private val RrFlip = 2500L
+
+  /** RANDOMIZED-RESPONSE release of a sensitive rate — local
+    * differential privacy with everything in INTEGER arithmetic so the
+    * release is bit-portable: each user's true bit ("high-value
+    * purchaser": any purchase ≥ 150) is reported FLIPPED when the
+    * user's deterministic md5 bucket lands under [[RrFlip]] of
+    * [[Sampling.D]] (the engine's seedless randomness device — in a
+    * real deployment the flip would be client-side true randomness;
+    * the mechanism, estimator, and arithmetic are identical). The
+    * unbiased estimate inverts the flip channel:
+    * pi_hat = (r − f)/(1 − 2f), emitted in ppm by integer division,
+    * beside the true rate so the gate also audits estimator error.
+    * One user-grain aggregate + one 1-row fold; nothing row-sized
+    * leaves the shuffle. */
+  def randomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+          1L).otherwise(0L)).as("t"))
+      .withColumn("flip",
+        (Sampling.bucket(col("user_id"), "rr") < RrFlip).cast("long"))
+      .withColumn("r", (col("t") + col("flip")) % 2)
+    users.agg(count(lit(1)).as("n_users"),
+        sum(col("t")).as("true_ones"),
+        sum(col("r")).as("reported_ones"))
+      .select(col("n_users"), col("true_ones"), col("reported_ones"),
+        lit(RrFlip * 1000000L / Sampling.D).as("flip_ppm"),
+        expr(s"CAST((reported_ones * ${Sampling.D} - n_users * $RrFlip) * 1000000 div " +
+             s"(n_users * (${Sampling.D} - 2 * $RrFlip)) AS BIGINT)").as("pi_hat_ppm"),
+        expr("CAST(true_ones * 1000000 div n_users AS BIGINT)").as("pi_true_ppm"))
+  }
+
+  val randomizedResponseOracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |         CAST(max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS t,
+       |         CASE WHEN CAST(CAST(('0x' || substr(md5('rr:' || CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % ${Sampling.D} < $RrFlip
+       |              THEN 1 ELSE 0 END AS flip
+       |  FROM events GROUP BY user_id),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |         CAST(sum(t) AS BIGINT) AS true_ones,
+       |         CAST(sum((t + flip) % 2) AS BIGINT) AS reported_ones
+       |  FROM u)
+       |SELECT n_users, true_ones, reported_ones,
+       |       ${RrFlip * 1000000L / 10000L} AS flip_ppm,
+       |       CAST((reported_ones * ${Sampling.D} - n_users * $RrFlip) * 1000000 //
+       |            (n_users * (${Sampling.D} - 2 * $RrFlip)) AS BIGINT) AS pi_hat_ppm,
+       |       CAST(true_ones * 1000000 // n_users AS BIGINT) AS pi_true_ppm
+       |FROM a
+       |""".stripMargin
 }

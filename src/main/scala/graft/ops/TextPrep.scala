@@ -321,6 +321,19 @@ object TextPrep {
   def bpeTrain(words: DataFrame, numMerges: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
+    val (merges, fin) = bpeCore(words, numMerges)
+    fin.unpersist()
+    merges.toDF("rank", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** The loop itself: returns the merge list and the FINAL per-word
+    * symbol state (the trained segmentation of the dictionary — what
+    * [[bpeEncode]] applies). Caller owns the returned state's cache. */
+  private def bpeCore(words: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, String, Long)],
+         org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)]) = {
+    val spark = words.sparkSession
+    import spark.implicits._
     var cur: org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)] =
       words.as[(String, Long)]
         .map { case (w, f) => (w.map(_.toString).toIndexedSeq, f) }
@@ -357,8 +370,7 @@ object TextPrep {
       cur = next.map(t => (t._1, t._2))
       rank += 1
     }
-    cur.unpersist()
-    merges.toSeq.toDF("rank", "sym_a", "sym_b", "merged", "pair_count")
+    (merges.toSeq, cur)
   }
 
   /** The word-frequency dictionary the trainer runs over. */
@@ -373,12 +385,33 @@ object TextPrep {
   def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(bpeWords(spark, dir), BpeGateMerges)
 
-  /** The SQL replay is GENERATED: one (pairs → best → rewrite) round
-    * per merge, unrolled [[BpeGateMerges]] times — the symbol string is
-    * space-joined, so the left-to-right non-overlapping `replace` of
-    * `' a b '` with `' ab '` is exactly [[mergeSyms]]. Materialized
-    * CTEs keep each state referenced twice from re-evaluating. */
-  val bpeVocabOracle: String = {
+  /** TOKENIZE UNDER THE TRAINED VOCAB — the apply path every corpus
+    * pass runs after training: segment the word DICTIONARY once under
+    * the learned merges (dictionary-sized work, the word -> n_tokens
+    * map is the artifact), then one broadcast-joinable lookup prices
+    * every document: words, characters, BPE tokens, and the
+    * compression ratio in ppm. The corpus-linear cost is one token
+    * explode + the lookup join; nothing re-segments per occurrence. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, fin) = bpeCore(bpeWords(spark, dir), BpeGateMerges)
+    val segDict = fin.map { case (syms, _) => (syms.mkString, syms.length.toLong) }
+      .toDF("w", "n_syms")
+    val out = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(segDict), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression_ppm",
+        expr("CAST(n_bpe_tokens * 1000000 div n_chars AS BIGINT)"))
+    out
+  }
+
+  /** Shared WITH-body of the generated replay through state s{k}. */
+  private def bpeChainSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH tk AS (
@@ -392,7 +425,7 @@ object TextPrep {
         |           generate_series(1, length(w)), i -> substring(w, i, 1)),
         |           ' ') || ' ' AS s, freq
         |  FROM wf)""".stripMargin)
-    for (r <- 1 to BpeGateMerges) {
+    for (r <- 1 to k) {
       val p = r - 1
       sb.append(s""",
         |p$r AS (
@@ -409,15 +442,46 @@ object TextPrep {
         |         freq
         |  FROM s$p)""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to BpeGateMerges).map { r =>
-      s"""SELECT $r AS rank, (SELECT a FROM b$r) AS sym_a,
-         |       (SELECT b FROM b$r) AS sym_b,
-         |       (SELECT a || b FROM b$r) AS merged,
-         |       (SELECT c FROM b$r) AS pair_count""".stripMargin
-    }.mkString("\nUNION ALL\n"))
-    sb.append("\n")
     sb.toString
+  }
+
+  /** Oracle for the apply path: reuse the replay chain, read the final
+    * segmentation off s{K} (word = the state minus spaces), join the
+    * corpus tokens. */
+  val bpeEncodeOracle: String = {
+    val k = BpeGateMerges
+    s"""${bpeChainSql(k)},
+       |seg AS (
+       |  SELECT replace(trim(s), ' ', '') AS w,
+       |         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms
+       |  FROM s$k),
+       |dt AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT dt.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(seg.n_syms) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(seg.n_syms) * 1000000 // sum(length(dt.w)) AS BIGINT) AS compression_ppm
+       |FROM dt JOIN seg ON dt.w = seg.w
+       |WHERE len(dt.w) >= 1
+       |GROUP BY 1
+       |""".stripMargin
+  }
+
+  /** The SQL replay is GENERATED: one (pairs → best → rewrite) round
+    * per merge, unrolled [[BpeGateMerges]] times — the symbol string is
+    * space-joined, so the left-to-right non-overlapping `replace` of
+    * `' a b '` with `' ab '` is exactly [[mergeSyms]]. Materialized
+    * CTEs keep each state referenced twice from re-evaluating. */
+  val bpeVocabOracle: String = {
+    bpeChainSql(BpeGateMerges) + "\n" +
+      (1 to BpeGateMerges).map { r =>
+        s"""SELECT $r AS rank, (SELECT a FROM b$r) AS sym_a,
+           |       (SELECT b FROM b$r) AS sym_b,
+           |       (SELECT a || b FROM b$r) AS merged,
+           |       (SELECT c FROM b$r) AS pair_count""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\n"
   }
 
   private val SpanN = 8

@@ -327,7 +327,7 @@ class Round4OpsSpec extends SparkSpec {
     val r = Similarity.annRecall(spark, sf).collect()
       .map(row => row.getString(0) ->
         (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
-    assert(r.keySet == Set("lsh", "ivf_lo", "ivf_mid", "ivf"))
+    assert(r.keySet == Set("lsh", "ivf_lo", "ivf_mid", "ivf", "ivfpq"))
     r.values.foreach { case (t, m, rec) =>
       assert(t > 0 && m >= 0 && m <= t)
       assert(rec >= 0.0 && rec <= 1.0)
