@@ -547,9 +547,13 @@ object JpegCodec {
   }
 
   /** Encode an RGB raster as a baseline JFIF JPEG. `gray` emits a
-    * single-component stream (luma only); otherwise 4:4:4 YCbCr. */
+    * single-component stream (luma only); otherwise YCbCr at 4:4:4, or
+    * 4:2:0 when `subsample420` (2×2 luma sampling factors, chroma
+    * planes box-averaged 2×2 — the camera default, exercising the
+    * decoder's multi-block MCU path from an in-repo bitstream). */
   def writeJpeg(width: Int, height: Int, rgb: Array[Byte], quality: Int,
-                gray: Boolean = false): Array[Byte] = {
+                gray: Boolean = false,
+                subsample420: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && rgb.length == width * height * 3,
       s"bad raster ${width}x$height")
     val lumQ = scaledQuant(LumQuant, quality)
@@ -574,7 +578,8 @@ object JpegCodec {
     val nf = if (gray) 1 else 3
     m(0xc0); be16w(8 + 3 * nf); out.write(8)
     be16w(height); be16w(width); out.write(nf)
-    out.write(1); out.write(0x11); out.write(0) // Y: 1x1, qt 0
+    val ySamp = if (!gray && subsample420) 0x22 else 0x11
+    out.write(1); out.write(ySamp); out.write(0) // Y, qt 0
     if (!gray) {
       out.write(2); out.write(0x11); out.write(1)
       out.write(3); out.write(0x11); out.write(1)
@@ -604,8 +609,9 @@ object JpegCodec {
     val fcoef = new Array[Double](64)
     val tmp = new Array[Double](64)
     val preds = new Array[Int](3)
-    val mcusX = (width + 7) / 8
-    val mcusY = (height + 7) / 8
+    val mcu = if (!gray && subsample420) 16 else 8
+    val mcusX = (width + mcu - 1) / mcu
+    val mcusY = (height + mcu - 1) / mcu
     // component sample at (x, y) clamped to the image (edge replication)
     def sample(comp: Int, x0: Int, y0: Int): Double = {
       val x = math.min(x0, width - 1); val y = math.min(y0, height - 1)
@@ -617,14 +623,19 @@ object JpegCodec {
         case _ => 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
       }
     }
-    def encodeBlock(comp: Int, bx: Int, by: Int): Unit = {
+    // 4:2:0 chroma: 2×2 box average in full-resolution coordinates
+    def sampleChroma420(comp: Int, cx: Int, cy: Int): Double =
+      (sample(comp, 2 * cx, 2 * cy) + sample(comp, 2 * cx + 1, 2 * cy) +
+        sample(comp, 2 * cx, 2 * cy + 1) + sample(comp, 2 * cx + 1, 2 * cy + 1)) / 4.0
+    def encodeBlockWith(comp: Int, bx: Int, by: Int,
+                        s: (Int, Int, Int) => Double): Unit = {
       val qt = if (comp == 0) lumQ else chrQ
       val (dcT, acT) = if (comp == 0) (dcLum, acLum) else (dcChr, acChr)
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
-          px(y * 8 + x) = sample(comp, bx + x, by + y) - 128.0
+          px(y * 8 + x) = s(comp, bx + x, by + y) - 128.0
           x += 1
         }
         y += 1
@@ -665,12 +676,25 @@ object JpegCodec {
       }
       if (run > 0) { val (ec, el) = acT(0x00); bw.put(ec, el) }
     }
+    def encodeBlock(comp: Int, bx: Int, by: Int): Unit =
+      encodeBlockWith(comp, bx, by, sample)
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        var c = 0
-        while (c < nf) { encodeBlock(c, mx * 8, my * 8); c += 1 }
+        if (mcu == 16) {
+          // 2×2 Y blocks then one Cb and one Cr block over the
+          // box-averaged chroma plane (half-resolution coordinates)
+          encodeBlock(0, mx * 16, my * 16)
+          encodeBlock(0, mx * 16 + 8, my * 16)
+          encodeBlock(0, mx * 16, my * 16 + 8)
+          encodeBlock(0, mx * 16 + 8, my * 16 + 8)
+          encodeBlockWith(1, mx * 8, my * 8, sampleChroma420)
+          encodeBlockWith(2, mx * 8, my * 8, sampleChroma420)
+        } else {
+          var c = 0
+          while (c < nf) { encodeBlock(c, mx * 8, my * 8); c += 1 }
+        }
         mx += 1
       }
       my += 1
@@ -684,7 +708,8 @@ object JpegCodec {
     * JPEG container (the twin-synthesis entry point, mirroring
     * [[ImageCodec.writePngPixels]]). */
   def writeJpegPixels(width: Int, height: Int, quality: Int,
-                      px: (Int, Int) => Int): Array[Byte] = {
+                      px: (Int, Int) => Int,
+                      subsample420: Boolean = false): Array[Byte] = {
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -698,6 +723,6 @@ object JpegCodec {
       }
       y += 1
     }
-    writeJpeg(width, height, rgb, quality)
+    writeJpeg(width, height, rgb, quality, subsample420 = subsample420)
   }
 }

@@ -468,8 +468,11 @@ object Multimodal {
           val base =
             if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
             else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          // odd ids: 4:2:0 chroma subsampling (the camera default) —
+          // the oracle-gated path then exercises the decoder's
+          // multi-block-MCU + chroma-upsample machinery too
           val twin = writeJpegPixels(2 * w0, 2 * h0, 97,
-            patternPx(id, 2 * w0, 2 * h0))
+            patternPx(id, 2 * w0, 2 * h0), subsample420 = id % 2 == 1)
           Seq((id, base), (id + TwinSpace, twin))
         }
       }

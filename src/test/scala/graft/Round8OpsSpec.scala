@@ -181,6 +181,24 @@ class Round8OpsSpec extends SparkSpec {
       s"rgb decoder divergence ${maxDiff(ours.rgb, theirs)}")
   }
 
+  test("own 4:2:0 stream: imageio and our decoder both read it, luma intact") {
+    val w = 34; val h = 27 // non-multiple-of-16: partial MCUs
+    val src = rasterOf(w, h, softPx(4))
+    val jpg = graft.functions.JpegCodec.writeJpeg(w, h, src, 92,
+      subsample420 = true)
+    val mine = graft.functions.ImageCodec.decodePixels(jpg).get
+    assert(mine.width == w && mine.height == h)
+    val (dw, dh, theirs) = imageIoDecodeRgb(jpg)
+    assert(dw == w && dh == h)
+    // luma is full-resolution in 4:2:0: tight agreement all three ways
+    assert(maxLumaDiff(src, mine.rgb) <= 10.0,
+      s"own-decode luma drift ${maxLumaDiff(src, mine.rgb)}")
+    assert(maxLumaDiff(src, theirs) <= 10.0,
+      s"imageio luma drift ${maxLumaDiff(src, theirs)}")
+    assert(maxLumaDiff(mine.rgb, theirs) <= 4.0,
+      s"decoder luma divergence ${maxLumaDiff(mine.rgb, theirs)}")
+  }
+
   test("jpeg grayscale stream decodes") {
     val w = 24; val h = 16
     val src = rasterOf(w, h, (x, y) => { val g = (x * 8 + y) & 0xff; (g << 16) | (g << 8) | g })
