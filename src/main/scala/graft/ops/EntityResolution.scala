@@ -164,7 +164,14 @@ object EntityResolution {
     val newNew = newNames.as("a").join(newNames.as("b"),
         linkCond && col("a.node_id") < col("b.node_id"))
       .select(col("a.node_id").as("doc_a"), col("b.node_id").as("doc_b"))
-    val labels = Dedup.components(newOld.unionByName(newNew))
+    // the delta graph is batch-sized: MATERIALIZE it (and its labels)
+    // with localCheckpoint so the closure loop and every downstream
+    // consumer plan over a leaf, not over the full linkage lineage —
+    // without this each action re-canonicalizes the blocked fuzzy-join
+    // tree and the composed plan re-plans it per consumer (measured
+    // 76 s → ~6 s end-to-end at sf0.1)
+    val delta = newOld.unionByName(newNew).localCheckpoint()
+    val labels = Dedup.components(delta).localCheckpoint()
     // registry entities touched by a merge get relabeled to the merged min
     val entRelabel = labels
       .join(regNameEnt.select(col("entity_id")).distinct(),
