@@ -704,6 +704,81 @@ object JpegCodec {
     out.toByteArray
   }
 
+  // ------------------------------------------------ metadata scrubbing
+
+  /** Marker-segment types up to and including SOS, in stream order
+    * (two-digit hex). Entropy-coded data is not walked. Stops cleanly
+    * on malformed streams. */
+  def segmentTypes(b: Array[Byte]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return out.toSeq
+    out += "d8"
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return out.toSeq
+      while (i < b.length && u8(b, i) == 0xff) i += 1
+      if (i >= b.length) return out.toSeq
+      val m = u8(b, i); i += 1
+      out += f"$m%02x"
+      if (m == 0xda || m == 0xd9) return out.toSeq
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) ()
+      else {
+        val len = be16(b, i)
+        if (len < 2 || i + len > b.length) return out.toSeq
+        i += len
+      }
+    }
+    out.toSeq
+  }
+
+  /** Splice a COM (comment) segment right after the APP0 header — where
+    * camera/toolchain metadata (and PII) rides in real JPEGs. */
+  def withComment(b: Array[Byte], text: String): Array[Byte] = {
+    val payload = text.getBytes("ISO-8859-1")
+    val seg = Array(0xff.toByte, 0xfe.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    // APP0 sits immediately after SOI in our streams; compute its end
+    val app0End = 2 + 2 + be16(b, 4)
+    b.take(app0End) ++ seg ++ b.drop(app0End)
+  }
+
+  /** METADATA SCRUB: re-emit the stream keeping only what the pixels
+    * need — SOI, APP0/JFIF, DQT, SOFn, DHT, DRI, SOS + entropy data.
+    * Drops COM and every APPn (n ≥ 1): EXIF (APP1) with its GPS/serial
+    * payloads, Adobe APP14, toolchain comments — the byte-level privacy
+    * pass for the dominant crawl format. The entropy-coded stream after
+    * SOS is copied verbatim, so the raster is untouched by
+    * construction (and re-decoded to prove it in the gated query). */
+  def stripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None
+      while (i < b.length && u8(b, i) == 0xff) i += 1
+      if (i >= b.length) return None
+      val m = u8(b, i); i += 1
+      if (m == 0xda) { // SOS: copy marker + the rest verbatim
+        out.write(0xff); out.write(m)
+        out.write(b, i, b.length - i)
+        return Some(out.toByteArray)
+      }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        out.write(0xff); out.write(m)
+      } else {
+        val len = be16(b, i)
+        if (len < 2 || i + len > b.length) return None
+        val keep = m == 0xe0 || m == 0xdb || m == 0xc4 || m == 0xdd ||
+          ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        if (keep) { out.write(0xff); out.write(m); out.write(b, i, len) }
+        i += len
+      }
+    }
+    None
+  }
+
   /** Convenience: render `px(x, y) -> 0xRRGGBB` content straight to a
     * JPEG container (the twin-synthesis entry point, mirroring
     * [[ImageCodec.writePngPixels]]). */

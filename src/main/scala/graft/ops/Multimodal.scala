@@ -753,6 +753,47 @@ object Multimodal {
         "pixels_intact")
   }
 
+  /** JPEG twin of the scrub: real baseline JPEGs tagged with a COM
+    * segment carrying simulated PII, scrubbed by the marker-walk
+    * re-emit ([[graft.functions.JpegCodec.stripMetadata]] — drops COM
+    * and APPn n≥1, keeps the pixel-bearing segments and the entropy
+    * stream verbatim); raster equality proven by re-decoding BOTH
+    * payloads inside the task. Segment counts and the exact byte
+    * shrinkage are formula-predicted by the oracle. */
+  def jpegScrubQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ImageCodec, JpegCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base = JpegCodec.writeJpegPixels(w0, h0, 97, patternPx(id, w0, h0))
+          val tagged = JpegCodec.withComment(base, s"user$id@example.com")
+          val scrubbed = JpegCodec.stripMetadata(tagged).get
+          val intact = java.util.Arrays.equals(
+            ImageCodec.decodePixels(tagged).get.rgb,
+            ImageCodec.decodePixels(scrubbed).get.rgb)
+          (id, JpegCodec.segmentTypes(tagged).length,
+            JpegCodec.segmentTypes(scrubbed).length,
+            (tagged.length - scrubbed.length).toLong, intact)
+        }
+      }
+      .toDF("doc_id", "segments_before", "segments_after", "removed_bytes",
+        "pixels_intact")
+  }
+
+  /** Our 4:4:4 encoder emits SOI, APP0, 2×DQT, SOF0, 4×DHT, SOS = 10
+    * segments; + COM = 11. COM framing = 4 bytes + the 16+digits(id)
+    * comment. */
+  val jpegScrubOracle: String =
+    """SELECT doc_id,
+      |       11 AS segments_before, 10 AS segments_after,
+      |       CAST(20 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS removed_bytes,
+      |       TRUE AS pixels_intact
+      |FROM documents
+      |""".stripMargin
+
   /** tEXt chunk = 12 bytes of framing + "auth" + NUL +
     * "user<id>@example.com" ⇒ 33 + digits(id) bytes removed. */
   val imageScrubOracle: String =

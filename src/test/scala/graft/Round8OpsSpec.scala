@@ -452,6 +452,33 @@ class Round8OpsSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"diverged: $g vs $w") }
   }
 
+  // --- JPEG metadata scrub ---
+
+  test("jpeg scrub drops COM and APP1 but never touches pixels") {
+    import graft.functions.{ImageCodec, JpegCodec}
+    val base = JpegCodec.writeJpegPixels(18, 12, 95, softPx(7))
+    // splice an EXIF-style APP1 after APP0 by hand, then a COM
+    val exif = "Exif  GPS=51.5,-0.1".getBytes("ISO-8859-1")
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      (((exif.length + 2) >> 8) & 0xff).toByte,
+      ((exif.length + 2) & 0xff).toByte) ++ exif
+    val app0End = 2 + 2 + ((base(4) & 0xff) << 8 | (base(5) & 0xff))
+    val withExif = base.take(app0End) ++ app1 ++ base.drop(app0End)
+    val tagged = JpegCodec.withComment(withExif, "shot by cam SN-998877")
+    assert(JpegCodec.segmentTypes(tagged).contains("e1"))
+    assert(JpegCodec.segmentTypes(tagged).contains("fe"))
+    val scrubbed = JpegCodec.stripMetadata(tagged).get
+    val types = JpegCodec.segmentTypes(scrubbed)
+    assert(!types.contains("e1") && !types.contains("fe"))
+    assert(types.contains("e0") && types.contains("da"))
+    assert(java.util.Arrays.equals(
+      ImageCodec.decodePixels(tagged).get.rgb,
+      ImageCodec.decodePixels(scrubbed).get.rgb))
+    // scrub is idempotent; corrupt input returns None
+    assert(JpegCodec.stripMetadata(scrubbed).get.sameElements(scrubbed))
+    assert(JpegCodec.stripMetadata(Array.fill[Byte](32)(0x11)).isEmpty)
+  }
+
   // --- empty-table layout audit (advice: Layout.rowGroups) ---
 
   test("rowGroups on an empty table returns an empty frame") {
