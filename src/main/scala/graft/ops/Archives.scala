@@ -193,11 +193,18 @@ object Archives {
     * [[TextPrep.htmlExtract]] — scan-shaped decode, no driver unpack,
     * no UDF past the member walk. The oracle rebuilds every field by
     * formula from the documents table. */
-  def warcExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+  def warcExtractQuery(spark: SparkSession, dir: String): DataFrame =
+    warcExtractFrom(warcPayloads(spark, dir).toDF("doc_id", "payload"))
+
+  /** The extraction itself over any `(doc_id, payload BINARY)` frame —
+    * shared verbatim by the batch query and the streaming ingest, which
+    * is what makes the stream twin provably the same computation. */
+  def warcExtractFrom(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
     import spark.implicits._
-    warcPayloads(spark, dir)
+    payloads.select(col("payload")).as[Array[Byte]]
       .mapPartitions { rows =>
-        rows.flatMap { case (_, bytes) =>
+        rows.flatMap { bytes =>
           warcRecordsOf(bytes).iterator
             .filter(_._1.get("warc-type").contains("response"))
             .map { case (hdr, payload) =>
@@ -226,6 +233,29 @@ object Archives {
         length(col("html")).cast("long").as("n_bytes"),
         md5(col("clean")).as("text_md5"))
   }
+
+  /** STREAMING WARC ingest: crawl containers arrive as a stream of
+    * `(doc_id, payload)` rows (the object-store-notification shape);
+    * each micro-batch runs the IDENTICAL [[warcExtractFrom]] extraction
+    * and lands in warehouse history via the idempotent
+    * (day, batch_id) publish — at-least-once foreachBatch upgraded to
+    * exactly-once by the epoch-keyed overwrite (Round8OpsSpec's
+    * crash-window law). Spec proves stream == batch across
+    * micro-batches. */
+  def warcStream(stream: DataFrame, warehouse: graft.connect.Warehouse,
+                 entity: String, checkpoint: String,
+                 runDate: graft.core.RunDate)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          warehouse.appendHistoryBatch(
+            graft.ops.Exp.stampDayDt(warcExtractFrom(batch), runDate),
+            entity, epochId)
+        }
+      }
 
   val warcExtractOracle: String =
     s"""WITH h AS (

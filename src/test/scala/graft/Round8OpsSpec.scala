@@ -452,6 +452,34 @@ class Round8OpsSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"diverged: $g vs $w") }
   }
 
+  test("streaming warc ingest equals the batch extraction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val payloads = graft.ops.Archives.warcPayloads(spark, sf).collect()
+    val (b1, b2) = payloads.splitAt(payloads.length / 2)
+    val wh = new graft.connect.ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_warc_wh").toString)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = graft.ops.Archives.warcStream(
+      input.toDS().toDF("doc_id", "payload"), wh, "warc",
+      "/tmp/graft_ckpt_warc_" + System.nanoTime(),
+      graft.core.RunDate("2024-06-01")).start()
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("url"),
+        r.getAs[Int]("status"), r.getAs[Long]("n_bytes"),
+        r.getAs[String]("text_md5"))
+    val streamed = wh.readHistory(spark, "warc").collect().map(key).toSet
+    val batch = graft.ops.Archives.warcExtractQuery(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"warc stream twin diverged: ${streamed.diff(batch).take(2)}")
+  }
+
   // --- JPEG metadata scrub ---
 
   test("jpeg scrub drops COM and APP1 but never touches pixels") {
