@@ -704,6 +704,40 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Chroma-subsampling readout from the SOF header — corpus-census
+    * telemetry ("what did the crawler actually collect"): "gray",
+    * "4:4:4", "4:2:2", "4:2:0", or "other"; None for non-JPEG/corrupt. */
+  def samplingOf(b: Array[Byte]): Option[String] =
+    try {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None
+        while (i < b.length && u8(b, i) == 0xff) i += 1
+        if (i >= b.length) return None
+        val m = u8(b, i); i += 1
+        if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          val nf = u8(b, i + 7)
+          if (nf == 1) return Some("gray")
+          if (nf != 3) return Some("other")
+          val y = u8(b, i + 9) // first component's (h << 4 | v)
+          return Some(y match {
+            case 0x11 => "4:4:4"
+            case 0x21 => "4:2:2"
+            case 0x22 => "4:2:0"
+            case _ => "other"
+          })
+        } else if (m == 0xd9 || m == 0xda) return None
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) ()
+        else {
+          val len = be16(b, i)
+          if (len < 2) return None
+          i += len
+        }
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+
   // ------------------------------------------------ metadata scrubbing
 
   /** Marker-segment types up to and including SOS, in stream order

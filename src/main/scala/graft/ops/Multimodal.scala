@@ -509,6 +509,52 @@ object Multimodal {
         col("a.w").as("w_a"), col("b.w").as("w_b"))
   }
 
+  /** CORPUS FORMAT CENSUS over the mixed payload set (the first
+    * readout any media-curation pass produces): container, chroma
+    * subsampling, counts, and the width range — all from container
+    * HEADERS (no pixel decode), so the scan is metadata-cheap. Runs
+    * over [[imageJpegVariantPayloads]] (PNG/BMP bases + 4:4:4/4:2:0
+    * JPEG twins), which makes every census cell formula-predictable. */
+  def imageFormatCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ImageCodec, JpegCodec}
+    imageJpegVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (_, bytes) =>
+          ImageCodec.decode(bytes).map { m =>
+            val sampling =
+              if (m.format == "jpeg")
+                JpegCodec.samplingOf(bytes).getOrElse("other")
+              else "none"
+            (m.format, sampling, m.width)
+          }
+        }
+      }
+      .toDF("format", "sampling", "w")
+      .groupBy(col("format"), col("sampling"))
+      .agg(count(lit(1)).as("n"),
+        min(col("w")).cast("int").as("min_w"),
+        max(col("w")).cast("int").as("max_w"))
+  }
+
+  val imageFormatCensusOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(9 + 3 * (doc_id % 4) AS INT) AS w0,
+      |         doc_id % 2 = 0 AS even
+      |  FROM documents),
+      |cells AS (
+      |  SELECT CASE WHEN even THEN 'png' ELSE 'bmp' END AS format,
+      |         'none' AS sampling, w0 AS w FROM d
+      |  UNION ALL
+      |  SELECT 'jpeg',
+      |         CASE WHEN even THEN '4:4:4' ELSE '4:2:0' END,
+      |         2 * w0 FROM d)
+      |SELECT format, sampling, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w
+      |FROM cells GROUP BY 1, 2
+      |""".stripMargin
+
   val imageJpegNearDupOracle: String =
     s"""SELECT doc_id AS doc_a,
        |       doc_id + $TwinSpace AS doc_b,
