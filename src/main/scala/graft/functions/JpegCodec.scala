@@ -781,36 +781,61 @@ object JpegCodec {
     * need — SOI, APP0/JFIF, DQT, SOFn, DHT, DRI, SOS + entropy data.
     * Drops COM and every APPn (n ≥ 1): EXIF (APP1) with its GPS/serial
     * payloads, Adobe APP14, toolchain comments — the byte-level privacy
-    * pass for the dominant crawl format. The entropy-coded stream after
-    * SOS is copied verbatim, so the raster is untouched by
-    * construction (and re-decoded to prove it in the gated query). */
+    * pass for the dominant crawl format. Entropy-coded data is copied
+    * verbatim (honoring FF00 stuffing and RSTn), so the raster is
+    * untouched by construction (and re-decoded to prove it in the gated
+    * query) — but the segment FILTER keeps running between scans
+    * (progressive streams carry DHT/SOS chains after the first scan,
+    * and hostile streams hide COM/APPn there), and the output is
+    * TRUNCATED at EOI: trailer bytes appended after the marker — a
+    * common real-world spot for EXIF thumbnails, MPF payloads, and
+    * arbitrary PII — do not survive the scrub. */
   def stripMetadata(b: Array[Byte]): Option[Array[Byte]] = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8)
     var i = 2
-    while (i + 3 < b.length) {
+    var sawScan = false
+    while (i + 1 < b.length) {
       if (u8(b, i) != 0xff) return None
       while (i < b.length && u8(b, i) == 0xff) i += 1
       if (i >= b.length) return None
       val m = u8(b, i); i += 1
-      if (m == 0xda) { // SOS: copy marker + the rest verbatim
-        out.write(0xff); out.write(m)
-        out.write(b, i, b.length - i)
+      if (m == 0xd9) { // EOI: emit and TRUNCATE — drop any trailer bytes
+        out.write(0xff); out.write(0xd9)
         return Some(out.toByteArray)
-      }
-      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
         out.write(0xff); out.write(m)
       } else {
+        if (i + 1 >= b.length) return None
         val len = be16(b, i)
         if (len < 2 || i + len > b.length) return None
         val keep = m == 0xe0 || m == 0xdb || m == 0xc4 || m == 0xdd ||
+          m == 0xda ||
           ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc)
         if (keep) { out.write(0xff); out.write(m); out.write(b, i, len) }
         i += len
+        if (m == 0xda) {
+          // entropy-coded data: copy through stuffed FF00 and RSTn until
+          // the next true marker, then hand back to the segment filter
+          sawScan = true
+          var stop = false
+          while (!stop && i < b.length) {
+            val c = u8(b, i)
+            if (c != 0xff) { out.write(c); i += 1 }
+            else if (i + 1 >= b.length) { i += 1 } // dangling FF at EOF
+            else {
+              val mk = u8(b, i + 1)
+              if (mk == 0x00 || (mk >= 0xd0 && mk <= 0xd7)) {
+                out.write(0xff); out.write(mk); i += 2
+              } else stop = true
+            }
+          }
+        }
       }
     }
-    None
+    // stream ended without EOI: keep the pixels if a scan was emitted
+    if (sawScan) Some(out.toByteArray) else None
   }
 
   /** Convenience: render `px(x, y) -> 0xRRGGBB` content straight to a

@@ -149,13 +149,19 @@ object Archives {
   private[graft] def warcRecordsOf(bytes: Array[Byte])
       : Seq[(Map[String, String], Array[Byte])] = {
     val out = scala.collection.mutable.ArrayBuffer[(Map[String, String], Array[Byte])]()
+    // Decompress under its own guard: a truncated or corrupt trailing
+    // gzip member must not discard the records already decompressed from
+    // earlier members — keep the partial bytes and parse what arrived
+    // (the Content-Length bounds check drops any half-record tail).
+    val all = new java.io.ByteArrayOutputStream()
     try {
       val gz = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val all = new java.io.ByteArrayOutputStream()
       val tmp = new Array[Byte](8192)
       var n = gz.read(tmp)
       while (n >= 0) { all.write(tmp, 0, n); n = gz.read(tmp) }
+    } catch { case _: java.io.IOException => () }
+    try {
       val b = all.toByteArray
       var p = 0
       def line(): String = {
@@ -178,13 +184,76 @@ object Archives {
           if (i > 0) headers += (h.take(i).trim.toLowerCase -> h.drop(i + 1).trim)
           h = line()
         }
-        val len = headers.getOrElse("content-length", "0").toInt
-        if (len < 0 || p + len > b.length) return out.toSeq
-        out += ((headers, java.util.Arrays.copyOfRange(b, p, p + len)))
-        p += len
+        // Hostile-input contract: a missing Content-Length (mandatory
+        // per ISO 28500 — absence means a truncated header block), a
+        // non-numeric value, or a near-Int.MaxValue value must end the
+        // walk (rejects side-channel), never escape as
+        // NumberFormatException or pass the bounds check via Int
+        // overflow — so parse as Long and bound in Long space before
+        // narrowing.
+        val len = headers.get("content-length")
+          .flatMap(_.toLongOption).getOrElse(-1L)
+        if (len < 0L || p.toLong + len > b.length.toLong) return out.toSeq
+        out += ((headers, java.util.Arrays.copyOfRange(b, p, p + len.toInt)))
+        p += len.toInt
       }
     } catch { case _: java.io.IOException => () }
     out.toSeq
+  }
+
+  // ------------------------------------------------------------- charset
+
+  private def charsetOf(name: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private val CharsetAttr =
+    java.util.regex.Pattern.compile(
+      "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)")
+
+  /** Charset of an HTTP-response body, resolved the way a crawl pipeline
+    * must: byte-order mark first (authoritative), then the Content-Type
+    * header's `charset=` parameter, then an ASCII-superset scan of the
+    * leading bytes for an HTML `<meta … charset=…>` declaration, then the
+    * UTF-8 fallback. Unknown or unsupported charset names fall through to
+    * the next source rather than failing the task. */
+  private[graft] def sniffCharset(contentType: String, body: Array[Byte])
+      : java.nio.charset.Charset = {
+    import java.nio.charset.StandardCharsets._
+    def at(i: Int): Int = if (i < body.length) body(i) & 0xFF else -1
+    val bom =
+      if (at(0) == 0xEF && at(1) == 0xBB && at(2) == 0xBF) Some(UTF_8)
+      else if (at(0) == 0xFF && at(1) == 0xFE) Some(UTF_16LE)
+      else if (at(0) == 0xFE && at(1) == 0xFF) Some(UTF_16BE)
+      else None
+    def fromString(s: String): Option[java.nio.charset.Charset] = {
+      val m = CharsetAttr.matcher(s)
+      if (m.find()) charsetOf(m.group(1)) else None
+    }
+    def meta: Option[java.nio.charset.Charset] =
+      fromString(new String(body, 0, math.min(body.length, 1024), ISO_8859_1))
+    bom.orElse(fromString(contentType)).orElse(meta).getOrElse(UTF_8)
+  }
+
+  /** Decode a response body with [[sniffCharset]], dropping a decoded
+    * byte-order-mark character so the text is BOM-free regardless of the
+    * source encoding. */
+  private[graft] def decodeBody(contentType: String, body: Array[Byte]): String = {
+    val s = new String(body, sniffCharset(contentType, body))
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+  }
+
+  /** Index of the first CRLFCRLF head/body cut at the byte level — the
+    * split must happen BEFORE charset decode or a UTF-16 body would
+    * mangle the ASCII head. */
+  private[graft] def headBodyCut(payload: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
   }
 
   /** WARC INGESTION: explode response records out of the gzip-member
@@ -208,17 +277,32 @@ object Archives {
           warcRecordsOf(bytes).iterator
             .filter(_._1.get("warc-type").contains("response"))
             .map { case (hdr, payload) =>
-              val s = new String(payload, "UTF-8")
-              val cut = s.indexOf("\r\n\r\n")
-              val head = s.take(math.max(cut, 0))
-              val body = if (cut >= 0) s.drop(cut + 4) else ""
+              // Byte-level head/body cut: the HTTP head is ASCII by RFC
+              // 7230, the body's charset is whatever the page declares —
+              // decoding the whole payload as one string would corrupt
+              // non-UTF-8 bodies before the charset is even known.
+              val cut = headBodyCut(payload)
+              val head = new String(payload, 0,
+                if (cut >= 0) cut else payload.length,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              val bodyBytes =
+                if (cut >= 0)
+                  java.util.Arrays.copyOfRange(payload, cut + 4, payload.length)
+                else Array.empty[Byte]
+              // Hostile-input contract: a malformed status line yields
+              // status 0 (rejects side-channel), never an exception that
+              // fails the task.
               val status = head.linesIterator.nextOption()
-                .map(_.split(" ")(1).toInt).getOrElse(0)
+                .flatMap { l =>
+                  val parts = l.split(" ")
+                  if (parts.length >= 2) parts(1).toIntOption else None
+                }.getOrElse(0)
               val ctype = head.linesIterator
                 .find(_.toLowerCase.startsWith("content-type:"))
                 .map(_.split(":", 2)(1).trim).getOrElse("")
               (hdr.getOrElse("warc-target-uri", ""),
-                hdr.getOrElse("warc-date", ""), status, ctype, body)
+                hdr.getOrElse("warc-date", ""), status, ctype,
+                decodeBody(ctype, bodyBytes))
             }
         }
       }
@@ -275,4 +359,82 @@ object Archives {
        |                               '\\s+', ' ', 'g'))) AS text_md5
        |FROM h
        |""".stripMargin
+
+  // -------------------------------------------------- charset round-trip
+
+  /** Per-mode non-ASCII marker text (unicode escapes, NOT literals, so
+    * the Scala source encoding can never drift from the oracle's chr()
+    * construction): each token contains characters that only decode
+    * correctly under the declared charset — € (euro) is 0x80 in
+    * windows-1252 and absent from latin-1; ☃ (snowman) needs a
+    * 2-byte encoding. */
+  private[graft] def charsetToken(mode: Int): String = mode match {
+    case 0 => "na\u00efve caf\u00e9"                               // UTF-8, declared by <meta>
+    case 1 => "caf\u00e9 r\u00e9sum\u00e9"                          // ISO-8859-1 via Content-Type
+    case 2 => "price \u20ac99 \u2013 now"                          // windows-1252 via <meta http-equiv>
+    case _ => "snow \u2603 unicode"                               // UTF-16LE, BOM-sniffed
+  }
+
+  /** MIXED-ENCODING crawl fixture: one response record per document,
+    * whose HTML body is encoded per `doc_id % 4` as UTF-8 / ISO-8859-1 /
+    * windows-1252 / BOM'd UTF-16LE, with the charset declared exactly
+    * where real pages declare it (meta tag, Content-Type parameter, or
+    * only the BOM). Real crawls are majority non-UTF-8 in exactly these
+    * three families; hardcoded UTF-8 decode turns them into mojibake
+    * shingles. */
+  def warcCharsetPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val mode = (id % 4).toInt
+          val token = charsetToken(mode)
+          val meta = mode match {
+            case 0 => "<meta charset=\"utf-8\">"
+            case 2 => "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
+            case _ => ""
+          }
+          val html = s"<html><head>$meta</head><body><p>doc $id :: $token</p></body></html>"
+          val (ctypeHdr, bodyBytes) = mode match {
+            case 0 => ("text/html", html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case 1 => ("text/html; charset=ISO-8859-1",
+              html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            case 2 => ("text/html", html.getBytes("windows-1252"))
+            case _ => ("text/html",
+              Array(0xFF.toByte, 0xFE.toByte) ++
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+          }
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctypeHdr\r\n" +
+            s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("UTF-8") ++ bodyBytes
+          val resp = warcRecord("response",
+            Seq("WARC-Target-URI" -> s"http://example.com/doc/$id",
+                "Content-Type" -> "application/http; msgtype=response"),
+            http)
+          (id, gzipMember(resp))
+        }
+      }
+  }
+
+  /** CHARSET-AWARE extraction gate: runs the identical [[warcExtractFrom]]
+    * over the mixed-encoding fixture; the md5 only matches when every
+    * body was transcoded to the right unicode text before the HTML strip
+    * (the oracle builds the expected UTF-8 text by formula). */
+  def warcCharsetQuery(spark: SparkSession, dir: String): DataFrame =
+    warcExtractFrom(warcCharsetPayloads(spark, dir).toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("status"), col("content_type"), col("text_md5"))
+
+  val warcCharsetOracle: String =
+    """SELECT doc_id,
+      |       200 AS status,
+      |       CASE WHEN doc_id % 4 = 1 THEN 'text/html; charset=ISO-8859-1'
+      |            ELSE 'text/html' END AS content_type,
+      |       md5('doc ' || CAST(doc_id AS VARCHAR) || ' :: ' ||
+      |           CASE CAST(doc_id % 4 AS INT)
+      |             WHEN 0 THEN 'na' || chr(239) || 've caf' || chr(233)
+      |             WHEN 1 THEN 'caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233)
+      |             WHEN 2 THEN 'price ' || chr(8364) || '99 ' || chr(8211) || ' now'
+      |             ELSE 'snow ' || chr(9731) || ' unicode'
+      |           END) AS text_md5
+      |FROM documents
+      |""".stripMargin
 }

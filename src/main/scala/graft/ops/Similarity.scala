@@ -428,23 +428,27 @@ object Similarity {
   private val PqServeM = 8
   private val PqServeK = 16
 
-  /** Exact-re-rank shortlist size: ⌈n/10⌉ (floor 20) PQ-nominated
+  /** Exact-re-rank shortlist size: ⌈n/5⌉ (floor 4·K) PQ-nominated
     * candidates per query get exact re-scoring. Derived from the corpus
     * size like `cents`, because the probed-candidate pool grows with
     * the corpus and a FIXED shortlist would shrink recall as n grows;
-    * n/10 keeps the exact work a constant fraction of one probe's
-    * candidate volume (≪ n² always). */
+    * n/5 keeps the exact work a constant fraction of one probe's
+    * candidate volume (≪ n² always) — deep on THIS fixture because its
+    * random vectors give PQ codes little structure to nominate with
+    * (documented in BASELINE); structured real embeddings take a far
+    * shallower shortlist. */
   private def rerankR(n: Long): Int =
     math.max(4 * K, math.ceil(n / 5.0).toInt)
 
   /** IVF-PQ composed serving path — the memory shape that makes
     * billion-vector ANN feasible: the probed inverted lists hold PQ
-    * CODES ([[Embeddings.pqModel]]: 4 one-byte codes/vector, a 128×
-    * memory cut vs the 64-double raster), candidates are scored with
+    * CODES ([[Embeddings.pqModel]] at the [[PqServeM]]×[[PqServeK]]
+    * serving shape: 8 one-byte codes/vector, a 64× memory cut vs the
+    * 64-double raster), candidates are scored with
     * the ASYMMETRIC approximate cosine against the code reconstruction
     * (dot(q, x̂) — identical to the classic per-subspace ADC lookup sum,
     * since dot distributes over the concatenated subspaces), and only
-    * the top-[[RerankR]] shortlist per query is re-scored exactly from
+    * the top-[[rerankR]] shortlist per query is re-scored exactly from
     * the full vectors. Scale: the codebook is 32 rows and broadcast;
     * reconstruction is a map over the code column; the exact re-rank
     * join is shortlist-sized (R·n rows), never list-sized. Recall at
@@ -745,7 +749,7 @@ object Similarity {
       .unionByName(stat("ivf_mid", ivfTopKFrom(ranked, probeMid(cents))))
       .unionByName(stat("ivf", ivfTopKFrom(ranked, probeHi(cents))))
       // IVF-PQ at the SAME probe budget as ivf: the sweep row that
-      // prices the 128× index-memory cut in recall (spec gates ≤ 0.05)
+      // prices the 64× index-memory cut in recall (spec gates ≤ 0.05)
       .unionByName(stat("ivfpq", ivfpqTopKFrom(ranked, probeHi(cents))))
   }
 

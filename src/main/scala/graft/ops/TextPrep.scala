@@ -284,8 +284,10 @@ object TextPrep {
   private val BpeGateMerges = 12
 
   /** Left-to-right non-overlapping merge of one adjacent pair — the
-    * textbook BPE rewrite (same semantics as a string `replace` over the
-    * space-joined symbol string, which is how the oracle replays it). */
+    * textbook BPE rewrite. The oracle replays it over the space-joined
+    * symbol string via the doubled-delimiter `replace` device (see
+    * [[bpeVocabOracle]]) — a plain single-space `replace` would NOT be
+    * equivalent: back-to-back occurrences share a delimiter space. */
   private[graft] def mergeSyms(s: IndexedSeq[String], a: String, b: String)
       : IndexedSeq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -296,6 +298,21 @@ object TextPrep {
       } else { out += s(i); i += 1 }
     }
     out.toIndexedSeq
+  }
+
+  /** The oracle's doubled-delimiter replace device, stated in Scala —
+    * `java.lang.String.replace` is the same non-overlapping
+    * left-to-right substitution as DuckDB's `replace`, so this IS the
+    * SQL rewrite, and GraftProperties laws it equal to [[mergeSyms]]
+    * (the single-space variant provably is not: 'banana' + (a,n)). */
+  private[graft] def sqlMergeDevice(syms: IndexedSeq[String], a: String, b: String)
+      : IndexedSeq[String] = {
+    val s = " " + syms.mkString(" ") + " "
+    val merged = s.replace(" ", "  ")
+      .replace(" " + a + "  " + b + " ", " " + a + b + " ")
+      .replace("  ", " ")
+    val t = merged.trim
+    if (t.isEmpty) IndexedSeq.empty else t.split(" ").toIndexedSeq
   }
 
   /** FULL BPE TRAINING LOOP — iterate merges to a target count with the
@@ -436,9 +453,11 @@ object TextPrep {
         |b$r AS MATERIALIZED (
         |  SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
         |s$r AS MATERIALIZED (
-        |  SELECT replace(s,
-        |           ' ' || (SELECT a FROM b$r) || ' ' || (SELECT b FROM b$r) || ' ',
-        |           ' ' || (SELECT a FROM b$r) || (SELECT b FROM b$r) || ' ') AS s,
+        |  SELECT replace(
+        |           replace(replace(s, ' ', '  '),
+        |             ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
+        |             ' ' || (SELECT a FROM b$r) || (SELECT b FROM b$r) || ' '),
+        |           '  ', ' ') AS s,
         |         freq
         |  FROM s$p)""".stripMargin)
     }
@@ -471,9 +490,18 @@ object TextPrep {
 
   /** The SQL replay is GENERATED: one (pairs → best → rewrite) round
     * per merge, unrolled [[BpeGateMerges]] times — the symbol string is
-    * space-joined, so the left-to-right non-overlapping `replace` of
-    * `' a b '` with `' ab '` is exactly [[mergeSyms]]. Materialized
-    * CTEs keep each state referenced twice from re-evaluating. */
+    * space-joined and the rewrite is the DOUBLED-DELIMITER device:
+    * a plain `replace(' a b ', ' ab ')` on the single-spaced state
+    * misses the second of two back-to-back occurrences because they
+    * share a delimiter space ('banana' with pair (a,n): the replay
+    * would yield b/an/a/n/a where [[mergeSyms]] yields b/an/an/a). So
+    * each round doubles every space first, replaces
+    * `' a  b '` → `' ab '` (each match consumes one space of each
+    * flanking pair, so every gap ends as exactly two spaces and
+    * matches can no longer overlap), then collapses `'  '` → `' '`.
+    * GraftProperties laws this device equal to [[mergeSyms]] on random
+    * symbol strings including XYXY repeats. Materialized CTEs keep each
+    * state referenced twice from re-evaluating. */
   val bpeVocabOracle: String = {
     bpeChainSql(BpeGateMerges) + "\n" +
       (1 to BpeGateMerges).map { r =>

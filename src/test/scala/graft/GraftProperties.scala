@@ -656,4 +656,22 @@ object GraftProperties extends Properties("graft") {
       if (prof.isEmpty) actual == 0L
       else prof.head.getAs[Long]("est_total") == actual
     }
+
+  // the BPE oracle's doubled-delimiter replace device == mergeSyms on ANY
+  // symbol string — including XYXY repeats of the merge pair, where the
+  // naive single-space replace diverges ('banana' + (a,n): naive gives
+  // b/an/a/n/a, mergeSyms gives b/an/an/a)
+  private val symGen: Gen[List[String]] =
+    Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "n", "ab", "an", "na")))
+
+  property("BPE SQL replay device == mergeSyms incl. overlapping repeats") =
+    forAll(symGen, Gen.oneOf("a", "b", "n", "ab", "an", "na"),
+      Gen.oneOf("a", "b", "n", "ab", "an", "na")) { (syms, a, b) =>
+      val s = syms.toIndexedSeq
+      graft.ops.TextPrep.sqlMergeDevice(s, a, b) ==
+        graft.ops.TextPrep.mergeSyms(s, a, b) &&
+      graft.ops.TextPrep.sqlMergeDevice("banana".map(_.toString).toIndexedSeq, "a", "n") ==
+        IndexedSeq("b", "an", "an", "a")
+    }
 }

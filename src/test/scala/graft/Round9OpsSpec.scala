@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Archives
+
+/** Round-9 specs. Starts with regression tests for the round-8 verdict /
+  * advice findings: the WARC record walk must survive hostile input
+  * (malformed status lines, non-numeric or near-overflow Content-Length,
+  * truncated gzip members) by routing to the rejects side-channel, never
+  * by failing the executor task; and extraction must transcode non-UTF-8
+  * bodies (BOM / Content-Type / meta charset) before the HTML strip.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  // ------------------------------------------------ WARC hostile input
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private def record(payload: Array[Byte],
+                     contentLength: String,
+                     typ: String = "response",
+                     uri: String = "http://example.com/doc/1"): Array[Byte] =
+    (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: $contentLength\r\n\r\n").getBytes("UTF-8") ++
+      payload ++ "\r\n\r\n".getBytes("UTF-8")
+
+  private def httpOk(body: String): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body").getBytes("UTF-8")
+
+  test("non-numeric Content-Length ends the walk; prior records survive") {
+    val good = httpOk("<p>ok</p>")
+    val bytes = gz(record(good, good.length.toString)) ++
+      gz(record(httpOk("<p>bad</p>"), "not-a-number"))
+    val recs = Archives.warcRecordsOf(bytes)
+    assert(recs.length == 1)
+    assert(new String(recs.head._2, "UTF-8").contains("<p>ok</p>"))
+  }
+
+  test("near-Int.MaxValue Content-Length cannot overflow the bounds check") {
+    val good = httpOk("<p>ok</p>")
+    // Int.MaxValue - 10: old code computed p + len as Int, wrapped
+    // negative, passed `p + len > b.length`, then threw from copyOfRange
+    val bytes = gz(record(good, good.length.toString)) ++
+      gz(record(httpOk("<p>bad</p>"), (Int.MaxValue - 10).toString))
+    val recs = Archives.warcRecordsOf(bytes)
+    assert(recs.length == 1)
+    // and a value past Long.MaxValue digits parses to None, same path
+    assert(Archives.warcRecordsOf(
+      gz(record(good, "99999999999999999999"))).isEmpty)
+  }
+
+  test("truncated gzip member returns accumulated records, not an exception") {
+    val good = httpOk("<p>ok</p>")
+    val whole = gz(record(good, good.length.toString))
+    val truncated = whole.take(whole.length / 2)
+    assert(Archives.warcRecordsOf(truncated).isEmpty)
+    val twoMembers = gz(record(good, good.length.toString)) ++ truncated
+    assert(Archives.warcRecordsOf(twoMembers).length == 1)
+  }
+
+  test("malformed HTTP status line yields status 0, not a task failure") {
+    import spark.implicits._
+    val garbage = "GARBAGE\r\nContent-Type: text/html\r\n\r\n<p>junk</p>".getBytes("UTF-8")
+    val noSpace = "HTTP/1.1\r\n\r\n<p>x</p>".getBytes("UTF-8")
+    val nonNum = "HTTP/1.1 abc OK\r\n\r\n<p>y</p>".getBytes("UTF-8")
+    val good = httpOk("<p>fine</p>")
+    val payload = gz(record(garbage, garbage.length.toString)) ++
+      gz(record(noSpace, noSpace.length.toString)) ++
+      gz(record(nonNum, nonNum.length.toString)) ++
+      gz(record(good, good.length.toString))
+    val df = Archives.warcExtractFrom(
+      Seq((1L, payload)).toDF("doc_id", "payload"))
+    val rows = df.select("status", "text_md5").collect()
+    assert(rows.length == 4)
+    assert(rows.count(_.getInt(0) == 0) == 3)
+    assert(rows.count(_.getInt(0) == 200) == 1)
+  }
+
+  // ------------------------------------------------ WARC charset sniffing
+
+  test("charset resolution order: BOM > Content-Type > meta > UTF-8") {
+    import java.nio.charset.StandardCharsets._
+    // BOM wins even against a contradicting header
+    assert(Archives.sniffCharset("text/html; charset=ISO-8859-1",
+      Array(0xFF.toByte, 0xFE.toByte, 'a'.toByte, 0.toByte)) == UTF_16LE)
+    assert(Archives.sniffCharset("text/html",
+      Array(0xFE.toByte, 0xFF.toByte, 0.toByte, 'a'.toByte)) == UTF_16BE)
+    assert(Archives.sniffCharset("text/html",
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte, 'a'.toByte)) == UTF_8)
+    // header beats meta
+    assert(Archives.sniffCharset("text/html; charset=ISO-8859-1",
+      "<meta charset=\"utf-8\">x".getBytes(US_ASCII)) == ISO_8859_1)
+    // meta when header is silent (both <meta charset> and http-equiv forms)
+    assert(Archives.sniffCharset("text/html",
+      "<meta charset='windows-1252'>".getBytes(US_ASCII)) ==
+      java.nio.charset.Charset.forName("windows-1252"))
+    assert(Archives.sniffCharset("text/html",
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\">"
+        .getBytes(US_ASCII)) == ISO_8859_1)
+    // unknown charset name falls through to UTF-8, never throws
+    assert(Archives.sniffCharset("text/html; charset=no-such-cs",
+      Array[Byte]('a')) == UTF_8)
+    assert(Archives.sniffCharset("text/html", Array.empty[Byte]) == UTF_8)
+  }
+
+  test("decodeBody transcodes and strips the BOM character") {
+    import java.nio.charset.StandardCharsets._
+    val cafe = "café €"
+    assert(Archives.decodeBody("text/html; charset=windows-1252",
+      cafe.getBytes("windows-1252")) == cafe)
+    val utf16 = Array(0xFF.toByte, 0xFE.toByte) ++ cafe.getBytes(UTF_16LE)
+    assert(Archives.decodeBody("text/html", utf16) == cafe)
+    val utf8bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ cafe.getBytes(UTF_8)
+    assert(Archives.decodeBody("text/html", utf8bom) == cafe)
+  }
+
+  test("q_warc_charset: every encoding mode round-trips to the expected UTF-8 text") {
+    val rows = Archives.warcCharsetQuery(spark, sf)
+      .select("doc_id", "status", "text_md5").collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 200)
+      val expected = s"doc $id :: ${Archives.charsetToken((id % 4).toInt)}"
+      val hash = md.digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(2) == hash, s"doc $id")
+    }
+    // all four modes actually exercised
+    assert(rows.map(_.getLong(0) % 4).distinct.length == 4)
+  }
+
+  // --------------------------------------- JPEG scrub: trailer truncation
+
+  test("stripMetadata truncates trailer bytes appended after EOI") {
+    import graft.functions.JpegCodec
+    val clean = JpegCodec.writeJpegPixels(16, 16, 92,
+      (x, y) => ((x * 16) << 16) | ((y * 16) << 8) | 0x40)
+    val cleanScrub = JpegCodec.stripMetadata(clean).get
+    // trailer after EOI: where real files park EXIF thumbnails / MPF /
+    // arbitrary PII payloads
+    val trailer = "SECRET-GPS-PAYLOAD".getBytes("ISO-8859-1")
+    val withTrailer = clean ++ trailer
+    val scrubbed = JpegCodec.stripMetadata(withTrailer).get
+    assert(scrubbed.sameElements(cleanScrub),
+      "trailer bytes must not survive the scrub")
+    assert(!new String(scrubbed, "ISO-8859-1").contains("SECRET"))
+    // ends exactly at EOI
+    assert(scrubbed.takeRight(2).map(_ & 0xff).toSeq == Seq(0xff, 0xd9))
+    // and the raster is untouched
+    assert(JpegCodec.decodePixels(scrubbed).isDefined)
+    assert(JpegCodec.decodePixels(scrubbed).get.rgb.sameElements(
+      JpegCodec.decodePixels(clean).get.rgb))
+    // a COM spliced before SOS still gets dropped (regression)
+    val withCom = JpegCodec.withComment(clean, "camera serial 123")
+    val comScrub = JpegCodec.stripMetadata(withCom ++ trailer).get
+    assert(comScrub.sameElements(cleanScrub))
+  }
+}
