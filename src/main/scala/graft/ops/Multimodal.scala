@@ -445,21 +445,25 @@ object Multimodal {
   // ---------------------------------------- cross-format (lossy) twins
 
   /** Synthesize, per document, a LOSSLESS base (PNG/BMP alternating by
-    * id, as [[imageVariantPayloads]]) and a LOSSY twin: the same 3×3
-    * id-pattern re-encoded as a baseline JPEG (quality 97) at 2× the
-    * resolution — the dominant-format duplicate class a crawl corpus
-    * actually contains. Lossy twins make EXACT grid equality the wrong
-    * verify, so [[imageJpegNearDupQuery]] verifies on the quantized
-    * LEVEL grid instead: cell grays sit mid-band at 16n+8, so any
-    * decode error within ±7 recovers the exact nibble level n — and
-    * the measured q97 drift on this pattern family is ≤5 (spec-gated),
-    * leaving 2 levels of margin. The level grid stays injective on ids,
-    * so the oracle still predicts exactly the twin pairs by formula. */
+    * id, as [[imageVariantPayloads]]) and TWO lossy twins: the same 3×3
+    * id-pattern re-encoded at 2× the resolution as a baseline JPEG
+    * (quality 97) and as a PROGRESSIVE (SOF2) JPEG — the dominant
+    * duplicate classes a crawl corpus actually contains (progressive is
+    * the majority encoding for large web JPEGs). Lossy twins make EXACT
+    * grid equality the wrong verify, so [[imageJpegNearDupQuery]]
+    * verifies on the quantized LEVEL grid instead: cell grays sit
+    * mid-band at 16n+8, so any decode error within ±7 recovers the
+    * exact nibble level n — and the measured q97 drift on this pattern
+    * family is ≤5 (spec-gated), leaving 2 levels of margin (the
+    * progressive twin decodes bit-identical to a 4:4:4 baseline of the
+    * same raster — Round9OpsSpec — so it inherits the same bound). The
+    * level grid stays injective on ids, so the oracle still predicts
+    * exactly the twin pairs by formula. */
   def imageJpegVariantPayloads(spark: SparkSession, dir: String)
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
-    import graft.functions.JpegCodec.writeJpegPixels
+    import graft.functions.JpegCodec.{writeJpegPixels, writeJpegProgressivePixels}
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
@@ -473,7 +477,9 @@ object Multimodal {
           // multi-block-MCU + chroma-upsample machinery too
           val twin = writeJpegPixels(2 * w0, 2 * h0, 97,
             patternPx(id, 2 * w0, 2 * h0), subsample420 = id % 2 == 1)
-          Seq((id, base), (id + TwinSpace, twin))
+          val prog = writeJpegProgressivePixels(2 * w0, 2 * h0, 97,
+            patternPx(id, 2 * w0, 2 * h0))
+          Seq((id, base), (id + TwinSpace, twin), (id + 2 * TwinSpace, prog))
         }
       }
   }
@@ -514,7 +520,8 @@ object Multimodal {
     * subsampling, counts, and the width range — all from container
     * HEADERS (no pixel decode), so the scan is metadata-cheap. Runs
     * over [[imageJpegVariantPayloads]] (PNG/BMP bases + 4:4:4/4:2:0
-    * JPEG twins), which makes every census cell formula-predictable. */
+    * baseline and 4:4:4 progressive JPEG twins), which makes every
+    * census cell formula-predictable. */
   def imageFormatCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{ImageCodec, JpegCodec}
@@ -549,20 +556,33 @@ object Multimodal {
       |  UNION ALL
       |  SELECT 'jpeg',
       |         CASE WHEN even THEN '4:4:4' ELSE '4:2:0' END,
-      |         2 * w0 FROM d)
+      |         2 * w0 FROM d
+      |  UNION ALL
+      |  -- the progressive twin is always 4:4:4
+      |  SELECT 'jpeg', '4:4:4', 2 * w0 FROM d)
       |SELECT format, sampling, CAST(count(*) AS BIGINT) AS n,
       |       CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w
       |FROM cells GROUP BY 1, 2
       |""".stripMargin
 
   val imageJpegNearDupOracle: String =
-    s"""SELECT doc_id AS doc_a,
-       |       doc_id + $TwinSpace AS doc_b,
-       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
-       |       'jpeg' AS format_b,
-       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
-       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
-       |FROM documents
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS base_fmt,
+       |         CAST(9 + 3 * (doc_id % 4) AS INT) AS w0
+       |  FROM documents)
+       |SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b,
+       |       base_fmt AS format_a, 'jpeg' AS format_b,
+       |       w0 AS w_a, 2 * w0 AS w_b
+       |FROM d
+       |UNION ALL
+       |SELECT doc_id, doc_id + ${2 * TwinSpace},
+       |       base_fmt, 'jpeg', w0, 2 * w0
+       |FROM d
+       |UNION ALL
+       |SELECT doc_id + $TwinSpace, doc_id + ${2 * TwinSpace},
+       |       'jpeg', 'jpeg', 2 * w0, 2 * w0
+       |FROM d
        |""".stripMargin
 
   // --------------------------------------------- perceptual audio dedup

@@ -562,6 +562,62 @@ object GraftProperties extends Properties("graft") {
       aOk && bOk
     }
 
+  // the same law for PROGRESSIVE (SOF2) streams: (a) our progressive
+  // encoder is readable by ImageIO and decodes bit-identical to our
+  // baseline twin; (b) on ImageIO's own progressive output (the classic
+  // 10-scan libjpeg script: DC Al=1, spectral bands, DC+AC refinements,
+  // EOBRUN) our decoder agrees with ImageIO's on luma
+  property("progressive jpeg codec agrees with imageio both directions") =
+    forAll(Gen.chooseNum(9, 40), Gen.chooseNum(9, 40), Gen.long) { (w, h, seed) =>
+      import graft.functions.{ImageCodec, JpegCodec}
+      val rng = new scala.util.Random(seed)
+      val cells = Array.fill(6, 6)(rng.nextInt(256))
+      def f(x: Int, y: Int): Int = {
+        val g = cells(math.min(y / 8, 5))(math.min(x / 8, 5))
+        (g << 16) | (g << 8) | g
+      }
+      def lum(r: Array[Byte], i: Int): Double =
+        0.299 * (r(i * 3) & 0xff) + 0.587 * (r(i * 3 + 1) & 0xff) +
+          0.114 * (r(i * 3 + 2) & 0xff)
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = f(x, y); val o = (y * w + x) * 3
+        rgb(o) = (c >>> 16).toByte; rgb(o + 1) = (c >>> 8).toByte
+        rgb(o + 2) = c.toByte
+      }
+      // (a) our progressive encode: ImageIO-readable + equals our baseline
+      val prog = JpegCodec.writeJpegProgressive(w, h, rgb, 95)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      val mineProg = JpegCodec.decodePixels(prog).get
+      val baseTwin = JpegCodec.decodePixels(JpegCodec.writeJpeg(w, h, rgb, 95)).get
+      val aOk = img != null && img.getWidth == w && img.getHeight == h &&
+        mineProg.rgb.sameElements(baseTwin.rgb)
+      // (b) ImageIO progressive encode -> both decoders, luma agreement
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, f(x, y))
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      writer.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose()
+      val theirsBytes = bos.toByteArray
+      val mine = ImageCodec.decodePixels(theirsBytes).get
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(theirsBytes))
+      val bOk = mine.width == w && mine.height == h && {
+        (0 until w * h).forall { i =>
+          val c = ref.getRGB(i % w, i / w)
+          val il = 0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+            0.114 * (c & 0xff)
+          math.abs(il - lum(mine.rgb, i)) <= 4.0
+        }
+      }
+      aOk && bOk
+    }
+
   // centered corrMatrix: exact at magnitudes where the uncentered form
   // overflows DECIMAL(38,0) (huge mean offset, small variance) — r must
   // match an exact BigDecimal replay

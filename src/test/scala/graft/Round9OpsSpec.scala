@@ -162,4 +162,103 @@ class Round9OpsSpec extends SparkSpec {
     val comScrub = JpegCodec.stripMetadata(withCom ++ trailer).get
     assert(comScrub.sameElements(cleanScrub))
   }
+
+  // ------------------------------------------------- progressive JPEG
+
+  private def gradient(w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        rgb(o) = ((x * 7 + y * 3) % 256).toByte
+        rgb(o + 1) = ((x * 2 + y * 11) % 256).toByte
+        rgb(o + 2) = ((x * 5 + y * 5 + 37) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  test("progressive encode decodes bit-identical to the baseline twin") {
+    import graft.functions.JpegCodec
+    // the successive-approximation script reaches full coefficient
+    // precision, so SOF2 and SOF0 of the same raster must decode EQUAL
+    for ((w, h) <- Seq((16, 16), (24, 17), (9, 31), (8, 8), (33, 12));
+         gray <- Seq(false, true)) {
+      val rgb = gradient(w, h)
+      val base = JpegCodec.decodePixels(
+        JpegCodec.writeJpeg(w, h, rgb, 90, gray = gray)).get
+      val progBytes = JpegCodec.writeJpegProgressive(w, h, rgb, 90, gray = gray)
+      val prog = JpegCodec.decodePixels(progBytes).get
+      assert(prog.width == w && prog.height == h)
+      assert(prog.rgb.sameElements(base.rgb), s"${w}x$h gray=$gray")
+      // and the stream really is progressive
+      assert(JpegCodec.segmentTypes(progBytes).contains("c2"))
+    }
+  }
+
+  test("our progressive streams are readable by ImageIO (independent decoder)") {
+    import graft.functions.JpegCodec
+    val (w, h) = (40, 28)
+    val rgb = gradient(w, h)
+    val bytes = JpegCodec.writeJpegProgressive(w, h, rgb, 95)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    // luma agreement with the source within quantization loss
+    var worst = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = img.getRGB(x, y)
+      val il = 0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+        0.114 * (c & 0xff)
+      val o = (y * w + x) * 3
+      val sl = 0.299 * (rgb(o) & 0xff) + 0.587 * (rgb(o + 1) & 0xff) +
+        0.114 * (rgb(o + 2) & 0xff)
+      worst = math.max(worst, math.abs(il - sl))
+    }
+    assert(worst <= 12.0, s"worst luma drift $worst")
+  }
+
+  test("ImageIO progressive streams decode with our decoder (all 4 scan kinds)") {
+    import graft.functions.{ImageCodec, JpegCodec}
+    val (w, h) = (37, 29)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rng = new scala.util.Random(42)
+    val cells = Array.fill(5, 6)(rng.nextInt(256))
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = cells(math.min(y / 8, 4))(math.min(x / 8, 5))
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    writer.dispose()
+    val bytes = bos.toByteArray
+    // the JDK writes the classic 10-scan libjpeg script: DC Al=1,
+    // spectral AC bands at Al=2/1, then DC and AC refinements — this
+    // exercises DC-first, DC-refine, AC-first, AC-refine and EOBRUN
+    assert(JpegCodec.segmentTypes(bytes).contains("c2"))
+    val mine = JpegCodec.decodePixels(bytes).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(mine.width == w && mine.height == h)
+    var worst = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = ref.getRGB(x, y)
+      val il = 0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+        0.114 * (c & 0xff)
+      val o = (y * w + x) * 3
+      val ml = 0.299 * (mine.rgb(o) & 0xff) + 0.587 * (mine.rgb(o + 1) & 0xff) +
+        0.114 * (mine.rgb(o + 2) & 0xff)
+      worst = math.max(worst, math.abs(il - ml))
+    }
+    assert(worst <= 4.0, s"worst luma disagreement $worst")
+    // ImageCodec routes progressive payloads to the pixel decoder too
+    assert(ImageCodec.decodePixels(bytes).isDefined)
+  }
 }
