@@ -558,6 +558,104 @@ object TextPrep {
        |FROM s GROUP BY 1 HAVING count(*) >= 2
        |""".stripMargin
 
+  /** SUBSTRING-REMOVAL DEDUP — the cleaning step [[repeatedSpans]] is
+    * the signal for: remove every occurrence of a cross-document
+    * repeated [[SpanN]]-token span EXCEPT in its first (min doc_id)
+    * document, and reassemble the surviving tokens in order — the
+    * exact-substring dedup pass real pretraining pipelines run over
+    * verbatim-shared boilerplate. A token is removed iff ANY repeated
+    * span's occurrence window covers it (overlapping windows union), so
+    * arbitrarily long shared passages collapse without re-deriving
+    * maximal matches.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: window hashes are 8-byte longs; the repeated-span
+    * dictionary is the ≥2-doc survivor set (tiny next to the corpus);
+    * coverage explode is bounded by [[SpanN]]·occurrences; reassembly
+    * shuffles each token once and groups doc-sized lists — everything
+    * corpus-linear, nothing quadratic. */
+  def spanRemovalFrom(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    // 1-based window start s → span hash (same md5-60 device as the
+    // detection kernel, but WITH positions — removal needs offsets)
+    val w = d.filter(size(col("tk")) >= SpanN)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(tk) - ${SpanN - 1}),
+           |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(tk, i, $SpanN))), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin)))
+      .toDF("doc_id", "s0", "span_hash")
+    val rep = w.select(col("doc_id"), col("span_hash")).distinct()
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+    // covered token positions in every NON-first document
+    val cov = w.join(rep, "span_hash")
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("s0") + 1, col("s0") + SpanN)).as("p"))
+      .distinct()
+    val tokpos = d.select(col("doc_id"), posexplode(col("tk")))
+      .toDF("doc_id", "p0", "tok")
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val cleaned = tokpos.join(cov, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"))
+          .as("clean_text"))
+    d.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Oracle-gated entry over the documents table: md5 of the cleaned
+    * text (the corpus fixture contains genuinely repeated spans — the
+    * near-clone document families — so removal is exercised, not
+    * vacuous). */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalFrom(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  val spanRemovalOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, i AS s,
+       |         CAST(CAST(('0x' || substr(md5(array_to_string(
+       |           list_slice(tk, i, i + ${SpanN - 1}), ' ')), 1, 15)) AS UBIGINT) AS BIGINT) AS span_hash
+       |  FROM d, unnest(generate_series(1, len(tk) - ${SpanN - 1})) u(i)
+       |  WHERE len(tk) >= $SpanN),
+       |rep AS (
+       |  SELECT span_hash, min(doc_id) AS first_doc
+       |  FROM (SELECT DISTINCT doc_id, span_hash FROM w)
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, p
+       |  FROM w JOIN rep USING (span_hash),
+       |       unnest(generate_series(w.s, w.s + ${SpanN - 1})) v(p)
+       |  WHERE w.doc_id <> rep.first_doc),
+       |tokpos AS (
+       |  SELECT doc_id, tk[i] AS tok, i AS p
+       |  FROM d, unnest(generate_series(1, len(tk))) u(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.tok, t.p
+       |  FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+       |  WHERE c.p IS NULL)
+       |SELECT d.doc_id,
+       |       CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       |       CAST(len(d.tk) - count(k.p) AS BIGINT) AS n_removed,
+       |       md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS clean_md5
+       |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |GROUP BY d.doc_id, len(d.tk)
+       |""".stripMargin
+
   // ---------------------------------------------- corpus balance audit
 
   /** Per-source corpus balance: document count, character mass and its

@@ -261,4 +261,64 @@ class Round9OpsSpec extends SparkSpec {
     // ImageCodec routes progressive payloads to the pixel decoder too
     assert(ImageCodec.decodePixels(bytes).isDefined)
   }
+
+  // ------------------------------------------------ span-removal dedup
+
+  test("spanRemoval removes repeated spans everywhere but the first document") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")  // one 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"delta $shared epsilon zeta"),
+      (3L, "unrelated words only here none repeated at all")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextPrep.spanRemovalFrom(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the keeper: byte-identical (already normalized)
+    assert(out(1L) == ((11L, 0L, s"alpha beta $shared gamma")))
+    // doc 2 loses exactly the 8 shared tokens
+    assert(out(2L) == ((11L, 8L, "delta epsilon zeta")))
+    // doc 3 untouched
+    assert(out(3L)._2 == 0L)
+    assert(out(3L)._3 == "unrelated words only here none repeated at all")
+  }
+
+  test("spanRemoval overlapping windows union: long shared passages collapse") {
+    import spark.implicits._
+    // a 12-token shared passage = five overlapping 8-grams; coverage is
+    // their union, so all 12 tokens go in one pass
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"keep1 keep2 $passage tail1"),
+      (20L, s"other $passage trailer done")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextPrep.spanRemovalFrom(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) == ((0L, s"keep1 keep2 $passage tail1")))
+    assert(out(20L) == ((12L, "other trailer done")))
+  }
+
+  test("spanRemoval is idempotent and total on already-clean corpora") {
+    import spark.implicits._
+    // construction: background tokens are doc-unique, shared spans are
+    // injected — removal junctions always abut doc-unique tokens, so a
+    // second pass can find no new cross-document 8-grams
+    val rng = new scala.util.Random(7)
+    val span1 = (1 to 9).map(i => s"s$i").mkString(" ")
+    val span2 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = (1L to 12L).map { id =>
+      val bg = (1 to 6 + rng.nextInt(10)).map(i => s"d${id}w$i")
+      val mid = if (id % 3 == 0) s" $span1 " else if (id % 3 == 1) s" $span2 " else " "
+      (id, bg.take(3).mkString(" ") + mid + bg.drop(3).mkString(" "))
+    }.toDF("doc_id", "text")
+    val once = graft.ops.TextPrep.spanRemovalFrom(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = graft.ops.TextPrep.spanRemovalFrom(once)
+    assert(twice.filter(col("n_removed") =!= 0L).isEmpty,
+      "second pass must remove nothing")
+    val t1 = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t2 = twice.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(t1 == t2, "cleaned text must be byte-identical under re-cleaning")
+  }
 }
