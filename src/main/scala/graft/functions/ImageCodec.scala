@@ -267,10 +267,11 @@ object ImageCodec {
     * three containers with in-repo pixel layers: truecolor-8 PNG (zlib
     * inflate via `java.util.zip` + all five row filters reversed, IDAT
     * chunks concatenated), 24-bit uncompressed BMP (bottom-up padded
-    * rows, BGR→RGB), and baseline JPEG ([[JpegCodec]]: huffman + IDCT +
-    * YCbCr, the format real crawl corpora are made of). Returns None
-    * for other formats/corrupt payloads — callers route those to the
-    * rejects side-channel, same contract as [[decode]]. */
+    * rows, BGR→RGB), baseline AND progressive JPEG ([[JpegCodec]]:
+    * huffman + IDCT + YCbCr, the format real crawl corpora are made
+    * of), and GIF ([[GifCodec]]: LZW + palette, interlace). Returns
+    * None for other formats/corrupt payloads — callers route those to
+    * the rejects side-channel, same contract as [[decode]]. */
   def decodePixels(bytes: Array[Byte]): Option[ImagePixels] =
     try {
       if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig))
@@ -279,6 +280,9 @@ object ImageCodec {
         decodeBmpPixels(bytes)
       else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
         JpegCodec.decodePixels(bytes)
+      else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F')
+        GifCodec.decodePixels(bytes)
       else None
     } catch {
       case _: IndexOutOfBoundsException => None

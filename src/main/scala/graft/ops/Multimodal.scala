@@ -442,6 +442,59 @@ object Multimodal {
         col("a.w").as("w_a"), col("b.w").as("w_b"))
   }
 
+  /** GIF twins: per document, the lossless PNG/BMP base (identical to
+    * [[imageVariantPayloads]]) and a GIF89a re-encode at 2× resolution —
+    * the palette-format duplicate class. The pattern is pure gray and
+    * [[graft.functions.GifCodec.writeGifPixels]] uses the 256-gray
+    * palette, so the GIF round-trip is EXACT and the near-dup gate keeps
+    * the exact-grid semantics of the PNG↔BMP family (no level-band
+    * tolerance needed). */
+  def imageGifVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
+    import graft.functions.GifCodec.writeGifPixels
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base =
+            if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
+            else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          val twin = writeGifPixels(2 * w0, 2 * h0, patternPx(id, 2 * w0, 2 * h0))
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** Perceptual near-dup across the PALETTE format boundary: real GIF
+    * bytes (LZW decode) against their PNG/BMP bases on exact 9×8 grid
+    * equality — same nominate-on-dHash / verify-on-grid discipline as
+    * [[imageNearDupQuery]], with [[imageSignatures]] shared verbatim. */
+  def imageGifNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val rasters = imageSignatures(imageGifVariantPayloads(spark, dir))
+      .trackPersist()
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.grid") === col("b.grid"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.format").as("format_a"), col("b.format").as("format_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imageGifNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
+       |       'gif' AS format_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   // ---------------------------------------- cross-format (lossy) twins
 
   /** Synthesize, per document, a LOSSLESS base (PNG/BMP alternating by

@@ -262,6 +262,75 @@ class Round9OpsSpec extends SparkSpec {
     assert(ImageCodec.decodePixels(bytes).isDefined)
   }
 
+  // ------------------------------------------------------ GIF codec
+
+  test("GIF encode/decode round-trips gray content exactly") {
+    import graft.functions.GifCodec
+    for ((w, h) <- Seq((9, 9), (24, 17), (64, 48), (300, 5))) {
+      def px(x: Int, y: Int): Int = {
+        val g = (x * 31 + y * 17) % 256
+        (g << 16) | (g << 8) | g
+      }
+      val bytes = GifCodec.writeGifPixels(w, h, px)
+      val got = GifCodec.decodePixels(bytes).get
+      assert(got.format == "gif" && got.width == w && got.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val g = (x * 31 + y * 17) % 256
+        assert((got.rgb(o) & 0xff) == g && (got.rgb(o + 1) & 0xff) == g &&
+          (got.rgb(o + 2) & 0xff) == g, s"($x,$y) ${w}x$h")
+      }
+    }
+  }
+
+  test("our GIFs round-trip through ImageIO; ImageIO GIFs decode with our LZW") {
+    import graft.functions.GifCodec
+    val (w, h) = (40, 30)
+    def px(x: Int, y: Int): Int = {
+      val g = (x * 7 + y * 13) % 256
+      (g << 16) | (g << 8) | g
+    }
+    // (a) our encoder -> ImageIO decoder, exact
+    val ours = GifCodec.writeGifPixels(w, h, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xffffff) == px(x, y), s"($x,$y)")
+    // (b) ImageIO encoder (real dictionary-building LZW) -> our decoder,
+    // exact vs ImageIO's own readback
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) bi.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+    val theirs = bos.toByteArray
+    val mine = GifCodec.decodePixels(theirs).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(theirs))
+    assert(mine.width == w && mine.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val c = ref.getRGB(x, y)
+      assert((mine.rgb(o) & 0xff) == ((c >> 16) & 0xff) &&
+        (mine.rgb(o + 1) & 0xff) == ((c >> 8) & 0xff) &&
+        (mine.rgb(o + 2) & 0xff) == (c & 0xff), s"($x,$y)")
+    }
+  }
+
+  test("GIF hostile input returns None, never throws or overruns") {
+    import graft.functions.GifCodec
+    val good = GifCodec.writeGifPixels(16, 16, (x, y) => (x * y) % 256 * 0x010101)
+    assert(GifCodec.decodePixels(Array[Byte]('G', 'I', 'F')).isEmpty)
+    assert(GifCodec.decodePixels(good.take(good.length / 2)).isEmpty)
+    // huge dims in the image descriptor
+    val bad = good.clone()
+    // logical screen w at offset 6: 0xFFFF
+    bad(6) = 0xff.toByte; bad(7) = 0xff.toByte
+    assert(GifCodec.decodePixels(bad).isEmpty || GifCodec.decodePixels(bad).isDefined)
+    // truncated LZW data: flip a sub-block length beyond the buffer
+    val cut = good.dropRight(10)
+    assert(GifCodec.decodePixels(cut).isEmpty)
+  }
+
   // ------------------------------------------------ span-removal dedup
 
   test("spanRemoval removes repeated spans everywhere but the first document") {
