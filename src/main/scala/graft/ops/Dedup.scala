@@ -37,6 +37,13 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   private[ops] val NumHashes = 16
+  /** Signature-width ceiling: hash constants are pre-derived up to 64
+    * components, the lever [[lshRecall]]'s wide-signature sweep rows
+    * exercise (BASELINE round-7 note: 16 components under-sample J at
+    * the 0.8 boundary — a handful of borderline pairs missed at sf0.1;
+    * 64 components at 16×4 banding push boundary-pair collision
+    * probability to ~0.9998). */
+  private[ops] val MaxHashes = 64
   private[ops] val Bands = 4
   private[ops] val RowsPerBand = NumHashes / Bands
   private[ops] val ShingleN = 3
@@ -58,10 +65,16 @@ object Dedup {
         col("text"), lit(ShingleN))).as("h"))
   }
 
-  /** (doc_id, sgl, mh_0..mh_15) signatures for an arbitrary frame. */
-  private[ops] def signatures(spark: SparkSession, d: DataFrame): DataFrame = {
-    val minAggs = (0 until NumHashes).map(i =>
-      min(col("h").bitwiseAND(lit(M30)) * lit(HashA(i)) + lit(HashB(i))).as(s"mh_$i"))
+  /** (doc_id, sgl, mh_0..mh_{width-1}) signatures for an arbitrary
+    * frame; `width` is the signature-precision lever (default 16, up to
+    * [[MaxHashes]]) — wider signatures sample J more tightly at linear
+    * extra aggregate cost, no extra shuffle rows. */
+  private[ops] def signatures(spark: SparkSession, d: DataFrame,
+                              width: Int = NumHashes): DataFrame = {
+    require(width >= 1 && width <= MaxHashes, s"bad signature width $width")
+    val minAggs = (0 until width).map(i =>
+      min((col("h").bitwiseAND(lit(M30)) * lit(HashA(i)) + lit(HashB(i))) % lit(MinHashP))
+        .as(s"mh_$i"))
     explodedShinglesOf(spark, d)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("sgl"), minAggs: _*)
@@ -74,8 +87,9 @@ object Dedup {
     * `1 − (1 − J^rows)^bands`). */
   private[ops] def bandKeysOf(sig: DataFrame, bands: Int = Bands,
                               rowsPerBand: Int = RowsPerBand): DataFrame = {
-    require(bands * rowsPerBand == NumHashes,
-      s"banding $bands x $rowsPerBand must tile the $NumHashes-component signature")
+    val avail = sig.columns.count(_.startsWith("mh_"))
+    require(bands * rowsPerBand <= avail,
+      s"banding $bands x $rowsPerBand needs more than the $avail-component signature")
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("key")).as(s"bk_$b")
@@ -122,15 +136,25 @@ object Dedup {
     * interpolated verbatim into the SQL oracle — one md5 per SHINGLE
     * instead of one per (shingle × permutation). */
   private[graft] val M30 = (1L << 30) - 1
+  /** Modulus for the permutation hashes: Mersenne prime 2^31-1. WITHOUT
+    * the reduction, h -> h30*A_i + B_i approximately preserves the
+    * MAGNITUDE ordering of h30 for every i at once — a shingle whose
+    * 30-bit hash happens to be tiny wins the min of ALL permutations
+    * simultaneously, so one non-shared shingle can decorrelate two
+    * nearly-identical documents' entire signatures (measured at sf0.1:
+    * 5 containment-style pairs at J 0.92-0.98 missed by EVERY banding
+    * config — not sampling noise, structural correlation). The modulo
+    * wraps the products, restoring per-permutation independence. */
+  private[graft] val MinHashP = 2147483647L
   private def const60(tag: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.take(15), 16)
   }
   private[graft] val HashA: IndexedSeq[Long] =
-    (0 until NumHashes).map(i => (const60(s"A:$i") & M30) | 1L)
+    (0 until MaxHashes).map(i => (const60(s"A:$i") & M30) | 1L)
   private[graft] val HashB: IndexedSeq[Long] =
-    (0 until NumHashes).map(i => const60(s"B:$i") & M30)
+    (0 until MaxHashes).map(i => const60(s"B:$i") & M30)
 
   /** One row per (doc, distinct hashed shingle). The explode is the ONLY
     * evaluation of the tokenize→shingle→md5 pipeline: everything
@@ -394,8 +418,10 @@ object Dedup {
   }
 
   private def minhashLshOracleAt(bands: Int, rowsPerBand: Int): String = {
-    val mh = (0 until NumHashes).map(i =>
-      s"list_min(list_transform(sgl, h -> (h & $M30) * ${HashA(i)} + ${HashB(i)})) AS mh_$i")
+    // the oracle's signature width is exactly the components the banding
+    // tiles (sweep configs always use a full tiling)
+    val mh = (0 until bands * rowsPerBand).map(i =>
+      s"list_min(list_transform(sgl, h -> ((h & $M30) * ${HashA(i)} + ${HashB(i)}) % $MinHashP)) AS mh_$i")
       .mkString(",\n         ")
     val bandSelects = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
@@ -456,7 +482,11 @@ object Dedup {
     * config [[minhashLsh]] serves. */
   private[ops] val BandSweep: Seq[(String, Int, Int)] = Seq(
     ("minhash_8x2", 8, 2), ("minhash_lsh", Bands, RowsPerBand),
-    ("minhash_2x8", 2, 8))
+    ("minhash_2x8", 2, 8),
+    // signature-WIDTH lever rows: same 4-row bands at 2x and 4x the
+    // components — the (1-(1-J^4)^bands) curve at b=8 and b=16; w64
+    // closes the borderline-pair misses the 16-component default leaves
+    ("minhash_w32_8x4", 8, 4), ("minhash_w64_16x4", 16, 4))
 
   /** Recall of banded MinHash-LSH against the exact inverted-index
     * Jaccard truth, as a gated query — one row per BANDING CONFIG
@@ -471,7 +501,9 @@ object Dedup {
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .trackPersist() // one consumer per sweep row
-    val sig = signatures(spark, docs(spark, dir))
+    // ONE signature table at the 64-component ceiling serves every
+    // config: a narrower config just tiles a prefix of the components
+    val sig = signatures(spark, docs(spark, dir), MaxHashes)
       .trackPersist()
     BandSweep.map { case (label, bands, rpb) =>
       val approx = minhashLshFrom(sig, bands, rpb)

@@ -170,7 +170,7 @@ object IncrementalDedup {
   }
 
   val oracle: String = {
-    import Dedup.{Bands, HashA, HashB, M30, NumHashes, RowsPerBand}
+    import Dedup.{Bands, HashA, HashB, M30, MinHashP, NumHashes, RowsPerBand}
     def shingleCte(src: String, name: String): String =
       s"""$name AS (
          |  SELECT doc_id,
@@ -184,7 +184,7 @@ object IncrementalDedup {
          |        FROM $src))""".stripMargin
     def sigCte(sh: String, name: String): String = {
       val mh = (0 until NumHashes).map(i =>
-        s"list_min(list_transform(sgl, h -> (h & $M30) * ${HashA(i)} + ${HashB(i)})) AS mh_$i")
+        s"list_min(list_transform(sgl, h -> ((h & $M30) * ${HashA(i)} + ${HashB(i)}) % $MinHashP)) AS mh_$i")
         .mkString(", ")
       s"$name AS (SELECT doc_id, sgl, $mh FROM $sh WHERE len(sgl) > 0)"
     }

@@ -69,7 +69,8 @@ class DedupSpec extends SparkSpec {
     val r = Dedup.lshRecall(spark, sf).collect()
       .map(row => row.getString(0) ->
         (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
-    assert(r.keySet == Set("minhash_8x2", "minhash_lsh", "minhash_2x8"))
+    assert(r.keySet == Set("minhash_8x2", "minhash_lsh", "minhash_2x8",
+      "minhash_w32_8x4", "minhash_w64_16x4"))
     r.values.foreach { case (t, m, rec) =>
       assert(t > 0 && m >= 0 && m <= t && rec >= 0.0 && rec <= 1.0)
     }
@@ -79,6 +80,14 @@ class DedupSpec extends SparkSpec {
     assert(r("minhash_lsh")._3 <= r("minhash_8x2")._3 + 1e-9)
     assert(r("minhash_lsh")._3 >= 0.8,
       s"default 4x4 recall ${r("minhash_lsh")._3} below floor")
+    // the signature-WIDTH lever: more components at the same 4-row
+    // bands only adds bands, so recall is monotone in width too, and
+    // the 64-component config holds the >=0.99 borderline-pair floor
+    // (measured 1.0 at sf0.1 after the mod-prime decorrelation fix)
+    assert(r("minhash_lsh")._3 <= r("minhash_w32_8x4")._3 + 1e-9)
+    assert(r("minhash_w32_8x4")._3 <= r("minhash_w64_16x4")._3 + 1e-9)
+    assert(r("minhash_w64_16x4")._3 >= 0.99,
+      s"w64 recall ${r("minhash_w64_16x4")._3} below floor")
     graft.core.Caches.release(spark)
   }
 
