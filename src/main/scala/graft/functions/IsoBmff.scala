@@ -1,0 +1,134 @@
+package graft.functions
+
+/** ISO-BMFF (MP4) box walk — header-only census for the dominant real
+  * video container, extending the [[ImageCodec.decode]] /
+  * [[JpegCodec.samplingOf]] pattern to video: brand, movie duration,
+  * and track count come out of `ftyp`/`moov`/`mvhd`/`trak` without
+  * touching a single sample payload, so a corpus census over mixed
+  * crawl media stays metadata-cheap even when the files are huge.
+  *
+  * Hostile-input contract (the Archives/ImageCodec discipline): sizes
+  * are validated in Long space, size==0 (to-end) and size==1 (64-bit
+  * largesize) boxes are handled, and any malformed structure returns
+  * None instead of escaping an exception into the task.
+  */
+object IsoBmff {
+
+  final case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+                           nTracks: Int) {
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+  }
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u64(b: Array[Byte], i: Int): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Walk the boxes in [from, to) invoking f(type, payloadStart,
+    * payloadEnd); returns false on malformed structure. */
+  private def walk(b: Array[Byte], from: Long, to: Long)
+                  (f: (String, Long, Long) => Unit): Boolean = {
+    var p = from
+    while (p < to) {
+      if (p + 8 > to) return false
+      val size0 = u32(b, p.toInt)
+      val typ = fourcc(b, p.toInt + 4)
+      var payload = p + 8
+      val end: Long =
+        if (size0 == 0L) to // box extends to the end of the enclosing box
+        else if (size0 == 1L) { // 64-bit largesize follows the type
+          if (p + 16 > to) return false
+          payload = p + 16
+          p + u64(b, p.toInt + 8)
+        } else p + size0
+      if (end < payload || end > to) return false
+      f(typ, payload, end)
+      p = end
+    }
+    true
+  }
+
+  /** Header-only census of an MP4: None for non-BMFF/corrupt input. */
+  def census(b: Array[Byte]): Option[Mp4Meta] =
+    try {
+      if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+      var brand: String = null
+      var timescale = 0L
+      var duration = 0L
+      var nTracks = 0
+      var sawMvhd = false
+      val ok = walk(b, 0L, b.length.toLong) { (typ, from, to) =>
+        typ match {
+          case "ftyp" =>
+            if (to - from >= 4) brand = fourcc(b, from.toInt)
+          case "moov" =>
+            walk(b, from, to) { (child, cFrom, cTo) =>
+              child match {
+                case "mvhd" if cTo - cFrom >= 4 =>
+                  val version = b(cFrom.toInt) & 0xff
+                  if (version == 0 && cTo - cFrom >= 20) {
+                    timescale = u32(b, cFrom.toInt + 12)
+                    duration = u32(b, cFrom.toInt + 16)
+                    sawMvhd = true
+                  } else if (version == 1 && cTo - cFrom >= 32) {
+                    timescale = u32(b, cFrom.toInt + 20)
+                    duration = u64(b, cFrom.toInt + 24)
+                    sawMvhd = true
+                  }
+                case "trak" => nTracks += 1
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (ok && brand != null && sawMvhd)
+        Some(Mp4Meta(brand, timescale, duration, nTracks))
+      else None
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  // ------------------------------------------------------------- writer
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** Formula-built minimal MP4: ftyp with the given major brand, moov
+    * with a version-0 or version-1 mvhd and `nTracks` stub trak boxes,
+    * and an empty mdat — structurally valid for any box walker. */
+  def writeMp4(brand: String, timescale: Long, duration: Long,
+               nTracks: Int, mvhdV1: Boolean): Array[Byte] = {
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ be32(0L) ++ "isom".getBytes("US-ASCII"))
+    val mvhd =
+      if (!mvhdV1) {
+        // version 0: 100-byte payload (times/timescale/duration u32)
+        val p = new Array[Byte](100)
+        System.arraycopy(be32(timescale), 0, p, 12, 4)
+        System.arraycopy(be32(duration), 0, p, 16, 4)
+        p(96) = 0; p(97) = 0; p(98) = 0; p(99) = 2 // next_track_ID
+        p(0) = 0 // version
+        box("mvhd", p)
+      } else {
+        // version 1: 112-byte payload (times/duration u64)
+        val p = new Array[Byte](112)
+        p(0) = 1
+        System.arraycopy(be32(timescale), 0, p, 20, 4)
+        System.arraycopy(be32(duration >>> 32), 0, p, 24, 4)
+        System.arraycopy(be32(duration & 0xffffffffL), 0, p, 28, 4)
+        box("mvhd", p)
+      }
+    val traks = (1 to nTracks).map(_ => box("trak", Array.empty[Byte]))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val moov = box("moov", mvhd ++ traks)
+    val mdat = box("mdat", Array.empty[Byte])
+    ftyp ++ moov ++ mdat
+  }
+}

@@ -495,6 +495,129 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  // --------------------------------------------------- MP4 box census
+
+  /** Formula-built MP4 containers, one per document: brand, mvhd
+    * version (v0 u32 / v1 u64 fields alternate by id), timescale,
+    * duration, and trak count all derive from doc_id, so the oracle
+    * predicts every census cell in SQL. */
+  def mp4Payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val v1 = id % 2 == 1
+          val ts = if (v1) 1000L else 600L
+          val dur = (id % 10 + 1) * 123L
+          val brand = if (id % 2 == 0) "isom" else "mp42"
+          (id, graft.functions.IsoBmff.writeMp4(brand, ts, dur,
+            (id % 3 + 1).toInt, v1))
+        }
+      }
+  }
+
+  /** MP4 CENSUS over real ISO-BMFF bytes — the video-container twin of
+    * [[imageFormatCensus]]: brand, duration (ms), and track count from
+    * the `ftyp`/`moov`/`mvhd`/`trak` box walk, no sample decode. The
+    * dominant real crawl video container is covered at the census layer
+    * even before a sample decoder exists. */
+  def mp4Census(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mp4Payloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.IsoBmff.census(bytes).map { m =>
+            (id, m.brand, m.durationMs, m.nTracks)
+          }
+        }
+      }
+      .toDF("doc_id", "brand", "duration_ms", "n_tracks")
+      .select(col("doc_id"), col("brand"),
+        col("duration_ms").cast("long").as("duration_ms"),
+        col("n_tracks").cast("int").as("n_tracks"))
+  }
+
+  val mp4CensusOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |       CAST((doc_id % 10 + 1) * 123 * 1000 //
+      |            (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END) AS BIGINT)
+      |         AS duration_ms,
+      |       CAST(doc_id % 3 + 1 AS INT) AS n_tracks
+      |FROM documents
+      |""".stripMargin
+
+  // ------------------------------------------- image-text pair curation
+
+  /** One image per document for the PAIR-CURATION fixture: the pattern
+    * is keyed by `doc_id / 7` (integer division), so every 7-id run
+    * shares one perceptual image while captions (the document texts)
+    * keep their own near-clone families — the two duplicate axes are
+    * DELIBERATELY different partitions, which is exactly what makes
+    * joint survivorship a real operator and not a relabeled dedup. */
+  def pairImagePayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.writePngPixels
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = id / 7
+          val w0 = 9 + 3 * (g % 4).toInt
+          val h0 = 9 + 3 * (g % 3).toInt
+          (id, writePngPixels(w0, h0, patternPx(g, w0, h0)))
+        }
+      }
+  }
+
+  /** IMAGE-TEXT PAIR CURATION — the LAION-style joint survivorship
+    * pass: a (image, caption) pair survives iff its image is the
+    * canonical (min doc_id) representative of its PERCEPTUAL image
+    * group (real byte decode → 9×8 grid signature, [[imageSignatures]])
+    * AND its caption is the canonical representative of its near-dup
+    * text cluster ([[graft.ops.Dedup.clusters]] — MinHash-LSH connected
+    * components). Dropping on EITHER axis is what keeps a caption
+    * farm's thousand re-used captions (or a stock image re-captioned a
+    * thousand ways) from flooding the training set.
+    *
+    * Scale shape: both axes are existing corpus-linear passes; the join
+    * is doc-keyed; the image-group canonical is one grid-keyed
+    * aggregate (signature-grain, 8-byte hash + 72-int grid). */
+  def pairCuration(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = imageSignatures(pairImagePayloads(spark, dir))
+    val imgCanon = sigs.groupBy(col("dhash"), col("grid"))
+      .agg(min(col("doc_id")).as("img_canonical"))
+    val img = sigs.join(imgCanon, Seq("dhash", "grid"))
+      .select(col("doc_id"), col("img_canonical"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(img, Seq("doc_id"))
+      .join(graft.ops.Dedup.clusters(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("img_canonical"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cap_canonical"))
+      .withColumn("keep_image", col("doc_id") === col("img_canonical"))
+      .withColumn("keep_caption", col("doc_id") === col("cap_canonical"))
+      .withColumn("survives", col("keep_image") && col("keep_caption"))
+  }
+
+  lazy val pairCurationOracle: String =
+    s"""WITH cl AS (${graft.ops.Dedup.clustersOracle}),
+       |img AS (
+       |  SELECT doc_id, doc_id // 7 AS g FROM documents),
+       |ic AS (
+       |  SELECT g, min(doc_id) AS img_canonical FROM img GROUP BY 1)
+       |SELECT d.doc_id,
+       |       ic.img_canonical,
+       |       coalesce(cl.cluster_id, d.doc_id) AS cap_canonical,
+       |       d.doc_id = ic.img_canonical AS keep_image,
+       |       d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS keep_caption,
+       |       d.doc_id = ic.img_canonical AND
+       |         d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS survives
+       |FROM documents d
+       |JOIN img ON d.doc_id = img.doc_id
+       |JOIN ic ON img.g = ic.g
+       |LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |""".stripMargin
+
   // ---------------------------------------- cross-format (lossy) twins
 
   /** Synthesize, per document, a LOSSLESS base (PNG/BMP alternating by

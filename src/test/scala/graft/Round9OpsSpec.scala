@@ -331,6 +331,56 @@ class Round9OpsSpec extends SparkSpec {
     assert(GifCodec.decodePixels(cut).isEmpty)
   }
 
+  // ---------------------------------------------------- MP4 box census
+
+  test("IsoBmff census reads brand/duration/tracks from both mvhd versions") {
+    import graft.functions.IsoBmff
+    val v0 = IsoBmff.census(IsoBmff.writeMp4("isom", 600, 1230, 2, mvhdV1 = false)).get
+    assert(v0.brand == "isom" && v0.timescale == 600 && v0.duration == 1230 &&
+      v0.nTracks == 2 && v0.durationMs == 1230 * 1000 / 600)
+    val v1 = IsoBmff.census(IsoBmff.writeMp4("mp42", 1000, 987654L, 3, mvhdV1 = true)).get
+    assert(v1.brand == "mp42" && v1.timescale == 1000 &&
+      v1.duration == 987654L && v1.nTracks == 3)
+  }
+
+  test("IsoBmff hostile input returns None (bad sizes, truncation, overflow)") {
+    import graft.functions.IsoBmff
+    val good = IsoBmff.writeMp4("isom", 600, 100, 1, mvhdV1 = false)
+    assert(IsoBmff.census("not an mp4 at all".getBytes("US-ASCII")).isEmpty)
+    assert(IsoBmff.census(good.take(10)).isEmpty)
+    assert(IsoBmff.census(good.dropRight(9)).isEmpty) // truncated mdat header
+    // box size pointing past the end
+    val bad = good.clone()
+    bad(0) = 0x7f.toByte // ftyp size becomes huge
+    assert(IsoBmff.census(bad).isEmpty)
+    // size < 8 (would loop or go negative)
+    val bad2 = good.clone()
+    bad2(0) = 0; bad2(1) = 0; bad2(2) = 0; bad2(3) = 4
+    assert(IsoBmff.census(bad2).isEmpty)
+  }
+
+  // -------------------------------------------- image-text pair curation
+
+  test("pair curation drops on either axis and both axes are exercised") {
+    val rows = graft.ops.Multimodal.pairCuration(spark, sf).collect()
+    graft.core.Caches.release(spark)
+    assert(rows.nonEmpty)
+    var imgOnly = 0; var capOnly = 0; var both = 0
+    rows.foreach { r =>
+      val ki = r.getAs[Boolean]("keep_image")
+      val kc = r.getAs[Boolean]("keep_caption")
+      assert(r.getAs[Boolean]("survives") == (ki && kc))
+      if (!ki && kc) imgOnly += 1
+      if (ki && !kc) capOnly += 1
+      if (ki && kc) both += 1
+    }
+    // the two duplicate axes are different partitions by construction:
+    // image-dropped-only and caption-dropped-only pairs both exist
+    assert(imgOnly > 0, "no image-axis-only drops: fixture degenerate")
+    assert(capOnly > 0, "no caption-axis-only drops: fixture degenerate")
+    assert(both > 0)
+  }
+
   // ------------------------------------------------ span-removal dedup
 
   test("spanRemoval removes repeated spans everywhere but the first document") {
