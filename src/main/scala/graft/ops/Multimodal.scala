@@ -547,6 +547,57 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  // --------------------------------------------------- WebP census
+
+  /** Formula-built WebP headers cycling the three frame kinds by id —
+    * lossy VP8, lossless VP8L, extended VP8X — with id-derived
+    * dimensions, so the census is fully oracle-predictable. */
+  def webpPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.WebpCodec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 50).toInt * 7
+          val h = 16 + (id % 30).toInt * 11
+          val bytes = (id % 3) match {
+            case 0 => WebpCodec.writeLossyHeader(w, h)
+            case 1 => WebpCodec.writeLosslessHeader(w, h)
+            case _ => WebpCodec.writeExtendedHeader(w, h)
+          }
+          (id, bytes)
+        }
+      }
+  }
+
+  /** WEBP CENSUS: variant (lossy/lossless/extended) and dimensions from
+    * the RIFF header walk — no sample decode, the corpus-governance
+    * readout for the second-most-common crawled image format after
+    * JPEG. */
+  def webpCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    webpPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.WebpCodec.meta(bytes).map(m =>
+            (id, m.variant, m.width, m.height))
+        }
+      }
+      .toDF("doc_id", "variant", "w", "h")
+      .select(col("doc_id"), col("variant"),
+        col("w").cast("int").as("w"), col("h").cast("int").as("h"))
+  }
+
+  val webpCensusOracle: String =
+    """SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INT)
+      |         WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+      |         ELSE 'extended' END AS variant,
+      |       CAST(16 + (doc_id % 50) * 7 AS INT) AS w,
+      |       CAST(16 + (doc_id % 30) * 11 AS INT) AS h
+      |FROM documents
+      |""".stripMargin
+
   // ------------------------------------------- image-text pair curation
 
   /** One image per document for the PAIR-CURATION fixture: the pattern

@@ -331,6 +331,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(GifCodec.decodePixels(cut).isEmpty)
   }
 
+  // ------------------------------------------------------ WebP census
+
+  test("WebP meta parses all three frame kinds and rejects hostile input") {
+    import graft.functions.WebpCodec
+    val lossy = WebpCodec.meta(WebpCodec.writeLossyHeader(320, 240)).get
+    assert(lossy == WebpCodec.WebpMeta("lossy", 320, 240))
+    val ll = WebpCodec.meta(WebpCodec.writeLosslessHeader(1023, 767)).get
+    assert(ll == WebpCodec.WebpMeta("lossless", 1023, 767))
+    val ext = WebpCodec.meta(WebpCodec.writeExtendedHeader(4096, 2160)).get
+    assert(ext == WebpCodec.WebpMeta("extended", 4096, 2160))
+    // hostile: wrong fourcc, truncation, lying RIFF length, bad start code
+    assert(WebpCodec.meta("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    val good = WebpCodec.writeLossyHeader(64, 64)
+    assert(WebpCodec.meta(good.take(15)).isEmpty)
+    val lie = good.clone(); lie(4) = 0x7f.toByte; lie(5) = 0x7f.toByte
+    assert(WebpCodec.meta(lie).isEmpty)
+    val badSc = good.clone(); badSc(23) = 0
+    assert(WebpCodec.meta(badSc).isEmpty)
+  }
+
   // ---------------------------------------------------- MP4 box census
 
   test("IsoBmff census reads brand/duration/tracks from both mvhd versions") {
