@@ -208,22 +208,12 @@ object GifCodec {
 
   // ------------------------------------------------------------ encoder
 
-  /** Render `px(x, y) -> 0xRRGGBB` to a GIF89a with a 256-entry GRAY
-    * palette (index i = (i,i,i)): gray content round-trips exactly.
-    * Non-gray input maps through its luma-rounded gray. Uses literal
-    * 9-bit codes with periodic CLEARs (the classic uncompressed-GIF
-    * device), so the LZW layer is trivially correct and deterministic. */
-  def writeGifPixels(width: Int, height: Int,
-                     px: (Int, Int) => Int): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad dims ${width}x$height")
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("GIF89a".getBytes("US-ASCII"))
+  /** One image descriptor + uncompressed-LZW frame emission — shared by
+    * the static and animated writers. */
+  private def emitFrame(out: java.io.ByteArrayOutputStream,
+                        width: Int, height: Int,
+                        px: (Int, Int) => Int): Unit = {
     def le16w(v: Int): Unit = { out.write(v & 0xff); out.write(v >>> 8) }
-    le16w(width); le16w(height)
-    out.write(0xf7) // GCT present, 8 bits/channel, 256 entries
-    out.write(0); out.write(0)
-    var i = 0
-    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
     out.write(0x2c) // image descriptor
     le16w(0); le16w(0); le16w(width); le16w(height)
     out.write(0) // no LCT, not interlaced
@@ -272,7 +262,115 @@ object GifCodec {
       o += n
     }
     out.write(0) // block terminator
+  }
+
+  private def header(out: java.io.ByteArrayOutputStream,
+                     width: Int, height: Int): Unit = {
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write(v >>> 8) }
+    le16w(width); le16w(height)
+    out.write(0xf7) // GCT present, 8 bits/channel, 256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+  }
+
+  /** Render `px(x, y) -> 0xRRGGBB` to a GIF89a with a 256-entry GRAY
+    * palette (index i = (i,i,i)): gray content round-trips exactly.
+    * Non-gray input maps through its luma-rounded gray. Uses literal
+    * 9-bit codes with periodic CLEARs (the classic uncompressed-GIF
+    * device), so the LZW layer is trivially correct and deterministic. */
+  def writeGifPixels(width: Int, height: Int,
+                     px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    header(out, width, height)
+    emitFrame(out, width, height, px)
     out.write(0x3b) // trailer
     out.toByteArray
   }
+
+  /** ANIMATED GIF89a: NETSCAPE2.0 loop extension + per-frame Graphic
+    * Control Extension (delay in centiseconds) + frame raster. The
+    * fixture source for the animation census. */
+  def writeGifAnimated(width: Int, height: Int, frames: Int,
+                       delayCs: Int, loopCount: Int,
+                       px: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0, "bad animation shape")
+    val out = new java.io.ByteArrayOutputStream()
+    header(out, width, height)
+    // NETSCAPE2.0 application extension: loop count (0 = forever)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1)
+    out.write(loopCount & 0xff); out.write((loopCount >> 8) & 0xff)
+    out.write(0)
+    var f = 0
+    while (f < frames) {
+      // Graphic Control Extension: delay + no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0)
+      out.write(delayCs & 0xff); out.write((delayCs >> 8) & 0xff)
+      out.write(0); out.write(0)
+      val ff = f
+      emitFrame(out, width, height, (x, y) => px(ff, x, y))
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  final case class GifAnim(nFrames: Int, totalDelayCs: Long, loopCount: Int)
+
+  /** ANIMATION CENSUS: frame count, total duration (centiseconds,
+    * summed over Graphic Control Extensions), and the NETSCAPE loop
+    * count — the animated-GIF governance readout (frame-sampling
+    * budgets, short-loop spam detection) without decoding any frame
+    * raster beyond the block walk. */
+  def animMeta(b: Array[Byte]): Option[GifAnim] =
+    try {
+      if (b.length < 13) return None
+      val sig = new String(b, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      val packed = u8(b, 10)
+      var i = 13
+      if ((packed & 0x80) != 0) i += 3 * (2 << (packed & 7))
+      var frames = 0
+      var delay = 0L
+      var loop = -1
+      var pendingDelay = 0L
+      while (i < b.length) {
+        u8(b, i) match {
+          case 0x21 =>
+            val label = u8(b, i + 1)
+            if (label == 0xf9 && i + 4 < b.length) // GCE: delay at +4
+              pendingDelay = le16(b, i + 4).toLong
+            // 21 FF 0B "NETSCAPE2.0" 03 01 <loop lo> <loop hi> 00
+            if (label == 0xff && i + 17 < b.length &&
+                new String(b, i + 3, 11, "US-ASCII") == "NETSCAPE2.0")
+              loop = le16(b, i + 16)
+            i += 2
+            var len = u8(b, i)
+            while (len != 0) { i += 1 + len; len = u8(b, i) }
+            i += 1
+          case 0x2c =>
+            frames += 1
+            delay += pendingDelay
+            pendingDelay = 0L
+            val ipacked = u8(b, i + 9)
+            i += 10
+            if ((ipacked & 0x80) != 0) i += 3 * (2 << (ipacked & 7))
+            i += 1 // LZW min code size
+            var len = u8(b, i)
+            while (len != 0) { i += 1 + len; len = u8(b, i) }
+            i += 1
+          case 0x3b =>
+            return if (frames > 0) Some(GifAnim(frames, delay, loop)) else None
+          case _ => return None
+        }
+      }
+      if (frames > 0) Some(GifAnim(frames, delay, loop)) else None
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
 }

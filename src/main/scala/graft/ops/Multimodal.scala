@@ -547,6 +547,55 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  // ---------------------------------------------- GIF animation census
+
+  /** Formula-built animated GIFs: (id%4)+2 frames, (id%7+1)·5 cs per
+    * frame, NETSCAPE loop count id%3 (0 = forever); frame rasters carry
+    * the id pattern shifted per frame. */
+  def gifAnimPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          (id, graft.functions.GifCodec.writeGifAnimated(
+            w0, h0,
+            frames = (id % 4).toInt + 2,
+            delayCs = ((id % 7).toInt + 1) * 5,
+            loopCount = (id % 3).toInt,
+            (f, x, y) => patternPx(id + f, w0, h0)(x, y)))
+        }
+      }
+  }
+
+  /** ANIMATED-GIF CENSUS: frame count, total duration, loop count from
+    * the block walk — the governance readout that budgets frame
+    * sampling and flags short-loop spam before any raster decode. */
+  def gifAnimCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifAnimPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.GifCodec.animMeta(bytes).map(m =>
+            (id, m.nFrames, m.totalDelayCs, m.loopCount))
+        }
+      }
+      .toDF("doc_id", "n_frames", "total_delay_cs", "loop_count")
+      .select(col("doc_id"), col("n_frames").cast("int").as("n_frames"),
+        col("total_delay_cs").cast("long").as("total_delay_cs"),
+        col("loop_count").cast("int").as("loop_count"))
+  }
+
+  val gifAnimCensusOracle: String =
+    """SELECT doc_id,
+      |       CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+      |       CAST((doc_id % 4 + 2) * ((doc_id % 7 + 1) * 5) AS BIGINT)
+      |         AS total_delay_cs,
+      |       CAST(doc_id % 3 AS INT) AS loop_count
+      |FROM documents
+      |""".stripMargin
+
   // --------------------------------------------------- WebP census
 
   /** Formula-built WebP headers cycling the three frame kinds by id —

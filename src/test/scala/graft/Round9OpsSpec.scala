@@ -331,6 +331,80 @@ class Round9OpsSpec extends SparkSpec {
     assert(GifCodec.decodePixels(cut).isEmpty)
   }
 
+  // ---------------------------------------------- GIF animation census
+
+  test("animated GIF: census reads frames/delays/loop; frame 0 decodes; ImageIO agrees") {
+    import graft.functions.GifCodec
+    def px(f: Int, x: Int, y: Int): Int = {
+      val g = (f * 40 + x * 8 + y * 4) % 256
+      (g << 16) | (g << 8) | g
+    }
+    val bytes = GifCodec.writeGifAnimated(24, 18, frames = 4, delayCs = 12,
+      loopCount = 3, px)
+    val m = GifCodec.animMeta(bytes).get
+    assert(m == GifCodec.GifAnim(4, 48, 3))
+    // the first-frame pixel decoder still works on animated streams
+    val first = GifCodec.decodePixels(bytes).get
+    assert(first.width == 24 && first.height == 18)
+    for (y <- 0 until 18; x <- 0 until 24) {
+      val o = (y * 24 + x) * 3
+      assert((first.rgb(o) & 0xff) == (px(0, x, y) & 0xff), s"($x,$y)")
+    }
+    // ImageIO sees the same frame count (independent reader)
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+    reader.setInput(in)
+    assert(reader.getNumImages(true) == 4)
+    reader.dispose()
+    // static GIFs report 1 frame, no delay, no loop extension
+    val static = GifCodec.writeGifPixels(10, 10, (x, y) => (x * y) % 256 * 0x010101)
+    assert(GifCodec.animMeta(static).contains(GifCodec.GifAnim(1, 0, -1)))
+  }
+
+  // ---------------------------------------------------- tar extraction
+
+  test("tar members round-trip and hostile input ends the walk cleanly") {
+    import graft.ops.Archives
+    import spark.implicits._
+    val rows = Archives.tarExtractQuery(spark, sf)
+      .filter(col("doc_id") === 5L).collect()
+    assert(rows.length == 3) // 5 % 3 + 1
+    assert(rows.map(_.getString(1)).sorted.toSeq ==
+      Seq("doc5_0.txt", "doc5_1.txt", "doc5_2.txt"))
+    // hostile: truncated header, non-octal size, size past buffer
+    val payload = Archives.tarPayloads(spark, sf)
+      .filter(_._1 == 5L).collect()(0)._2
+    assert(Archives.tarMembersOf(payload.take(300)).isEmpty)
+    val badSize = payload.clone()
+    badSize(124) = 'x'.toByte
+    assert(Archives.tarMembersOf(badSize).isEmpty)
+    val lie = payload.clone()
+    lie(124) = '7'.toByte; lie(125) = '7'.toByte; lie(126) = '7'.toByte
+    assert(Archives.tarMembersOf(lie).isEmpty)
+    // a corrupt SECOND header keeps the first member (rejects contract)
+    val second = 512 + ((("entry 0 of document 5\n".length + 511) / 512) * 512)
+    val midBad = payload.clone()
+    midBad(second + 124) = 'x'.toByte
+    assert(Archives.tarMembersOf(midBad).map(_._1) == Seq("doc5_0.txt"))
+  }
+
+  test("our tar archives are readable by the system tar (independent reader)") {
+    import graft.ops.Archives
+    val payload = Archives.tarPayloads(spark, sf)
+      .filter(_._1 == 7L).collect()(0)._2
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar").toFile
+    val f = new java.io.File(dir, "t.tar")
+    val os = new java.io.FileOutputStream(f)
+    os.write(payload); os.close()
+    val p = new ProcessBuilder("tar", "-tf", f.getAbsolutePath)
+      .redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    assert(p.waitFor() == 0, s"tar -tf failed: $out")
+    assert(out.split("\n").toSeq.sorted ==
+      Seq("doc7_0.txt", "doc7_1.txt"), out) // 7 % 3 + 1 = 2 members
+  }
+
   // ------------------------------------------------------ WebP census
 
   test("WebP meta parses all three frame kinds and rejects hostile input") {
