@@ -1095,9 +1095,11 @@ object JpegCodec {
     * `writeJpeg(width, height, rgb, quality, gray)` of the same raster
     * (the cross-encoding twin device the near-dup fixtures use). */
   def writeJpegProgressive(width: Int, height: Int, rgb: Array[Byte],
-                           quality: Int, gray: Boolean = false): Array[Byte] = {
+                           quality: Int, gray: Boolean = false,
+                           restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && rgb.length == width * height * 3,
       s"bad raster ${width}x$height")
+    require(restartInterval >= 0, "bad restart interval")
     val nf = if (gray) 1 else 3
     val (planes, bw2, bh2) = quantPlanes(width, height, rgb, quality, gray)
     val nBlocks = bw2 * bh2
@@ -1131,6 +1133,9 @@ object JpegCodec {
       dht(0, 1, DcChromaBits, DcChromaVals)
       dht(1, 1, AcChromaBits, AcChromaVals)
     }
+    if (restartInterval > 0) { // DRI: applies to every scan
+      m(0xdd); be16w(4); be16w(restartInterval)
+    }
     val dcLum = huffCodes(DcLumBits, DcLumVals)
     val acLum = huffCodes(AcLumBits, AcLumVals)
     val dcChr = huffCodes(DcChromaBits, DcChromaVals)
@@ -1154,8 +1159,14 @@ object JpegCodec {
     locally {
       val bwr = new BitWriter(out)
       val preds = new Array[Int](nf)
+      var rstMark = 0
       var b = 0
       while (b < nBlocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bwr.flush()
+          m(0xd0 + rstMark); rstMark = (rstMark + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+        }
         var c = 0
         while (c < nf) {
           val v = planes(c)(b * 64) >> 1
@@ -1179,8 +1190,13 @@ object JpegCodec {
       sos(Seq(comp + 1), Seq(if (comp == 0) 0 else 1), 1, 63, 0, 1)
       val acT = acCodesOf(comp)
       val bwr = new BitWriter(out)
+      var rstMark = 0
       var b = 0
       while (b < nBlocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bwr.flush()
+          m(0xd0 + rstMark); rstMark = (rstMark + 1) & 7
+        }
         val off = b * 64
         var run = 0
         var k = 1
@@ -1211,8 +1227,13 @@ object JpegCodec {
     sos((1 to nf), (0 until nf).map(_ => 0), 0, 0, 1, 0)
     locally {
       val bwr = new BitWriter(out)
+      var rstMark = 0
       var b = 0
       while (b < nBlocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bwr.flush()
+          m(0xd0 + rstMark); rstMark = (rstMark + 1) & 7
+        }
         var c = 0
         while (c < nf) {
           bwr.put(planes(c)(b * 64) & 1, 1)
@@ -1237,8 +1258,13 @@ object JpegCodec {
         pending.foreach(bit => bwr.put(bit, 1))
         pending.clear()
       }
+      var rstMark = 0
       var b = 0
       while (b < nBlocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bwr.flush()
+          m(0xd0 + rstMark); rstMark = (rstMark + 1) & 7
+        }
         val off = b * 64
         // last newly-nonzero index (|v| == 1): correction bits after it
         // ride behind the EOB symbol

@@ -575,17 +575,26 @@ object TextPrep {
     * coverage explode is bounded by [[SpanN]]·occurrences; reassembly
     * shuffles each token once and groups doc-sized lists — everything
     * corpus-linear, nothing quadratic. */
-  def spanRemovalFrom(docs: DataFrame): DataFrame = {
+  def spanRemovalFrom(docs: DataFrame, sampleDenom: Int = 1): DataFrame = {
+    require(sampleDenom >= 1, s"bad sample denominator $sampleDenom")
     val d = docs.select(col("doc_id"),
       graft.functions.TextFunctions.tokens(col("text")).as("tk"))
     // 1-based window start s → span hash (same md5-60 device as the
     // detection kernel, but WITH positions — removal needs offsets)
-    val w = d.filter(size(col("tk")) >= SpanN)
+    val wAll = d.filter(size(col("tk")) >= SpanN)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(tk) - ${SpanN - 1}),
            |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(tk, i, $SpanN))), 1, 15), 16, 10) AS BIGINT))"""
           .stripMargin)))
       .toDF("doc_id", "s0", "span_hash")
+    // the 100 TB refinement, as an EXPLICIT lever (never a silent cap):
+    // keep spans whose hash lands in 1/sampleDenom of the space — an
+    // unbiased doc-frequency sample of the span population. Sampled
+    // coverage is a SUBSET of full coverage per document (a span either
+    // participates everywhere or nowhere), so sampled removal never
+    // drops a token the full pass would keep — spec-lawed
+    val w = if (sampleDenom == 1) wAll
+      else wAll.filter(col("span_hash") % sampleDenom === 0)
     val rep = w.select(col("doc_id"), col("span_hash")).distinct()
       .groupBy(col("span_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
@@ -622,16 +631,23 @@ object TextPrep {
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         md5(col("clean_text")).as("clean_md5"))
 
-  val spanRemovalOracle: String =
+  /** Shared oracle template; `denom` > 1 adds the span-hash sampling
+    * predicate to BOTH the repeated-span derivation and the coverage
+    * (the same filtered window set the Spark side uses). */
+  private def spanRemovalOracleAt(denom: Int): String = {
+    val sampled =
+      if (denom == 1) "" else s" AND span_hash % $denom = 0"
     s"""WITH d AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
        |  FROM documents),
        |w AS (
-       |  SELECT doc_id, i AS s,
-       |         CAST(CAST(('0x' || substr(md5(array_to_string(
-       |           list_slice(tk, i, i + ${SpanN - 1}), ' ')), 1, 15)) AS UBIGINT) AS BIGINT) AS span_hash
-       |  FROM d, unnest(generate_series(1, len(tk) - ${SpanN - 1})) u(i)
-       |  WHERE len(tk) >= $SpanN),
+       |  SELECT doc_id, i AS s, span_hash FROM (
+       |    SELECT doc_id, i,
+       |           CAST(CAST(('0x' || substr(md5(array_to_string(
+       |             list_slice(tk, i, i + ${SpanN - 1}), ' ')), 1, 15)) AS UBIGINT) AS BIGINT) AS span_hash
+       |    FROM d, unnest(generate_series(1, len(tk) - ${SpanN - 1})) u(i)
+       |    WHERE len(tk) >= $SpanN)
+       |  WHERE TRUE$sampled),
        |rep AS (
        |  SELECT span_hash, min(doc_id) AS first_doc
        |  FROM (SELECT DISTINCT doc_id, span_hash FROM w)
@@ -655,6 +671,23 @@ object TextPrep {
        |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
        |GROUP BY d.doc_id, len(d.tk)
        |""".stripMargin
+  }
+
+  val spanRemovalOracle: String = spanRemovalOracleAt(1)
+
+  private val SpanSampleDenom = 4
+
+  /** The sampled lever as its own gated row: 1/[[SpanSampleDenom]] of
+    * the span-hash space participates. Beside [[spanRemoval]] this
+    * prices the sampling trade openly — how many tokens the sampled
+    * pass leaves that the full pass removes — instead of hiding it. */
+  def spanRemovalSampled(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalFrom(Tables.documents(spark, dir), SpanSampleDenom)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  val spanRemovalSampledOracle: String =
+    spanRemovalOracleAt(SpanSampleDenom)
 
   // ---------------------------------------------- corpus balance audit
 

@@ -136,6 +136,42 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0) % 4).distinct.length == 4)
   }
 
+  test("streaming warc ingest transcodes charsets identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val payloads = Archives.warcCharsetPayloads(spark, sf).collect()
+    val (b1, b2) = payloads.splitAt(payloads.length / 2)
+    val wh = new graft.connect.ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_warc_cs_wh").toString)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = Archives.warcStream(
+      input.toDS().toDF("doc_id", "payload"), wh, "warc_cs",
+      "/tmp/graft_ckpt_warc_cs_" + System.nanoTime(),
+      graft.core.RunDate("2024-06-01")).start()
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("status"),
+        r.getAs[String]("text_md5"))
+    val streamed = wh.readHistory(spark, "warc_cs").collect().map(key).toSet
+    val batch = Archives.warcExtractFrom(
+      Archives.warcCharsetPayloads(spark, sf).toDF("doc_id", "payload"))
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"charset stream twin diverged: ${streamed.diff(batch).take(2)}")
+    // and the md5s really are the charset-transcoded ones
+    val md = java.security.MessageDigest.getInstance("MD5")
+    streamed.foreach { case (id, status, hash) =>
+      assert(status == 200)
+      val expected = s"doc $id :: ${Archives.charsetToken((id % 4).toInt)}"
+      assert(hash == md.digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, s"doc $id")
+    }
+  }
+
   // --------------------------------------- JPEG scrub: trailer truncation
 
   test("stripMetadata truncates trailer bytes appended after EOI") {
@@ -197,6 +233,24 @@ class Round9OpsSpec extends SparkSpec {
       assert(prog.rgb.sameElements(base.rgb), s"${w}x$h gray=$gray")
       // and the stream really is progressive
       assert(JpegCodec.segmentTypes(progBytes).contains("c2"))
+    }
+  }
+
+  test("progressive encode with restart intervals decodes identically (DRI path)") {
+    import graft.functions.JpegCodec
+    for ((w, h) <- Seq((24, 17), (40, 33)); ri <- Seq(1, 3, 7); gray <- Seq(false, true)) {
+      val rgb = gradient(w, h)
+      val base = JpegCodec.decodePixels(
+        JpegCodec.writeJpeg(w, h, rgb, 90, gray = gray)).get
+      val progBytes = JpegCodec.writeJpegProgressive(w, h, rgb, 90,
+        gray = gray, restartInterval = ri)
+      assert(JpegCodec.segmentTypes(progBytes).contains("dd"), "DRI missing")
+      val prog = JpegCodec.decodePixels(progBytes).get
+      assert(prog.rgb.sameElements(base.rgb), s"${w}x$h ri=$ri gray=$gray")
+      // ImageIO agrees the restart-marked stream is valid
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(progBytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
     }
   }
 
@@ -510,6 +564,28 @@ class Round9OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
     assert(out(10L) == ((0L, s"keep1 keep2 $passage tail1")))
     assert(out(20L) == ((12L, "other trailer done")))
+  }
+
+  test("sampled spanRemoval never removes a token the full pass keeps") {
+    // a span either participates everywhere or nowhere, so per-doc
+    // sampled coverage ⊆ full coverage: n_removed_sampled ≤ n_removed,
+    // and denom=1 IS the full pass
+    val full = graft.ops.TextPrep.spanRemovalFrom(
+      graft.core.Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (denom <- Seq(2, 4, 16)) {
+      val sampled = graft.ops.TextPrep.spanRemovalFrom(
+        graft.core.Tables.documents(spark, sf), denom).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(sampled.keySet == full.keySet)
+      sampled.foreach { case (id, n) =>
+        assert(n <= full(id), s"doc $id: sampled removed $n > full ${full(id)}")
+      }
+    }
+    val denom1 = graft.ops.TextPrep.spanRemovalFrom(
+      graft.core.Tables.documents(spark, sf), 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(denom1 == full)
   }
 
   test("spanRemoval is idempotent and total on already-clean corpora") {
