@@ -29,13 +29,26 @@ object GifCodec {
   /** Decode the first frame of a GIF to an RGB raster; None on
     * non-GIF/corrupt/truncated input. */
   def decodePixels(b: Array[Byte]): Option[ImageCodec.ImagePixels] =
-    try decodeImpl(b)
+    try decodeImpl(b, all = false).flatMap(_.headOption)
     catch {
       case _: IndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
     }
 
-  private def decodeImpl(b: Array[Byte]): Option[ImageCodec.ImagePixels] = {
+  /** Decode EVERY frame of an animated GIF — the frame-sampling entry
+    * point (the AVI-frame-extraction twin for the animation format
+    * crawls actually contain). Full-frame descriptors only (left=0,
+    * top=0, frame dims == screen dims): partial-update animations
+    * return None rather than silently compositing wrong. */
+  def decodeFrames(b: Array[Byte]): Option[Seq[ImageCodec.ImagePixels]] =
+    try decodeImpl(b, all = true)
+    catch {
+      case _: IndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  private def decodeImpl(b: Array[Byte], all: Boolean)
+      : Option[Seq[ImageCodec.ImagePixels]] = {
     if (b.length < 13) return None
     val sig = new String(b, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -49,7 +62,8 @@ object GifCodec {
       gct = readPalette(b, i, n)
       i += 3 * n
     }
-    // block walk to the first image descriptor
+    val frames = scala.collection.mutable.ArrayBuffer[ImageCodec.ImagePixels]()
+    // block walk over the image descriptors (first only, or all)
     while (i < b.length) {
       u8(b, i) match {
         case 0x21 => // extension: label + sub-blocks
@@ -58,9 +72,12 @@ object GifCodec {
           while (len != 0) { i += 1 + len; len = u8(b, i) }
           i += 1
         case 0x2c => // image descriptor
+          val left = le16(b, i + 1); val top = le16(b, i + 3)
           val iw = le16(b, i + 5); val ih = le16(b, i + 7)
           val ipacked = u8(b, i + 9)
           if (iw <= 0 || ih <= 0 || iw.toLong * ih * 3 > Int.MaxValue) return None
+          // multi-frame mode requires full-frame updates (no compositing)
+          if (all && (left != 0 || top != 0 || iw != sw || ih != sh)) return None
           i += 10
           var pal = gct
           if ((ipacked & 0x80) != 0) {
@@ -80,6 +97,7 @@ object GifCodec {
             i += 1 + len
             len = u8(b, i)
           }
+          i += 1 // block terminator
           val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
           if (idx == null) return None
           val out = new Array[Byte](iw * ih * 3)
@@ -99,12 +117,14 @@ object GifCodec {
             }
             y += 1
           }
-          return Some(ImageCodec.ImagePixels("gif", iw, ih, out))
-        case 0x3b => return None // trailer before any image
+          frames += ImageCodec.ImagePixels("gif", iw, ih, out)
+          if (!all) return Some(frames.toSeq)
+        case 0x3b => // trailer
+          return if (frames.nonEmpty) Some(frames.toSeq) else None
         case _ => return None
       }
     }
-    None
+    if (frames.nonEmpty) Some(frames.toSeq) else None
   }
 
   private def readPalette(b: Array[Byte], at: Int, n: Int): Array[Int] = {

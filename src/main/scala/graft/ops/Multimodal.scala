@@ -596,6 +596,54 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  /** ANIMATED-GIF FRAME SAMPLING: decode every frame
+    * ([[graft.functions.GifCodec.decodeFrames]] — the AVI
+    * frame-extraction twin for the animation format) and emit per-frame
+    * perceptual content: the sum of the frame's nine 3×3-cell grays
+    * (each cell is constant by construction, sampled at the cell
+    * origin). Frame f of doc d carries pattern id d+f, so every row is
+    * formula-predictable; the gate proves the MULTI-frame LZW walk, not
+    * just frame 0. */
+  def gifFrameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifAnimPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.GifCodec.decodeFrames(bytes).toSeq.flatMap { frames =>
+            frames.zipWithIndex.map { case (p, f) =>
+              val cw = p.width / 3; val ch = p.height / 3
+              var s = 0L
+              var c = 0
+              while (c < 9) {
+                val x = (c % 3) * cw; val y = (c / 3) * ch
+                s += (p.rgb((y * p.width + x) * 3) & 0xff).toLong
+                c += 1
+              }
+              (id, f, p.width, p.height, s)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_id", "w", "h", "gray_sum9")
+      .select(col("doc_id"), col("frame_id").cast("int").as("frame_id"),
+        col("w").cast("int").as("w"), col("h").cast("int").as("h"),
+        col("gray_sum9").cast("long").as("gray_sum9"))
+  }
+
+  val gifFrameFeaturesOracle: String = {
+    // gray_sum9(id) = sum over k=0..8 of ((id >> 4k) & 15)*16 + 8
+    val sum9 = (0 until 9)
+      .map(k => s"(((doc_id + f) >> ${4 * k}) & 15) * 16 + 8")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |       CAST(f AS INT) AS frame_id,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w,
+       |       CAST(9 + 3 * (doc_id % 3) AS INT) AS h,
+       |       CAST($sum9 AS BIGINT) AS gray_sum9
+       |FROM documents, unnest(generate_series(0, CAST(doc_id % 4 + 1 AS INT))) u(f)
+       |""".stripMargin
+  }
+
   // --------------------------------------------------- WebP census
 
   /** Formula-built WebP headers cycling the three frame kinds by id —
@@ -644,6 +692,49 @@ object Multimodal {
       |         ELSE 'extended' END AS variant,
       |       CAST(16 + (doc_id % 50) * 7 AS INT) AS w,
       |       CAST(16 + (doc_id % 30) * 11 AS INT) AS h
+      |FROM documents
+      |""".stripMargin
+
+  // ----------------------------------------------------- PDF census
+
+  /** Formula-built PDFs: version 1.(id%5+2), id%9+1 pages, every 4th
+    * document encrypted (standard-security-handler stub + trailer
+    * /Encrypt). */
+  def pdfPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, graft.functions.PdfCodec.writePdf(
+            s"1.${(id % 5) + 2}", (id % 9).toInt + 1, id % 4 == 0))
+        }
+      }
+  }
+
+  /** PDF CENSUS: version / page count / encrypted flag from the
+    * document structure — the governance readout (version mix,
+    * page-volume extraction budgeting, encrypted share → rejects) that
+    * precedes any text-extraction pass over the dominant crawled
+    * document format. */
+  def pdfCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pdfPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.PdfCodec.meta(bytes).map(m =>
+            (id, m.version, m.nPages, m.encrypted))
+        }
+      }
+      .toDF("doc_id", "version", "n_pages", "encrypted")
+      .select(col("doc_id"), col("version"),
+        col("n_pages").cast("int").as("n_pages"), col("encrypted"))
+  }
+
+  val pdfCensusOracle: String =
+    """SELECT doc_id,
+      |       '1.' || CAST(doc_id % 5 + 2 AS VARCHAR) AS version,
+      |       CAST(doc_id % 9 + 1 AS INT) AS n_pages,
+      |       doc_id % 4 = 0 AS encrypted
       |FROM documents
       |""".stripMargin
 

@@ -385,6 +385,52 @@ class Round9OpsSpec extends SparkSpec {
     assert(GifCodec.decodePixels(cut).isEmpty)
   }
 
+  // -------------------------------------------------------- PDF census
+
+  test("PDF census reads version/pages/encryption; hostile input returns None") {
+    import graft.functions.PdfCodec
+    val p = PdfCodec.meta(PdfCodec.writePdf("1.5", 7, encrypted = false)).get
+    assert(p == PdfCodec.PdfMeta("1.5", 7, false))
+    val e = PdfCodec.meta(PdfCodec.writePdf("1.7", 2, encrypted = true)).get
+    assert(e == PdfCodec.PdfMeta("1.7", 2, true))
+    // structure sanity: xref offsets point at the objects they claim
+    val bytes = PdfCodec.writePdf("1.4", 3, encrypted = false)
+    val s = new String(bytes, "ISO-8859-1")
+    val xref = s.indexOf("xref")
+    val offs = s.substring(xref).split("\n").drop(3).take(5)
+      .map(_.take(10).toInt)
+    offs.zipWithIndex.foreach { case (o, k) =>
+      assert(s.startsWith(s"${k + 1} 0 obj", o), s"xref entry $k wrong")
+    }
+    assert(s.contains(s"startxref\n$xref\n"))
+    // hostile input
+    assert(PdfCodec.meta("not a pdf".getBytes("US-ASCII")).isEmpty)
+    assert(PdfCodec.meta(bytes.take(30)).isEmpty) // header but no pages tree
+    assert(PdfCodec.meta(Array.empty[Byte]).isEmpty)
+  }
+
+  // ------------------------------------------- GIF frame extraction
+
+  test("decodeFrames extracts every animation frame pixel-exact") {
+    import graft.functions.GifCodec
+    def px(f: Int, x: Int, y: Int): Int = {
+      val g = (f * 50 + x * 3 + y * 7) % 256
+      (g << 16) | (g << 8) | g
+    }
+    val bytes = GifCodec.writeGifAnimated(21, 15, frames = 5, delayCs = 4,
+      loopCount = 0, px)
+    val frames = GifCodec.decodeFrames(bytes).get
+    assert(frames.length == 5)
+    for (f <- 0 until 5; y <- 0 until 15; x <- 0 until 21) {
+      val o = (y * 21 + x) * 3
+      assert((frames(f).rgb(o) & 0xff) == (px(f, x, y) & 0xff), s"f=$f ($x,$y)")
+    }
+    // static GIF: exactly one frame; truncation: None
+    val static = GifCodec.writeGifPixels(9, 9, (x, y) => (x + y) % 256 * 0x010101)
+    assert(GifCodec.decodeFrames(static).get.length == 1)
+    assert(GifCodec.decodeFrames(bytes.take(bytes.length / 2)).isEmpty)
+  }
+
   // ---------------------------------------------- GIF animation census
 
   test("animated GIF: census reads frames/delays/loop; frame 0 decodes; ImageIO agrees") {
