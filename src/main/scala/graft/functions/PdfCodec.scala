@@ -53,6 +53,102 @@ object PdfCodec {
       case scala.util.control.NonFatal(_) => None
     }
 
+  // ------------------------------------------------- text extraction
+
+  private val TjRe = java.util.regex.Pattern.compile(
+    "\\(((?:\\\\.|[^\\\\)])*)\\)\\s*Tj")
+
+  /** Unescape a PDF literal string: \( \) \\ and the common control
+    * escapes. */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** TEXT EXTRACTION over uncompressed content streams: every `(…) Tj`
+    * show-text operator inside a BT…ET block, one concatenated string
+    * per stream in document order — the minimal honest extractor for
+    * the PDFs [[writePdfWithText]] emits (no font decoding, no
+    * /Filter decompression: real-world compressed streams return what
+    * their uncompressed operators expose, typically nothing — the
+    * census routes those to the extraction engine proper). */
+  def extractText(b: Array[Byte]): Option[Seq[String]] =
+    try {
+      if (meta(b).isEmpty) return None
+      val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var at = 0
+      while ({ val bt = s.indexOf("BT", at); bt >= 0 && {
+        val et = s.indexOf("ET", bt)
+        if (et < 0) false
+        else {
+          val block = s.substring(bt, et)
+          val m = TjRe.matcher(block)
+          val sb = new StringBuilder
+          while (m.find()) sb.append(unescape(m.group(1)))
+          out += sb.toString
+          at = et + 2
+          true
+        }
+      }}) ()
+      Some(out.toSeq)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '(' => "\\("; case ')' => "\\)"; case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  /** Like [[writePdf]] but each page carries an UNCOMPRESSED content
+    * stream showing `texts(p)` (escaped literal string + Tj) and a
+    * shared Type1 font object — the extraction fixture. */
+  def writePdfWithText(version: String, texts: Seq[String]): Array[Byte] = {
+    val nPages = texts.length
+    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$version\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    val fontObj = 3 + 2 * nPages
+    for (k <- 0 until nPages)
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Contents ${3 + nPages + k} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+    for (t <- texts) {
+      val stream = s"BT /F1 12 Tf 72 720 Td (${escape(t)}) Tj ET"
+      obj(s"<< /Length ${stream.length} >>\nstream\n$stream\nendstream")
+    }
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   /** Structurally complete single-tree PDF: catalog, pages root with
     * `nPages` kids, empty pages, correct xref offsets, trailer
     * (optionally with a standard-security-handler stub + /Encrypt). */

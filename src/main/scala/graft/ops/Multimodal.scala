@@ -738,6 +738,56 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  /** Text-bearing PDFs: id%4+1 pages, each showing a formula string
+    * that includes parentheses and a backslash so the literal-string
+    * escaping path is exercised, not just happy-path ASCII. */
+  def pdfTextPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val texts = (0 until (id % 4).toInt + 1).map(p =>
+            s"page $p of document $id (formula) q\\end")
+          (id, graft.functions.PdfCodec.writePdfWithText(
+            s"1.${(id % 5) + 2}", texts))
+        }
+      }
+  }
+
+  /** PDF TEXT EXTRACTION: per-page text out of uncompressed content
+    * streams — the actual extraction step a document pipeline runs
+    * after the census; escaping round-trips by construction. */
+  def pdfExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pdfTextPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.PdfCodec.extractText(bytes).toSeq.flatMap { pages =>
+            pages.zipWithIndex.map { case (t, p) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              (id, p, t.length.toLong,
+                md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "page_id", "n_chars", "text_md5")
+      .select(col("doc_id"), col("page_id").cast("int").as("page_id"),
+        col("n_chars"), col("text_md5"))
+  }
+
+  val pdfExtractOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, p,
+      |         'page ' || CAST(p AS VARCHAR) || ' of document ' ||
+      |         CAST(doc_id AS VARCHAR) || ' (formula) q\end' AS txt
+      |  FROM documents, unnest(generate_series(0, CAST(doc_id % 4 AS INT))) u(p))
+      |SELECT doc_id, CAST(p AS INT) AS page_id,
+      |       CAST(length(txt) AS BIGINT) AS n_chars,
+      |       md5(txt) AS text_md5
+      |FROM t
+      |""".stripMargin
+
   // ------------------------------------------- image-text pair curation
 
   /** One image per document for the PAIR-CURATION fixture: the pattern

@@ -409,6 +409,17 @@ class Round9OpsSpec extends SparkSpec {
     assert(PdfCodec.meta(Array.empty[Byte]).isEmpty)
   }
 
+  test("PDF text extraction round-trips escaped literal strings per page") {
+    import graft.functions.PdfCodec
+    val texts = Seq("hello (world)", "back\\slash \\( tricky \\)", "plain")
+    val bytes = PdfCodec.writePdfWithText("1.6", texts)
+    assert(PdfCodec.meta(bytes).get == PdfCodec.PdfMeta("1.6", 3, false))
+    assert(PdfCodec.extractText(bytes).get == texts)
+    // hostile: truncated, non-pdf
+    assert(PdfCodec.extractText(bytes.take(40)).isEmpty)
+    assert(PdfCodec.extractText("garbage".getBytes("US-ASCII")).isEmpty)
+  }
+
   // ------------------------------------------- GIF frame extraction
 
   test("decodeFrames extracts every animation frame pixel-exact") {
