@@ -695,6 +695,60 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  // ----------------------------------------------------- MP3 census
+
+  /** Formula-built MP3 headers: bitrate index id%14+1, sample-rate
+    * index id%3, ID3v2 tag on every even id sized (id%50)*7. */
+  def mp3Payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          (id, graft.functions.Mp3Codec.writeMp3Header(
+            (id % 14).toInt + 1, (id % 3).toInt,
+            if (id % 2 == 0) (id % 50).toInt * 7 else 0))
+        }
+      }
+  }
+
+  /** MP3 CENSUS: MPEG version/layer, bitrate, sample rate, and ID3 tag
+    * size — the compressed-audio governance readout (bitrate mix for
+    * transcode budgeting, tag share of the byte volume). */
+  def mp3Census(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mp3Payloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.Mp3Codec.meta(bytes).map(m =>
+            (id, m.version, m.layer, m.bitrateKbps, m.sampleRate, m.id3Size))
+        }
+      }
+      .toDF("doc_id", "version", "layer", "bitrate_kbps", "sample_rate", "id3_size")
+      .select(col("doc_id"), col("version"),
+        col("layer").cast("int").as("layer"),
+        col("bitrate_kbps").cast("int").as("bitrate_kbps"),
+        col("sample_rate").cast("int").as("sample_rate"),
+        col("id3_size").cast("int").as("id3_size"))
+  }
+
+  val mp3CensusOracle: String =
+    """SELECT doc_id,
+      |       '1' AS version, 3 AS layer,
+      |       CAST(CASE CAST(doc_id % 14 + 1 AS INT)
+      |         WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+      |         WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+      |         WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+      |         WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS INT)
+      |         AS bitrate_kbps,
+      |       CAST(CASE CAST(doc_id % 3 AS INT)
+      |         WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INT)
+      |         AS sample_rate,
+      |       -- a zero-size tag is not written at all (no 10-byte header)
+      |       CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 50 > 0
+      |         THEN 10 + (doc_id % 50) * 7 ELSE 0 END AS INT) AS id3_size
+      |FROM documents
+      |""".stripMargin
+
   // ----------------------------------------------------- PDF census
 
   /** Formula-built PDFs: version 1.(id%5+2), id%9+1 pages, every 4th

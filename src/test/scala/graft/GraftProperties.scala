@@ -270,6 +270,45 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // the same never-throw contract for every round-9 parser: GIF frames
+  // and animation census, JPEG progressive streams, ISO-BMFF, WebP, PDF
+  // census + extraction, tar members, WARC records — fed both random
+  // junk and single-byte-corrupted valid payloads of each format
+  property("round-9 codecs never throw on random or bit-flipped payloads") = {
+    import graft.functions.{GifCodec, IsoBmff, JpegCodec, PdfCodec, WebpCodec}
+    val junk = Gen.chooseNum(0, 160).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray)
+    val flipped = for {
+      pick <- Gen.chooseNum(0, 4)
+      pos <- Gen.chooseNum(0, 100000)
+      v <- Gen.chooseNum(-128, 127)
+    } yield {
+      val base = pick match {
+        case 0 => GifCodec.writeGifAnimated(9, 7, 3, 5, 1,
+          (f, x, y) => (f * 30 + x + y) % 256 * 0x010101)
+        case 1 => JpegCodec.writeJpegProgressive(10, 9,
+          Array.fill(10 * 9 * 3)(55.toByte), 85, restartInterval = 2)
+        case 2 => IsoBmff.writeMp4("isom", 600, 1200, 2, mvhdV1 = false)
+        case 3 => WebpCodec.writeLosslessHeader(33, 21)
+        case _ => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"))
+      }
+      val b = base.clone(); b(pos % b.length) = v.toByte; b
+    }
+    forAll(Gen.oneOf(junk, flipped)) { bytes =>
+      GifCodec.decodePixels(bytes); GifCodec.decodeFrames(bytes)
+      GifCodec.animMeta(bytes)
+      JpegCodec.decodePixels(bytes); JpegCodec.stripMetadata(bytes)
+      JpegCodec.samplingOf(bytes); JpegCodec.segmentTypes(bytes)
+      IsoBmff.census(bytes)
+      WebpCodec.meta(bytes)
+      PdfCodec.meta(bytes); PdfCodec.extractText(bytes)
+      graft.ops.Archives.tarMembersOf(bytes)
+      graft.ops.Archives.warcRecordsOf(bytes)
+      graft.ops.Archives.sniffCharset("text/html", bytes)
+      true
+    }
+  }
+
   // salted join is the plain inner join for any data and salt count
   property("saltedJoin ≡ plain inner join, any salts") = {
     val gen = for {

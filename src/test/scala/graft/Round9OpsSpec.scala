@@ -385,6 +385,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(GifCodec.decodePixels(cut).isEmpty)
   }
 
+  // -------------------------------------------------------- MP3 census
+
+  test("MP3 census: ID3 skip + frame header parse; hostile input None") {
+    import graft.functions.Mp3Codec
+    val tagged = Mp3Codec.meta(Mp3Codec.writeMp3Header(9, 1, 140)).get
+    assert(tagged == Mp3Codec.Mp3Meta("1", 3, 128, 48000, 150))
+    val bare = Mp3Codec.meta(Mp3Codec.writeMp3Header(14, 0, 0)).get
+    assert(bare == Mp3Codec.Mp3Meta("1", 3, 320, 44100, 0))
+    // hostile: ID3 size past buffer, bad sync, free/bad bitrate index
+    assert(Mp3Codec.meta("ID3".getBytes("US-ASCII")).isEmpty)
+    val lie = Mp3Codec.writeMp3Header(5, 0, 20).clone()
+    lie(6) = 0x7f.toByte // syncsafe size now huge
+    assert(Mp3Codec.meta(lie).isEmpty)
+    val noSync = Mp3Codec.writeMp3Header(5, 0, 0).clone()
+    noSync(1) = 0
+    assert(Mp3Codec.meta(noSync).isEmpty)
+    assert(Mp3Codec.meta(Array.empty[Byte]).isEmpty)
+  }
+
   // -------------------------------------------------------- PDF census
 
   test("PDF census reads version/pages/encryption; hostile input returns None") {
