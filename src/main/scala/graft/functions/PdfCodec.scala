@@ -77,36 +77,122 @@ object PdfCodec {
     sb.toString
   }
 
-  /** TEXT EXTRACTION over uncompressed content streams: every `(…) Tj`
-    * show-text operator inside a BT…ET block, one concatenated string
-    * per stream in document order — the minimal honest extractor for
-    * the PDFs [[writePdfWithText]] emits (no font decoding, no
-    * /Filter decompression: real-world compressed streams return what
-    * their uncompressed operators expose, typically nothing — the
-    * census routes those to the extraction engine proper). */
-  def extractText(b: Array[Byte]): Option[Seq[String]] =
+  private val LengthRe = java.util.regex.Pattern.compile(
+    "/Length\\s+(\\d+)")
+
+  /** zlib-inflate (RFC 1950 — PDF FlateDecode is zlib-wrapped) with a
+    * 16 MiB output bound; None on corrupt data. */
+  private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(false)
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(raw.length * 4 + 64)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        out.write(buf, 0, n)
+        if (out.size > (1 << 24)) return None
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+    try {
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Tj text of one decoded content stream: every `(…) Tj` inside a
+    * BT…ET block, concatenated. */
+  private def streamText(content: Array[Byte]): String = {
+    val s = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sb = new StringBuilder
+    var at = 0
+    var bt = s.indexOf("BT", at)
+    while (bt >= 0) {
+      val et = s.indexOf("ET", bt)
+      if (et < 0) bt = -1
+      else {
+        val m = TjRe.matcher(s.substring(bt, et))
+        while (m.find()) sb.append(unescape(m.group(1)))
+        at = et + 2
+        bt = s.indexOf("BT", at)
+      }
+    }
+    sb.toString
+  }
+
+  /** TEXT EXTRACTION as a stream-object walk: each `stream…endstream`
+    * payload is sliced by `/Length` (falling back to an `endstream`
+    * scan when the length is missing or lies), inflated when its
+    * object dictionary declares `/Filter /FlateDecode` (zlib per the
+    * PDF spec — the dominant real-world content-stream encoding), and
+    * scanned for `(…) Tj` show-text inside BT…ET blocks. One
+    * `(text, wasFlate)` entry per stream in document order — for the
+    * PDFs [[writePdfWithText]] emits that is exactly page order. A
+    * corrupt compressed stream rejects the whole document (None) so it
+    * routes to the rejects channel rather than silently dropping
+    * pages. */
+  def extractPages(b: Array[Byte]): Option[Seq[(String, Boolean)]] =
     try {
       if (meta(b).isEmpty) return None
       val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
       var at = 0
-      while ({ val bt = s.indexOf("BT", at); bt >= 0 && {
-        val et = s.indexOf("ET", bt)
-        if (et < 0) false
-        else {
-          val block = s.substring(bt, et)
-          val m = TjRe.matcher(block)
-          val sb = new StringBuilder
-          while (m.find()) sb.append(unescape(m.group(1)))
-          out += sb.toString
-          at = et + 2
-          true
-        }
-      }}) ()
+      var si = s.indexOf("stream", at)
+      while (si >= 0) {
+        var ds = si + 6
+        if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+        if (ds < s.length && s.charAt(ds) == '\n') {
+          ds += 1
+          val objAt = s.lastIndexOf(" obj", si)
+          val dict = s.substring(math.max(objAt, 0), si)
+          val isFlate = dict.contains("/FlateDecode")
+          val lm = LengthRe.matcher(dict)
+          val declared =
+            if (lm.find()) lm.group(1).toLongOption else None
+          // trust /Length only when `endstream` actually follows it
+          val end = declared match {
+            case Some(len) if len >= 0 && ds.toLong + len <= b.length &&
+              { var p = ds + len.toInt
+                while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n')) p += 1
+                s.startsWith("endstream", p) } => ds + len.toInt
+            case _ => s.indexOf("endstream", ds)
+          }
+          if (end < 0) return Some(out.toSeq) // truncated: keep prior pages
+          // raw may carry EOL padding before `endstream`; the inflater
+          // stops at the zlib stream's own end, so no trimming — and
+          // none is SAFE: a trusted /Length slice ends in the Adler-32
+          // trailer, whose last byte is 0x0A about 1 time in 256.
+          val raw = java.util.Arrays.copyOfRange(b, ds, end)
+          val content =
+            if (isFlate) inflate(raw) match {
+              case Some(c) => c
+              case None => return None
+            }
+            else raw
+          out += ((streamText(content), isFlate))
+          at = math.max(end, ds) + 9
+        } else at = si + 6
+        si = s.indexOf("stream", at)
+      }
       Some(out.toSeq)
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** Per-page text (compat shape over [[extractPages]]). */
+  def extractText(b: Array[Byte]): Option[Seq[String]] =
+    extractPages(b).map(_.map(_._1))
 
   private def escape(s: String): String =
     s.flatMap {
@@ -114,10 +200,15 @@ object PdfCodec {
       case c => c.toString
     }
 
-  /** Like [[writePdf]] but each page carries an UNCOMPRESSED content
-    * stream showing `texts(p)` (escaped literal string + Tj) and a
-    * shared Type1 font object — the extraction fixture. */
-  def writePdfWithText(version: String, texts: Seq[String]): Array[Byte] = {
+  /** Like [[writePdf]] but each page carries a content stream showing
+    * `texts(p)` (escaped literal string + Tj) and a shared Type1 font
+    * object — the extraction fixture. With `flate` the content streams
+    * are zlib-deflated and declare `/Filter /FlateDecode`, matching
+    * the dominant real-world encoding; ISO-8859-1 is byte-transparent
+    * so the binary payload survives the StringBuilder and the xref
+    * offsets stay exact. */
+  def writePdfWithText(version: String, texts: Seq[String],
+      flate: Boolean = false): Array[Byte] = {
     val nPages = texts.length
     require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
     val sb = new StringBuilder
@@ -136,8 +227,14 @@ object PdfCodec {
         s"/Contents ${3 + nPages + k} 0 R " +
         s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
     for (t <- texts) {
-      val stream = s"BT /F1 12 Tf 72 720 Td (${escape(t)}) Tj ET"
-      obj(s"<< /Length ${stream.length} >>\nstream\n$stream\nendstream")
+      val ops = s"BT /F1 12 Tf 72 720 Td (${escape(t)}) Tj ET"
+      val stream =
+        if (flate) new String(
+          deflate(ops.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        else ops
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      obj(s"<< /Length ${stream.length}$filter >>\nstream\n$stream\nendstream")
     }
     obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     val xrefAt = sb.length

@@ -794,7 +794,10 @@ object Multimodal {
 
   /** Text-bearing PDFs: id%4+1 pages, each showing a formula string
     * that includes parentheses and a backslash so the literal-string
-    * escaping path is exercised, not just happy-path ASCII. */
+    * escaping path is exercised, not just happy-path ASCII. Every 3rd
+    * document's content streams are FlateDecode-compressed (zlib), so
+    * the extractor's inflate path is exercised against the mix a real
+    * crawl presents — uncompressed streams are the minority there. */
   def pdfTextPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
@@ -803,31 +806,35 @@ object Multimodal {
           val texts = (0 until (id % 4).toInt + 1).map(p =>
             s"page $p of document $id (formula) q\\end")
           (id, graft.functions.PdfCodec.writePdfWithText(
-            s"1.${(id % 5) + 2}", texts))
+            s"1.${(id % 5) + 2}", texts, flate = id % 3 == 0))
         }
       }
   }
 
-  /** PDF TEXT EXTRACTION: per-page text out of uncompressed content
-    * streams — the actual extraction step a document pipeline runs
-    * after the census; escaping round-trips by construction. */
+  /** PDF TEXT EXTRACTION: per-page text out of content streams,
+    * inflating `/Filter /FlateDecode` ones (zlib) — the actual
+    * extraction step a document pipeline runs after the census. The
+    * `flate` column is DETECTED from each stream's object dictionary,
+    * not echoed from the fixture formula, so the oracle match proves
+    * the filter walk saw what the writer emitted. */
   def pdfExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pdfTextPayloads(spark, dir)
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          graft.functions.PdfCodec.extractText(bytes).toSeq.flatMap { pages =>
-            pages.zipWithIndex.map { case (t, p) =>
+          graft.functions.PdfCodec.extractPages(bytes).toSeq.flatMap { pages =>
+            pages.zipWithIndex.map { case ((t, wasFlate), p) =>
               val md = java.security.MessageDigest.getInstance("MD5")
               (id, p, t.length.toLong,
-                md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+                md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+                wasFlate)
             }
           }
         }
       }
-      .toDF("doc_id", "page_id", "n_chars", "text_md5")
+      .toDF("doc_id", "page_id", "n_chars", "text_md5", "flate")
       .select(col("doc_id"), col("page_id").cast("int").as("page_id"),
-        col("n_chars"), col("text_md5"))
+        col("n_chars"), col("text_md5"), col("flate"))
   }
 
   val pdfExtractOracle: String =
@@ -838,7 +845,8 @@ object Multimodal {
       |  FROM documents, unnest(generate_series(0, CAST(doc_id % 4 AS INT))) u(p))
       |SELECT doc_id, CAST(p AS INT) AS page_id,
       |       CAST(length(txt) AS BIGINT) AS n_chars,
-      |       md5(txt) AS text_md5
+      |       md5(txt) AS text_md5,
+      |       doc_id % 3 = 0 AS flate
       |FROM t
       |""".stripMargin
 

@@ -279,7 +279,7 @@ object GraftProperties extends Properties("graft") {
     val junk = Gen.chooseNum(0, 160).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray)
     val flipped = for {
-      pick <- Gen.chooseNum(0, 4)
+      pick <- Gen.chooseNum(0, 5)
       pos <- Gen.chooseNum(0, 100000)
       v <- Gen.chooseNum(-128, 127)
     } yield {
@@ -290,7 +290,9 @@ object GraftProperties extends Properties("graft") {
           Array.fill(10 * 9 * 3)(55.toByte), 85, restartInterval = 2)
         case 2 => IsoBmff.writeMp4("isom", 600, 1200, 2, mvhdV1 = false)
         case 3 => WebpCodec.writeLosslessHeader(33, 21)
-        case _ => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"))
+        case 4 => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"))
+        case _ => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"),
+          flate = true)
       }
       val b = base.clone(); b(pos % b.length) = v.toByte; b
     }

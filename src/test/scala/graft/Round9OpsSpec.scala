@@ -434,9 +434,33 @@ class Round9OpsSpec extends SparkSpec {
     val bytes = PdfCodec.writePdfWithText("1.6", texts)
     assert(PdfCodec.meta(bytes).get == PdfCodec.PdfMeta("1.6", 3, false))
     assert(PdfCodec.extractText(bytes).get == texts)
+    assert(PdfCodec.extractPages(bytes).get.forall(!_._2))
     // hostile: truncated, non-pdf
     assert(PdfCodec.extractText(bytes.take(40)).isEmpty)
     assert(PdfCodec.extractText("garbage".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("PDF FlateDecode streams inflate to the same text, flate detected") {
+    import graft.functions.PdfCodec
+    val texts = Seq("hello (world)", "back\\slash \\( tricky \\)", "plain",
+      "page with repeats " * 40) // long enough that deflate actually shrinks
+    val flat = PdfCodec.writePdfWithText("1.6", texts, flate = true)
+    val plain = PdfCodec.writePdfWithText("1.6", texts)
+    assert(flat.length < plain.length) // compression really happened
+    assert(PdfCodec.meta(flat).get == PdfCodec.PdfMeta("1.6", 4, false))
+    assert(PdfCodec.extractPages(flat).get == texts.map((_, true)))
+    assert(PdfCodec.extractPages(plain).get == texts.map((_, false)))
+    // xref offsets stay exact with binary stream payloads in between
+    val s = new String(flat, "ISO-8859-1")
+    val xref = s.indexOf("\nxref\n0 ") + 1
+    assert(xref > 0 && s.contains(s"startxref\n$xref\n"))
+    // corrupt compressed stream rejects the document (rejects channel),
+    // never throws
+    val streamAt = s.indexOf("/FlateDecode")
+    val corrupt = flat.clone()
+    val dataAt = s.indexOf("stream\n", streamAt) + 7
+    for (k <- 0 until 8) corrupt(dataAt + k) = 0x55
+    assert(PdfCodec.extractPages(corrupt).isEmpty)
   }
 
   // ------------------------------------------- GIF frame extraction
