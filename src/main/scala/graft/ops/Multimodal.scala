@@ -749,6 +749,102 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  // -------------------------------------------- audio format census
+
+  /** Mixed audio fixture, one payload per document, format by id%5:
+    * PCM WAV, MP3 (header fixture), FLAC header, Ogg Vorbis, Ogg Opus
+    * — the five containers a crawled audio corpus is actually made of.
+    * Each parameter is a doc_id formula so the census is
+    * oracle-predictable. */
+  def audioFormatPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.{AudioCodec, FlacCodec, Mp3Codec, OggCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val ch = (id % 2).toInt + 1
+          val bytes = (id % 5) match {
+            case 0 => AudioCodec.writeWav(
+              Array(8000, 16000, 44100)((id % 3).toInt), ch,
+              (id % 50).toInt + 10, (s, c) => (s * 7 + c).toShort)
+            case 1 => Mp3Codec.writeMp3Header(
+              (id % 14).toInt + 1, (id % 3).toInt, 0)
+            case 2 => FlacCodec.writeFlacHeader(
+              Array(44100, 48000, 96000, 22050)((id % 4).toInt), ch,
+              if (id % 2 == 0) 16 else 24, (id % 1000) + 1,
+              tags = id % 2 == 0)
+            case 3 => OggCodec.writeOgg("vorbis",
+              ch, Array(44100, 48000)((id % 2).toInt),
+              (id % 4).toInt + 1, (id % 500) + 10)
+            case _ => OggCodec.writeOgg("opus",
+              ch, 48000, (id % 3).toInt + 1, (id % 500) + 10)
+          }
+          (id, bytes)
+        }
+      }
+  }
+
+  /** AUDIO FORMAT CENSUS: container/codec, sample rate, channels, and
+    * total samples DETECTED from the bytes across the five-format mix
+    * — the first readout an audio-curation pass produces (format mix
+    * for transcode routing, rate/volume for budget). MP3 headers
+    * don't carry channel count or length, so those cells are the -1
+    * "unknown" sentinel, same as the census tables real pipelines
+    * keep. Header-only walks everywhere: no sample decode. */
+  def audioFormatCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{AudioCodec, FlacCodec, Mp3Codec, OggCodec}
+    audioFormatPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val cell: Option[(String, Int, Int, Long)] =
+            if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I')
+              AudioCodec.decode(bytes).map(m =>
+                ("wav", m.sampleRate, m.channels, m.nSamples))
+            else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L')
+              FlacCodec.meta(bytes).map(m =>
+                ("flac", m.sampleRate, m.channels, m.totalSamples))
+            else if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g')
+              OggCodec.meta(bytes).map(m =>
+                (s"ogg-${m.codec}", m.sampleRate, m.channels, m.lastGranule))
+            else
+              Mp3Codec.meta(bytes).map(m =>
+                ("mp3", m.sampleRate, -1, -1L))
+          cell.map { case (f, sr, c, n) => (id, f, sr, c, n) }
+        }
+      }
+      .toDF("doc_id", "format", "sample_rate", "channels", "n_samples")
+      .select(col("doc_id"), col("format"),
+        col("sample_rate").cast("int").as("sample_rate"),
+        col("channels").cast("int").as("channels"), col("n_samples"))
+  }
+
+  val audioFormatCensusOracle: String =
+    """SELECT doc_id,
+      |       CASE CAST(doc_id % 5 AS INT)
+      |         WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' WHEN 2 THEN 'flac'
+      |         WHEN 3 THEN 'ogg-vorbis' ELSE 'ogg-opus' END AS format,
+      |       CAST(CASE CAST(doc_id % 5 AS INT)
+      |         WHEN 0 THEN CASE CAST(doc_id % 3 AS INT)
+      |           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+      |         WHEN 1 THEN CASE CAST(doc_id % 3 AS INT)
+      |           WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+      |         WHEN 2 THEN CASE CAST(doc_id % 4 AS INT)
+      |           WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 96000
+      |           ELSE 22050 END
+      |         WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
+      |         ELSE 48000 END AS INT) AS sample_rate,
+      |       CAST(CASE WHEN doc_id % 5 = 1 THEN -1
+      |         ELSE doc_id % 2 + 1 END AS INT) AS channels,
+      |       CAST(CASE CAST(doc_id % 5 AS INT)
+      |         WHEN 0 THEN doc_id % 50 + 10
+      |         WHEN 1 THEN -1
+      |         WHEN 2 THEN doc_id % 1000 + 1
+      |         ELSE doc_id % 500 + 10 END AS BIGINT) AS n_samples
+      |FROM documents
+      |""".stripMargin
+
   // ----------------------------------------------------- PDF census
 
   /** Formula-built PDFs: version 1.(id%5+2), id%9+1 pages, every 4th

@@ -275,11 +275,12 @@ object GraftProperties extends Properties("graft") {
   // census + extraction, tar members, WARC records — fed both random
   // junk and single-byte-corrupted valid payloads of each format
   property("round-9 codecs never throw on random or bit-flipped payloads") = {
-    import graft.functions.{GifCodec, IsoBmff, JpegCodec, PdfCodec, WebpCodec}
+    import graft.functions.{FlacCodec, GifCodec, IsoBmff, JpegCodec,
+      OggCodec, PdfCodec, WebpCodec}
     val junk = Gen.chooseNum(0, 160).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray)
     val flipped = for {
-      pick <- Gen.chooseNum(0, 5)
+      pick <- Gen.chooseNum(0, 7)
       pos <- Gen.chooseNum(0, 100000)
       v <- Gen.chooseNum(-128, 127)
     } yield {
@@ -291,8 +292,10 @@ object GraftProperties extends Properties("graft") {
         case 2 => IsoBmff.writeMp4("isom", 600, 1200, 2, mvhdV1 = false)
         case 3 => WebpCodec.writeLosslessHeader(33, 21)
         case 4 => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"))
-        case _ => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"),
+        case 5 => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"),
           flate = true)
+        case 6 => FlacCodec.writeFlacHeader(44100, 2, 16, 999L, tags = true)
+        case _ => OggCodec.writeOgg("vorbis", 2, 44100, 3, 100L)
       }
       val b = base.clone(); b(pos % b.length) = v.toByte; b
     }
@@ -304,6 +307,7 @@ object GraftProperties extends Properties("graft") {
       IsoBmff.census(bytes)
       WebpCodec.meta(bytes)
       PdfCodec.meta(bytes); PdfCodec.extractText(bytes)
+      FlacCodec.meta(bytes); OggCodec.meta(bytes)
       graft.ops.Archives.tarMembersOf(bytes)
       graft.ops.Archives.warcRecordsOf(bytes)
       graft.ops.Archives.sniffCharset("text/html", bytes)

@@ -463,6 +463,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(PdfCodec.extractPages(corrupt).isEmpty)
   }
 
+  // ------------------------------------------- FLAC / Ogg censuses
+
+  test("FLAC census round-trips STREAMINFO; hostile input returns None") {
+    import graft.functions.FlacCodec
+    val m = FlacCodec.meta(FlacCodec.writeFlacHeader(
+      96000, 2, 24, 123456789L, tags = true)).get
+    assert(m == FlacCodec.FlacMeta(96000, 2, 24, 123456789L,
+      hasTags = true, nBlocks = 3))
+    val bare = FlacCodec.meta(FlacCodec.writeFlacHeader(
+      44100, 1, 16, 7L, tags = false)).get
+    assert(bare == FlacCodec.FlacMeta(44100, 1, 16, 7L,
+      hasTags = false, nBlocks = 1))
+    // 36-bit total samples boundary
+    val big = FlacCodec.writeFlacHeader(48000, 8, 32, (1L << 36) - 1,
+      tags = false)
+    assert(FlacCodec.meta(big).get.totalSamples == (1L << 36) - 1)
+    // hostile: wrong magic, truncated chain, lying block length
+    assert(FlacCodec.meta("fLaX garbage bytes here".getBytes("US-ASCII")
+      .padTo(64, 0.toByte)).isEmpty)
+    assert(FlacCodec.meta(big.take(20)).isEmpty)
+    val lying = FlacCodec.writeFlacHeader(44100, 1, 16, 7L, tags = false)
+    lying(5) = 0x7f // block length now claims 0x7f0022 bytes
+    assert(FlacCodec.meta(lying).isEmpty)
+  }
+
+  test("Ogg census walks pages, checks CRCs, reads Vorbis and Opus ids") {
+    import graft.functions.OggCodec
+    val v = OggCodec.meta(OggCodec.writeOgg("vorbis", 2, 44100, 3, 999L)).get
+    assert(v == OggCodec.OggMeta("vorbis", 2, 44100, 4, 999L))
+    val o = OggCodec.meta(OggCodec.writeOgg("opus", 1, 48000, 1, 10L)).get
+    assert(o == OggCodec.OggMeta("opus", 1, 48000, 2, 10L))
+    // a flipped payload byte breaks that page's CRC -> whole stream None
+    val bytes = OggCodec.writeOgg("vorbis", 2, 44100, 2, 100L)
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 1) = (corrupt.last ^ 0x01).toByte
+    assert(OggCodec.meta(corrupt).isEmpty)
+    // hostile: truncated mid-page, trailing junk, non-ogg
+    assert(OggCodec.meta(bytes.take(30)).isEmpty)
+    assert(OggCodec.meta(bytes ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(OggCodec.meta("OggX not really".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("audio format census detects all five formats from bytes") {
+    import graft.ops.Multimodal
+    val rows = Multimodal.audioFormatCensus(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(rows(0L) == (("wav", 8000, 1, 10L)))
+    assert(rows(1L) == (("mp3", 48000, -1, -1L)))
+    assert(rows(2L) == (("flac", 96000, 1, 3L)))
+    assert(rows(3L) == (("ogg-vorbis", 48000, 2, 13L)))
+    assert(rows(4L) == (("ogg-opus", 48000, 1, 14L)))
+    assert(rows.size == graft.core.Tables.documents(spark, sf).count())
+  }
+
   // ------------------------------------------- GIF frame extraction
 
   test("decodeFrames extracts every animation frame pixel-exact") {
