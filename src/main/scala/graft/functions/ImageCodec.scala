@@ -283,6 +283,9 @@ object ImageCodec {
       else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
           bytes(2) == 'F')
         GifCodec.decodePixels(bytes)
+      else if (bytes.length >= 20 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F')
+        Vp8lCodec.decodePixels(bytes)
       else None
     } catch {
       case _: IndexOutOfBoundsException => None

@@ -495,6 +495,68 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** WebP VP8L twins: the lossless PNG/BMP base against a real lossless
+    * .webp (RIFF + VP8L, [[graft.functions.Vp8lCodec]]) at 2×
+    * resolution. The encoder options VARY by doc_id so the corpus-wide
+    * decode exercises every VP8L path (transform combos, palette, color
+    * cache, LZ77 distance mapping, meta prefix groups) — VP8L is
+    * lossless, so every variant keeps the exact-grid near-dup
+    * semantics. */
+  def imageWebpVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
+    import graft.functions.Vp8lCodec
+    import graft.functions.Vp8lCodec.Vp8lOptions
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base =
+            if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
+            else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          val opts = (id % 5).toInt match {
+            case 0 => Vp8lOptions()
+            case 1 => Vp8lOptions(subtractGreen = true, predictor = true)
+            case 2 => Vp8lOptions(palette = true) // gray pattern: ≤256 colors
+            case 3 => Vp8lOptions(cacheBits = 6, mapDistances = true)
+            case _ => Vp8lOptions(colorTransform = true, metaBits = 2)
+          }
+          val twin = Vp8lCodec.writeWebpPixels(2 * w0, 2 * h0,
+            patternPx(id, 2 * w0, 2 * h0), opts)
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** Perceptual near-dup across the WEBP boundary: real RIFF+VP8L bytes
+    * (canonical-prefix + transform-stack decode) against their PNG/BMP
+    * bases on exact 9×8 grid equality — [[imageSignatures]] shared
+    * verbatim with the PNG/BMP/GIF/JPEG families. */
+  def imageWebpNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val rasters = imageSignatures(imageWebpVariantPayloads(spark, dir))
+      .trackPersist()
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.grid") === col("b.grid"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.format").as("format_a"), col("b.format").as("format_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imageWebpNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
+       |       'webp' AS format_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   // --------------------------------------------------- MP4 box census
 
   /** Formula-built MP4 containers, one per document: brand, mvhd

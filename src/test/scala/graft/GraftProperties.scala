@@ -276,7 +276,7 @@ object GraftProperties extends Properties("graft") {
   // junk and single-byte-corrupted valid payloads of each format
   property("round-9 codecs never throw on random or bit-flipped payloads") = {
     import graft.functions.{FlacCodec, GifCodec, IsoBmff, JpegCodec,
-      OggCodec, PdfCodec, WebpCodec}
+      OggCodec, PdfCodec, Vp8lCodec, WebpCodec}
     val junk = Gen.chooseNum(0, 160).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray)
     val flipped = for {
@@ -290,7 +290,9 @@ object GraftProperties extends Properties("graft") {
         case 1 => JpegCodec.writeJpegProgressive(10, 9,
           Array.fill(10 * 9 * 3)(55.toByte), 85, restartInterval = 2)
         case 2 => IsoBmff.writeMp4("isom", 600, 1200, 2, mvhdV1 = false)
-        case 3 => WebpCodec.writeLosslessHeader(33, 21)
+        case 3 => Vp8lCodec.writeWebpPixels(11, 8, (x, y) =>
+          ((x * 31 + y) % 256) * 0x010101,
+          Vp8lCodec.Vp8lOptions(subtractGreen = true, cacheBits = 3))
         case 4 => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"))
         case 5 => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"),
           flate = true)
@@ -306,6 +308,7 @@ object GraftProperties extends Properties("graft") {
       JpegCodec.samplingOf(bytes); JpegCodec.segmentTypes(bytes)
       IsoBmff.census(bytes)
       WebpCodec.meta(bytes)
+      Vp8lCodec.decodePixels(bytes); Vp8lCodec.decodeArgb(bytes)
       PdfCodec.meta(bytes); PdfCodec.extractText(bytes)
       FlacCodec.meta(bytes); OggCodec.meta(bytes)
       graft.ops.Archives.tarMembersOf(bytes)

@@ -765,4 +765,111 @@ class Round9OpsSpec extends SparkSpec {
     val t2 = twice.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(t1 == t2, "cleaned text must be byte-identical under re-cleaning")
   }
+
+  // ---------------------------------------------------- WebP VP8L codec
+
+  private def colorPx(x: Int, y: Int): Int =
+    (((x * 31 + y * 7) % 256) << 16) | (((x * 13 + y * 3) % 256) << 8) |
+      ((x * 5 + y * 11) % 256)
+
+  private def palettePx(x: Int, y: Int): Int =
+    Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x808080,
+      0x123456)((x + 2 * y) % 7)
+
+  test("VP8L round-trips exactly through every encoder path") {
+    import graft.functions.Vp8lCodec
+    import graft.functions.Vp8lCodec.Vp8lOptions
+    val opts = Seq(
+      "plain" -> Vp8lOptions(),
+      "nolz" -> Vp8lOptions(useLz77 = false),
+      "subg" -> Vp8lOptions(subtractGreen = true),
+      "pred" -> Vp8lOptions(predictor = true),
+      "ctx" -> Vp8lOptions(colorTransform = true),
+      "all3" -> Vp8lOptions(subtractGreen = true, predictor = true,
+        colorTransform = true),
+      "cache" -> Vp8lOptions(cacheBits = 6),
+      "mapd" -> Vp8lOptions(mapDistances = true),
+      "meta" -> Vp8lOptions(metaBits = 2),
+      "kitchen" -> Vp8lOptions(subtractGreen = true, predictor = true,
+        cacheBits = 4, mapDistances = true, metaBits = 3))
+    for ((w, h) <- Seq((1, 1), (1, 7), (7, 1), (9, 9), (16, 16), (24, 17),
+           (64, 48), (300, 5));
+         (name, o) <- opts) {
+      val argb = Array.tabulate(w * h)(i =>
+        0xff000000 | colorPx(i % w, i / w))
+      val bytes = Vp8lCodec.encode(w, h, argb, o)
+      val got = Vp8lCodec.decodeArgb(bytes)
+      assert(got.isDefined, s"$name ${w}x$h failed to decode")
+      val (gw, gh, px) = got.get
+      assert(gw == w && gh == h, s"$name ${w}x$h dims")
+      assert(java.util.Arrays.equals(px, argb),
+        s"$name ${w}x$h pixel mismatch")
+    }
+  }
+
+  test("VP8L palette path round-trips; run-heavy content exercises LZ77+cache") {
+    import graft.functions.Vp8lCodec
+    import graft.functions.Vp8lCodec.Vp8lOptions
+    for ((w, h) <- Seq((9, 9), (17, 5), (33, 12), (64, 48), (2, 2), (1, 300))) {
+      val argb = Array.tabulate(w * h)(i =>
+        0xff000000 | palettePx(i % w, i / w))
+      val bytes = Vp8lCodec.encode(w, h, argb, Vp8lOptions(palette = true))
+      val got = Vp8lCodec.decodeArgb(bytes)
+      assert(got.isDefined, s"palette ${w}x$h")
+      assert(java.util.Arrays.equals(got.get._3, argb), s"palette ${w}x$h px")
+    }
+    // long constant runs: copies span group boundaries and fill the cache
+    val (w, h) = (40, 40)
+    val runs = Array.tabulate(w * h)(i =>
+      0xff000000 | (if ((i / 97) % 2 == 0) 0x3355aa else 0xddee11))
+    for (o <- Seq(Vp8lOptions(cacheBits = 8), Vp8lOptions(metaBits = 2),
+           Vp8lOptions(cacheBits = 2, mapDistances = true, metaBits = 2))) {
+      val got = Vp8lCodec.decodeArgb(Vp8lCodec.encode(w, h, runs, o))
+      assert(got.isDefined && java.util.Arrays.equals(got.get._3, runs))
+    }
+  }
+
+  test("WebP container: writeWebpPixels <-> decodePixels, ImageCodec dispatch, census interop") {
+    import graft.functions.{ImageCodec, Vp8lCodec, WebpCodec}
+    val (w, h) = (24, 18)
+    val bytes = Vp8lCodec.writeWebpPixels(w, h, colorPx)
+    // full-pixel decode through the shared dispatch
+    val p = ImageCodec.decodePixels(bytes).get
+    assert(p.format == "webp" && p.width == w && p.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val c = colorPx(x, y)
+      assert((p.rgb(o) & 0xff) == ((c >> 16) & 0xff) &&
+        (p.rgb(o + 1) & 0xff) == ((c >> 8) & 0xff) &&
+        (p.rgb(o + 2) & 0xff) == (c & 0xff), s"($x,$y)")
+    }
+    // the census parser agrees on the header bit layout (independent
+    // 14-bit-dims parse over the same bytes)
+    assert(WebpCodec.meta(bytes).contains(WebpCodec.WebpMeta("lossless", w, h)))
+    // lossy/extended census headers carry no VP8L pixels
+    assert(Vp8lCodec.decodePixels(WebpCodec.writeLossyHeader(10, 10)).isEmpty)
+    assert(Vp8lCodec.decodePixels(WebpCodec.writeExtendedHeader(10, 10)).isEmpty)
+  }
+
+  test("VP8L hostile input returns None, never throws") {
+    import graft.functions.Vp8lCodec
+    val good = Vp8lCodec.encode(16, 16,
+      Array.tabulate(256)(i => 0xff000000 | colorPx(i % 16, i / 16)))
+    assert(Vp8lCodec.decodeArgb(Array[Byte](0x2f, 0, 0)).isEmpty)
+    for (cut <- Seq(2, good.length / 4, good.length / 2, good.length - 1))
+      assert(Vp8lCodec.decodeArgb(good.take(cut)).isEmpty, s"cut=$cut")
+    // hostile 16383x16383 dims: rejected by the pixel cap, no allocation
+    val hugeDims = good.clone()
+    hugeDims(1) = 0xff.toByte; hugeDims(2) = 0xff.toByte
+    hugeDims(3) = 0xff.toByte
+    assert(Vp8lCodec.decodeArgb(hugeDims).isEmpty)
+    // random corruption: decode must return (not throw) on every flip
+    val rng = new scala.util.Random(41)
+    for (_ <- 1 to 500) {
+      val b = good.clone()
+      b(1 + rng.nextInt(b.length - 1)) =
+        (rng.nextInt(256) & 0xff).toByte
+      Vp8lCodec.decodeArgb(b) // Some or None both fine; throwing is not
+    }
+  }
 }
