@@ -229,6 +229,81 @@ object ImageCodec {
       chunk("IEND", Array.empty[Byte])
   }
 
+  /** Write a real RGBA PNG (color type 6) with per-pixel content
+    * `px(x, y) -> 0xRRGGBB` and `alpha(x, y) -> 0..255` — the
+    * crawl-common color type [[decodePixels]] drops alpha from. */
+  def writePngRgbaPixels(width: Int, height: Int, px: (Int, Int) => Int,
+                         alpha: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = 1 + 4 * width
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val o = y * stride
+      raw(o) = 0 // filter: None
+      var x = 0
+      while (x < width) {
+        val c = px(x, y)
+        raw(o + 1 + 4 * x) = (c >>> 16).toByte
+        raw(o + 2 + 4 * x) = (c >>> 8).toByte
+        raw(o + 3 + 4 * x) = c.toByte
+        raw(o + 4 + 4 * x) = (alpha(x, y) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32Bytes(width) ++ be32Bytes(height) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Write a real palette PNG (color type 3, depth 8): the ≤256
+    * distinct `px` colors become the PLTE, pixels index into it. */
+  def writePngPalettePixels(width: Int, height: Int,
+                            px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val colors = (for (y <- 0 until height; x <- 0 until width)
+      yield px(x, y) & 0xffffff).distinct.sorted
+    require(colors.length <= 256, "palette needs <=256 colors")
+    val index = colors.zipWithIndex.toMap
+    val plte = new Array[Byte](3 * colors.length)
+    for (i <- colors.indices) {
+      plte(3 * i) = (colors(i) >>> 16).toByte
+      plte(3 * i + 1) = (colors(i) >>> 8).toByte
+      plte(3 * i + 2) = colors(i).toByte
+    }
+    val stride = 1 + width
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val o = y * stride
+      raw(o) = 0
+      var x = 0
+      while (x < width) {
+        raw(o + 1 + x) = index(px(x, y) & 0xffffff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32Bytes(width) ++ be32Bytes(height) ++
+      Array[Byte](8, 3, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+  }
+
   /** Write a real 24-bit BMP with per-pixel content — rows stored
     * BOTTOM-UP per the positive-height BMP contract (the solid-color
     * [[writeBmp]] is row-order-invariant, pattern content is not). */
@@ -293,18 +368,39 @@ object ImageCodec {
       case _: java.util.zip.DataFormatException => None
     }
 
+  /** PNG pixel decode for ALL FIVE color types a crawl sees at bit
+    * depth 8 (gray 0, truecolor 2, palette 3, gray+alpha 4, RGBA 6)
+    * plus palette at sub-byte depths 1/2/4. Alpha is dropped (the
+    * perceptual grid reads RGB); interlaced (Adam7) streams return
+    * None like every other unsupported shape. */
   private def decodePngPixels(b: Array[Byte]): Option[ImagePixels] = {
     if (be32(b, 8) != 13 ||
         !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
       return None
     val w = be32(b, 16); val h = be32(b, 20)
-    if (w <= 0 || h <= 0 || u8(b, 24) != 8 || u8(b, 25) != 2) return None
+    val depth = u8(b, 24); val ctype = u8(b, 25)
+    if (w <= 0 || h <= 0 || u8(b, 28) != 0) return None // no Adam7
+    // samples per pixel in the filtered stream
+    val spp = ctype match {
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    if (depth != 8 && !(ctype == 3 && (depth == 1 || depth == 2 ||
+      depth == 4))) return None
+    // filtered-row byte stride; filters step by whole bytes (bpp>=1)
+    val stride = ((w.toLong * spp * depth + 7) / 8).toInt
+    val bpp = math.max(1, spp * depth / 8)
     // crafted headers with huge dims would overflow the Int allocation
-    // sizes below (h*(1+3w)) into a NegativeArraySizeException — bound
-    // the raster in Long space before allocating anything
-    if (h.toLong * (1L + 3L * w) > Int.MaxValue) return None
+    // sizes below (h*(1+stride)) into a NegativeArraySizeException —
+    // bound the raster in Long space before allocating anything
+    if (h.toLong * (1L + stride) > Int.MaxValue ||
+      h.toLong * 3L * w > Int.MaxValue) return None
     // walk chunks, concatenating every IDAT (encoders may split them)
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var p = 8
     var done = false
     while (!done && p + 8 <= b.length) {
@@ -315,12 +411,16 @@ object ImageCodec {
       if (len < 0 || p.toLong + 12L + len > b.length) return None
       val typ = new String(b, p + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(b, p + 8, len)
+      if (typ == "PLTE") {
+        if (len % 3 != 0 || len > 768) return None
+        palette = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
+      }
       if (typ == "IEND") done = true
       p += 12 + len // length + type + data + crc
     }
+    if (ctype == 3 && palette == null) return None
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val stride = 3 * w
     val raw = new Array[Byte](h * (1 + stride))
     var off = 0
     while (!inflater.finished() && off < raw.length) {
@@ -330,9 +430,8 @@ object ImageCodec {
     }
     inflater.end()
     if (off != raw.length) return None
-    // reverse the per-row filters (spec §9: None/Sub/Up/Average/Paeth);
-    // bpp = 3 for truecolor-8
-    val out = new Array[Byte](h * stride)
+    // reverse the per-row filters (spec §9: None/Sub/Up/Average/Paeth)
+    val flt = new Array[Byte](h * stride)
     def paeth(a: Int, bb: Int, c: Int): Int = {
       val pp = a + bb - c
       val pa = math.abs(pp - a); val pb = math.abs(pp - bb)
@@ -347,9 +446,9 @@ object ImageCodec {
       var i = 0
       while (i < stride) {
         val x = u8(raw, ro + i)
-        val left = if (i >= 3) u8(out, oo + i - 3) else 0
-        val up = if (y > 0) u8(out, oo - stride + i) else 0
-        val ul = if (y > 0 && i >= 3) u8(out, oo - stride + i - 3) else 0
+        val left = if (i >= bpp) u8(flt, oo + i - bpp) else 0
+        val up = if (y > 0) u8(flt, oo - stride + i) else 0
+        val ul = if (y > 0 && i >= bpp) u8(flt, oo - stride + i - bpp) else 0
         val v = filter match {
           case 0 => x
           case 1 => x + left
@@ -358,8 +457,48 @@ object ImageCodec {
           case 4 => x + paeth(left, up, ul)
           case _ => return None
         }
-        out(oo + i) = v.toByte
+        flt(oo + i) = v.toByte
         i += 1
+      }
+      y += 1
+    }
+    // expand to row-major RGB
+    val out = new Array[Byte](h * 3 * w)
+    y = 0
+    while (y < h) {
+      val ro = y * stride
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        ctype match {
+          case 0 =>
+            val g = flt(ro + x)
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+          case 2 =>
+            out(o) = flt(ro + 3 * x)
+            out(o + 1) = flt(ro + 3 * x + 1)
+            out(o + 2) = flt(ro + 3 * x + 2)
+          case 3 =>
+            val idx =
+              if (depth == 8) u8(flt, ro + x)
+              else {
+                val perByte = 8 / depth
+                val shift = 8 - depth * (x % perByte + 1)
+                (u8(flt, ro + x / perByte) >> shift) & ((1 << depth) - 1)
+              }
+            if (3 * idx + 2 >= palette.length) return None
+            out(o) = palette(3 * idx)
+            out(o + 1) = palette(3 * idx + 1)
+            out(o + 2) = palette(3 * idx + 2)
+          case 4 =>
+            val g = flt(ro + 2 * x)
+            out(o) = g; out(o + 1) = g; out(o + 2) = g
+          case _ =>
+            out(o) = flt(ro + 4 * x)
+            out(o + 1) = flt(ro + 4 * x + 1)
+            out(o + 2) = flt(ro + 4 * x + 2)
+        }
+        x += 1
       }
       y += 1
     }

@@ -557,6 +557,62 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** PNG color-type twins: the truecolor base against a PALETTE-PNG
+    * (even ids) or RGBA-PNG (odd ids, formula alpha the decoder drops)
+    * re-encode at 2× — the two crawl-common PNG shapes beyond
+    * truecolor-8. Both decode through the same generalized PNG path
+    * ([[graft.functions.ImageCodec.decodePixels]]), losslessly, so the
+    * exact-grid near-dup semantics hold. */
+  def imagePngxVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPalettePixels,
+      writePngPixels, writePngRgbaPixels}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base =
+            if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
+            else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          val twin =
+            if (id % 2 == 0)
+              writePngPalettePixels(2 * w0, 2 * h0, patternPx(id, 2 * w0, 2 * h0))
+            else
+              writePngRgbaPixels(2 * w0, 2 * h0, patternPx(id, 2 * w0, 2 * h0),
+                (x, y) => (x * 3 + y * 5 + id.toInt) % 256)
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** Perceptual near-dup across PNG COLOR TYPES: palette and RGBA
+    * re-encodes against their truecolor bases on exact 9×8 grid
+    * equality — [[imageSignatures]] shared verbatim. */
+  def imagePngxNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val rasters = imageSignatures(imagePngxVariantPayloads(spark, dir))
+      .trackPersist()
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.grid") === col("b.grid"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.format").as("format_a"), col("b.format").as("format_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imagePngxNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
+       |       'png' AS format_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   // --------------------------------------------------- MP4 box census
 
   /** Formula-built MP4 containers, one per document: brand, mvhd

@@ -872,4 +872,127 @@ class Round9OpsSpec extends SparkSpec {
       Vp8lCodec.decodeArgb(b) // Some or None both fine; throwing is not
     }
   }
+
+  // ------------------------------------- PNG color types beyond RGB-8
+
+  test("PNG decode covers gray, palette (incl. sub-byte), gray+alpha, RGBA via ImageIO encoders") {
+    import graft.functions.ImageCodec
+    import java.awt.image.BufferedImage
+    val (w, h) = (23, 14)
+    def enc(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    def check(bytes: Array[Byte], name: String): Unit = {
+      val mine = ImageCodec.decodePixels(bytes).get
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(mine.format == "png" && mine.width == w && mine.height == h, name)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val c = ref.getRGB(x, y)
+        assert((mine.rgb(o) & 0xff) == ((c >> 16) & 0xff) &&
+          (mine.rgb(o + 1) & 0xff) == ((c >> 8) & 0xff) &&
+          (mine.rgb(o + 2) & 0xff) == (c & 0xff), s"$name ($x,$y)")
+      }
+    }
+    // grayscale (color type 0): compare RAW raster samples — getRGB on
+    // TYPE_BYTE_GRAY applies linear→sRGB color management, which our
+    // codec (like the GIF/VP8L ones) deliberately does not
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 11 + y * 5) % 256)
+    val gMine = ImageCodec.decodePixels(enc(gray)).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val g = (x * 11 + y * 5) % 256
+      assert((gMine.rgb(o) & 0xff) == g && (gMine.rgb(o + 1) & 0xff) == g &&
+        (gMine.rgb(o + 2) & 0xff) == g, s"gray8 ($x,$y)")
+    }
+    // gray+alpha (color type 4): hand-built chunks (no stock JDK writer)
+    locally {
+      val stride = 2 * w
+      val raw = new Array[Byte](h * (1 + stride))
+      for (y <- 0 until h; x <- 0 until w) {
+        raw(y * (1 + stride) + 1 + 2 * x) = ((x * 7 + y * 3) % 256).toByte
+        raw(y * (1 + stride) + 1 + 2 * x + 1) = ((x + y) % 256).toByte
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zbuf = new Array[Byte](raw.length + 64)
+      val zlen = defl.deflate(zbuf); defl.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+          (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        out.write(be32(data.length))
+        val body = typ.getBytes("US-ASCII") ++ data
+        out.write(body)
+        val crc = new java.util.zip.CRC32(); crc.update(body)
+        out.write(be32(crc.getValue.toInt))
+        out.toByteArray
+      }
+      def be32a(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+        (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      val ihdr = be32a(w) ++ be32a(h) ++ Array[Byte](8, 4, 0, 0, 0)
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+        0x1a, 0x0a) ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.empty)
+      val mine = ImageCodec.decodePixels(png).get
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(ref != null && mine.width == w && mine.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val g = (x * 7 + y * 3) % 256
+        assert((mine.rgb(o) & 0xff) == g && (mine.rgb(o + 1) & 0xff) == g &&
+          (mine.rgb(o + 2) & 0xff) == g, s"graya ($x,$y)")
+      }
+    }
+    // palette-8 (color type 3), 7 distinct colors
+    val pal = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff, 0xffffff,
+      0x808080, 0x123456)
+    val idx8 = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED,
+      new java.awt.image.IndexColorModel(8, pal.length,
+        pal.map(c => ((c >> 16) & 0xff).toByte),
+        pal.map(c => ((c >> 8) & 0xff).toByte),
+        pal.map(c => (c & 0xff).toByte)))
+    for (y <- 0 until h; x <- 0 until w)
+      idx8.setRGB(x, y, pal((x + 2 * y) % 7))
+    check(enc(idx8), "palette")
+    // binary palette (sub-byte depth: ImageIO writes depth 1 for a
+    // 2-entry color model)
+    val idx1 = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY,
+      new java.awt.image.IndexColorModel(1, 2,
+        Array(0x20.toByte, 0xe0.toByte), Array(0x40.toByte, 0xc0.toByte),
+        Array(0x60.toByte, 0xa0.toByte)))
+    for (y <- 0 until h; x <- 0 until w)
+      idx1.setRGB(x, y, if ((x + y) % 2 == 0) 0x204060 else 0xe0c0a0)
+    check(enc(idx1), "palette1")
+    // RGBA (color type 6): alpha dropped, RGB channels exact
+    val rgba = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      rgba.setRGB(x, y, (((x * 9 + y) % 256) << 24) |
+        (((x * 31 + y * 7) % 256) << 16) | (((x * 13 + y * 3) % 256) << 8) |
+        ((x * 5 + y * 11) % 256))
+    val rgbaBytes = enc(rgba)
+    val mine = ImageCodec.decodePixels(rgbaBytes).get
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rgbaBytes))
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val c = ref.getRGB(x, y) // ARGB; compare RGB only
+      assert((mine.rgb(o) & 0xff) == ((c >> 16) & 0xff) &&
+        (mine.rgb(o + 1) & 0xff) == ((c >> 8) & 0xff) &&
+        (mine.rgb(o + 2) & 0xff) == (c & 0xff), s"rgba ($x,$y)")
+    }
+    // truecolor-8 still decodes (regression) and Adam7 is rejected,
+    // not misdecoded: flip the IHDR interlace byte and fix nothing else
+    val rgb = ImageCodec.writePngPixels(w, h,
+      (x, y) => ((x * 31 + y * 7) % 256) * 0x010101)
+    assert(ImageCodec.decodePixels(rgb).isDefined)
+    val adam7 = rgb.clone(); adam7(28) = 1
+    assert(ImageCodec.decodePixels(adam7).isEmpty)
+  }
 }
