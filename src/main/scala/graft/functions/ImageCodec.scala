@@ -361,6 +361,10 @@ object ImageCodec {
       else if (bytes.length >= 20 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F')
         Vp8lCodec.decodePixels(bytes)
+      else if (bytes.length >= 8 &&
+          ((bytes(0) == 'I' && bytes(1) == 'I') ||
+           (bytes(0) == 'M' && bytes(1) == 'M')))
+        TiffCodec.decodePixels(bytes)
       else None
     } catch {
       case _: IndexOutOfBoundsException => None

@@ -557,6 +557,69 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** TIFF twins: the PNG/BMP base against a real TIFF re-encode at 2×
+    * — the scanned-document container. Per-doc
+    * [[graft.functions.TiffCodec.TiffOpts]] rotate over both byte
+    * orders, all three baseline compressions (none / LZW / PackBits),
+    * the horizontal predictor, gray vs RGB color space (the pattern is
+    * pure gray, so the gray path is exact too), BOTH grayscale
+    * polarities, and single- vs multi-strip blocking — the corpus
+    * decode crosses the whole baseline-TIFF surface. */
+  def imageTiffVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
+    import graft.functions.TiffCodec
+    import graft.functions.TiffCodec.TiffOpts
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base =
+            if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
+            else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          val opts = TiffOpts(
+            bigEndian = id % 2 == 0,
+            compression = Seq(1, 5, 32773)((id % 3).toInt),
+            predictor = id % 4 == 0,
+            gray = id % 5 < 2,
+            rowsPerStrip = Seq(4, 1000, 7, 1)((id % 4).toInt),
+            whiteIsZero = id % 10 == 1)
+          val twin = TiffCodec.writeTiffPixels(2 * w0, 2 * h0,
+            patternPx(id, 2 * w0, 2 * h0), opts)
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** Perceptual near-dup across the TIFF boundary: real strip-based
+    * TIFF decode (LZW/PackBits + predictor) against the PNG/BMP bases
+    * on exact 9×8 grid equality — [[imageSignatures]] shared verbatim
+    * with every other image family. */
+  def imageTiffNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val rasters = imageSignatures(imageTiffVariantPayloads(spark, dir))
+      .trackPersist()
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.grid") === col("b.grid"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.format").as("format_a"), col("b.format").as("format_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imageTiffNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
+       |       'tiff' AS format_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   /** PNG color-type twins: the truecolor base against a PALETTE-PNG
     * (even ids) or RGBA-PNG (odd ids, formula alpha the decoder drops)
     * re-encode at 2× — the two crawl-common PNG shapes beyond
@@ -1349,6 +1412,90 @@ object Multimodal {
   val audioNearDupOracle: String =
     s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b,
        |       1 AS channels_a, 2 AS channels_b
+       |FROM documents
+       |""".stripMargin
+
+  /** Per document, the mono WAV base and a FLAC re-encode twin: STEREO
+    * at HALF the gain (twin amplitudes are even, so the halving is
+    * exact and the wasted-bits path is reachable), compressed with
+    * per-doc [[graft.functions.FlacCodec.FlacOpts]] that rotate over
+    * every decoder path — all four stereo decorrelation modes, all nine
+    * subframe forms, both Rice parameter widths, escape partitions,
+    * wasted bits, multi-frame blocking, and both end-of-header
+    * blocksize/rate forms — so the corpus decode crosses the whole
+    * FLAC surface, not one happy path. */
+  def audioFlacVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.FlacCodec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val frames = 8 * ((id % 6).toInt + 2)
+          def amp(s: Int): Int =
+            audioNibbleAmp(id, (s.toLong * 8 / frames).toInt)
+          def signed(s: Int, a: Int): Short =
+            (if (s % 2 == 0) a else -a).toShort
+          val base = graft.functions.AudioCodec.writeWav(8000, 1, frames,
+            (s, _) => signed(s, amp(s)))
+          val opts = FlacCodec.FlacOpts(
+            blockSize = Seq(8, 16, 12, frames)((id % 4).toInt),
+            stereoMode = (id % 4).toInt,
+            subframe = (id % 9).toInt,
+            partOrder = (id % 3).toInt,
+            rice5 = id % 2 == 0,
+            escape = id % 5 == 0,
+            wasted = id % 3 == 0,
+            rateInHeader = id % 7 == 0,
+            blockSizeCode16 = id % 11 == 0)
+          val twin = FlacCodec.writeFlacPcm(8000, 2, frames,
+            (s, _) => signed(s, amp(s) / 2), opts)
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** PERCEPTUAL audio dedup across CONTAINERS: the WAV original and its
+    * FLAC re-master (stereo, half gain, losslessly compressed) collide
+    * on the normalized unit-time energy profile after REAL sample
+    * decode of both containers — byte-level hashing sees two unrelated
+    * blobs in two different formats. Same nominate-then-verify shape as
+    * [[audioNearDupQuery]]; the oracle predicts the twin pairs by
+    * formula. */
+  def audioFlacNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.{AudioCodec, FlacCodec}
+    val profiles = audioFlacVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val decoded =
+            AudioCodec.decodeSamples(bytes).map(s => ("wav", s)).orElse(
+              FlacCodec.decodePcm(bytes).map { f =>
+                ("flac", AudioCodec.AudioSamples(f.sampleRate, f.channels,
+                  f.samples.map(_.toShort)))
+              })
+          decoded.map { case (container, s) =>
+            val p = AudioCodec.normalizeProfile(AudioCodec.energyProfile8(s))
+            val fp = p.foldLeft(1125899906842597L)((h, x) => h * 31 + x)
+            (id, container, p.toSeq, fp)
+          }
+        }
+      }
+      .toDF("doc_id", "container", "profile", "fp")
+      .trackPersist() // both sides of the candidate self-join
+    profiles.as("a").join(profiles.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.profile") === col("b.profile"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.container").as("container_a"),
+        col("b.container").as("container_b"))
+  }
+
+  val audioFlacNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b,
+       |       'wav' AS container_a, 'flac' AS container_b
        |FROM documents
        |""".stripMargin
 

@@ -296,7 +296,10 @@ object GraftProperties extends Properties("graft") {
         case 4 => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"))
         case 5 => PdfCodec.writePdfWithText("1.5", Seq("a (b) \\c", "d"),
           flate = true)
-        case 6 => FlacCodec.writeFlacHeader(44100, 2, 16, 999L, tags = true)
+        case 6 => FlacCodec.writeFlacPcm(44100, 2, 48,
+          (s, c) => (s * 601 + c * 77 - 300).toShort,
+          FlacCodec.FlacOpts(blockSize = 16, stereoMode = 3, subframe = 4,
+            partOrder = 1, rice5 = true))
         case _ => OggCodec.writeOgg("vorbis", 2, 44100, 3, 100L)
       }
       val b = base.clone(); b(pos % b.length) = v.toByte; b
@@ -310,7 +313,9 @@ object GraftProperties extends Properties("graft") {
       WebpCodec.meta(bytes)
       Vp8lCodec.decodePixels(bytes); Vp8lCodec.decodeArgb(bytes)
       PdfCodec.meta(bytes); PdfCodec.extractText(bytes)
-      FlacCodec.meta(bytes); OggCodec.meta(bytes)
+      FlacCodec.meta(bytes); FlacCodec.decodePcm(bytes); OggCodec.meta(bytes)
+      graft.functions.TiffCodec.meta(bytes)
+      graft.functions.TiffCodec.decodePixels(bytes)
       graft.ops.Archives.tarMembersOf(bytes)
       graft.ops.Archives.warcRecordsOf(bytes)
       graft.ops.Archives.sniffCharset("text/html", bytes)
