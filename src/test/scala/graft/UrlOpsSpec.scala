@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.UrlOps
+
+/** URL canonicalization laws: the rule table case by case, idempotence,
+  * and the things canonicalization must NOT touch (non-default ports,
+  * https-vs-http, real params that merely look like trackers). */
+class UrlOpsSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(UrlOps.canonicalizeUrl(col("u"))).as[String]
+      .collect().toSeq
+  }
+
+  test("canonicalization rule table") {
+    val cases = Seq(
+      // lowercase scheme + host, default port, fragment, trailing slash
+      "HTTP://WWW.Example.COM:80/A/B/?b=2&a=1#frag" ->
+        "http://www.example.com/A/B?a=1&b=2",
+      // https default port
+      "HTTPS://Site.Org:443/x" -> "https://site.org/x",
+      // non-default port SURVIVES
+      "http://site.org:8080/x" -> "http://site.org:8080/x",
+      // https on 80 is not a default port
+      "https://site.org:80/x" -> "https://site.org:80/x",
+      // tracking params dropped, rest sorted; param order normalized
+      "http://a.com/p?utm_source=t&z=9&utm_medium=m&a=1&gclid=g&fbclid=f" ->
+        "http://a.com/p?a=1&z=9",
+      // params that merely CONTAIN utm aren't trackers
+      "http://a.com/p?myutm_source=keep&autm=2" ->
+        "http://a.com/p?autm=2&myutm_source=keep",
+      // all params tracked -> no query at all
+      "http://a.com/p?utm_source=x" -> "http://a.com/p",
+      // empty path -> /
+      "http://a.com" -> "http://a.com/",
+      "http://a.com/#top" -> "http://a.com/",
+      // path case preserved (paths are case-sensitive)
+      "http://a.com/CaseMatters" -> "http://a.com/CaseMatters",
+      // multiple trailing slashes collapse
+      "http://a.com/p///" -> "http://a.com/p",
+      // duplicate param keys both survive, sorted stably as strings
+      "http://a.com/p?a=2&a=1" -> "http://a.com/p?a=1&a=2")
+    val got = canon(cases.map(_._1): _*)
+    cases.zip(got).foreach { case ((in, want), actual) =>
+      assert(actual == want, s"canon($in)")
+    }
+  }
+
+  test("canonicalization is idempotent") {
+    val messy = Seq(
+      "HTTP://WWW.Example.COM:80/A/B/?b=2&a=1#frag",
+      "https://Site.Org:443/x?utm_source=1",
+      "http://a.com", "http://a.com/p?z=1&y=2&x=3")
+    val once = canon(messy: _*)
+    val twice = canon(once: _*)
+    assert(once == twice)
+  }
+
+  test("url dedup collapses every messy triple to one survivor") {
+    import spark.implicits._
+    val rows = UrlOps.urlDedupQuery(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs)        // every doc accounted for
+    assert(rows.forall { case (u, _, survivor) =>
+      !u.contains("utm") && !u.contains("#") && !u.contains(":80") &&
+        u.startsWith("http://www.example") && survivor % 3 == 0 })
+    assert(rows.count(_._2 == 3L) >= rows.length - 1) // last group may be short
+  }
+
+  test("domain cap reports totals and capped keeps per domain") {
+    import spark.implicits._
+    val rows = UrlOps.urlDomainCapQuery(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 7)
+    assert(rows.forall { case (d, total, kept) =>
+      d.matches("www\\.example[0-6]\\.com") && kept == math.min(total, 50L) })
+  }
+}
