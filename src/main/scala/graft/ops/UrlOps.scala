@@ -122,4 +122,160 @@ object UrlOps {
       |FROM documents
       |GROUP BY 1
       |""".stripMargin
+
+  // ------------------------------------------------- robots.txt policy
+
+  /** Synthesized robots.txt TEXT per domain (the fixture parses real
+    * file content, not pre-split rules): every domain disallows `/p`
+    * but allows the longer `/public/` prefix (longest-match must win),
+    * and even-numbered domains additionally disallow `/tmp/`. */
+  private def robotsTxt(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 7).map { d =>
+      val extra = if (d % 2 == 0) "Disallow: /tmp/\n" else ""
+      (s"www.example$d.com",
+        "User-agent: *\n# crawl policy\nDisallow: /p\n" +
+          s"Allow: /public/\n$extra")
+    }.toDF("domain", "robots")
+  }
+
+  /** Crawl-frontier URL fixture: four path sections per domain so the
+    * rule table discriminates (public/ private/ tmp/ img/). */
+  private def frontierUrls(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val section = element_at(
+      array(lit("public"), lit("private"), lit("tmp"), lit("img")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    docs
+      .withColumn("domain",
+        concat(lit("www.example"), (col("doc_id") % 7).cast("string"),
+          lit(".com")))
+      .withColumn("path",
+        concat(lit("/"), section, lit("/"), col("doc_id").cast("string")))
+  }
+
+  /** robots.txt policy filter — the gate every polite crawler applies
+    * before fetching. The robots FILES are parsed in-plan (line split,
+    * Allow/Disallow extraction — zero UDFs), broadcast-joined to the
+    * URL fact table (per-domain policies are dimension-sized next to a
+    * 100 TB frontier), prefix-matched with RFC 9309 longest-match
+    * semantics (Allow wins length ties), unmatched URLs allowed.
+    * Output: per-domain allowed/denied counts. Single-group (`*`)
+    * files only — agent-specific groups are out of fixture scope. */
+  def robotsFilterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rules = robotsTxt(spark)
+      .select(col("domain"), posexplode(split(col("robots"), "\n")))
+      .where(col("col").rlike("^(Allow|Disallow): "))
+      .select(col("domain"),
+        regexp_extract(col("col"), "^(Allow|Disallow): (.*)$", 1).as("verb"),
+        regexp_extract(col("col"), "^(Allow|Disallow): (.*)$", 2).as("rule_path"))
+    val urls = frontierUrls(spark, dir)
+    val matched = urls.join(broadcast(rules),
+        urls("domain") === rules("domain") &&
+          col("path").startsWith(col("rule_path")), "left")
+      .select(col("doc_id"), urls("domain"),
+        // longest rule wins; Allow outranks Disallow on equal length
+        when(col("verb").isNull, lit(null)).otherwise(struct(
+          length(col("rule_path")).as("l"),
+          when(col("verb") === "Allow", 1).otherwise(0).as("a")))
+          .as("m"))
+      .groupBy(col("doc_id"), col("domain"))
+      .agg(max(col("m")).as("best"))
+      .withColumn("allowed",
+        col("best").isNull || col("best.a") === 1)
+    matched.groupBy("domain")
+      .agg(count(when(col("allowed"), lit(1))).as("n_allowed"),
+        count(when(!col("allowed"), lit(1))).as("n_denied"))
+  }
+
+  val robotsFilterOracle: String =
+    """SELECT 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+      |       CAST(count(*) FILTER (WHERE
+      |         doc_id % 4 = 0                             -- /public/: Allow wins
+      |         OR doc_id % 4 = 3                          -- /img/: no rule
+      |         OR (doc_id % 4 = 2 AND doc_id % 7 % 2 = 1) -- /tmp/ on odd domains
+      |       ) AS BIGINT) AS n_allowed,
+      |       CAST(count(*) FILTER (WHERE
+      |         doc_id % 4 = 1                             -- /private/: Disallow /p
+      |         OR (doc_id % 4 = 2 AND doc_id % 7 % 2 = 0) -- /tmp/ on even domains
+      |       ) AS BIGINT) AS n_denied
+      |FROM documents
+      |GROUP BY 1
+      |""".stripMargin
+
+  // --------------------------------------------- redirect-chain resolve
+
+  /** Redirect edges by formula: blocks of 8 docs; block c chains
+    * positions 1..L-1 down toward head 8c (L = c%8 + 1, so chains up
+    * to 7 hops); every 11th block instead has docs 8c+1 ↔ 8c+2
+    * redirecting at each other (a loop) with the rest terminal. */
+  private def redirectEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val c = expr("doc_id DIV 8"); val p = col("doc_id") % 8
+    val len = c % 8 + 1
+    docs
+      .withColumn("dst",
+        when(c % 11 === 0,
+          when(p === 1, col("doc_id") + 1)
+            .when(p === 2, col("doc_id") - 1))
+        .otherwise(when(p >= 1 && p < len, col("doc_id") - 1)))
+      .where(col("dst").isNotNull)
+      .select(col("doc_id").as("src"), col("dst"))
+  }
+
+  /** Redirect-chain resolution by POINTER DOUBLING — the web-graph
+    * member of the log-round family ([[Dedup]]'s two-phase connected
+    * components): each round joins the reach-2ᵏ relation with itself,
+    * so 7-hop chains resolve in 3 shuffle rounds instead of 7, and at
+    * 100 TB the round count stays ⌈log₂ max-hops⌉ regardless of fact
+    * size. Per-round `localCheckpoint` bounds the self-join lineage
+    * (the plan-blowup class the incremental-ER fix measured). Loops —
+    * targets that still have outgoing edges after the rounds — are
+    * reported as `loop` with NULL resolution, the crawl-side rejects
+    * channel. */
+  def redirectResolveQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val edges = redirectEdges(spark, dir).trackPersist()
+    var reach = edges.select(col("src"), col("dst"),
+      lit(1L).as("hops"))
+    var k = 0
+    while (k < 3) { // 2^3 = 8 > max chain length 7
+      val a = reach.as("a"); val b = reach.as("b")
+      reach = a.join(b, col("a.dst") === col("b.src"), "left")
+        .select(col("a.src").as("src"),
+          coalesce(col("b.dst"), col("a.dst")).as("dst"),
+          (col("a.hops") + coalesce(col("b.hops"), lit(0L))).as("hops"))
+        .localCheckpoint()
+      k += 1
+    }
+    val loopDst = edges.select(col("src").as("open_src")).distinct()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    docs.join(reach, col("doc_id") === col("src"), "left")
+      .join(loopDst, col("dst") === col("open_src"), "left")
+      .select(col("doc_id"),
+        when(col("open_src").isNotNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("dst"), col("doc_id"))).as("final_doc"),
+        when(col("open_src").isNotNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("hops"), lit(0L))).as("n_hops"),
+        when(col("open_src").isNotNull, lit("loop"))
+          .otherwise(lit("ok")).as("verdict"))
+  }
+
+  val redirectResolveOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 8 AS c, doc_id % 8 AS p,
+      |         (doc_id // 8) % 8 + 1 AS len,
+      |         (doc_id // 8) % 11 = 0 AS is_loop_block
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN is_loop_block AND p IN (1, 2) THEN NULL
+      |            WHEN NOT is_loop_block AND p < len THEN 8 * c
+      |            ELSE doc_id END AS final_doc,
+      |       CASE WHEN is_loop_block AND p IN (1, 2) THEN NULL
+      |            WHEN NOT is_loop_block AND p < len THEN p
+      |            ELSE 0 END AS n_hops,
+      |       CASE WHEN is_loop_block AND p IN (1, 2) THEN 'loop'
+      |            ELSE 'ok' END AS verdict
+      |FROM d
+      |""".stripMargin
 }

@@ -78,4 +78,43 @@ class UrlOpsSpec extends SparkSpec {
     assert(rows.forall { case (d, total, kept) =>
       d.matches("www\\.example[0-6]\\.com") && kept == math.min(total, 50L) })
   }
+
+  test("robots filter: longest match wins, Allow beats Disallow on ties") {
+    import spark.implicits._
+    val rows = UrlOps.robotsFilterQuery(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 7)
+    // /public/ (Allow beats the shorter Disallow /p) and /img/ always
+    // pass; /private/ never does; /tmp/ passes only on odd domains
+    rows.foreach { case (d, allowed, denied) =>
+      val dn = d.stripPrefix("www.example").stripSuffix(".com").toInt
+      assert(allowed > 0 && denied > 0)
+      val total = allowed + denied
+      val tmpAllowed = dn % 2 == 1
+      // sections are uniform quarters up to rounding
+      assert(allowed >= (if (tmpAllowed) 3 else 2) * (total / 4) - 3,
+        s"$d allowed=$allowed denied=$denied")
+    }
+  }
+
+  test("redirect resolution: chains land on heads in 3 rounds, loops flagged") {
+    import spark.implicits._
+    val rows = UrlOps.redirectResolveQuery(spark, sf)
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (id, fin, hops, verdict) =>
+      val c = id / 8; val p = id % 8; val len = (c % 8) + 1
+      if (c % 11 == 0 && (p == 1 || p == 2)) {
+        assert(verdict == "loop" && fin.isEmpty && hops.isEmpty, s"doc $id")
+      } else if (c % 11 != 0 && p < len) {
+        assert(verdict == "ok" && fin.contains(8 * c) && hops.contains(p),
+          s"doc $id")
+      } else {
+        assert(verdict == "ok" && fin.contains(id) && hops.contains(0L),
+          s"doc $id")
+      }
+    }
+    assert(rows.count(_._4 == "loop") > 0)
+    assert(byId.size == rows.length)
+  }
 }
