@@ -1341,6 +1341,50 @@ object Multimodal {
        |FROM d
        |""".stripMargin
 
+  /** EXIF census over real JPEG bytes — the privacy-inventory pass a
+    * corpus needs BEFORE deciding what to scrub: camera make/model
+    * (hardware fingerprint), orientation, and whether a GPS sub-IFD is
+    * present (exact coordinates, the highest-severity field). Each doc
+    * carries a real JPEG with a real APP1 TIFF-structured EXIF block
+    * ([[graft.functions.ExifCodec.withExif]]); the census is a
+    * scan-shaped per-payload parse, map-only at any corpus size. */
+  def exifCensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ExifCodec, JpegCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val plain = JpegCodec.writeJpegPixels(w0, h0, 85,
+            patternPx(id, w0, h0))
+          val gps = if (id % 4 == 0)
+            Some(((id % 90).toInt, (id % 180).toInt)) else None
+          val jpeg = ExifCodec.withExif(plain, s"Cam${id % 5}",
+            s"M${id % 3}", (id % 8).toInt + 1, gps)
+          (id, jpeg)
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, jpeg) =>
+          graft.functions.ExifCodec.fromJpeg(jpeg).map { ex =>
+            (id, ex.make.getOrElse(""), ex.model.getOrElse(""),
+              ex.orientation.getOrElse(0), ex.hasGps)
+          }
+        }
+      }
+      .toDF("doc_id", "make", "model", "orientation", "has_gps")
+  }
+
+  val exifCensusOracle: String =
+    """SELECT doc_id,
+      |       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+      |       'M' || CAST(doc_id % 3 AS VARCHAR) AS model,
+      |       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+      |       doc_id % 4 = 0 AS has_gps
+      |FROM documents
+      |""".stripMargin
+
   // --------------------------------------------- perceptual audio dedup
 
   /** Window amplitude of the id-pattern stream: window 0 is a constant

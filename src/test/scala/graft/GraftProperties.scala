@@ -316,6 +316,7 @@ object GraftProperties extends Properties("graft") {
       FlacCodec.meta(bytes); FlacCodec.decodePcm(bytes); OggCodec.meta(bytes)
       graft.functions.TiffCodec.meta(bytes)
       graft.functions.TiffCodec.decodePixels(bytes)
+      graft.functions.ExifCodec.fromJpeg(bytes)
       graft.ops.Archives.tarMembersOf(bytes)
       graft.ops.Archives.warcRecordsOf(bytes)
       graft.ops.Archives.sniffCharset("text/html", bytes)
