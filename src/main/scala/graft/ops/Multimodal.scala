@@ -1543,6 +1543,62 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** Audio quality stats over REAL decoded samples — the audio-corpus
+    * analog of `q_text_quality`: clipping count (rail-pinned samples,
+    * the transcode-damage signal), digital-silence count, and peak
+    * amplitude, per document. Even docs arrive as PCM WAV, odd docs as
+    * compressed FLAC (the stats must see through the container), so
+    * this query also exercises [[graft.functions.FlacCodec.decodePcm]]
+    * on a second corpus shape. Scan-shaped decode + per-payload
+    * aggregation: map-only at any corpus size. */
+  def audioQualityQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{AudioCodec, FlacCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = 64
+          val c = (id % 16).toInt; val z = (id % 8).toInt
+          def sample(s: Int, ch: Int): Short =
+            if (s < c) (if (s % 2 == 0) 32767 else -32767).toShort
+            else if (s < c + z) 0.toShort
+            else {
+              val a = 1000 + (id % 50).toInt
+              (if (s % 2 == 0) a else -a).toShort
+            }
+          val bytes =
+            if (id % 2 == 0) AudioCodec.writeWav(8000, 1, frames, sample)
+            else FlacCodec.writeFlacPcm(8000, 1, frames, sample,
+              FlacCodec.FlacOpts(blockSize = 16,
+                subframe = (id % 9).toInt, rice5 = id % 3 == 0))
+          (id, bytes)
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val decoded = AudioCodec.decodeSamples(bytes).map(_.samples)
+            .orElse(FlacCodec.decodePcm(bytes).map(_.samples.map(_.toShort)))
+          decoded.map { s =>
+            val clipped = s.count(v => v == 32767 || v == -32767).toLong
+            val silent = s.count(_ == 0).toLong
+            val peak = s.foldLeft(0)((m, v) => math.max(m, math.abs(v.toInt)))
+            (id, s.length.toLong, clipped, silent, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_clipped", "n_silent", "peak")
+  }
+
+  val audioQualityOracle: String =
+    """SELECT doc_id,
+      |       CAST(64 AS BIGINT) AS n_samples,
+      |       CAST(doc_id % 16 AS BIGINT) AS n_clipped,
+      |       CAST(doc_id % 8 AS BIGINT) AS n_silent,
+      |       CAST(CASE WHEN doc_id % 16 > 0 THEN 32767
+      |                 ELSE 1000 + doc_id % 50 END AS INT) AS peak
+      |FROM documents
+      |""".stripMargin
+
   // --------------------------------------------- perceptual video dedup
 
   /** Per document, a REAL AVI whose frames are real rendered images

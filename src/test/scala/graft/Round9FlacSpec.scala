@@ -164,6 +164,19 @@ class Round9FlacSpec extends SparkSpec {
       m.bitsPerSample == 16 && m.totalSamples == 333 && !m.hasTags)
   }
 
+  test("audio quality stats see through both containers identically") {
+    import spark.implicits._
+    val rows = graft.ops.Multimodal.audioQualityQuery(spark, sf)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs)
+    rows.foreach { case (id, n, clipped, silent, peak) =>
+      assert(n == 64 && clipped == id % 16 && silent == id % 8 &&
+        peak == (if (id % 16 > 0) 32767 else 1000 + (id % 50).toInt),
+        s"doc $id (container ${if (id % 2 == 0) "wav" else "flac"})")
+    }
+  }
+
   test("flac near-dup: wav original and flac re-master collide on profile") {
     import spark.implicits._
     val rows = graft.ops.Multimodal.audioFlacNearDupQuery(spark, sf)
