@@ -108,11 +108,26 @@ object TiffCodec {
 
   // ------------------------------------------------------ pixel decode
 
-  /** Strip-based baseline decode → top-down RGB raster. */
+  /** Strip-based baseline decode of the first page. */
   def decodePixels(b: Array[Byte]): Option[ImageCodec.ImagePixels] =
+    decodePage(b, 0)
+
+  /** Decode page `page` of a (possibly multi-page) TIFF by walking the
+    * IFD chain. */
+  def decodePage(b: Array[Byte], page: Int): Option[ImageCodec.ImagePixels] =
     try {
+      if (page < 0 || page > 1000) return None
       val be = headerOrder(b) match { case Some(x) => x; case None => return None }
-      val ifdAt0 = u32(b, 4, be)
+      var ifdAt0 = u32(b, 4, be)
+      var skip = page
+      while (skip > 0) {
+        if (ifdAt0 < 8 || ifdAt0 + 2 > b.length) return None
+        val a0 = ifdAt0.toInt
+        val n0 = u16(b, a0, be)
+        if (a0 + 2 + 12 * n0 + 4 > b.length) return None
+        ifdAt0 = u32(b, a0 + 2 + 12 * n0, be)
+        skip -= 1
+      }
       if (ifdAt0 < 8 || ifdAt0 + 2 > b.length) return None
       val at = ifdAt0.toInt
       val nEntries = u16(b, at, be)
@@ -330,59 +345,71 @@ object TiffCodec {
     * layout, optional LZW/PackBits compression and horizontal
     * predictor. */
   def writeTiffPixels(width: Int, height: Int, px: (Int, Int) => Int,
-                      opts: TiffOpts = TiffOpts()): Array[Byte] = {
-    require(width > 0 && height > 0 && width.toLong * height <= (1 << 24),
-      s"bad dims ${width}x$height")
+                      opts: TiffOpts = TiffOpts()): Array[Byte] =
+    writeTiffPages(Seq((width, height, px)), opts)
+
+  /** Multi-page TIFF: one chained IFD per page (the scanned-document
+    * layout — page k's next-IFD pointer leads to page k+1). All pages
+    * share `opts`. */
+  def writeTiffPages(pages: Seq[(Int, Int, (Int, Int) => Int)],
+                     opts: TiffOpts = TiffOpts()): Array[Byte] = {
+    require(pages.nonEmpty, "no pages")
     require(opts.compression == 1 || opts.compression == 5 ||
       opts.compression == 32773, "bad compression")
+    pages.foreach { case (w, h, _) =>
+      require(w > 0 && h > 0 && w.toLong * h <= (1 << 24), s"bad dims ${w}x$h")
+    }
     val be = opts.bigEndian
     val spp = if (opts.gray) 1 else 3
     val photo = if (opts.gray) (if (opts.whiteIsZero) 0 else 1) else 2
-    val rps = math.max(1, math.min(opts.rowsPerStrip, height))
-    val nStrips = (height + rps - 1) / rps
-    val rowBytes = width * spp
-    val usePred = opts.predictor && opts.compression != 1
-    // raw strips
-    val strips = Array.tabulate(nStrips) { s =>
-      val rows = math.min(rps, height - s * rps)
-      val raw = new Array[Byte](rows * rowBytes)
-      var r = 0
-      while (r < rows) {
-        val y = s * rps + r
-        var x = 0
-        while (x < width) {
-          val c = px(x, y)
-          if (spp == 3) {
-            raw(r * rowBytes + 3 * x) = (c >>> 16).toByte
-            raw(r * rowBytes + 3 * x + 1) = (c >>> 8).toByte
-            raw(r * rowBytes + 3 * x + 2) = c.toByte
-          } else {
-            val g0 = (c >>> 16) & 0xff
-            raw(r * rowBytes + x) =
-              (if (photo == 0) 255 - g0 else g0).toByte
+    // pass 1: per-page strips + layout sizes
+    val pageStrips = pages.map { case (width, height, px) =>
+      val rps = math.max(1, math.min(opts.rowsPerStrip, height))
+      val nStrips = (height + rps - 1) / rps
+      val rowBytes = width * spp
+      val usePred = opts.predictor && opts.compression != 1
+      val strips = Array.tabulate(nStrips) { s =>
+        val rows = math.min(rps, height - s * rps)
+        val raw = new Array[Byte](rows * rowBytes)
+        var r = 0
+        while (r < rows) {
+          val y = s * rps + r
+          var x = 0
+          while (x < width) {
+            val c = px(x, y)
+            if (spp == 3) {
+              raw(r * rowBytes + 3 * x) = (c >>> 16).toByte
+              raw(r * rowBytes + 3 * x + 1) = (c >>> 8).toByte
+              raw(r * rowBytes + 3 * x + 2) = c.toByte
+            } else {
+              val g0 = (c >>> 16) & 0xff
+              raw(r * rowBytes + x) =
+                (if (photo == 0) 255 - g0 else g0).toByte
+            }
+            x += 1
           }
-          x += 1
+          r += 1
         }
-        r += 1
-      }
-      if (usePred) {
-        var r2 = rows - 1
-        while (r2 >= 0) {
-          var i = (r2 + 1) * rowBytes - 1
-          while (i >= r2 * rowBytes + spp) {
-            raw(i) = (raw(i) - raw(i - spp)).toByte
-            i -= 1
+        if (usePred) {
+          var r2 = rows - 1
+          while (r2 >= 0) {
+            var i = (r2 + 1) * rowBytes - 1
+            while (i >= r2 * rowBytes + spp) {
+              raw(i) = (raw(i) - raw(i - spp)).toByte
+              i -= 1
+            }
+            r2 -= 1
           }
-          r2 -= 1
+        }
+        opts.compression match {
+          case 1 => raw
+          case 32773 => packBits(raw)
+          case _ => lzwEncode(raw)
         }
       }
-      opts.compression match {
-        case 1 => raw
-        case 32773 => packBits(raw)
-        case _ => lzwEncode(raw)
-      }
+      (rps, strips)
     }
-    // layout: header(8) | strip data | aux arrays | IFD
+    // pass 2: emit — header | per page (strips | aux arrays | IFD)
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (be) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -392,49 +419,63 @@ object TiffCodec {
       else { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
     out.write(if (be) 'M' else 'I'); out.write(if (be) 'M' else 'I')
     w16(42)
-    val stripOffsets = new Array[Long](nStrips)
+    // layout math for every page up front so next-IFD pointers are known
+    val usePred = opts.predictor && opts.compression != 1
     var pos = 8L
-    var s = 0
-    while (s < nStrips) { stripOffsets(s) = pos; pos += strips(s).length; s += 1 }
-    // aux arrays after strip data
-    val bpsArrayAt = pos // SHORT[3] for RGB
-    if (spp == 3) pos += 6
-    val offArrayAt = pos
-    if (nStrips > 1) pos += 4L * nStrips
-    val cntArrayAt = pos
-    if (nStrips > 1) pos += 4L * nStrips
-    val ifdAt = pos
-    w32(ifdAt) // first-IFD pointer
-    s = 0
-    while (s < nStrips) { out.write(strips(s)); s += 1 }
-    if (spp == 3) { w16(8); w16(8); w16(8) }
-    if (nStrips > 1) {
-      var i = 0; while (i < nStrips) { w32(stripOffsets(i)); i += 1 }
-      i = 0; while (i < nStrips) { w32(strips(i).length.toLong); i += 1 }
+    val layouts = pages.indices.map { pi =>
+      val (rps, strips) = pageStrips(pi)
+      val nStrips = strips.length
+      val nEntries = 9 + (if (usePred) 1 else 0)
+      val stripOffsets = new Array[Long](nStrips)
+      var s = 0
+      while (s < nStrips) { stripOffsets(s) = pos; pos += strips(s).length; s += 1 }
+      val bpsArrayAt = pos
+      if (spp == 3) pos += 6
+      val offArrayAt = pos
+      if (nStrips > 1) pos += 4L * nStrips
+      val cntArrayAt = pos
+      if (nStrips > 1) pos += 4L * nStrips
+      val ifdAt = pos
+      pos += 2L + 12L * nEntries + 4L
+      (rps, strips, stripOffsets, bpsArrayAt, offArrayAt, cntArrayAt, ifdAt)
     }
-    // IFD: ascending tags
-    final case class Entry(tag: Int, typ: Int, cnt: Int, value: Long)
-    val entries = scala.collection.mutable.ArrayBuffer[Entry]()
-    entries += Entry(256, 4, 1, width.toLong)
-    entries += Entry(257, 4, 1, height.toLong)
-    if (spp == 3) entries += Entry(258, 3, 3, bpsArrayAt)
-    else entries += Entry(258, 3, 1, 8L)
-    entries += Entry(259, 3, 1, opts.compression.toLong)
-    entries += Entry(262, 3, 1, photo.toLong)
-    entries += Entry(273, 4, nStrips,
-      if (nStrips > 1) offArrayAt else stripOffsets(0))
-    entries += Entry(277, 3, 1, spp.toLong)
-    entries += Entry(278, 4, 1, rps.toLong)
-    entries += Entry(279, 4, nStrips,
-      if (nStrips > 1) cntArrayAt else strips(0).length.toLong)
-    if (usePred) entries += Entry(317, 3, 1, 2L)
-    w16(entries.length)
-    entries.foreach { en =>
-      w16(en.tag); w16(en.typ); w32(en.cnt.toLong)
-      if (en.typ == 3 && en.cnt == 1) { w16(en.value.toInt); w16(0) }
-      else w32(en.value)
+    w32(layouts.head._7) // first-IFD pointer
+    pages.indices.foreach { pi =>
+      val (width, height, _) = pages(pi)
+      val (rps, strips, stripOffsets, bpsArrayAt, offArrayAt, cntArrayAt, _) =
+        layouts(pi)
+      val nStrips = strips.length
+      var s = 0
+      while (s < nStrips) { out.write(strips(s)); s += 1 }
+      if (spp == 3) { w16(8); w16(8); w16(8) }
+      if (nStrips > 1) {
+        var i = 0; while (i < nStrips) { w32(stripOffsets(i)); i += 1 }
+        i = 0; while (i < nStrips) { w32(strips(i).length.toLong); i += 1 }
+      }
+      // IFD: ascending tags
+      final case class Entry(tag: Int, typ: Int, cnt: Int, value: Long)
+      val entries = scala.collection.mutable.ArrayBuffer[Entry]()
+      entries += Entry(256, 4, 1, width.toLong)
+      entries += Entry(257, 4, 1, height.toLong)
+      if (spp == 3) entries += Entry(258, 3, 3, bpsArrayAt)
+      else entries += Entry(258, 3, 1, 8L)
+      entries += Entry(259, 3, 1, opts.compression.toLong)
+      entries += Entry(262, 3, 1, photo.toLong)
+      entries += Entry(273, 4, nStrips,
+        if (nStrips > 1) offArrayAt else stripOffsets(0))
+      entries += Entry(277, 3, 1, spp.toLong)
+      entries += Entry(278, 4, 1, rps.toLong)
+      entries += Entry(279, 4, nStrips,
+        if (nStrips > 1) cntArrayAt else strips(0).length.toLong)
+      if (usePred) entries += Entry(317, 3, 1, 2L)
+      w16(entries.length)
+      entries.foreach { en =>
+        w16(en.tag); w16(en.typ); w32(en.cnt.toLong)
+        if (en.typ == 3 && en.cnt == 1) { w16(en.value.toInt); w16(0) }
+        else w32(en.value)
+      }
+      w32(if (pi + 1 < pages.length) layouts(pi + 1)._7 else 0L)
     }
-    w32(0L) // no next IFD
     out.toByteArray
   }
 

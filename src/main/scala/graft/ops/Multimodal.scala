@@ -1341,6 +1341,64 @@ object Multimodal {
        |FROM d
        |""".stripMargin
 
+  /** Multi-page TIFF page extraction — the scanned-document member of
+    * the per-frame family (GIF frames, AVI frames, PDF pages): each
+    * doc is a real chained-IFD TIFF whose page count and per-page
+    * pattern are formula-known; every page is strip-decoded (per-doc
+    * opts rotate over byte order, compression, predictor and strip
+    * blocking) and reduced to its 3×3 cell-gray sum, which the oracle
+    * reproduces arithmetically from the page id's nibbles. Scan-shaped:
+    * container walk + page decodes all inside one task. */
+  def tiffPagesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TiffCodec
+    import graft.functions.TiffCodec.TiffOpts
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val k = (id % 3).toInt + 1
+          val opts = TiffOpts(
+            bigEndian = id % 2 == 0,
+            compression = Seq(1, 5, 32773)((id % 3).toInt),
+            predictor = id % 4 == 0,
+            rowsPerStrip = Seq(4, 1000, 7)((id % 3).toInt))
+          val bytes = TiffCodec.writeTiffPages(
+            (0 until k).map(t => (w0, h0, patternPx(id * 4 + t, w0, h0) _)),
+            opts)
+          val nPages = TiffCodec.meta(bytes).map(_.nPages).getOrElse(0)
+          (0 until nPages).flatMap { t =>
+            TiffCodec.decodePage(bytes, t).map { p =>
+              // 3x3 cell centers carry the page id's nibbles exactly
+              var sum = 0L
+              for (cy <- 0 until 3; cx <- 0 until 3) {
+                val x = p.width / 6 + cx * (p.width / 3)
+                val y = p.height / 6 + cy * (p.height / 3)
+                sum += p.rgb(3 * (y * p.width + x)) & 0xff
+              }
+              (id, t, p.width, p.height, sum)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "page", "w", "h", "cells_sum")
+  }
+
+  val tiffPagesOracle: String = {
+    def cells(fid: String): String =
+      (0 until 9).map(k => s"((($fid) >> ${4 * k}) & 15) * 16 + 8")
+        .mkString(" + ")
+    (0 until 3).map { t =>
+      s"""SELECT doc_id, CAST($t AS INT) AS page,
+         |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w,
+         |       CAST(9 + 3 * (doc_id % 3) AS INT) AS h,
+         |       CAST(${cells(s"doc_id * 4 + $t")} AS BIGINT) AS cells_sum
+         |FROM documents WHERE doc_id % 3 + 1 > $t
+         |""".stripMargin
+    }.mkString("UNION ALL\n")
+  }
+
   /** EXIF census over real JPEG bytes — the privacy-inventory pass a
     * corpus needs BEFORE deciding what to scrub: camera make/model
     * (hardware fingerprint), orientation, and whether a GPS sub-IFD is

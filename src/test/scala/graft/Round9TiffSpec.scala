@@ -171,6 +171,55 @@ class Round9TiffSpec extends SparkSpec {
     assert(mm.nPages == 3 && mm.width == 8)
   }
 
+  test("multi-page: chained IFDs round-trip per page; ImageIO agrees") {
+    for (comp <- Seq(1, 5, 32773); be <- Seq(false, true)) {
+      val fs: Seq[(Int, Int, (Int, Int) => Int)] =
+        Seq((12, 9, rgbPx(1) _), (15, 6, rgbPx(2) _), (9, 9, rgbPx(3) _))
+      val bytes = TiffCodec.writeTiffPages(fs,
+        TiffOpts(bigEndian = be, compression = comp, rowsPerStrip = 4))
+      assert(TiffCodec.meta(bytes).exists(_.nPages == 3))
+      // our per-page decode
+      fs.zipWithIndex.foreach { case ((w, h, f), t) =>
+        val p = TiffCodec.decodePage(bytes, t).getOrElse(
+          fail(s"page $t comp=$comp be=$be"))
+        assert(p.width == w && p.height == h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val c = f(x, y); val o = 3 * (y * w + x)
+          assert((p.rgb(o) & 0xff) == ((c >>> 16) & 0xff) &&
+            (p.rgb(o + 1) & 0xff) == ((c >>> 8) & 0xff) &&
+            (p.rgb(o + 2) & 0xff) == (c & 0xff), s"page $t ($x,$y)")
+        }
+      }
+      assert(TiffCodec.decodePage(bytes, 3).isEmpty)
+      // ImageIO sees the same page count and page-1 pixels
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      rd.setInput(iis)
+      assert(rd.getNumImages(true) == 3)
+      val img1 = rd.read(1)
+      assert(img1.getWidth == 15 && img1.getHeight == 6)
+      for (y <- 0 until 6; x <- 0 until 15)
+        assert((img1.getRGB(x, y) & 0xffffff) == rgbPx(2)(x, y))
+      rd.dispose(); iis.close()
+    }
+  }
+
+  test("tiff pages query reduces every page to its formula cell sum") {
+    import spark.implicits._
+    val rows = graft.ops.Multimodal.tiffPagesQuery(spark, sf)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").as[Long].collect()
+    assert(rows.length == nDocs.map(id => (id % 3) + 1).sum)
+    rows.foreach { case (id, t, w, h, sum) =>
+      val fid = id * 4 + t
+      val want = (0 until 9).map(k => (((fid >> (4 * k)) & 15) * 16 + 8)).sum
+      assert(w == 9 + 3 * (id % 4) && h == 9 + 3 * (id % 3) && sum == want,
+        s"doc $id page $t")
+    }
+  }
+
   test("hostile input returns None, never throws") {
     val rnd = new scala.util.Random(42L)
     for (_ <- 0 until 300) {
