@@ -246,6 +246,122 @@ object PdfCodec {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** One extracted Image XObject: declared geometry, the filter that
+    * wrapped it (`dct` = embedded JPEG verbatim, `flate` = zlib'd raw
+    * RGB rows), and the UNWRAPPED payload (JPEG bytes / RGB bytes). */
+  final case class PdfImage(filter: String, width: Int, height: Int,
+                            payload: Array[Byte])
+
+  /** IMAGE EXTRACTION — the multimodal half of the stream-object walk:
+    * stream objects whose dictionary declares `/Subtype /Image` are
+    * collected in document order. `/DCTDecode` images come back as the
+    * verbatim JPEG bytes (how real PDFs embed photos — ready for
+    * [[JpegCodec.decodePixels]]); `/FlateDecode` images are inflated
+    * to raw 8-bit RGB rows per the declared geometry. Anything else
+    * (CCITT, JBIG2, JPX) is skipped — census material, not decodable
+    * here. A corrupt flate image rejects the document (None), same
+    * contract as [[extractPages]]. */
+  def extractImages(b: Array[Byte]): Option[Seq[PdfImage]] =
+    try {
+      if (meta(b).isEmpty) return None
+      val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val wRe = java.util.regex.Pattern.compile("/Width\\s+(\\d+)")
+      val hRe = java.util.regex.Pattern.compile("/Height\\s+(\\d+)")
+      val out = scala.collection.mutable.ArrayBuffer[PdfImage]()
+      var at = 0
+      var si = s.indexOf("stream", at)
+      while (si >= 0) {
+        var ds = si + 6
+        if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+        if (ds < s.length && s.charAt(ds) == '\n') {
+          ds += 1
+          val objAt = s.lastIndexOf(" obj", si)
+          val dict = s.substring(math.max(objAt, 0), si)
+          val lm = LengthRe.matcher(dict)
+          val declared = if (lm.find()) lm.group(1).toLongOption else None
+          val end = declared match {
+            case Some(len) if len >= 0 && ds.toLong + len <= b.length &&
+              { var p = ds + len.toInt
+                while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n')) p += 1
+                s.startsWith("endstream", p) } => ds + len.toInt
+            case _ => s.indexOf("endstream", ds)
+          }
+          if (end < 0) return Some(out.toSeq)
+          if (dict.contains("/Subtype /Image")) {
+            val wm = wRe.matcher(dict); val hm = hRe.matcher(dict)
+            if (wm.find() && hm.find()) {
+              val w = wm.group(1).toInt; val h = hm.group(1).toInt
+              val raw = java.util.Arrays.copyOfRange(b, ds, end)
+              if (w > 0 && h > 0 && w.toLong * h <= (1L << 24)) {
+                if (dict.contains("/DCTDecode"))
+                  out += PdfImage("dct", w, h, raw)
+                else if (dict.contains("/FlateDecode")) inflate(raw) match {
+                  case Some(rgb) if rgb.length == 3 * w * h =>
+                    out += PdfImage("flate", w, h, rgb)
+                  case _ => return None
+                }
+                // other filters: skipped, not decodable here
+              }
+            }
+          }
+          at = math.max(end, ds) + 9
+        } else at = si + 6
+        si = s.indexOf("stream", at)
+      }
+      Some(out.toSeq)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Fixture/writer twin of [[extractImages]]: one page per image,
+    * each drawing an Image XObject; `jpeg = Some(bytes)` embeds the
+    * JPEG verbatim under `/DCTDecode`, `jpeg = None` deflates the
+    * given raw RGB rows under `/FlateDecode`. */
+  def writePdfWithImages(version: String,
+      images: Seq[(Int, Int, Either[Array[Byte], Array[Byte]])]): Array[Byte] = {
+    // Left = raw RGB rows (flate), Right = JPEG bytes (dct)
+    val nPages = images.length
+    require(nPages >= 1 && nPages <= 999, s"bad image count $nPages")
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$version\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    for (k <- 0 until nPages)
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Contents ${3 + nPages + k} 0 R " +
+        s"/Resources << /XObject << /Im0 ${3 + 2 * nPages + k} 0 R >> >> >>")
+    for (_ <- images) {
+      val ops = "q 200 0 0 200 100 400 cm /Im0 Do Q"
+      obj(s"<< /Length ${ops.length} >>\nstream\n$ops\nendstream")
+    }
+    for ((w, h, img) <- images) {
+      val (filter, payload) = img match {
+        case Left(rgb) =>
+          require(rgb.length == 3 * w * h, "bad rgb size")
+          ("/FlateDecode", deflate(rgb))
+        case Right(jpeg) => ("/DCTDecode", jpeg)
+      }
+      val stream = new String(payload, iso)
+      obj(s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter $filter " +
+        s"/Length ${stream.length} >>\nstream\n$stream\nendstream")
+    }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(iso)
+  }
+
   /** Structurally complete single-tree PDF: catalog, pages root with
     * `nPages` kids, empty pages, correct xref offsets, trailer
     * (optionally with a standard-security-handler stub + /Encrypt). */

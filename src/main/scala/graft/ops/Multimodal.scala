@@ -1399,6 +1399,83 @@ object Multimodal {
     }.mkString("UNION ALL\n")
   }
 
+  /** PDF embedded-image extraction — the multimodal mining step for
+    * document corpora: real PDFs carry Image XObjects (even docs a
+    * verbatim-embedded JPEG under `/DCTDecode`, odd docs two zlib'd
+    * raw-RGB images under `/FlateDecode`), and the op walks the
+    * stream objects, unwraps each image, and PROVES decodability —
+    * DCT payloads must decode through [[graft.functions.JpegCodec]]
+    * (failed decodes drop the row and break the oracle's row count),
+    * lossless flate payloads are reduced to the 3×3 cell-gray sum the
+    * oracle recomputes from the image id's nibbles. Scan-shaped. */
+  def pdfImagesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{JpegCodec, PdfCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val k = (id % 2).toInt + 1
+          val images = (0 until k).map { t =>
+            val fid = id * 4 + t
+            val img: Either[Array[Byte], Array[Byte]] =
+              if (id % 2 == 0)
+                Right(JpegCodec.writeJpegPixels(w0, h0, 85,
+                  patternPx(fid, w0, h0)))
+              else {
+                val rgb = new Array[Byte](3 * w0 * h0)
+                for (y <- 0 until h0; x <- 0 until w0) {
+                  val g = (patternPx(fid, w0, h0)(x, y) >>> 16).toByte
+                  val o = 3 * (y * w0 + x)
+                  rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+                }
+                Left(rgb)
+              }
+            (w0, h0, img)
+          }
+          val pdf = PdfCodec.writePdfWithImages("1.7", images)
+          PdfCodec.extractImages(pdf).toSeq.flatten.zipWithIndex.flatMap {
+            case (im, t) =>
+              if (im.filter == "dct") {
+                // decodability is the gate: a failed JPEG decode drops
+                // the row and the oracle's row count catches it
+                JpegCodec.decodePixels(im.payload).map { _ =>
+                  (id, t, im.width, im.height, "dct", None: Option[Long])
+                }
+              } else {
+                var sum = 0L
+                for (cy <- 0 until 3; cx <- 0 until 3) {
+                  val x = im.width / 6 + cx * (im.width / 3)
+                  val y = im.height / 6 + cy * (im.height / 3)
+                  sum += im.payload(3 * (y * im.width + x)) & 0xff
+                }
+                Some((id, t, im.width, im.height, "flate", Some(sum)))
+              }
+          }
+        }
+      }
+      .toDF("doc_id", "img_index", "w", "h", "img_filter", "cells_sum")
+  }
+
+  val pdfImagesOracle: String = {
+    def cells(fid: String): String =
+      (0 until 9).map(k => s"((($fid) >> ${4 * k}) & 15) * 16 + 8")
+        .mkString(" + ")
+    (0 until 2).map { t =>
+      s"""SELECT doc_id, CAST($t AS INT) AS img_index,
+         |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w,
+         |       CAST(9 + 3 * (doc_id % 3) AS INT) AS h,
+         |       CASE WHEN doc_id % 2 = 0 THEN 'dct' ELSE 'flate' END
+         |         AS img_filter,
+         |       CASE WHEN doc_id % 2 = 0 THEN NULL
+         |            ELSE CAST(${cells(s"doc_id * 4 + $t")} AS BIGINT) END
+         |         AS cells_sum
+         |FROM documents WHERE doc_id % 2 + 1 > $t
+         |""".stripMargin
+    }.mkString("UNION ALL\n")
+  }
+
   /** EXIF census over real JPEG bytes — the privacy-inventory pass a
     * corpus needs BEFORE deciding what to scrub: camera make/model
     * (hardware fingerprint), orientation, and whether a GPS sub-IFD is

@@ -64,6 +64,33 @@ class ExifSpec extends SparkSpec {
     for (cut <- 0 until good.length by 3) ExifCodec.fromJpeg(good.take(cut))
   }
 
+  test("PDF image extraction: DCT payloads verbatim, flate pixels exact") {
+    import graft.functions.PdfCodec
+    val jpeg = plainJpeg()
+    val rgb = Array.tabulate(3 * 10 * 6)(i => ((i * 13) % 256).toByte)
+    val pdf = PdfCodec.writePdfWithImages("1.7", Seq(
+      (12, 9, Right(jpeg)), (10, 6, Left(rgb))))
+    assert(PdfCodec.meta(pdf).exists(_.nPages == 2))
+    val imgs = PdfCodec.extractImages(pdf).get
+    assert(imgs.length == 2)
+    assert(imgs(0).filter == "dct" && imgs(0).width == 12 &&
+      java.util.Arrays.equals(imgs(0).payload, jpeg))
+    assert(JpegCodec.decodePixels(imgs(0).payload).isDefined)
+    assert(imgs(1).filter == "flate" && imgs(1).width == 10 &&
+      java.util.Arrays.equals(imgs(1).payload, rgb))
+    // text-bearing PDFs report no images; image PDFs report no text
+    val textPdf = PdfCodec.writePdfWithText("1.5", Seq("hello"), flate = true)
+    assert(PdfCodec.extractImages(textPdf).get.isEmpty)
+    // hostile: truncations and bit flips never throw
+    val rnd = new scala.util.Random(11L)
+    for (cut <- 0 until pdf.length by 7) PdfCodec.extractImages(pdf.take(cut))
+    for (_ <- 0 until 200) {
+      val b = pdf.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      PdfCodec.extractImages(b)
+    }
+  }
+
   test("exif census matches the formula per doc") {
     import spark.implicits._
     val rows = graft.ops.Multimodal.exifCensusQuery(spark, sf)
