@@ -1014,4 +1014,65 @@ object TextAnalysis {
        |         AS repetition_ppm
        |FROM ex GROUP BY 1
        |""".stripMargin
+
+  // ------------------------------------------------ JSON-LD extraction
+
+  /** Structured-data mining from HTML — the schema.org harvest behind
+    * product/recipe/article datasets: documents embed
+    * `<script type="application/ld+json">` blocks, and the op extracts
+    * every block (regexp_extract_all over the raw markup), explodes
+    * them in order, and pulls typed fields out with get_json_object
+    * (`@type`, `name`, and `price` for Products). All codegen'd column
+    * expressions over one scan — zero UDFs, no shuffle, linear at any
+    * corpus size. The fixture varies block count per doc (none / one /
+    * two) so absent-data and multi-block paths are both gated. */
+  def jsonLdQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def block(t: Column): Column = {
+      val fid = col("doc_id") * 4 + t
+      val typ = element_at(
+        array(lit("Product"), lit("Article"), lit("Recipe")),
+        ((col("doc_id") + t) % 3 + 1).cast("int"))
+      concat(lit("<script type=\"application/ld+json\">"),
+        lit("{\"@type\": \""), typ, lit("\", \"name\": \"Item"),
+        fid.cast("string"),
+        when(typ === "Product",
+          concat(lit("\", \"price\": "), (fid % 100).cast("string"),
+            lit("}")))
+          .otherwise(lit("\"}")),
+        lit("</script>"))
+    }
+    val html = docs.withColumn("html", concat(
+      lit("<html><head><title>t</title>"),
+      when(col("doc_id") % 5 === 3, lit("")).otherwise(block(lit(0))),
+      when(col("doc_id") % 5 =!= 3 && col("doc_id") % 7 === 0,
+        block(lit(1))).otherwise(lit("")),
+      lit("</head><body><p>body</p></body></html>")))
+    html
+      .select(col("doc_id"), posexplode(regexp_extract_all(col("html"),
+        lit("<script type=\"application/ld\\+json\">(.*?)</script>"),
+        lit(1))))
+      .select(col("doc_id"), col("pos").cast("int").as("block_index"),
+        get_json_object(col("col"), "$['@type']").as("item_type"),
+        get_json_object(col("col"), "$.name").as("name"),
+        get_json_object(col("col"), "$.price").cast("int").as("price"))
+  }
+
+  val jsonLdOracle: String =
+    """SELECT doc_id, CAST(0 AS INT) AS block_index,
+      |       CASE doc_id % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Article'
+      |            ELSE 'Recipe' END AS item_type,
+      |       'Item' || CAST(doc_id * 4 AS VARCHAR) AS name,
+      |       CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 4) % 100 END
+      |            AS INT) AS price
+      |FROM documents WHERE doc_id % 5 <> 3
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS INT),
+      |       CASE (doc_id + 1) % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Article'
+      |            ELSE 'Recipe' END,
+      |       'Item' || CAST(doc_id * 4 + 1 AS VARCHAR),
+      |       CAST(CASE WHEN (doc_id + 1) % 3 = 0 THEN (doc_id * 4 + 1) % 100 END
+      |            AS INT)
+      |FROM documents WHERE doc_id % 5 <> 3 AND doc_id % 7 = 0
+      |""".stripMargin
 }
