@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.CdcChunker
+
+/** Binary-level dedup via content-defined chunking — the layer BELOW
+  * text dedup: raw crawl payloads (documents re-fetched behind new
+  * headers, mirrored archives, re-wrapped containers) share megabytes
+  * of bytes at DIFFERENT offsets, and neither whole-payload hashing
+  * nor fixed-block hashing sees any of it. Gear-CDC boundaries
+  * ([[graft.functions.CdcChunker]]) re-synchronize after an insertion,
+  * so the shared region chunks identically in both payloads and one
+  * equi-join on chunk digests surfaces every pair.
+  *
+  * Scale shape: chunking is a pure per-payload pass (map-only,
+  * embarrassingly parallel); only (doc_id, 16-byte digest) rows enter
+  * the shuffle — never payload bytes; the digest groupBy is
+  * map-side-combined and the pair join touches only digests that
+  * actually repeat (the unique-chunk long tail drops at the first
+  * aggregate). At 100 TB this is exactly the dedup pass object stores
+  * run, one corpus-linear shuffle of 16-byte keys.
+  *
+  * Fixture (formula-predictable, same device as the media twins): per
+  * document a 6 KiB pseudorandom content payload and a shifted twin —
+  * the SAME content behind a 37–137 byte header whose length is never
+  * ≡ 0 (mod any block size) — so fixed-block hashing finds zero shared
+  * blocks while CDC must recover every (id, id+twin) pair. The shared
+  * region is ≫ 2·MaxChunk + GearWindow, so the re-synchronization
+  * guarantee applies and detection is deterministic at every scale.
+  */
+object ChunkDedup {
+
+  private val TwinSpace = 1000000000L
+  private[graft] val ContentLen = 6144
+
+  /** SplitMix64 byte stream from a seed — the payload filler. */
+  private[graft] def prngBytes(seed: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var x = seed
+    var i = 0
+    while (i < n) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      var k = 0
+      while (k < 8 && i < n) { out(i) = (z >>> (8 * k)).toByte; i += 1; k += 1 }
+    }
+    out
+  }
+
+  private[graft] def headerLen(id: Long): Int = 37 + (id % 101).toInt
+
+  /** Per document: the raw payload and its shifted twin. */
+  def payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val content = prngBytes(id * 1009 + 7, ContentLen)
+          val header = prngBytes(id * 2017 + 13, headerLen(id))
+          Seq((id, content), (id + TwinSpace, header ++ content))
+        }
+      }
+  }
+
+  /** (doc_id, chunk_md5) rows — distinct per doc — for an arbitrary
+    * payload set; the reusable grain of the dedup join. */
+  def chunkIndexOf(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          CdcChunker.chunks(b).iterator.map { case (_, _, h) => (id, h) }
+        }
+      }
+      .toDF("doc_id", "chunk_md5")
+      .distinct()
+  }
+
+  /** Detected payload pairs sharing at least one content-defined
+    * chunk: (doc_a, doc_b), a < b. On the fixture this is exactly the
+    * twin pair set — the oracle predicts it by formula. */
+  def chunkDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val idx = chunkIndexOf(payloads(spark, dir))
+    // digests that appear in ≥2 docs — drops the unique long tail
+    // before any join (map-side-combined aggregate)
+    val shared = idx.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select(col("chunk_md5"))
+    val hits = idx.join(shared, "chunk_md5")
+    hits.as("x").join(hits.as("y"),
+        col("x.chunk_md5") === col("y.chunk_md5") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val chunkDedupOracle: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b
+       |FROM documents
+       |""".stripMargin
+}
