@@ -59,6 +59,107 @@ object Mp3Codec {
       case _: IndexOutOfBoundsException => None
     }
 
+  // ------------------------------------------------- ID3v2.3 frames
+  //
+  // The tag body the header census sizes but skips: ID3v2.3 frames are
+  // 4-byte id + 4-byte big-endian size (v2.4 uses syncsafe — both
+  // accepted on read) + 2 flag bytes + body. Text frames (T***) carry
+  // an encoding byte then text; COMM carries encoding + 3-byte
+  // language + NUL-terminated description + text. This is where the
+  // PII in an audio corpus actually lives (artist names, contact
+  // emails in comments, PRIV owner URLs), so the census walks it for
+  // real rather than treating the tag as opaque padding.
+
+  final case class Id3Frame(id: String, text: String)
+
+  /** Serialize an ID3v2.3 tag + frames. Text frames use ISO-8859-1
+    * (encoding byte 0); COMM gets language "eng" and an empty
+    * description. */
+  def writeId3(frames: Seq[Id3Frame], padding: Int = 0): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(f.id.length == 4, s"bad frame id ${f.id}")
+      val payload =
+        if (f.id == "COMM")
+          Array[Byte](0) ++ "eng".getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+            f.text.getBytes("ISO-8859-1")
+        else if (f.id == "PRIV")
+          f.text.getBytes("ISO-8859-1") ++ Array[Byte](0)
+        else Array[Byte](0) ++ f.text.getBytes("ISO-8859-1")
+      body.write(f.id.getBytes("US-ASCII"))
+      val n = payload.length
+      body.write((n >> 24) & 0xff); body.write((n >> 16) & 0xff)
+      body.write((n >> 8) & 0xff); body.write(n & 0xff)
+      body.write(0); body.write(0)
+      body.write(payload)
+    }
+    body.write(new Array[Byte](padding))
+    val tag = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(3); out.write(0); out.write(0)
+    val size = tag.length
+    require(size < (1 << 28), "tag too large")
+    out.write((size >> 21) & 0x7f); out.write((size >> 14) & 0x7f)
+    out.write((size >> 7) & 0x7f); out.write(size & 0x7f)
+    out.write(tag)
+    out.toByteArray
+  }
+
+  /** Walk the ID3v2 tag of an MP3 payload and return its frames
+    * (text decoded per frame family). v2.3 plain-BE and v2.4 syncsafe
+    * frame sizes are both handled; padding ends the walk; hostile
+    * input (truncated frames, sizes past the tag) returns None. */
+  def readId3(b: Array[Byte]): Option[Seq[Id3Frame]] =
+    try {
+      if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return None
+      val major = u8(b, 3)
+      val tagEnd = 10 + syncsafe(b, 6)
+      if (tagEnd > b.length) return None
+      val out = Seq.newBuilder[Id3Frame]
+      var p = 10
+      while (p + 10 <= tagEnd && b(p) != 0) {
+        val id = new String(b, p, 4, "US-ASCII")
+        if (!id.forall(c => c.isUpper || c.isDigit)) return None
+        val size =
+          if (major >= 4) syncsafe(b, p + 4)
+          else (u8(b, p + 4) << 24) | (u8(b, p + 5) << 16) |
+            (u8(b, p + 6) << 8) | u8(b, p + 7)
+        if (size < 0 || p + 10 + size > tagEnd) return None
+        val body = java.util.Arrays.copyOfRange(b, p + 10, p + 10 + size)
+        val text =
+          if (id == "COMM" && body.length >= 4) {
+            val rest = body.drop(4)
+            val nul = rest.indexOf(0: Byte)
+            new String(rest.drop(nul + 1), "ISO-8859-1")
+          } else if (id == "PRIV") {
+            val nul = body.indexOf(0: Byte)
+            new String(body, 0, if (nul < 0) body.length else nul, "ISO-8859-1")
+          } else if (body.length >= 1 && body(0) == 0)
+            new String(body, 1, body.length - 1, "ISO-8859-1")
+          else new String(body, "ISO-8859-1")
+        out += Id3Frame(id, text)
+        p += 10 + size
+      }
+      Some(out.result())
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: RuntimeException => None
+    }
+
+  /** Fixture: a full MP3 payload — real ID3v2.3 tag + one MPEG1
+    * Layer III frame header + stub audio bytes. */
+  def writeMp3WithId3(frames: Seq[Id3Frame]): Array[Byte] = {
+    val tag = writeId3(frames)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(tag, 0, tag.length)
+    out.write(0xff); out.write(0xfb)
+    out.write((9 << 4) | (0 << 2))
+    out.write(0)
+    out.write(new Array[Byte](96))
+    out.toByteArray
+  }
+
   /** Minimal structurally-valid fixture: optional ID3v2 tag (syncsafe
     * size) + one MPEG1 Layer III frame header + stub frame bytes. */
   def writeMp3Header(bitrateIdx: Int, sampleRateIdx: Int,

@@ -1520,6 +1520,72 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  // ------------------------------------------------- ID3v2 privacy census
+
+  /** ID3v2 tag census over MP3 payloads — the audio twin of
+    * [[exifCensusQuery]]: walk the real v2.3 frame stream
+    * ([[graft.functions.Mp3Codec.readId3]]) and inventory where the
+    * personal data sits — title/artist/album identity, free-text
+    * comments (with an email-address count, the thing a privacy scrub
+    * has to find), and PRIV frames (application-private payloads,
+    * opaque and therefore always flagged). Map-only per-payload walk;
+    * at 100 TB this is a scan-shaped pass like every census here. */
+  def id3CensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Mp3Codec
+    import graft.functions.Mp3Codec.Id3Frame
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = Seq(
+            Id3Frame("TIT2", s"Track${id % 97}"),
+            Id3Frame("TPE1", s"Artist${id % 13}"),
+            Id3Frame("TALB", s"Album${id % 7}")) ++
+            (if (id % 3 == 0)
+              Seq(Id3Frame("COMM",
+                if (id % 6 == 0) s"session note user$id@mail.example"
+                else "session note"))
+            else Nil) ++
+            (if (id % 5 == 0)
+              Seq(Id3Frame("PRIV", s"com.example.listener/$id")) else Nil)
+          (id, Mp3Codec.writeMp3WithId3(frames))
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, mp3) =>
+          graft.functions.Mp3Codec.readId3(mp3).map { fs =>
+            def first(fid: String): String =
+              fs.find(_.id == fid).map(_.text).getOrElse("")
+            (id, first("TIT2"), first("TPE1"), first("TALB"), fs.size,
+              fs.exists(_.id == "COMM"),
+              fs.find(_.id == "COMM").map(_.text).getOrElse(""),
+              fs.exists(_.id == "PRIV"))
+          }
+        }
+      }
+      .toDF("doc_id", "title", "artist", "album", "n_frames",
+        "has_comment", "comment", "has_priv")
+      .select(col("doc_id"), col("title"), col("artist"), col("album"),
+        col("n_frames"),
+        col("has_comment"),
+        regexp_count(col("comment"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).cast("int").as("n_emails"),
+        col("has_priv"))
+  }
+
+  val id3CensusOracle: String =
+    """SELECT doc_id,
+      |       'Track' || CAST(doc_id % 97 AS VARCHAR) AS title,
+      |       'Artist' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+      |       'Album' || CAST(doc_id % 7 AS VARCHAR) AS album,
+      |       CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+      |              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_frames,
+      |       doc_id % 3 = 0 AS has_comment,
+      |       CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS INT) AS n_emails,
+      |       doc_id % 5 = 0 AS has_priv
+      |FROM documents
+      |""".stripMargin
+
   // --------------------------------------------- perceptual audio dedup
 
   /** Window amplitude of the id-pattern stream: window 0 is a constant

@@ -80,6 +80,65 @@ class Round9cOpsSpec extends SparkSpec {
     assert(rows.forall { case (a, b) => b == a + 1000000000L })
   }
 
+  // --------------------------------------------------- ID3v2 frames
+
+  test("ID3v2.3 frames round-trip through write/read") {
+    import graft.functions.Mp3Codec
+    import graft.functions.Mp3Codec.Id3Frame
+    val frames = Seq(
+      Id3Frame("TIT2", "A Song"), Id3Frame("TPE1", "Somebody"),
+      Id3Frame("COMM", "note with user7@mail.example inside"),
+      Id3Frame("PRIV", "com.example/owner"))
+    val mp3 = Mp3Codec.writeMp3WithId3(frames)
+    assert(Mp3Codec.readId3(mp3).contains(frames))
+    // header census still agrees on the tag size
+    val m = Mp3Codec.meta(mp3).get
+    assert(m.version == "1" && m.layer == 3)
+    assert(m.id3Size == Mp3Codec.writeId3(frames).length)
+    // padding after the last frame ends the walk cleanly
+    val padded = Mp3Codec.writeId3(frames, padding = 64)
+    assert(Mp3Codec.readId3(padded).contains(frames))
+  }
+
+  test("ID3v2.4 syncsafe frame sizes are read") {
+    import graft.functions.Mp3Codec
+    // hand-built v2.4 tag: one TIT2 frame of body length 200 (>127 so
+    // syncsafe vs plain-BE actually differ: 200 = 0x00C8 plain,
+    // 0x0148 syncsafe)
+    val text = "x" * 199
+    val body = Array[Byte](0) ++ text.getBytes("ISO-8859-1")
+    val n = body.length
+    assert(n == 200)
+    val frame = "TIT2".getBytes("US-ASCII") ++
+      Array[Byte](((n >> 21) & 0x7f).toByte, ((n >> 14) & 0x7f).toByte,
+        ((n >> 7) & 0x7f).toByte, (n & 0x7f).toByte, 0, 0) ++ body
+    val size = frame.length
+    val tag = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, ((size >> 21) & 0x7f).toByte,
+        ((size >> 14) & 0x7f).toByte, ((size >> 7) & 0x7f).toByte,
+        (size & 0x7f).toByte) ++ frame
+    val fs = Mp3Codec.readId3(tag).get
+    assert(fs == Seq(Mp3Codec.Id3Frame("TIT2", text)))
+  }
+
+  test("ID3 reader never throws on hostile input") {
+    import graft.functions.Mp3Codec
+    val rnd = new scala.util.Random(11)
+    val valid = Mp3Codec.writeMp3WithId3(
+      Seq(Mp3Codec.Id3Frame("TIT2", "t"), Mp3Codec.Id3Frame("COMM", "c")))
+    for (_ <- 1 to 300) {
+      val junk = Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      Mp3Codec.readId3(junk)
+      val flipped = valid.clone()
+      val i = rnd.nextInt(flipped.length)
+      flipped(i) = (flipped(i) ^ (1 << rnd.nextInt(8))).toByte
+      Mp3Codec.readId3(flipped) // may be None or Some, must not throw
+    }
+    // frame size pointing past the tag end → None, not a crash
+    val truncated = valid.take(14)
+    assert(Mp3Codec.readId3(truncated).isEmpty || truncated.length >= 20)
+  }
+
   test("CDC chunker never throws on junk") {
     val rnd = new scala.util.Random(3)
     for (_ <- 1 to 200) {
