@@ -1586,6 +1586,87 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  // ---------------------------------------------- MIME mismatch census
+
+  private val MimeFamilies = Array(
+    "image/png", "image/jpeg", "image/gif", "image/bmp", "image/webp",
+    "image/tiff", "audio/wav", "audio/flac", "audio/ogg", "audio/mpeg",
+    "video/mp4", "application/pdf", "application/gzip", "application/zip",
+    "text/html", "text/plain")
+
+  /** One REAL payload of family `id % 16`, exercising every container
+    * writer in the codec layer. */
+  private def mimePayload(id: Long): Array[Byte] = {
+    import graft.functions._
+    val c = ((id % 7) * 36).toInt
+    val px = (x: Int, y: Int) => (c << 16) | ((x * 16 & 0xff) << 8) | (y * 16 & 0xff)
+    (id % 16).toInt match {
+      case 0 => ImageCodec.writePng(8, 8, c.toByte, 2, 3)
+      case 1 => JpegCodec.writeJpegPixels(8, 8, 85, px)
+      case 2 => GifCodec.writeGifPixels(4, 4, px)
+      case 3 => ImageCodec.writeBmp(5, 5, c.toByte, 2, 3)
+      case 4 => WebpCodec.writeLosslessHeader(7, 9)
+      case 5 => TiffCodec.writeTiffPixels(6, 4, px)
+      case 6 => AudioCodec.writeWav(8000, 1, 16, (s, _) => (s * 100).toShort)
+      case 7 => FlacCodec.writeFlacHeader(8000, 1, 16, 100L, tags = false)
+      case 8 => OggCodec.writeOgg("vorbis", 1, 8000, 1, 100L)
+      case 9 => Mp3Codec.writeMp3Header(9, 0, 32)
+      case 10 => IsoBmff.writeMp4("isom", 1000L, 5000L, 1, mvhdV1 = false)
+      case 11 => PdfCodec.writePdf("1.4", 1, encrypted = false)
+      case 12 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(s"doc $id".getBytes("UTF-8")); g.close()
+        bos.toByteArray
+      case 13 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        z.putNextEntry(new java.util.zip.ZipEntry("doc.txt"))
+        z.write(s"doc $id".getBytes("UTF-8"))
+        z.closeEntry(); z.close()
+        bos.toByteArray
+      case 14 => s"<html><body>doc $id</body></html>".getBytes("UTF-8")
+      case _ => s"plain text doc $id".getBytes("UTF-8")
+    }
+  }
+
+  /** Declared-vs-sniffed Content-Type census — the "servers lie"
+    * hygiene pass: every payload is REAL bytes from one of the 16
+    * container writers, the declared header is wrong for the
+    * `id % 7 == 0` slice (it claims the NEXT family), and
+    * [[graft.functions.MimeSniff.sniff]] must recover the truth from
+    * magic bytes alone. Downstream routing (which decoder, which
+    * rejects channel) keys off `sniffed`, never `declared`; the
+    * mismatch flag is the governance metric. Map-only prefix peek —
+    * scan-shaped at 100 TB. */
+  def mimeMismatchQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val fam = (id % 16).toInt
+          val declared =
+            if (id % 7 == 0) MimeFamilies((fam + 1) % 16) else MimeFamilies(fam)
+          (id, declared, graft.functions.MimeSniff.sniff(mimePayload(id)))
+        }
+      }
+      .toDF("doc_id", "declared", "sniffed")
+      .select(col("doc_id"), col("declared"), col("sniffed"),
+        (col("declared") =!= col("sniffed")).as("mismatch"))
+  }
+
+  val mimeMismatchOracle: String = {
+    val fams = MimeFamilies.zipWithIndex
+      .map { case (m, i) => s"WHEN $i THEN '$m'" }.mkString(" ")
+    s"""SELECT doc_id,
+       |       CASE (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 16 + 1) % 16
+       |                  ELSE doc_id % 16 END) $fams END AS declared,
+       |       CASE doc_id % 16 $fams END AS sniffed,
+       |       doc_id % 7 = 0 AS mismatch
+       |FROM documents
+       |""".stripMargin
+  }
+
   // --------------------------------------------- perceptual audio dedup
 
   /** Window amplitude of the id-pattern stream: window 0 is a constant

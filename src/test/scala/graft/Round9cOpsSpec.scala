@@ -139,6 +139,30 @@ class Round9cOpsSpec extends SparkSpec {
     assert(Mp3Codec.readId3(truncated).isEmpty || truncated.length >= 20)
   }
 
+  // ------------------------------------------------- MIME sniffing
+
+  test("MIME sniff recovers every fixture family and is total") {
+    import graft.functions.MimeSniff
+    val rows = graft.ops.Multimodal.mimeMismatchQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.length == 500)
+    // sniffed is a pure function of id % 16 and covers all 16 families
+    assert(rows.map(_._3).distinct.length == 16)
+    rows.foreach { case (id, declared, sniffed, mismatch) =>
+      assert(mismatch == (id % 7 == 0), s"id $id")
+      assert((declared != sniffed) == mismatch, s"id $id")
+      assert(!sniffed.contains("octet-stream"), s"id $id sniffed $sniffed")
+    }
+    // total on junk
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 300)
+      MimeSniff.sniff(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+    assert(MimeSniff.sniff(Array.emptyByteArray) == "application/octet-stream")
+    assert(MimeSniff.sniff("   <p>hi".getBytes) == "text/html")
+    assert(MimeSniff.sniff("hello".getBytes) == "text/plain")
+    assert(MimeSniff.sniff(Array[Byte](0, 1, 2)) == "application/octet-stream")
+  }
+
   test("CDC chunker never throws on junk") {
     val rnd = new scala.util.Random(3)
     for (_ <- 1 to 200) {
