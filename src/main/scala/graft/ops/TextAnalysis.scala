@@ -1058,6 +1058,83 @@ object TextAnalysis {
         get_json_object(col("col"), "$.price").cast("int").as("price"))
   }
 
+  /** HTML `<table>` extraction into structured rows — the other half
+    * of web structured-data mining next to [[jsonLdQuery]]: pages
+    * carry relational data (specs, prices, schedules) in markup
+    * tables, and a training-data pipeline flattens them to
+    * (doc, table, row, cells) records. Nested non-greedy
+    * `regexp_extract_all` pulls table → tr → th/td; inner markup in a
+    * cell (the `<b>` wraps the fixture plants) is stripped before
+    * assembly. All codegen'd column expressions — the fixture itself
+    * is built from nested `transform(sequence(...))` HOFs (0–2 tables
+    * per doc, 2–4 rows, 2–3 cells, header rows as `<th>` on even
+    * tables) so the absent / single / multi paths are all gated.
+    * Zero UDFs, no shuffle, scan-linear at 100 TB. */
+  def htmlTablesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    def cellText(t: Column, r: Column, j: Column): Column =
+      concat(lit("c"), col("doc_id").cast("string"), lit("_"),
+        t.cast("string"), lit("_"), r.cast("string"), lit("_"),
+        j.cast("string"))
+    def tbl(t: Column): Column = {
+      val nr = lit(2L) + (col("doc_id") + t) % 3
+      val nc = lit(2L) + (col("doc_id") + t) % 2
+      concat(lit("<table class=\"data\">"),
+        array_join(transform(sequence(lit(0L), nr - 1), r =>
+          concat(lit("<tr>"),
+            array_join(transform(sequence(lit(0L), nc - 1), j => {
+              val tag = when(r === 0 && t % 2 === 0, lit("th"))
+                .otherwise(lit("td"))
+              val body = when(j === 1,
+                concat(lit("<b>"), cellText(t, r, j), lit("</b>")))
+                .otherwise(cellText(t, r, j))
+              concat(lit("<"), tag, lit(">"), body, lit("</"), tag, lit(">"))
+            }), ""),
+            lit("</tr>"))), ""),
+        lit("</table>"))
+    }
+    val html = docs.withColumn("html", concat(
+      lit("<html><body><nav><a href=\"/\">home</a></nav>"),
+      when(col("doc_id") % 3 >= 1, tbl(lit(0L))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 2, tbl(lit(1L))).otherwise(lit("")),
+      lit("<p>footer</p></body></html>")))
+    html
+      .select(col("doc_id"), posexplode(regexp_extract_all(col("html"),
+        lit("(?s)<table[^>]*>(.*?)</table>"), lit(1))))
+      .toDF("doc_id", "table_idx", "tbl")
+      .select(col("doc_id"), col("table_idx"),
+        posexplode(regexp_extract_all(col("tbl"),
+          lit("(?s)<tr[^>]*>(.*?)</tr>"), lit(1))))
+      .toDF("doc_id", "table_idx", "row_idx", "row_html")
+      .select(col("doc_id"),
+        col("table_idx").cast("int").as("table_idx"),
+        col("row_idx").cast("int").as("row_idx"),
+        regexp_extract_all(col("row_html"),
+          lit("(?s)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)).as("cells"))
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        size(col("cells")).cast("int").as("n_cells"),
+        array_join(transform(col("cells"),
+          c => regexp_replace(c, lit("<[^>]*>"), lit(""))), "|").as("row_text"))
+  }
+
+  val htmlTablesOracle: String =
+    """WITH tt AS (
+      |  SELECT doc_id, t
+      |  FROM documents, (VALUES (0), (1)) v(t)
+      |  WHERE doc_id % 3 > t),
+      |rr AS (
+      |  SELECT doc_id, t, r
+      |  FROM tt, unnest(generate_series(0, 1 + (doc_id + t) % 3)) u(r))
+      |SELECT doc_id, CAST(t AS INT) AS table_idx, CAST(r AS INT) AS row_idx,
+      |       CAST(2 + (doc_id + t) % 2 AS INT) AS n_cells,
+      |       array_to_string(list_transform(
+      |         generate_series(0, 1 + (doc_id + t) % 2),
+      |         j -> 'c' || CAST(doc_id AS VARCHAR) || '_' || CAST(t AS VARCHAR)
+      |              || '_' || CAST(r AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+      |         '|') AS row_text
+      |FROM rr
+      |""".stripMargin
+
   val jsonLdOracle: String =
     """SELECT doc_id, CAST(0 AS INT) AS block_index,
       |       CASE doc_id % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Article'

@@ -139,6 +139,27 @@ class Round9cOpsSpec extends SparkSpec {
     assert(Mp3Codec.readId3(truncated).isEmpty || truncated.length >= 20)
   }
 
+  // --------------------------------------------- HTML table extraction
+
+  test("HTML table rows flatten with inner markup stripped") {
+    val rows = graft.ops.TextAnalysis.htmlTablesQuery(spark, sf)
+      .filter(col("doc_id") === 5L).orderBy(col("table_idx"), col("row_idx"))
+      .collect()
+    // doc 5: 5 % 3 = 2 tables; table 0 has 2+(5+0)%3=4 rows of 2+(5+0)%2=3
+    // cells, table 1 has 2+(6)%3=2 rows of 2+6%2=2 cells
+    assert(rows.length == 4 + 2)
+    val first = rows.head
+    assert(first.getInt(3) == 3)
+    // cell j=1 is <b>-wrapped in the fixture; stripped on extraction
+    assert(first.getString(4) == "c5_0_0_0|c5_0_0_1|c5_0_0_2")
+    val t1 = rows.filter(_.getInt(1) == 1)
+    assert(t1.map(_.getString(4)).toSeq ==
+      Seq("c5_1_0_0|c5_1_0_1", "c5_1_1_0|c5_1_1_1"))
+    // doc with id % 3 == 0 has no tables at all
+    assert(graft.ops.TextAnalysis.htmlTablesQuery(spark, sf)
+      .filter(col("doc_id") === 3L).count() == 0)
+  }
+
   // ------------------------------------------------- MIME sniffing
 
   test("MIME sniff recovers every fixture family and is total") {
