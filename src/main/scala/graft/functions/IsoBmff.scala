@@ -93,6 +93,89 @@ object IsoBmff {
       case _: IndexOutOfBoundsException => None
     }
 
+  // --------------------------------------------------- per-track walk
+
+  final case class TrackMeta(handler: String, timescale: Long,
+                             duration: Long, nSamples: Long,
+                             totalBytes: Long, maxSample: Long) {
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+  }
+
+  /** Per-track census: walk moov → trak → mdia → (mdhd, hdlr, minf →
+    * stbl → stsz) and report the numbers a video-corpus governance
+    * pass sizes tracks by — handler type, media duration, sample
+    * count, and sample byte mass — all from the index boxes, never
+    * touching mdat. None on non-BMFF / malformed structure; a trak
+    * missing its index boxes contributes a row with zeros rather than
+    * poisoning the file (real crawls carry such stubs). */
+  def tracks(b: Array[Byte]): Option[Seq[TrackMeta]] =
+    try {
+      if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+      val out = Seq.newBuilder[TrackMeta]
+      var structOk = true
+      val ok = walk(b, 0L, b.length.toLong) { (typ, from, to) =>
+        if (typ == "moov") {
+          structOk &&= walk(b, from, to) { (child, cFrom, cTo) =>
+            if (child == "trak") {
+              var handler = ""
+              var ts = 0L
+              var dur = 0L
+              var n = 0L
+              var total = 0L
+              var mx = 0L
+              structOk &&= walk(b, cFrom, cTo) { (t2, f2, t2o) =>
+                if (t2 == "mdia") {
+                  structOk &&= walk(b, f2, t2o) { (t3, f3, t3o) =>
+                    t3 match {
+                      case "mdhd" if t3o - f3 >= 24 =>
+                        val v = b(f3.toInt) & 0xff
+                        if (v == 0) {
+                          ts = u32(b, f3.toInt + 12)
+                          dur = u32(b, f3.toInt + 16)
+                        } else if (v == 1 && t3o - f3 >= 32) {
+                          ts = u32(b, f3.toInt + 20)
+                          dur = u64(b, f3.toInt + 24)
+                        }
+                      case "hdlr" if t3o - f3 >= 12 =>
+                        handler = fourcc(b, f3.toInt + 8)
+                      case "minf" =>
+                        structOk &&= walk(b, f3, t3o) { (t4, f4, t4o) =>
+                          if (t4 == "stbl") {
+                            structOk &&= walk(b, f4, t4o) { (t5, f5, t5o) =>
+                              if (t5 == "stsz" && t5o - f5 >= 12) {
+                                val fixed = u32(b, f5.toInt + 4)
+                                n = u32(b, f5.toInt + 8)
+                                if (fixed != 0L) {
+                                  total = fixed * n; mx = if (n > 0) fixed else 0L
+                                } else if (t5o - f5 >= 12 + 4 * n) {
+                                  var j = 0
+                                  while (j < n) {
+                                    val sz = u32(b, f5.toInt + 12 + 4 * j)
+                                    total += sz
+                                    if (sz > mx) mx = sz
+                                    j += 1
+                                  }
+                                } else structOk = false
+                              }
+                            }
+                          }
+                        }
+                      case _ => ()
+                    }
+                  }
+                }
+              }
+              out += TrackMeta(handler, ts, dur, n, total, mx)
+            }
+          }
+        }
+      }
+      if (ok && structOk) Some(out.result()) else None
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
   // ------------------------------------------------------------- writer
 
   private def be32(v: Long): Array[Byte] =
@@ -130,5 +213,52 @@ object IsoBmff {
     val moov = box("moov", mvhd ++ traks)
     val mdat = box("mdat", Array.empty[Byte])
     ftyp ++ moov ++ mdat
+  }
+
+  final case class TrackSpec(handler: String, timescale: Long,
+                             duration: Long, sampleSizes: Seq[Long])
+
+  /** Formula-built MP4 with REAL per-track index boxes: each trak
+    * carries mdia → mdhd (v0), hdlr (handler type), minf → stbl →
+    * stsz (per-sample size table) + stts (one run of equal deltas) —
+    * everything [[tracks]] walks, structurally valid for any BMFF
+    * parser. */
+  def writeMp4Tracks(brand: String, timescale: Long, duration: Long,
+                     specs: Seq[TrackSpec]): Array[Byte] = {
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ be32(0L) ++ "isom".getBytes("US-ASCII"))
+    val mvhd = {
+      val p = new Array[Byte](100)
+      System.arraycopy(be32(timescale), 0, p, 12, 4)
+      System.arraycopy(be32(duration), 0, p, 16, 4)
+      p(99) = (specs.size + 1).toByte
+      box("mvhd", p)
+    }
+    val traks = specs.map { t =>
+      val mdhd = {
+        val p = new Array[Byte](24)
+        System.arraycopy(be32(t.timescale), 0, p, 12, 4)
+        System.arraycopy(be32(t.duration), 0, p, 16, 4)
+        p(20) = 0x55; p(21) = (0xc4 - 256).toByte // language "und"
+        box("mdhd", p)
+      }
+      val hdlr = box("hdlr",
+        new Array[Byte](8) ++ t.handler.getBytes("US-ASCII") ++
+          new Array[Byte](12) ++ Array[Byte](0))
+      val stsz = box("stsz",
+        new Array[Byte](4) ++ be32(0L) ++ be32(t.sampleSizes.size.toLong) ++
+          t.sampleSizes.flatMap(be32(_)).toArray)
+      val stts = box("stts",
+        new Array[Byte](4) ++ be32(1L) ++
+          be32(t.sampleSizes.size.toLong) ++
+          be32(if (t.sampleSizes.isEmpty) 0L
+            else t.duration / math.max(1L, t.sampleSizes.size.toLong)))
+      val stbl = box("stbl", stsz ++ stts)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", mdia)
+    }.foldLeft(Array.empty[Byte])(_ ++ _)
+    val moov = box("moov", mvhd ++ traks)
+    ftyp ++ moov ++ box("mdat", Array.empty[Byte])
   }
 }

@@ -728,6 +728,68 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  /** MP4 per-TRACK walk — one level deeper than [[mp4Census]]: trak →
+    * mdia → (mdhd, hdlr, minf → stbl → stsz) yields the numbers a
+    * video-corpus pass budgets by (which tracks exist, how many
+    * samples, how many bytes of media), still without touching mdat.
+    * Fixture: 1–3 tracks per doc with handler vide/soun/text and a
+    * per-sample size table derived from (doc_id, track, sample) — the
+    * oracle replays the sum/max by formula. Map-only index walk;
+    * scan-shaped at 100 TB. */
+  def mp4TracksQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IsoBmff
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val specs = (0 to (id % 3).toInt).map { k =>
+            val n = 5 + ((id + k) % 7).toInt
+            val handler = k match {
+              case 0 => "vide"; case 1 => "soun"; case _ => "text"
+            }
+            IsoBmff.TrackSpec(handler, 1000L, n * 400L,
+              (0 until n).map(j => 100L + (id + 31L * k + 7L * j) % 50))
+          }
+          (id, IsoBmff.writeMp4Tracks("isom", 600L, 7200L, specs))
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          graft.functions.IsoBmff.tracks(bytes).toSeq.flatMap { ts =>
+            ts.zipWithIndex.map { case (t, k) =>
+              (id, k, t.handler, t.nSamples, t.totalBytes, t.maxSample,
+                t.durationMs)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "track_idx", "handler", "n_samples", "total_bytes",
+        "max_sample", "duration_ms")
+      .select(col("doc_id"), col("track_idx").cast("int").as("track_idx"),
+        col("handler"), col("n_samples").cast("int").as("n_samples"),
+        col("total_bytes").cast("long").as("total_bytes"),
+        col("max_sample").cast("long").as("max_sample"),
+        col("duration_ms").cast("long").as("duration_ms"))
+  }
+
+  val mp4TracksOracle: String =
+    """WITH tr AS (
+      |  SELECT doc_id, k, 5 + (doc_id + k) % 7 AS n
+      |  FROM documents, unnest(generate_series(0, doc_id % 3)) u(k))
+      |SELECT doc_id, CAST(k AS INT) AS track_idx,
+      |       CASE k WHEN 0 THEN 'vide' WHEN 1 THEN 'soun' ELSE 'text' END
+      |         AS handler,
+      |       CAST(n AS INT) AS n_samples,
+      |       CAST(list_sum(list_transform(generate_series(0, n - 1),
+      |         j -> 100 + (doc_id + 31 * k + 7 * j) % 50)) AS BIGINT)
+      |         AS total_bytes,
+      |       CAST(list_max(list_transform(generate_series(0, n - 1),
+      |         j -> 100 + (doc_id + 31 * k + 7 * j) % 50)) AS BIGINT)
+      |         AS max_sample,
+      |       CAST(n * 400 AS BIGINT) AS duration_ms
+      |FROM tr
+      |""".stripMargin
+
   // ---------------------------------------------- GIF animation census
 
   /** Formula-built animated GIFs: (id%4)+2 frames, (id%7+1)·5 cs per

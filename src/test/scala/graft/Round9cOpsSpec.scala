@@ -160,6 +160,34 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).count() == 0)
   }
 
+  // ------------------------------------------------- MP4 track walk
+
+  test("MP4 per-track walk reads stsz/mdhd/hdlr and survives stubs") {
+    import graft.functions.IsoBmff
+    val mp4 = IsoBmff.writeMp4Tracks("isom", 600L, 7200L, Seq(
+      IsoBmff.TrackSpec("vide", 1000L, 4000L, Seq(100L, 150L, 120L)),
+      IsoBmff.TrackSpec("soun", 48000L, 96000L, Seq(64L, 64L))))
+    val ts = IsoBmff.tracks(mp4).get
+    assert(ts.length == 2)
+    assert(ts(0) == IsoBmff.TrackMeta("vide", 1000L, 4000L, 3L, 370L, 150L))
+    assert(ts(1).handler == "soun" && ts(1).durationMs == 2000L &&
+      ts(1).totalBytes == 128L)
+    // the old census still agrees on the track count
+    assert(IsoBmff.census(mp4).get.nTracks == 2)
+    // stub traks (no mdia) from the v0 writer → zero-rows, not None
+    val stub = IsoBmff.writeMp4("isom", 600L, 1230L, 2, mvhdV1 = false)
+    assert(IsoBmff.tracks(stub).get ==
+      Seq.fill(2)(IsoBmff.TrackMeta("", 0L, 0L, 0L, 0L, 0L)))
+    // hostile input: truncation and bit flips never throw
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      IsoBmff.tracks(mp4.take(rnd.nextInt(mp4.length)))
+      val f = mp4.clone(); val i = rnd.nextInt(f.length)
+      f(i) = (f(i) ^ (1 << rnd.nextInt(8))).toByte
+      IsoBmff.tracks(f)
+    }
+  }
+
   // ------------------------------------------------- MIME sniffing
 
   test("MIME sniff recovers every fixture family and is total") {
