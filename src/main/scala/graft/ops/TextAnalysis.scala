@@ -1135,6 +1135,74 @@ object TextAnalysis {
       |FROM rr
       |""".stripMargin
 
+  /** Subtitle (SRT / WebVTT) cue extraction — the text side of
+    * video-audio alignment: training pipelines pair media with its
+    * transcript cues, so the engine parses both wire formats into
+    * (doc, cue, start_ms, end_ms, text) rows. One cue-block
+    * `regexp_extract_all` (timestamp separator `,` SRT / `.` VTT
+    * accepted uniformly), then pure column timestamp arithmetic and
+    * markup stripping (VTT italic tags) — zero UDFs, one scan,
+    * per-payload linear. Fixture: 2–5 cues per doc, VTT (headered,
+    * index-free, dot separator, `<i>` wraps) for every third doc, SRT
+    * otherwise; every cell oracle-predicted. */
+  def subtitleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val vtt = col("doc_id") % 3 === 0
+    def two(c: Column): Column = lpad(c.cast("long").cast("string"), 2, "0")
+    def ts(ms: Column, sep: Column): Column =
+      concat(two(floor(ms / 3600000L)), lit(":"),
+        two(floor(ms % 3600000L / 60000L)),
+        lit(":"), two(floor(ms % 60000L / 1000L)), sep,
+        lpad((ms % 1000L).cast("string"), 3, "0"))
+    val n = lit(2L) + col("doc_id") % 4
+    val sep = when(vtt, lit(".")).otherwise(lit(","))
+    val body = array_join(transform(sequence(lit(0L), n - 1), i => {
+      val start = (col("doc_id") % 10) * 100L + i * 2500L
+      val end = start + 1200L + lit(100L) * ((col("doc_id") + i) % 5)
+      val text0 = concat(lit("line"), col("doc_id").cast("string"),
+        lit("_"), i.cast("string"))
+      val text = when(vtt && i % 3 === 1,
+        concat(lit("<i>"), text0, lit("</i>"))).otherwise(text0)
+      concat(
+        when(vtt, lit("")).otherwise(concat((i + 1).cast("string"), lit("\n"))),
+        ts(start, sep), lit(" --> "), ts(end, sep), lit("\n"), text)
+    }), "\n\n")
+    val payload = docs.withColumn("sub",
+      concat(when(vtt, lit("WEBVTT\n\n")).otherwise(lit("")), body))
+    def msOf(c: Column): Column =
+      substring(c, 1, 2).cast("long") * 3600000L +
+        substring(c, 4, 2).cast("long") * 60000L +
+        substring(c, 7, 2).cast("long") * 1000L +
+        substring(c, 10, 3).cast("long")
+    payload
+      .select(col("doc_id"),
+        when(vtt, lit("vtt")).otherwise(lit("srt")).as("format"),
+        posexplode(regexp_extract_all(col("sub"),
+          lit("(\\d{2}:\\d{2}:\\d{2}[,.]\\d{3} --> " +
+            "\\d{2}:\\d{2}:\\d{2}[,.]\\d{3}\\n[^\\n]*)"), lit(1))))
+      .toDF("doc_id", "format", "cue_idx", "cue")
+      .select(col("doc_id"), col("format"),
+        col("cue_idx").cast("int").as("cue_idx"),
+        msOf(regexp_extract(col("cue"),
+          "^(\\d{2}:\\d{2}:\\d{2}[,.]\\d{3})", 1)).as("start_ms"),
+        msOf(regexp_extract(col("cue"),
+          "--> (\\d{2}:\\d{2}:\\d{2}[,.]\\d{3})", 1)).as("end_ms"),
+        regexp_replace(regexp_extract(col("cue"), "\\n(.*)$", 1),
+          lit("<[^>]*>"), lit("")).as("text"))
+  }
+
+  val subtitleOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'vtt' ELSE 'srt' END AS format,
+      |       CAST(i AS INT) AS cue_idx,
+      |       CAST((doc_id % 10) * 100 + i * 2500 AS BIGINT) AS start_ms,
+      |       CAST((doc_id % 10) * 100 + i * 2500 + 1200
+      |            + 100 * ((doc_id + i) % 5) AS BIGINT) AS end_ms,
+      |       'line' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+      |         AS text
+      |FROM documents, unnest(generate_series(0, 1 + doc_id % 4)) u(i)
+      |""".stripMargin
+
   val jsonLdOracle: String =
     """SELECT doc_id, CAST(0 AS INT) AS block_index,
       |       CASE doc_id % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Article'

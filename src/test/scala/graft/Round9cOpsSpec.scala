@@ -160,6 +160,23 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).count() == 0)
   }
 
+  // ------------------------------------------------- subtitle parsing
+
+  test("SRT and VTT cues parse with markup stripped") {
+    val df = graft.ops.TextAnalysis.subtitleQuery(spark, sf)
+    val d0 = df.filter(col("doc_id") === 0L).orderBy(col("cue_idx")).collect()
+    // doc 0: VTT, 2 cues, starts at 0 and 2500
+    assert(d0.map(_.getString(1)).toSet == Set("vtt"))
+    assert(d0.map(_.getLong(3)).toSeq == Seq(0L, 2500L))
+    assert(d0.map(_.getString(5)).toSeq == Seq("line0_0", "line0_1"))
+    // cue 1 of a VTT doc is <i>-wrapped in the wire format; text is clean
+    assert(!d0(1).getString(5).contains("<"))
+    val d1 = df.filter(col("doc_id") === 1L).orderBy(col("cue_idx")).collect()
+    assert(d1.map(_.getString(1)).toSet == Set("srt"))
+    assert(d1.length == 3) // 2 + 1 % 4
+    assert(d1(0).getLong(3) == 100L && d1(0).getLong(4) == 100L + 1200L + 100L)
+  }
+
   // ------------------------------------------------- MP4 track walk
 
   test("MP4 per-track walk reads stsz/mdhd/hdlr and survives stubs") {
