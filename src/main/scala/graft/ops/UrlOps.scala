@@ -278,4 +278,81 @@ object UrlOps {
       |            ELSE 'ok' END AS verdict
       |FROM d
       |""".stripMargin
+
+  // ------------------------------------------------- sitemap frontier
+
+  /** Sitemap-driven crawl frontier — the discovery step between
+    * robots policy and fetching: parse each domain's sitemap.xml,
+    * compare against what's already crawled (canonical forms), and
+    * emit only the NEW URLs with their declared lastmod/priority
+    * hints. The fixture builds real sitemap XML per domain — every
+    * already-crawled page plus 2–4 formula-known new entries — so the
+    * parse → canonicalize → anti-join pipeline is exercised end to
+    * end and the oracle predicts exactly the new tail.
+    *
+    * Scale shape: sitemaps are domain-grain (sites, not pages); the
+    * anti-join is canonical-URL equi-join, corpus-linear; per-domain
+    * crawled counts ride the same small domain aggregate. Zero UDFs —
+    * XML assembly and parsing are regexp/HOF column expressions. */
+  def sitemapFrontierQuery(spark: SparkSession, dir: String): DataFrame = {
+    val crawled = messyUrl(spark, dir)
+      .withColumn("canonical_url", canonicalizeUrl(col("url")))
+      .select(col("canonical_url")).distinct()
+      .withColumn("domain", regexp_extract(col("canonical_url"),
+        "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
+    val dNum = regexp_extract(col("domain"), "example([0-9]+)", 1)
+      .cast("long")
+    val sitemaps = crawled.groupBy(col("domain"))
+      .agg(concat_ws("", sort_array(collect_list(
+        concat(lit("<url><loc>"), col("canonical_url"), lit("</loc></url>"))
+      ))).as("known_xml"),
+        count(lit(1)).as("n_known"))
+      .withColumn("new_xml", array_join(transform(
+        sequence(lit(0L), lit(1L) + dNum % 3), k =>
+          concat(lit("<url><loc>http://"), col("domain"), lit("/p/new_"),
+            dNum.cast("string"), lit("_"), k.cast("string"),
+            lit("</loc><lastmod>2025-01-"),
+            lpad((lit(1L) + dNum * 3 + k).cast("string"), 2, "0"),
+            lit("</lastmod><priority>0."),
+            (lit(5L) + k).cast("string"),
+            lit("</priority></url>"))), ""))
+      .withColumn("sitemap", concat(
+        lit("<?xml version=\"1.0\"?><urlset>"), col("known_xml"),
+        col("new_xml"), lit("</urlset>")))
+      .select(col("domain"), col("n_known"), col("sitemap"))
+    val entries = sitemaps
+      .select(col("domain"), col("n_known"),
+        explode(regexp_extract_all(col("sitemap"),
+          lit("<url>(.*?)</url>"), lit(1))).as("entry"))
+      .select(col("domain"), col("n_known"),
+        regexp_extract(col("entry"), "<loc>(.*?)</loc>", 1).as("url"),
+        regexp_extract(col("entry"), "<lastmod>(.*?)</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("entry"), "<priority>(.*?)</priority>", 1)
+          .as("priority"))
+    entries
+      .join(crawled.select(col("canonical_url")),
+        canonicalizeUrl(col("url")) === col("canonical_url"), "left_anti")
+      .select(col("domain"), col("url"), col("lastmod"), col("priority"),
+        col("n_known").cast("long").as("n_known"))
+  }
+
+  val sitemapFrontierOracle: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id // 3 AS grp FROM documents),
+      |d AS (
+      |  SELECT grp % 7 AS d, CAST(count(*) AS BIGINT) AS n_known
+      |  FROM g GROUP BY 1),
+      |k AS (
+      |  SELECT d, n_known, k
+      |  FROM d, unnest(generate_series(0, 1 + CAST(d % 3 AS BIGINT))) u(k))
+      |SELECT 'www.example' || CAST(d AS VARCHAR) || '.com' AS domain,
+      |       'http://www.example' || CAST(d AS VARCHAR) || '.com/p/new_'
+      |         || CAST(d AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS url,
+      |       '2025-01-' || lpad(CAST(1 + d * 3 + k AS VARCHAR), 2, '0')
+      |         AS lastmod,
+      |       '0.' || CAST(5 + k AS VARCHAR) AS priority,
+      |       n_known
+      |FROM k
+      |""".stripMargin
 }
