@@ -114,6 +114,85 @@ object TextAnalysis {
        |""".stripMargin
   }
 
+  /** Paragraph-grain language consistency — the code-switch filter:
+    * run the [[langid]] scorer per non-overlapping 25-token paragraph
+    * and flag documents whose paragraphs disagree (mixed-language
+    * pages are poison for monolingual training slices, and a
+    * doc-level language label hides them). TRUE dual implementation:
+    * the oracle replays slicing, scoring, and argmax in SQL rather
+    * than predicting from a planted fixture. Output per doc:
+    * paragraph count, distinct predicted languages, the majority
+    * prediction (ties alphabetical), and the mixed flag.
+    *
+    * Plan: one scan → paragraph explode (corpus-linear) → pure-column
+    * scoring → two hash aggregates on doc_id; the vote table is
+    * (docs × ≤6 languages), nothing wider ever shuffles. */
+  def mixedLangQuery(spark: SparkSession, dir: String): DataFrame = {
+    val P = 25
+    val base = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val paras = base.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0L),
+          ceil(size(col("tk")) / lit(P.toDouble)).cast("long") - 1),
+        i => slice(col("tk"), (i * P + 1).cast("int"), lit(P)))).as("ptk"))
+    val scored = paras.select(
+      col("doc_id") +:
+        langProfiles.map { case (l, ws) =>
+          vocabRatio(col("ptk"), ws).as(s"s_$l")
+        }: _*)
+    val votes = scored.select(col("doc_id"), langPredExpr.as("pred"))
+      .groupBy(col("doc_id"), col("pred"))
+      .agg(count(lit(1)).as("c"))
+    votes.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("int").as("n_paras"),
+        count(lit(1)).cast("int").as("n_langs"),
+        min(struct((-col("c")).as("nc"), col("pred").as("pred")))
+          .getField("pred").as("majority_lang"))
+      .withColumn("is_mixed", col("n_langs") > 1)
+  }
+
+  val mixedLangOracle: String = {
+    val names = langProfiles.map(_._1)
+    def sql(ws: Seq[String]) =
+      s"len(list_filter(ptk, x -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], x))) * 1.0 / len(ptk)"
+    val scores = langProfiles.map { case (l, ws) => s"${sql(ws)} AS s_$l" }
+    val caseArms = names.init.zipWithIndex.map { case (l, i) =>
+      val rest = names.drop(i + 1).map(r => s"s_$r")
+      s"WHEN s_$l >= greatest(${rest.mkString(",")}) THEN '$l'"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |         list_slice(tk, i * 25 + 1, least(i * 25 + 25, len(tk))) AS ptk
+       |  FROM t, unnest(generate_series(0,
+       |         CAST(ceil(len(tk) / 25.0) AS BIGINT) - 1)) u(i)),
+       |s AS (
+       |  SELECT doc_id, ${scores.mkString(",\n         ")}
+       |  FROM p),
+       |pr AS (
+       |  SELECT doc_id,
+       |         CASE WHEN greatest(${names.map("s_" + _).mkString(",")}) > 0
+       |              THEN CASE ${caseArms.mkString(" ")}
+       |                   ELSE '${names.last}' END
+       |              ELSE 'und' END AS pred
+       |  FROM s),
+       |v AS (SELECT doc_id, pred, count(*) AS c FROM pr GROUP BY 1, 2),
+       |r AS (
+       |  SELECT doc_id, pred, c,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY c DESC, pred) AS rn,
+       |         sum(c) OVER (PARTITION BY doc_id) AS np,
+       |         count(*) OVER (PARTITION BY doc_id) AS nl
+       |  FROM v)
+       |SELECT doc_id, CAST(np AS INT) AS n_paras, CAST(nl AS INT) AS n_langs,
+       |       pred AS majority_lang, nl > 1 AS is_mixed
+       |FROM r WHERE rn = 1
+       |""".stripMargin
+  }
+
   /** Confusion matrix of the [[langid]] heuristic against the corpus's
     * labeled `lang` column, with per-cell recall/precision in ppm — the
     * classifier-calibration audit run before TRUSTING a cheap lang-ID
