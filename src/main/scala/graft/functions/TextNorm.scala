@@ -75,3 +75,38 @@ object StripAccents {
       .replaceAll("")
   }
 }
+
+/** Confusable-skeleton normalization — the homoglyph layer of text
+  * dedup: spam and dedup-evasion rewrite documents by swapping Latin
+  * letters for visually identical Cyrillic/Greek codepoints, widening
+  * to fullwidth forms, and salting with zero-width characters, so
+  * byte-level and even NFC-normalized hashing sees unrelated strings.
+  * The skeleton folds a 1:1 subset of the public Unicode confusables
+  * table (the pairs that survive `lower()`) and deletes zero-width
+  * characters, all through one codegen'd `translate` — no UDF, no
+  * regex, scan-shaped at any corpus size. */
+object ConfusableSkeleton {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lower, translate}
+
+  // Cyrillic lowercase lookalikes (each survives lower()):
+  // a e o p c x y i s d q w
+  private val CyrFrom = "\u0430\u0435\u043e\u0440\u0441\u0445" +
+    "\u0443\u0456\u0455\u0501\u051b\u051d"
+  private val CyrTo = "aeopcxyisdqw"
+  // Greek lowercase lookalikes: omicron -> o, nu -> v
+  private val GreekFrom = "\u03bf\u03bd"
+  private val GreekTo = "ov"
+  // Fullwidth ASCII letters and digits
+  private val FwFrom =
+    ('\uff41' to '\uff5a').mkString + ('\uff10' to '\uff19').mkString
+  private val FwTo = ('a' to 'z').mkString + ('0' to '9').mkString
+  // NBSP folds to space; zero-width characters (listed past the end of
+  // the `to` string) are DELETED by translate
+  private val From = CyrFrom + GreekFrom + FwFrom + "\u00a0" +
+    "\u200b\u200c\u200d\ufeff"
+  private val To = CyrTo + GreekTo + FwTo + " "
+
+  /** Case-folded confusable skeleton of a string column. */
+  def skeleton(c: Column): Column = translate(lower(c), From, To)
+}

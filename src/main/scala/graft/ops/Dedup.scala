@@ -967,4 +967,43 @@ object Dedup {
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming
        |""".stripMargin
   }
+
+  // --------------------------------------------- homoglyph-evasion dedup
+
+  /** Confusable-skeleton dedup — catches the evasion twins byte/NFC
+    * hashing misses: documents rewritten with Cyrillic/Greek
+    * lookalikes, fullwidth forms, and zero-width salt collide once
+    * [[graft.functions.ConfusableSkeleton.skeleton]] folds them. The
+    * fixture plants one evasion twin per `id % 4 == 0` document
+    * (Latin a/e/o swapped to Cyrillic, a zero-width space prepended;
+    * base texts are uniquified with an id suffix so corpus-native
+    * clones don't enter the gate), and the oracle predicts exactly
+    * those pairs. One skeleton projection + one 16-byte-digest
+    * shuffle — the exact-dedup shape, corpus-linear at 100 TB. */
+  def skeletonDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val T = 1000000000L
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), lit(" uid"),
+        col("doc_id").cast("string")).as("t"))
+    val twins = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + T).as("doc_id"),
+        concat(lit("\u200b"),
+          translate(col("t"), "aeo", "\u0430\u0435\u043e")).as("t"))
+    val sk = base.unionByName(twins)
+      .select(col("doc_id"),
+        md5(graft.functions.ConfusableSkeleton.skeleton(col("t"))).as("k"))
+    val shared = sk.groupBy(col("k"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select(col("k"))
+    val hits = sk.join(shared, "k")
+    hits.as("x").join(hits.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val skeletonDedupOracle: String =
+    """SELECT doc_id AS doc_a, doc_id + 1000000000 AS doc_b
+      |FROM documents WHERE doc_id % 4 = 0
+      |""".stripMargin
 }

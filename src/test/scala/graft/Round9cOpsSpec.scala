@@ -160,6 +160,27 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).count() == 0)
   }
 
+  // --------------------------------------------- confusable skeleton
+
+  test("confusable skeleton folds homoglyphs, fullwidth, and zero-width") {
+    import spark.implicits._
+    import graft.functions.ConfusableSkeleton.skeleton
+    val rows = Seq(
+      "pаypаl alert",            // Cyrillic а
+      "ｐａｙｐａｌ alert", // fullwidth paypal
+      "paypal​ al‌ert",          // zero-width salt
+      "PAYPAL ALERT",                 // case + NBSP
+      "paypal alert",                      // clean
+      "paypal different")                  // must NOT collide
+      .toDF("t").select(skeleton(col("t")).as("s")).as[String].collect()
+    assert(rows.take(5).toSet == Set("paypal alert"))
+    assert(rows(5) == "paypal different")
+    // Greek omicron and nu
+    val g = Seq("cοnνοy").toDF("t")
+      .select(skeleton(col("t")).as("s")).as[String].collect()
+    assert(g.head == "convoy")
+  }
+
   // ------------------------------------------------- subtitle parsing
 
   test("SRT and VTT cues parse with markup stripped") {
