@@ -162,13 +162,18 @@ object UrlOps {
     * semantics (Allow wins length ties), unmatched URLs allowed.
     * Output: per-domain allowed/denied counts. Single-group (`*`)
     * files only — agent-specific groups are out of fixture scope. */
-  def robotsFilterQuery(spark: SparkSession, dir: String): DataFrame = {
-    val rules = robotsTxt(spark)
+  /** Parsed (domain, verb, rule_path) rules from the robots fixture —
+    * shared by the filter and the crawl-plan composition. */
+  private def robotsRules(spark: SparkSession): DataFrame =
+    robotsTxt(spark)
       .select(col("domain"), posexplode(split(col("robots"), "\n")))
       .where(col("col").rlike("^(Allow|Disallow): "))
       .select(col("domain"),
         regexp_extract(col("col"), "^(Allow|Disallow): (.*)$", 1).as("verb"),
         regexp_extract(col("col"), "^(Allow|Disallow): (.*)$", 2).as("rule_path"))
+
+  def robotsFilterQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rules = robotsRules(spark)
     val urls = frontierUrls(spark, dir)
     val matched = urls.join(broadcast(rules),
         urls("domain") === rules("domain") &&
@@ -309,7 +314,8 @@ object UrlOps {
         count(lit(1)).as("n_known"))
       .withColumn("new_xml", array_join(transform(
         sequence(lit(0L), lit(1L) + dNum % 3), k =>
-          concat(lit("<url><loc>http://"), col("domain"), lit("/p/new_"),
+          concat(lit("<url><loc>http://"), col("domain"),
+            when(k % 2 === 0, lit("/public/new_")).otherwise(lit("/p/new_")),
             dNum.cast("string"), lit("_"), k.cast("string"),
             lit("</loc><lastmod>2025-01-"),
             lpad((lit(1L) + dNum * 3 + k).cast("string"), 2, "0"),
@@ -347,12 +353,58 @@ object UrlOps {
       |  SELECT d, n_known, k
       |  FROM d, unnest(generate_series(0, 1 + CAST(d % 3 AS BIGINT))) u(k))
       |SELECT 'www.example' || CAST(d AS VARCHAR) || '.com' AS domain,
-      |       'http://www.example' || CAST(d AS VARCHAR) || '.com/p/new_'
+      |       'http://www.example' || CAST(d AS VARCHAR) || '.com'
+      |         || CASE WHEN k % 2 = 0 THEN '/public/new_' ELSE '/p/new_' END
       |         || CAST(d AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS url,
       |       '2025-01-' || lpad(CAST(1 + d * 3 + k AS VARCHAR), 2, '0')
       |         AS lastmod,
       |       '0.' || CAST(5 + k AS VARCHAR) AS priority,
       |       n_known
+      |FROM k
+      |""".stripMargin
+
+  /** Crawl PLAN — the composition a polite crawler actually runs:
+    * sitemap discovery ([[sitemapFrontierQuery]]) produces the new
+    * URLs, then the domain's robots policy (same longest-match RFC
+    * 9309 semantics as [[robotsFilterQuery]], broadcast rules) decides
+    * which of them may be fetched. Emits every frontier URL with its
+    * verdict so the denied share is auditable, not silently dropped.
+    * The fixture's frontier alternates `/public/` (Allow wins the
+    * length tie against `Disallow: /p`) and `/p/` (denied) paths, so
+    * both verdicts are exercised on every domain. */
+  def crawlPlanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val frontier = sitemapFrontierQuery(spark, dir)
+      .select(col("domain"), col("url"), col("priority"),
+        regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+          .as("path"))
+    val rules = robotsRules(spark)
+      .withColumnRenamed("domain", "r_domain")
+    frontier.join(broadcast(rules),
+        frontier("domain") === col("r_domain") &&
+          col("path").startsWith(col("rule_path")), "left")
+      .select(col("domain"), col("url"), col("priority"),
+        when(col("verb").isNull, lit(null)).otherwise(struct(
+          length(col("rule_path")).as("l"),
+          when(col("verb") === "Allow", 1).otherwise(0).as("a")))
+          .as("m"))
+      .groupBy(col("domain"), col("url"), col("priority"))
+      .agg(max(col("m")).as("best"))
+      .select(col("domain"), col("url"), col("priority"),
+        (col("best").isNull || col("best.a") === 1).as("allowed"))
+  }
+
+  val crawlPlanOracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT (doc_id // 3) % 7 AS d FROM documents),
+      |k AS (
+      |  SELECT d, k
+      |  FROM d, unnest(generate_series(0, 1 + CAST(d % 3 AS BIGINT))) u(k))
+      |SELECT 'www.example' || CAST(d AS VARCHAR) || '.com' AS domain,
+      |       'http://www.example' || CAST(d AS VARCHAR) || '.com'
+      |         || CASE WHEN k % 2 = 0 THEN '/public/new_' ELSE '/p/new_' END
+      |         || CAST(d AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS url,
+      |       '0.' || CAST(5 + k AS VARCHAR) AS priority,
+      |       k % 2 = 0 AS allowed
       |FROM k
       |""".stripMargin
 }
