@@ -104,4 +104,40 @@ object ChunkDedup {
     s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b
        |FROM documents
        |""".stripMargin
+
+  /** Index the chunks of base payloads below this id; probe every
+    * shifted twin as the incoming batch. */
+  val ChunkIndexSplit = 250L
+
+  /** Incremental binary dedup — the daily-ingest shape of
+    * [[chunkDedupQuery]], mirroring the perceptual-image probe: the
+    * warehouse keeps the (doc_id, chunk_md5) index (16 bytes per
+    * chunk, no payloads), a new batch chunks ONLY its own payloads
+    * and equi-joins the index, so probe cost is O(batch), never
+    * O(corpus). A twin whose base is indexed classifies `dup` of
+    * exactly that base (chunk content is unique per id); the rest are
+    * `new`. */
+  def chunkDedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val all = payloads(spark, dir).trackPersist()
+    val index = chunkIndexOf(all.filter(_._1 < ChunkIndexSplit))
+      .select(col("doc_id").as("idx_doc_id"), col("chunk_md5"))
+    val batch = chunkIndexOf(all.filter(_._1 >= TwinSpace))
+    val matched = batch.join(index, "chunk_md5" :: Nil)
+      .groupBy(col("doc_id"))
+      .agg(min(col("idx_doc_id")).as("dup_of"))
+    batch.select(col("doc_id")).distinct()
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "dup").otherwise("new").as("status"),
+        col("dup_of"))
+  }
+
+  val chunkDedupIncrementalOracle: String =
+    s"""SELECT doc_id + $TwinSpace AS doc_id,
+       |       CASE WHEN doc_id < $ChunkIndexSplit THEN 'dup' ELSE 'new' END
+       |         AS status,
+       |       CASE WHEN doc_id < $ChunkIndexSplit THEN doc_id END AS dup_of
+       |FROM documents
+       |""".stripMargin
 }
