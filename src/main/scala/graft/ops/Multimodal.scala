@@ -790,6 +790,49 @@ object Multimodal {
       |FROM tr
       |""".stripMargin
 
+  /** Subtitle coverage against the video track — the alignment audit a
+    * video-text pair pipeline runs before trusting (clip, transcript)
+    * pairs: total subtitled milliseconds vs the vide-track duration
+    * from the MP4 index walk, as integer ppm, plus an overrun flag
+    * (cues extending past the media — the classic sign of a transcript
+    * paired with the wrong cut). Composes
+    * [[graft.ops.TextAnalysis.subtitleQuery]] with [[mp4TracksQuery]]
+    * on doc_id: two corpus-linear passes and one equi-join, no state
+    * beyond the per-doc aggregates. */
+  def subtitleCoverageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cues = graft.ops.TextAnalysis.subtitleQuery(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_cues"),
+        sum(col("end_ms") - col("start_ms")).as("sub_ms"),
+        max(col("end_ms")).as("last_end_ms"))
+    val video = mp4TracksQuery(spark, dir)
+      .filter(col("handler") === "vide")
+      .select(col("doc_id"), col("duration_ms").as("video_ms"))
+    cues.join(video, "doc_id")
+      .select(col("doc_id"), col("n_cues"),
+        col("sub_ms").cast("long").as("sub_ms"),
+        col("video_ms"),
+        expr("sub_ms * 1000000 div video_ms").as("coverage_ppm"),
+        (col("last_end_ms") > col("video_ms")).as("overrun"))
+  }
+
+  val subtitleCoverageOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(2 + doc_id % 4 AS INT) AS n_cues,
+      |         CAST(list_sum(list_transform(
+      |           generate_series(0, 1 + doc_id % 4),
+      |           i -> 1200 + 100 * ((doc_id + i) % 5))) AS BIGINT) AS sub_ms,
+      |         (doc_id % 10) * 100 + (1 + doc_id % 4) * 2500 + 1200
+      |           + 100 * ((doc_id + 1 + doc_id % 4) % 5) AS last_end,
+      |         CAST((5 + doc_id % 7) * 400 AS BIGINT) AS video_ms
+      |  FROM documents)
+      |SELECT doc_id, n_cues, sub_ms, video_ms,
+      |       sub_ms * 1000000 // video_ms AS coverage_ppm,
+      |       last_end > video_ms AS overrun
+      |FROM c
+      |""".stripMargin
+
   // ---------------------------------------------- GIF animation census
 
   /** Formula-built animated GIFs: (id%4)+2 frames, (id%7+1)·5 cs per
