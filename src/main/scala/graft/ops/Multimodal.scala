@@ -833,6 +833,57 @@ object Multimodal {
       |FROM c
       |""".stripMargin
 
+  /** ICO (favicon) census — ICONDIR walk over real assembled icons:
+    * entry count, largest raster (0-encodes-256 rule exercised), and
+    * how many entries carry whole-PNG payloads vs BMP fragments
+    * (sniffed by magic, not trusted from the directory). Favicons are
+    * the highest-frequency image fetch in a crawl; the census keeps
+    * them out of the full-decode path. Map-only directory peek. */
+  def icoCensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{IcoCodec, ImageCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 1 + (id % 4).toInt
+          val entries = (0 until n).map { e =>
+            val s = Array(16, 32, 48, 256)(((id + e) % 4).toInt)
+            val payload =
+              if ((id + e) % 3 == 0)
+                ImageCodec.writePng(4, 4, (id % 7).toByte, e.toByte, 3)
+              else new Array[Byte](40 + e * 8)
+            (s, s, payload)
+          }
+          (id, IcoCodec.writeIco(entries))
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, ico) =>
+          graft.functions.IcoCodec.census(ico).map { m =>
+            (id, m.nEntries, m.maxW, m.maxH, m.nPng)
+          }
+        }
+      }
+      .toDF("doc_id", "n_entries", "max_w", "max_h", "n_png")
+  }
+
+  val icoCensusOracle: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(0, doc_id % 4),
+      |           e -> CASE (doc_id + e) % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+      |                WHEN 2 THEN 48 ELSE 256 END) AS sizes,
+      |         len(list_filter(generate_series(0, doc_id % 4),
+      |           e -> (doc_id + e) % 3 = 0)) AS n_png
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(doc_id % 4 + 1 AS INT) AS n_entries,
+      |       CAST(list_max(sizes) AS INT) AS max_w,
+      |       CAST(list_max(sizes) AS INT) AS max_h,
+      |       CAST(n_png AS INT) AS n_png
+      |FROM e
+      |""".stripMargin
+
   // ---------------------------------------------- GIF animation census
 
   /** Formula-built animated GIFs: (id%4)+2 frames, (id%7+1)·5 cs per

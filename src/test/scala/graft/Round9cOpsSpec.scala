@@ -160,6 +160,27 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).count() == 0)
   }
 
+  // ------------------------------------------------------ ICO census
+
+  test("ICO walk reads the directory, 256-encoding, and payload magic") {
+    import graft.functions.{IcoCodec, ImageCodec}
+    val png = ImageCodec.writePng(4, 4, 1, 2, 3)
+    val ico = IcoCodec.writeIco(Seq(
+      (16, 16, new Array[Byte](48)), (256, 256, png)))
+    assert(IcoCodec.census(ico).contains(IcoCodec.IcoMeta(2, 256, 256, 1)))
+    // junk and truncation never throw; non-icon type rejected
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 200) {
+      IcoCodec.census(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+      IcoCodec.census(ico.take(rnd.nextInt(ico.length)))
+    }
+    val cur = ico.clone(); cur(2) = 2 // type=2 (cursor)
+    assert(IcoCodec.census(cur).isEmpty)
+    // entry pointing past the end rejected
+    val bad = ico.clone(); bad(6 + 12) = 0x7f
+    assert(IcoCodec.census(bad).isEmpty)
+  }
+
   // --------------------------------------------- confusable skeleton
 
   test("confusable skeleton folds homoglyphs, fullwidth, and zero-width") {
