@@ -427,6 +427,57 @@ object TextPrep {
     out
   }
 
+  /** TOKENIZER FERTILITY BY LANGUAGE — the audit run before a
+    * multilingual corpus mix is frozen: a tokenizer trained on one
+    * language distribution over-segments the others (more BPE tokens
+    * per word), silently inflating their compute share and shrinking
+    * their effective context. Same dictionary-segment-once +
+    * broadcast-lookup shape as [[bpeEncode]], aggregated per corpus
+    * language label: words, chars, BPE tokens, and fertility
+    * (tokens per word) / density (tokens per char) in integer ppm. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, fin) = bpeCore(bpeWords(spark, dir), BpeGateMerges)
+    val segDict = fin.map { case (syms, _) => (syms.mkString, syms.length.toLong) }
+      .toDF("w", "n_syms")
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(segDict), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_syms")).cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("CAST(n_bpe_tokens * 1000000 div n_words AS BIGINT)"))
+      .withColumn("density_ppm",
+        expr("CAST(n_bpe_tokens * 1000000 div n_chars AS BIGINT)"))
+  }
+
+  val bpeFertilityOracle: String = {
+    val k = BpeGateMerges
+    s"""${bpeChainSql(k)},
+       |seg AS (
+       |  SELECT replace(trim(s), ' ', '') AS w,
+       |         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms
+       |  FROM s$k),
+       |dt AS (
+       |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT dt.lang,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(seg.n_syms) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(seg.n_syms) * 1000000 // count(*) AS BIGINT)
+       |         AS fertility_ppm,
+       |       CAST(sum(seg.n_syms) * 1000000 // sum(length(dt.w)) AS BIGINT)
+       |         AS density_ppm
+       |FROM dt JOIN seg ON dt.w = seg.w
+       |WHERE len(dt.w) >= 1
+       |GROUP BY 1
+       |""".stripMargin
+  }
+
   /** Shared WITH-body of the generated replay through state s{k}. */
   private def bpeChainSql(k: Int): String = {
     val sb = new StringBuilder
