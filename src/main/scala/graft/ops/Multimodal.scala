@@ -884,6 +884,63 @@ object Multimodal {
       |FROM e
       |""".stripMargin
 
+  /** MJPEG scene-change detection — REAL two-level video decode: the
+    * AVI container walk yields per-frame payloads that are genuine
+    * baseline JPEGs, each frame's raster is fully Huffman+IDCT
+    * decoded ([[graft.functions.JpegCodec.decodePixels]]), and a
+    * scene boundary fires where the decoded gray level steps. The
+    * fixture keeps frame levels on the 16-wide mid-band grid
+    * (16·l + 8 at quality 97 → decode drift ≤ ±5, so `avg >> 4`
+    * recovers l exactly — the JPEG-twin device from the perceptual
+    * suite), levels step every `period` frames, and the oracle
+    * predicts every decoded level and keyframe flag by formula.
+    * Scene detection is per-payload local (sequential frame compare
+    * inside the decode pass) — map-only, no shuffle at all before the
+    * output rows. */
+  def mjpegScenesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{JpegCodec, VideoCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nf = 4 + (id % 5).toInt
+          val period = 2 + (id % 3).toInt
+          val frames = (0 until nf).map { f =>
+            val l = ((id + f / period) % 16).toInt
+            val g = 16 * l + 8
+            JpegCodec.writeJpegPixels(16, 16, 97,
+              (_, _) => (g << 16) | (g << 8) | g)
+          }
+          (id, VideoCodec.writeAvi(16, 16, 40000, frames))
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, avi) =>
+          val levels = VideoCodec.frames(avi).flatMap { jpeg =>
+            JpegCodec.decodePixels(jpeg).map { px =>
+              var sum = 0L
+              var i = 0
+              while (i < px.rgb.length) { sum += px.rgb(i) & 0xff; i += 3 }
+              ((sum / (px.rgb.length / 3)).toInt) >> 4
+            }
+          }
+          levels.zipWithIndex.map { case (l, f) =>
+            (id, f, l, f == 0 || l != levels(f - 1))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "level", "is_key")
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("level").cast("int").as("level"), col("is_key"))
+  }
+
+  val mjpegScenesOracle: String =
+    """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      |       CAST((doc_id + f // (2 + doc_id % 3)) % 16 AS INT) AS level,
+      |       f % (2 + doc_id % 3) = 0 AS is_key
+      |FROM documents, unnest(generate_series(0, 3 + doc_id % 5)) u(f)
+      |""".stripMargin
+
   // ---------------------------------------------- GIF animation census
 
   /** Formula-built animated GIFs: (id%4)+2 frames, (id%7+1)·5 cs per
