@@ -1282,6 +1282,101 @@ object TextAnalysis {
       |FROM documents, unnest(generate_series(0, 1 + doc_id % 4)) u(i)
       |""".stripMargin
 
+  /** Markdown structure census — repository/docs corpora are
+    * markdown-heavy and a curation pass routes by structure (how much
+    * is code, how deep the outline, link density). Counts ATX
+    * headings and their max depth, inline links, fenced code blocks
+    * (fence pairs), and list items — multiline-anchored regexp
+    * columns over one scan, zero UDFs. The fixture assembles each
+    * element class in formula-known quantities. */
+  def markdownCensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // sequence(1, 0) DESCENDS in Spark, so zero-count must short-circuit
+    def rep(n: Column, piece: Column): Column =
+      when(n < 1, lit(""))
+        .otherwise(array_join(transform(sequence(lit(1L), n), _ => piece), ""))
+    def repIdx(n: Column, piece: Column => Column): Column =
+      when(n < 1, lit(""))
+        .otherwise(array_join(transform(sequence(lit(1L), n), i => piece(i)), ""))
+    val md = docs.withColumn("md", concat(
+      repIdx(lit(1L) + col("doc_id") % 3, h =>
+        concat(rep(h, lit("#")), lit(" Heading "), h.cast("string"),
+          lit("\n"))),
+      lit("intro text\n"),
+      repIdx(col("doc_id") % 4, k =>
+        concat(lit("see [link"), k.cast("string"), lit("](http://ex.org/"),
+          k.cast("string"), lit(")\n"))),
+      repIdx(col("doc_id") % 5, k =>
+        concat(lit("- item "), k.cast("string"), lit("\n"))),
+      rep(col("doc_id") % 2, lit("```\ncode line\n```\n"))))
+    md.select(col("doc_id"),
+      size(regexp_extract_all(col("md"), lit("(?m)^(#+) "), lit(1)))
+        .cast("int").as("n_headings"),
+      coalesce(array_max(transform(
+        regexp_extract_all(col("md"), lit("(?m)^(#+) "), lit(1)),
+        x => length(x))), lit(0)).cast("int").as("max_depth"),
+      size(regexp_extract_all(col("md"),
+        lit("\\[[^\\]]*\\]\\(([^)]*)\\)"), lit(1)))
+        .cast("int").as("n_links"),
+      (size(regexp_extract_all(col("md"), lit("(?m)^```"), lit(0))) / 2)
+        .cast("int").as("n_code_blocks"),
+      size(regexp_extract_all(col("md"), lit("(?m)^- "), lit(0)))
+        .cast("int").as("n_list_items"))
+  }
+
+  val markdownCensusOracle: String =
+    """SELECT doc_id,
+      |       CAST(1 + doc_id % 3 AS INT) AS n_headings,
+      |       CAST(1 + doc_id % 3 AS INT) AS max_depth,
+      |       CAST(doc_id % 4 AS INT) AS n_links,
+      |       CAST(doc_id % 2 AS INT) AS n_code_blocks,
+      |       CAST(doc_id % 5 AS INT) AS n_list_items
+      |FROM documents
+      |""".stripMargin
+
+  /** EML / RFC 5322 header extraction — mail archives are a standard
+    * corpus source and their PII lives in the headers: sender
+    * display-name and address, recipient, unfolded subject, and the
+    * body size. Folding (CRLF + whitespace continuation) is unfolded
+    * before extraction — the fixture folds every fourth subject so
+    * the unfold path is gated, not decorative. Pure column
+    * expressions over one scan. */
+  def emlExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val subj = concat(lit("Re: topic "), (col("doc_id") % 31).cast("string"))
+    val subjWire = when(col("doc_id") % 4 === 0,
+      concat(lit("Re: topic\r\n "), (col("doc_id") % 31).cast("string")))
+      .otherwise(subj)
+    val eml = docs.withColumn("eml", concat(
+      lit("From: Sender"), (col("doc_id") % 13).cast("string"),
+      lit(" <s"), col("doc_id").cast("string"), lit("@ex.org>\r\n"),
+      lit("To: r"), (col("doc_id") % 7).cast("string"), lit("@ex.org\r\n"),
+      lit("Subject: "), subjWire, lit("\r\n"),
+      lit("Content-Type: text/plain\r\n\r\n"),
+      lit("body of message "), col("doc_id").cast("string"), lit("\r\n")))
+    val unfolded = regexp_replace(col("eml"), "\r\n[ \t]", " ")
+    val header = regexp_extract(unfolded, "(?s)^(.*?)\r\n\r\n", 1)
+    val body = regexp_extract(unfolded, "(?s)\r\n\r\n(.*)$", 1)
+    eml.select(col("doc_id"),
+      regexp_extract(header, "(?m)^From: ([^<]*) <", 1).as("sender_name"),
+      regexp_extract(header, "(?m)^From: [^<]*<([^>]*)>", 1)
+        .as("sender_addr"),
+      regexp_extract(header, "(?m)^To: (.*)$", 1).as("to_addr"),
+      regexp_extract(header, "(?m)^Subject: (.*)$", 1).as("subject"),
+      length(body).cast("int").as("body_chars"))
+  }
+
+  val emlExtractOracle: String =
+    """SELECT doc_id,
+      |       'Sender' || CAST(doc_id % 13 AS VARCHAR) AS sender_name,
+      |       's' || CAST(doc_id AS VARCHAR) || '@ex.org' AS sender_addr,
+      |       'r' || CAST(doc_id % 7 AS VARCHAR) || '@ex.org' AS to_addr,
+      |       'Re: topic ' || CAST(doc_id % 31 AS VARCHAR) AS subject,
+      |       CAST(length('body of message ' || CAST(doc_id AS VARCHAR))
+      |            + 2 AS INT) AS body_chars
+      |FROM documents
+      |""".stripMargin
+
   val jsonLdOracle: String =
     """SELECT doc_id, CAST(0 AS INT) AS block_index,
       |       CASE doc_id % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Article'
