@@ -229,6 +229,49 @@ object ImageCodec {
       chunk("IEND", Array.empty[Byte])
   }
 
+  /** Write a real Adam7-INTERLACED truecolor-8 PNG: the same raster
+    * as [[writePngPixels]] reordered into the seven passes (filter-0
+    * rows, one zlib IDAT, IHDR interlace=1) — progressive-rendering
+    * PNGs are common in crawled pages and must decode identically to
+    * their sequential twins. */
+  def writePngInterlacedPixels(width: Int, height: Int,
+                               px: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+      (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val body = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val hp = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        var y = 0
+        while (y < hp) {
+          body.write(0) // filter: None
+          var x = 0
+          while (x < wp) {
+            val c = px(x0 + x * dx, y0 + y * dy)
+            body.write((c >>> 16) & 0xff)
+            body.write((c >>> 8) & 0xff)
+            body.write(c & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+    val raw = body.toByteArray
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32Bytes(width) ++ be32Bytes(height) ++
+      Array[Byte](8, 2, 0, 0, 1)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
   /** Write a real RGBA PNG (color type 6) with per-pixel content
     * `px(x, y) -> 0xRRGGBB` and `alpha(x, y) -> 0..255` — the
     * crawl-common color type [[decodePixels]] drops alpha from. */
@@ -374,16 +417,18 @@ object ImageCodec {
 
   /** PNG pixel decode for ALL FIVE color types a crawl sees at bit
     * depth 8 (gray 0, truecolor 2, palette 3, gray+alpha 4, RGBA 6)
-    * plus palette at sub-byte depths 1/2/4. Alpha is dropped (the
-    * perceptual grid reads RGB); interlaced (Adam7) streams return
-    * None like every other unsupported shape. */
+    * plus palette at sub-byte depths 1/2/4, SEQUENTIAL and Adam7
+    * interlaced — the seven interlace passes are unfiltered with
+    * pass-local context and placed at their interleaved coordinates.
+    * Alpha is dropped (the perceptual grid reads RGB). */
   private def decodePngPixels(b: Array[Byte]): Option[ImagePixels] = {
     if (be32(b, 8) != 13 ||
         !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
       return None
     val w = be32(b, 16); val h = be32(b, 20)
     val depth = u8(b, 24); val ctype = u8(b, 25)
-    if (w <= 0 || h <= 0 || u8(b, 28) != 0) return None // no Adam7
+    val interlace = u8(b, 28)
+    if (w <= 0 || h <= 0 || interlace > 1) return None
     // samples per pixel in the filtered stream
     val spp = ctype match {
       case 0 | 3 => 1
@@ -394,14 +439,27 @@ object ImageCodec {
     }
     if (depth != 8 && !(ctype == 3 && (depth == 1 || depth == 2 ||
       depth == 4))) return None
-    // filtered-row byte stride; filters step by whole bytes (bpp>=1)
-    val stride = ((w.toLong * spp * depth + 7) / 8).toInt
+    // pass geometry: the sequential stream is one full-frame pass;
+    // Adam7 (interlace=1) is seven sub-images, each with its own
+    // scanline + filter structure, concatenated in the zlib stream
+    val passSpec: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    // (x0, y0, dx, dy, wp, hp, strideP) for non-empty passes
+    val geom = passSpec.map { case (x0, y0, dx, dy) =>
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      val st = ((wp.toLong * spp * depth + 7) / 8).toInt
+      (x0, y0, dx, dy, wp, hp, st)
+    }.filter(g => g._5 > 0 && g._6 > 0)
     val bpp = math.max(1, spp * depth / 8)
     // crafted headers with huge dims would overflow the Int allocation
-    // sizes below (h*(1+stride)) into a NegativeArraySizeException —
-    // bound the raster in Long space before allocating anything
-    if (h.toLong * (1L + stride) > Int.MaxValue ||
-      h.toLong * 3L * w > Int.MaxValue) return None
+    // sizes below into a NegativeArraySizeException — bound the raster
+    // in Long space before allocating anything
+    val totalRaw = geom.map(g => g._6.toLong * (1L + g._7)).sum
+    if (totalRaw > Int.MaxValue || h.toLong * 3L * w > Int.MaxValue)
+      return None
     // walk chunks, concatenating every IDAT (encoders may split them)
     val idat = new java.io.ByteArrayOutputStream()
     var palette: Array[Byte] = null
@@ -425,7 +483,7 @@ object ImageCodec {
     if (ctype == 3 && palette == null) return None
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val raw = new Array[Byte](h * (1 + stride))
+    val raw = new Array[Byte](totalRaw.toInt)
     var off = 0
     while (!inflater.finished() && off < raw.length) {
       val n = inflater.inflate(raw, off, raw.length - off)
@@ -434,77 +492,86 @@ object ImageCodec {
     }
     inflater.end()
     if (off != raw.length) return None
-    // reverse the per-row filters (spec §9: None/Sub/Up/Average/Paeth)
-    val flt = new Array[Byte](h * stride)
     def paeth(a: Int, bb: Int, c: Int): Int = {
       val pp = a + bb - c
       val pa = math.abs(pp - a); val pb = math.abs(pp - bb)
       val pc = math.abs(pp - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
     }
-    var y = 0
-    while (y < h) {
-      val filter = u8(raw, y * (1 + stride))
-      val ro = y * (1 + stride) + 1
-      val oo = y * stride
-      var i = 0
-      while (i < stride) {
-        val x = u8(raw, ro + i)
-        val left = if (i >= bpp) u8(flt, oo + i - bpp) else 0
-        val up = if (y > 0) u8(flt, oo - stride + i) else 0
-        val ul = if (y > 0 && i >= bpp) u8(flt, oo - stride + i - bpp) else 0
-        val v = filter match {
-          case 0 => x
-          case 1 => x + left
-          case 2 => x + up
-          case 3 => x + ((left + up) >> 1)
-          case 4 => x + paeth(left, up, ul)
-          case _ => return None
-        }
-        flt(oo + i) = v.toByte
-        i += 1
-      }
-      y += 1
-    }
-    // expand to row-major RGB
     val out = new Array[Byte](h * 3 * w)
-    y = 0
-    while (y < h) {
-      val ro = y * stride
-      var x = 0
-      while (x < w) {
-        val o = (y * w + x) * 3
-        ctype match {
-          case 0 =>
-            val g = flt(ro + x)
-            out(o) = g; out(o + 1) = g; out(o + 2) = g
-          case 2 =>
-            out(o) = flt(ro + 3 * x)
-            out(o + 1) = flt(ro + 3 * x + 1)
-            out(o + 2) = flt(ro + 3 * x + 2)
-          case 3 =>
-            val idx =
-              if (depth == 8) u8(flt, ro + x)
-              else {
-                val perByte = 8 / depth
-                val shift = 8 - depth * (x % perByte + 1)
-                (u8(flt, ro + x / perByte) >> shift) & ((1 << depth) - 1)
-              }
-            if (3 * idx + 2 >= palette.length) return None
-            out(o) = palette(3 * idx)
-            out(o + 1) = palette(3 * idx + 1)
-            out(o + 2) = palette(3 * idx + 2)
-          case 4 =>
-            val g = flt(ro + 2 * x)
-            out(o) = g; out(o + 1) = g; out(o + 2) = g
-          case _ =>
-            out(o) = flt(ro + 4 * x)
-            out(o + 1) = flt(ro + 4 * x + 1)
-            out(o + 2) = flt(ro + 4 * x + 2)
+    var base = 0
+    var pi = 0
+    while (pi < geom.length) {
+      val (x0, y0, dx, dy, wp, hp, stride) = geom(pi)
+      // reverse the per-row filters (spec §9: None/Sub/Up/Average/
+      // Paeth) — filter context is PASS-local: row 0 of every pass has
+      // no "up" neighbor even mid-stream
+      val flt = new Array[Byte](hp * stride)
+      var y = 0
+      while (y < hp) {
+        val filter = u8(raw, base + y * (1 + stride))
+        val ro = base + y * (1 + stride) + 1
+        val oo = y * stride
+        var i = 0
+        while (i < stride) {
+          val x = u8(raw, ro + i)
+          val left = if (i >= bpp) u8(flt, oo + i - bpp) else 0
+          val up = if (y > 0) u8(flt, oo - stride + i) else 0
+          val ul = if (y > 0 && i >= bpp) u8(flt, oo - stride + i - bpp) else 0
+          val v = filter match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + ((left + up) >> 1)
+            case 4 => x + paeth(left, up, ul)
+            case _ => return None
+          }
+          flt(oo + i) = v.toByte
+          i += 1
         }
-        x += 1
+        y += 1
       }
-      y += 1
+      // place this pass's pixels at their interleaved coordinates
+      y = 0
+      while (y < hp) {
+        val ro = y * stride
+        var x = 0
+        while (x < wp) {
+          val o = ((y0 + y * dy) * w + (x0 + x * dx)) * 3
+          ctype match {
+            case 0 =>
+              val g = flt(ro + x)
+              out(o) = g; out(o + 1) = g; out(o + 2) = g
+            case 2 =>
+              out(o) = flt(ro + 3 * x)
+              out(o + 1) = flt(ro + 3 * x + 1)
+              out(o + 2) = flt(ro + 3 * x + 2)
+            case 3 =>
+              val idx =
+                if (depth == 8) u8(flt, ro + x)
+                else {
+                  val perByte = 8 / depth
+                  val shift = 8 - depth * (x % perByte + 1)
+                  (u8(flt, ro + x / perByte) >> shift) & ((1 << depth) - 1)
+                }
+              if (3 * idx + 2 >= palette.length) return None
+              out(o) = palette(3 * idx)
+              out(o + 1) = palette(3 * idx + 1)
+              out(o + 2) = palette(3 * idx + 2)
+            case 4 =>
+              val g = flt(ro + 2 * x)
+              out(o) = g; out(o + 1) = g; out(o + 2) = g
+            case _ =>
+              out(o) = flt(ro + 4 * x)
+              out(o + 1) = flt(ro + 4 * x + 1)
+              out(o + 2) = flt(ro + 4 * x + 2)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      base += hp * (1 + stride)
+      pi += 1
     }
     Some(ImagePixels("png", w, h, out))
   }

@@ -676,6 +676,52 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** Adam7 twins: the sequential truecolor base against its
+    * INTERLACED re-encode at 2× — progressive-rendering PNGs are
+    * common in crawled pages, and until the interlaced decode path
+    * existed they silently routed to the rejects channel (the same
+    * failure class progressive JPEG had). Both decode through
+    * [[graft.functions.ImageCodec.decodePixels]] losslessly, so exact
+    * 9×8 grid equality holds. */
+  def imageAdam7VariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writePngInterlacedPixels, writePngPixels}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base = writePngPixels(w0, h0, patternPx(id, w0, h0))
+          val twin = writePngInterlacedPixels(2 * w0, 2 * h0,
+            patternPx(id, 2 * w0, 2 * h0))
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** Perceptual near-dup across the INTERLACE axis: Adam7 re-encodes
+    * against sequential bases — [[imageSignatures]] shared verbatim. */
+  def imageAdam7NearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val rasters = imageSignatures(imageAdam7VariantPayloads(spark, dir))
+      .trackPersist()
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.grid") === col("b.grid"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imageAdam7NearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   // --------------------------------------------------- MP4 box census
 
   /** Formula-built MP4 containers, one per document: brand, mvhd

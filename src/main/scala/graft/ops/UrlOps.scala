@@ -135,7 +135,7 @@ object UrlOps {
       val extra = if (d % 2 == 0) "Disallow: /tmp/\n" else ""
       (s"www.example$d.com",
         "User-agent: *\n# crawl policy\nDisallow: /p\n" +
-          s"Allow: /public/\n$extra")
+          s"Allow: /public/\nCrawl-delay: ${1 + d % 3}\n$extra")
     }.toDF("domain", "robots")
   }
 
@@ -406,5 +406,38 @@ object UrlOps {
       |       '0.' || CAST(5 + k AS VARCHAR) AS priority,
       |       k % 2 = 0 AS allowed
       |FROM k
+      |""".stripMargin
+
+  /** Fetch-time budget — the politeness arithmetic after the plan:
+    * each domain's robots `Crawl-delay` caps the request rate, so
+    * the time to drain its allowed frontier is `n_fetch × delay`.
+    * This is the number a crawl scheduler shards domains by (one slow
+    * domain with a 3-second delay dominates wall-clock long before
+    * byte volume does). Composes [[crawlPlanQuery]]'s allowed set
+    * with the delay parsed from the robots text — domain-grain
+    * everywhere, broadcast-sized. */
+  def fetchBudgetQuery(spark: SparkSession, dir: String): DataFrame = {
+    val delays = robotsTxt(spark)
+      .select(col("domain"),
+        regexp_extract(col("robots"), "(?m)^Crawl-delay: (\\d+)$", 1)
+          .cast("long").as("crawl_delay_s"))
+    crawlPlanQuery(spark, dir)
+      .filter(col("allowed"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_fetch"))
+      .join(delays, "domain")
+      .select(col("domain"), col("crawl_delay_s"), col("n_fetch"),
+        (col("n_fetch") * col("crawl_delay_s")).as("est_seconds"))
+  }
+
+  val fetchBudgetOracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT (doc_id // 3) % 7 AS d FROM documents)
+      |SELECT 'www.example' || CAST(d AS VARCHAR) || '.com' AS domain,
+      |       CAST(1 + d % 3 AS BIGINT) AS crawl_delay_s,
+      |       CAST(CASE d % 3 WHEN 0 THEN 1 ELSE 2 END AS BIGINT) AS n_fetch,
+      |       CAST((1 + d % 3) * CASE d % 3 WHEN 0 THEN 1 ELSE 2 END
+      |            AS BIGINT) AS est_seconds
+      |FROM d
       |""".stripMargin
 }

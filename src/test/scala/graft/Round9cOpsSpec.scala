@@ -160,6 +160,57 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).count() == 0)
   }
 
+  // ------------------------------------------------- Adam7 interlace
+
+  test("Adam7 PNG decodes to the exact sequential raster") {
+    import graft.functions.ImageCodec
+    def px(seed: Int)(x: Int, y: Int): Int =
+      (((x * 31 + y * 17 + seed) % 256) << 16) |
+        (((x * 7 + y * 13 + seed) % 256) << 8) | ((x + y + seed) % 256)
+    // dims crossing every pass-emptiness case: 1x1 (only pass 1),
+    // tiny odds, pass-multiple sizes
+    for ((w, h) <- Seq((1, 1), (1, 5), (5, 1), (2, 3), (7, 7), (8, 8),
+      (9, 12), (16, 16), (33, 21))) {
+      val seq = ImageCodec.writePngPixels(w, h, px(w * 100 + h))
+      val lace = ImageCodec.writePngInterlacedPixels(w, h, px(w * 100 + h))
+      val a = ImageCodec.decodePixels(seq).get
+      val b = ImageCodec.decodePixels(lace).get
+      assert(b.width == w && b.height == h, s"${w}x$h")
+      assert(java.util.Arrays.equals(a.rgb, b.rgb), s"${w}x$h rasters differ")
+    }
+  }
+
+  test("Adam7 decode agrees with ImageIO") {
+    import graft.functions.ImageCodec
+    val w = 19; val h = 14
+    def px(x: Int, y: Int): Int =
+      ((x * 53 + y * 11) % 256 << 16) | ((x * 3 + y * 29) % 256 << 8) |
+        ((x * 17 + y) % 256)
+    val lace = ImageCodec.writePngInterlacedPixels(w, h, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(lace))
+    assert(img.getWidth == w && img.getHeight == h)
+    val ours = ImageCodec.decodePixels(lace).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y) & 0xffffff
+      val o = (y * w + x) * 3
+      val mine = ((ours.rgb(o) & 0xff) << 16) | ((ours.rgb(o + 1) & 0xff) << 8) |
+        (ours.rgb(o + 2) & 0xff)
+      assert(rgb == mine, s"($x,$y)")
+    }
+  }
+
+  test("Adam7 decode never throws on hostile input") {
+    import graft.functions.ImageCodec
+    val lace = ImageCodec.writePngInterlacedPixels(17, 9, (x, y) => x * y)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 200) {
+      ImageCodec.decodePixels(lace.take(rnd.nextInt(lace.length)))
+      val f = lace.clone(); val i = rnd.nextInt(f.length)
+      f(i) = (f(i) ^ (1 << rnd.nextInt(8))).toByte
+      ImageCodec.decodePixels(f)
+    }
+  }
+
   // ------------------------------------------------------ ICO census
 
   test("ICO walk reads the directory, 256-encoding, and payload magic") {
