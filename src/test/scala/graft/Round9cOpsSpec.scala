@@ -160,6 +160,68 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("doc_id") === 3L).count() == 0)
   }
 
+  // ---------------------------------------------------- zstd frames
+
+  test("zstd raw/RLE frames round-trip and census correctly") {
+    import graft.functions.ZstdCodec
+    import graft.functions.ZstdCodec.{RawPart, RlePart}
+    val content = "hello " + "A" * 300 + " world"
+    val frame = ZstdCodec.writeFrame(Seq(
+      RawPart("hello ".getBytes), RlePart('A', 300), RawPart(" world".getBytes)))
+    assert(new String(ZstdCodec.extract(frame).get) == content)
+    val m = ZstdCodec.census(frame).get
+    assert(m.singleSegment && m.contentSize == content.length &&
+      m.nBlocks == 3 && m.nRle == 1 && m.nCompressed == 0)
+    // FCS size-class boundaries: <256, 256..65791, >=65792
+    for (n <- Seq(1, 255, 256, 65791, 65792, 70000)) {
+      val f = ZstdCodec.writeFrame(Seq(RlePart('x', n)))
+      assert(ZstdCodec.census(f).get.contentSize == n, s"n=$n")
+      assert(ZstdCodec.extract(f).get.length == n, s"n=$n")
+    }
+    // hostile input: junk + flips never throw
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 300) {
+      ZstdCodec.census(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+      val f = frame.clone(); val i = rnd.nextInt(f.length)
+      f(i) = (f(i) ^ (1 << rnd.nextInt(8))).toByte
+      ZstdCodec.census(f); ZstdCodec.extract(f)
+    }
+  }
+
+  test("zstd frames interop with the reference zstd tool when present") {
+    import graft.functions.ZstdCodec
+    import graft.functions.ZstdCodec.{RawPart, RlePart}
+    val zstdBin = new java.io.File("/root/miniconda/bin/zstd")
+    assume(zstdBin.canExecute, "reference zstd not installed")
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstd")
+    // ours -> reference decoder
+    val content = "graft zstd interop " + "B" * 123 + " tail"
+    val frame = ZstdCodec.writeFrame(Seq(
+      RawPart("graft zstd interop ".getBytes), RlePart('B', 123),
+      RawPart(" tail".getBytes)))
+    val fz = dir.resolve("ours.zst")
+    java.nio.file.Files.write(fz, frame)
+    val outPlain = dir.resolve("ours.out")
+    assert(Seq(zstdBin.getPath, "-d", "-f", fz.toString, "-o",
+      outPlain.toString).! == 0, "reference decoder rejected our frame")
+    val decoded = new String(java.nio.file.Files.readAllBytes(outPlain))
+    assert(decoded == content, "reference decoder disagrees")
+    // reference encoder -> our census (and extract when entropy-free)
+    val plain = dir.resolve("in.txt")
+    val payload = ("repetitive " * 40).getBytes
+    java.nio.file.Files.write(plain, payload)
+    val rz = dir.resolve("real.zst")
+    assert(Seq(zstdBin.getPath, "-q", "-f", plain.toString, "-o",
+      rz.toString).! == 0)
+    val real = java.nio.file.Files.readAllBytes(rz)
+    val m = ZstdCodec.census(real).get
+    assert(m.nBlocks >= 1)
+    ZstdCodec.extract(real).foreach { c =>
+      assert(java.util.Arrays.equals(c, payload))
+    }
+  }
+
   // ------------------------------------------------- Adam7 interlace
 
   test("Adam7 PNG decodes to the exact sequential raster") {
