@@ -86,7 +86,11 @@ object ChunkDedup {
     * chunk: (doc_a, doc_b), a < b. On the fixture this is exactly the
     * twin pair set — the oracle predicts it by formula. */
   def chunkDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val idx = chunkIndexOf(payloads(spark, dir))
+    import graft.core.Caches.TrackedDataset
+    // persist the digest index: it feeds both the repeat-digest
+    // aggregate and the pair join, and re-deriving it would re-chunk
+    // every payload (the expensive byte pass) once per consumer
+    val idx = chunkIndexOf(payloads(spark, dir)).trackPersist()
     // digests that appear in ≥2 docs — drops the unique long tail
     // before any join (map-side-combined aggregate)
     val shared = idx.groupBy(col("chunk_md5"))
