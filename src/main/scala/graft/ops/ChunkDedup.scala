@@ -121,21 +121,54 @@ object ChunkDedup {
     * O(corpus). A twin whose base is indexed classifies `dup` of
     * exactly that base (chunk content is unique per id); the rest are
     * `new`. */
-  def chunkDedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
-    import graft.core.Caches.TrackedDataset
-    val all = payloads(spark, dir).trackPersist()
-    val index = chunkIndexOf(all.filter(_._1 < ChunkIndexSplit))
-      .select(col("doc_id").as("idx_doc_id"), col("chunk_md5"))
-    val batch = chunkIndexOf(all.filter(_._1 >= TwinSpace))
-    val matched = batch.join(index, "chunk_md5" :: Nil)
+  /** Classify a batch's chunk index against the persisted digest
+    * index — the shared kernel of the batch query and the streaming
+    * twin. */
+  def classifyChunks(batchIdx: DataFrame, index: DataFrame): DataFrame = {
+    val idx = index.select(col("doc_id").as("idx_doc_id"), col("chunk_md5"))
+    val matched = batchIdx.join(idx, "chunk_md5" :: Nil)
       .groupBy(col("doc_id"))
       .agg(min(col("idx_doc_id")).as("dup_of"))
-    batch.select(col("doc_id")).distinct()
+    batchIdx.select(col("doc_id")).distinct()
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_of").isNotNull, "dup").otherwise("new").as("status"),
         col("dup_of"))
   }
+
+  def chunkDedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val all = payloads(spark, dir).trackPersist()
+    val index = chunkIndexOf(all.filter(_._1 < ChunkIndexSplit))
+    classifyChunks(chunkIndexOf(all.filter(_._1 >= TwinSpace)), index)
+  }
+
+  /** STREAMING twin of the incremental probe: payload micro-batches
+    * are chunked and classified against the same static digest index
+    * inside foreachBatch, appended idempotently per epoch — the
+    * arrival shape a crawl ingest actually has. Shares
+    * [[classifyChunks]] verbatim with the batch path, so the spec's
+    * stream==batch law pins the semantics rather than re-deriving
+    * them. */
+  def classifyChunkStream(stream: DataFrame, index: DataFrame,
+                          warehouse: graft.connect.Warehouse, entity: String,
+                          checkpoint: String, runDate: graft.core.RunDate)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val ds = batch
+            .select(col("doc_id").cast("long"), col("payload"))
+            .as[(Long, Array[Byte])]
+          val classified = graft.ops.Exp.stampDayDt(
+            classifyChunks(chunkIndexOf(ds), index), runDate)
+          warehouse.appendHistoryBatch(classified, entity, epochId)
+        }
+      }
 
   val chunkDedupIncrementalOracle: String =
     s"""SELECT doc_id + $TwinSpace AS doc_id,

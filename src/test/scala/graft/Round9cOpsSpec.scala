@@ -80,6 +80,41 @@ class Round9cOpsSpec extends SparkSpec {
     assert(rows.forall { case (a, b) => b == a + 1000000000L })
   }
 
+  test("streaming chunk classification equals batch, micro-batch by micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val all = ChunkDedup.payloads(spark, sf)
+    val index = ChunkDedup.chunkIndexOf(
+      all.filter(_._1 < ChunkDedup.ChunkIndexSplit))
+    val arrivals = all.filter(_._1 >= 1000000000L).collect()
+    val wh = new graft.connect.ParquetWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = ChunkDedup.classifyChunkStream(
+      input.toDS().toDF("doc_id", "payload"), index, wh, "cdc",
+      "/tmp/graft_ckpt_cdc_" + System.nanoTime(),
+      graft.core.RunDate("2024-06-01")).start()
+    try {
+      val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val streamed = wh.readHistory(spark, "cdc")
+      .select("doc_id", "status", "dup_of").collect().map(key).toSet
+    val batch = ChunkDedup.chunkDedupIncrementalQuery(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty &&
+      batch.forall { case (id, st, d) =>
+        (st == "dup") == (id - 1000000000L < ChunkDedup.ChunkIndexSplit) &&
+          (st != "dup" || d == id - 1000000000L)
+      })
+  }
+
   // --------------------------------------------------- ID3v2 frames
 
   test("ID3v2.3 frames round-trip through write/read") {
