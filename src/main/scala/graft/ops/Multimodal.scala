@@ -722,6 +722,70 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** Image quality stats over the DECODED raster — the blank-frame
+    * filter image corpora run before pairing: mean luma and the
+    * extreme-pixel fraction (near-black + near-white, ppm) flag
+    * solid/blank assets that carry no visual signal. The fixture
+    * plants near-black (id%5==0) and near-white (id%5==1) payloads
+    * among two-tone normals, so both blank polarities and the keep
+    * path are gated; every value decodes from real PNG bytes and is
+    * oracle-predicted exactly (integer mean by construction). */
+  def imageQualityQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ImageCodec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val g = (id % 5) match {
+            case 0 => 4
+            case 1 => 252
+            case _ => 40 + (id % 170).toInt
+          }
+          // two-tone: even columns g, odd columns g+2 → exact mean g+1
+          val png = ImageCodec.writePngPixels(10, 8, (x, _) => {
+            val v = if (x % 2 == 0) g else g + 2
+            (v << 16) | (v << 8) | v
+          })
+          (id, png)
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, png) =>
+          graft.functions.ImageCodec.decodePixels(png).map { px =>
+            var sum = 0L
+            var extreme = 0L
+            val n = px.rgb.length / 3
+            var i = 0
+            while (i < n) {
+              val l = ((px.rgb(3 * i) & 0xff) + (px.rgb(3 * i + 1) & 0xff) +
+                (px.rgb(3 * i + 2) & 0xff)) / 3
+              sum += l
+              if (l < 8 || l > 247) extreme += 1
+              i += 1
+            }
+            (id, px.width, px.height, (sum / n).toInt,
+              extreme * 1000000L / n)
+          }
+        }
+      }
+      .toDF("doc_id", "w", "h", "luma_mean", "extreme_ppm")
+      .select(col("doc_id"), col("w").cast("int").as("w"),
+        col("h").cast("int").as("h"),
+        col("luma_mean").cast("int").as("luma_mean"),
+        col("extreme_ppm").cast("long").as("extreme_ppm"),
+        (col("extreme_ppm") === 1000000L).as("is_blank"))
+  }
+
+  val imageQualityOracle: String =
+    """SELECT doc_id, CAST(10 AS INT) AS w, CAST(8 AS INT) AS h,
+      |       CAST(CASE doc_id % 5 WHEN 0 THEN 5 WHEN 1 THEN 253
+      |            ELSE 41 + doc_id % 170 END AS INT) AS luma_mean,
+      |       CAST(CASE WHEN doc_id % 5 <= 1 THEN 1000000 ELSE 0 END
+      |            AS BIGINT) AS extreme_ppm,
+      |       doc_id % 5 <= 1 AS is_blank
+      |FROM documents
+      |""".stripMargin
+
   // --------------------------------------------------- MP4 box census
 
   /** Formula-built MP4 containers, one per document: brand, mvhd

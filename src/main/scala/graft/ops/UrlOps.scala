@@ -408,6 +408,66 @@ object UrlOps {
       |FROM k
       |""".stripMargin
 
+  // -------------------------------------------- registrable domains
+
+  /** Two-level public suffixes the fixture exercises — a subset of
+    * the public-suffix list; real deployments swap in the full PSL as
+    * the same broadcast literal. */
+  private val TwoLevelSuffixes =
+    Seq("co.uk", "org.uk", "com.au", "co.jp", "com.br")
+
+  /** Registrable domain (eTLD+1) of a host column: hosts under a
+    * listed two-level public suffix keep their last THREE labels,
+    * everything else the last two — the grouping key domain caps and
+    * per-site politeness must actually use (grouping by bare host
+    * lets one site dodge its cap via subdomains; grouping by the last
+    * two labels merges every .co.uk site into one). Pure array HOFs
+    * over one split — codegen'd, no UDF. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    when(n <= 2, host)
+      .when(array_contains(typedLit(TwoLevelSuffixes), last2), last3)
+      .otherwise(last2)
+  }
+
+  /** Per-document registrable-domain extraction over a host mix that
+    * crosses every rule arm: deep subdomains under .co.uk and
+    * .com.au, www under .com, and a bare two-label .org host. */
+  def registrableDomainQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val d = (col("doc_id") % 7).cast("string")
+    val host = when(col("doc_id") % 4 === 0,
+        concat(lit("a"), (col("doc_id") % 11).cast("string"),
+          lit(".example"), d, lit(".co.uk")))
+      .when(col("doc_id") % 4 === 1, concat(lit("www.example"), d, lit(".com")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("b.c.example"), d, lit(".com.au")))
+      .otherwise(concat(lit("example"), d, lit(".org")))
+    docs.withColumn("host", host)
+      .withColumn("registrable", registrableDomain(col("host")))
+  }
+
+  val registrableDomainOracle: String =
+    """SELECT doc_id,
+      |       CASE doc_id % 4
+      |         WHEN 0 THEN 'a' || CAST(doc_id % 11 AS VARCHAR) || '.example'
+      |                    || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+      |         WHEN 1 THEN 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      |         WHEN 2 THEN 'b.c.example' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+      |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.org' END AS host,
+      |       CASE doc_id % 4
+      |         WHEN 0 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+      |         WHEN 1 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      |         WHEN 2 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+      |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.org' END
+      |         AS registrable
+      |FROM documents
+      |""".stripMargin
+
   /** Fetch-time budget — the politeness arithmetic after the plan:
     * each domain's robots `Crawl-delay` caps the request rate, so
     * the time to drain its allowed frontier is `n_fetch × delay`.
