@@ -1006,4 +1006,93 @@ object Dedup {
     """SELECT doc_id AS doc_a, doc_id + 1000000000 AS doc_b
       |FROM documents WHERE doc_id % 4 = 0
       |""".stripMargin
+
+  /** Skeleton-MinHash NEAR-dup — the composition that defeats
+    * homoglyph evasion at near-duplicate (not just exact) level:
+    * [[skeletonDedupQuery]] catches byte-identical-after-fold twins,
+    * but an evader who ALSO drops a couple of tokens slips past exact
+    * skeleton hashing and past raw-text MinHash (every shingle
+    * containing a swapped letter changes). Folding FIRST and running
+    * the standard MinHash+LSH+verify chain on the skeleton recovers
+    * them. TRUE dual implementation: the oracle replays fixture
+    * construction, skeleton fold (DuckDB translate), shingling,
+    * signatures, banding, and the Jaccard verify in SQL — corpus
+    * near-clone pairs and planted evasion twins both flow through the
+    * same replay. */
+  def skeletonMinhashQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Caches.TrackedDataset
+    val T = 1000000000L
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), lit(" uid"),
+        col("doc_id").cast("string")).as("t"))
+    val tk = tokens(col("t"))
+    val dropped = array_join(
+      slice(tk, lit(1), greatest(size(tk) - 2, lit(1))), " ")
+    val twins = base.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + T).as("doc_id"),
+        concat(lit("\u200b"),
+          translate(dropped, "aeo", "\u0430\u0435\u043e")).as("t"))
+    val sk = base.unionByName(twins)
+      .select(col("doc_id"),
+        graft.functions.ConfusableSkeleton.skeleton(col("t")).as("text"))
+    val sig = signatures(spark, sk).trackPersist()
+    minhashLshFrom(sig, Bands, RowsPerBand)
+  }
+
+  val skeletonMinhashOracle: String = {
+    val mh = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(sgl, h -> ((h & $M30) * ${HashA(i)} + ${HashB(i)}) % $MinHashP)) AS mh_$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh_${b * RowsPerBand + r}")
+      s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || '|' || ")}) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text || ' uid' || CAST(doc_id AS VARCHAR) AS t
+       |  FROM documents),
+       |tw AS (
+       |  SELECT doc_id + 1000000000 AS doc_id,
+       |         chr(8203) || translate(
+       |           array_to_string(list_slice(tk, 1, len(tk) - 2), ' '),
+       |           'aeo', 'аео') AS t
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(trim(lower(t)), '\\s+') AS tk
+       |        FROM d0)
+       |  WHERE doc_id % 4 = 0),
+       |src AS (SELECT doc_id, t FROM d0 UNION ALL SELECT doc_id, t FROM tw),
+       |skel AS (
+       |  SELECT doc_id,
+       |         translate(lower(t), 'аео' || chr(8203), 'aeo') AS text
+       |  FROM src),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           CASE WHEN len(tk) >= 3 THEN list_distinct(
+       |             list_transform(generate_series(1, len(tk) - 2),
+       |                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+       |                ELSE [] END,
+       |           s -> CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT))) AS sgl
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |        FROM skel)),
+       |sig AS (
+       |  SELECT doc_id, sgl,
+       |         $mh
+       |  FROM sh WHERE len(sgl) > 0),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_intersect(a.sgl, b.sgl)) * 1.0 /
+       |               (len(a.sgl) + len(b.sgl) - len(list_intersect(a.sgl, b.sgl))), 6) AS jaccard
+       |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+       |            JOIN sh b ON cand.doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM verified
+       |WHERE jaccard >= $JaccardThreshold
+       |""".stripMargin
+  }
 }

@@ -350,6 +350,24 @@ class Round9cOpsSpec extends SparkSpec {
     assert(g.head == "convoy")
   }
 
+  test("skeleton MinHash finds evasion near-twins that raw MinHash misses") {
+    import graft.ops.Dedup
+    val T = 1000000000L
+    val skPairs = Dedup.skeletonMinhashQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val twinPairs = skPairs.filter { case (a, b) => b == a + T }
+    // banding at J≈0.9 is ~98.6% per pair; require the overwhelming bulk
+    assert(twinPairs.size >= (n / 4 * 9) / 10,
+      s"only ${twinPairs.size} of ~${n / 4} evasion twins found")
+    // raw-text MinHash on the same corpus finds NO twin pair: every
+    // shingle containing a swapped letter differs, so raw Jaccard is
+    // far below the verify threshold
+    val rawPairs = Dedup.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!rawPairs.exists { case (a, b) => b == a + T })
+  }
+
   // ------------------------------------------------- subtitle parsing
 
   test("SRT and VTT cues parse with markup stripped") {
