@@ -1377,6 +1377,53 @@ object TextAnalysis {
       |FROM documents
       |""".stripMargin
 
+  /** Outlink-graph extraction — the web-graph building block: pull
+    * every `href` from the page markup, CANONICALIZE it (the wire
+    * form carries uppercase hosts and tracking params —
+    * [[graft.ops.UrlOps.canonicalizeUrl]] is applied before anything
+    * aggregates), and emit the domain-level edge list with link
+    * counts. Domain-grain output is what host-level quality signals
+    * (harmonic/pagerank-style) consume. One scan → explode →
+    * canonical projection → one edge aggregate. */
+  def outlinksQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val nLinks = col("doc_id") % 5
+    val anchors = when(nLinks < 1, lit(""))
+      .otherwise(array_join(transform(sequence(lit(0L), nLinks - 1), k =>
+        concat(lit("<a href=\"HTTP://WWW.EXAMPLE"),
+          ((col("doc_id") + k) % 7).cast("string"),
+          lit(".COM:80/p/"), (col("doc_id") % 13).cast("string"),
+          lit("?utm_source=z&k="), k.cast("string"),
+          lit("\">x</a>"))), ""))
+    val html = docs.withColumn("html", concat(
+      lit("<html><body><nav><a href=\"/local/nav\">home</a></nav>"),
+      anchors, lit("</body></html>")))
+    html
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .filter(col("href").startsWith("HTTP") || col("href").startsWith("http"))
+      .select(
+        concat(lit("www.example"), (col("doc_id") % 7).cast("string"),
+          lit(".com")).as("src_domain"),
+        regexp_extract(graft.ops.UrlOps.canonicalizeUrl(col("href")),
+          "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).as("dst_domain"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  val outlinksOracle: String =
+    """WITH l AS (
+      |  SELECT doc_id % 7 AS s, (doc_id + k) % 7 AS t
+      |  FROM documents,
+      |       unnest(generate_series(0, CAST(doc_id % 5 AS BIGINT) - 1)) u(k)
+      |  WHERE doc_id % 5 >= 1)
+      |SELECT 'www.example' || CAST(s AS VARCHAR) || '.com' AS src_domain,
+      |       'www.example' || CAST(t AS VARCHAR) || '.com' AS dst_domain,
+      |       CAST(count(*) AS BIGINT) AS n_links
+      |FROM l GROUP BY 1, 2
+      |""".stripMargin
+
   val jsonLdOracle: String =
     """SELECT doc_id, CAST(0 AS INT) AS block_index,
       |       CASE doc_id % 3 WHEN 0 THEN 'Product' WHEN 1 THEN 'Article'

@@ -740,6 +740,62 @@ object TextPrep {
   val spanRemovalSampledOracle: String =
     spanRemovalOracleAt(SpanSampleDenom)
 
+  /** DATASET CARD — the one-row corpus summary a release ships with:
+    * document/language/source counts, character mass, vocabulary
+    * size, and the exact-duplicate share (docs whose normalized text
+    * appears ≥2 times, in integer ppm). Every number is a corpus
+    * aggregate the other queries expose at finer grain; the card is
+    * the composition that pins them together in one artifact. Plan:
+    * three corpus-linear aggregates broadcast-joined as 1-row frames
+    * — no wide shuffle, nothing driver-side. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).cast("int").as("n_langs"),
+      countDistinct(col("source")).cast("int").as("n_sources"),
+      sum(col("n_chars")).as("total_chars"),
+      expr("sum(n_chars) div count(1)").as("mean_doc_chars"))
+    val vocab = d.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .agg(countDistinct(col("w")).as("vocab_size"))
+    val dups = d
+      .select(md5(concat_ws(" ",
+        split(trim(lower(col("text"))), "\\s+"))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L))
+        .as("exact_dup_docs"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+      .withColumn("dup_ppm", expr("exact_dup_docs * 1000000 div n_docs"))
+  }
+
+  val datasetCardOracle: String =
+    """WITH fp AS (
+      |  SELECT md5(array_to_string(
+      |           string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+      |  FROM documents),
+      |dups AS (
+      |  SELECT CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+      |           AS exact_dup_docs
+      |  FROM (SELECT fp, count(*) AS c FROM fp GROUP BY 1)),
+      |vocab AS (
+      |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 1),
+      |base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT lang) AS INT) AS n_langs,
+      |         CAST(count(DISTINCT source) AS INT) AS n_sources,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |         CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_doc_chars
+      |  FROM documents)
+      |SELECT n_docs, n_langs, n_sources, total_chars, mean_doc_chars,
+      |       vocab_size, exact_dup_docs,
+      |       exact_dup_docs * 1000000 // n_docs AS dup_ppm
+      |FROM base, vocab, dups
+      |""".stripMargin
+
   // ---------------------------------------------- corpus balance audit
 
   /** Per-source corpus balance: document count, character mass and its
