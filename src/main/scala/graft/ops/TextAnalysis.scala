@@ -1412,6 +1412,71 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Host-level rank over the EXTRACTED outlink graph — the quality
+    * signal crawl pipelines weight domains by, composed end-to-end
+    * from page markup: href pull → canonicalization → domain edges
+    * ([[outlinksQuery]]) → two damped PageRank iterations. All
+    * arithmetic is INTEGER ppm (per-edge integer division before the
+    * order-independent sum, damping as 85/100 integer ops), so the
+    * oracle replays both iterations exactly — no floating-point
+    * accumulation order in the gate. Domain-grain everywhere: the
+    * edge list is sites×sites, broadcast-sized next to any corpus. */
+  def hostRankQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = outlinksQuery(spark, dir)
+      .select(col("src_domain").as("s"), col("dst_domain").as("t"),
+        col("n_links").as("w"))
+    val outw = e.groupBy(col("s")).agg(sum(col("w")).as("ow"))
+    val ew = e.join(outw, "s")
+    val nodes = e.select(col("s").as("d")).distinct()
+    val nd = nodes.agg(count(lit(1)).as("nd"))
+    var rank = nodes.crossJoin(broadcast(nd))
+      .select(col("d"), expr("1000000 div nd").as("r"))
+    for (_ <- 1 to 2) {
+      val contrib = ew.join(rank.withColumnRenamed("d", "s"), "s")
+        .select(col("t").as("d"), expr("r * w div ow").as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("sc"))
+      rank = nodes.join(contrib, Seq("d"), "left")
+        .crossJoin(broadcast(nd))
+        .select(col("d"),
+          expr("150000 div nd + 85 * coalesce(sc, 0) div 100").as("r"))
+    }
+    rank.select(col("d").as("domain"), col("r").cast("long").as("rank_ppm"))
+  }
+
+  val hostRankOracle: String =
+    """WITH l AS (
+      |  SELECT doc_id % 7 AS s, (doc_id + k) % 7 AS t
+      |  FROM documents,
+      |       unnest(generate_series(0, CAST(doc_id % 5 AS BIGINT) - 1)) u(k)
+      |  WHERE doc_id % 5 >= 1),
+      |e AS (SELECT s, t, count(*) AS w FROM l GROUP BY 1, 2),
+      |outw AS (SELECT s, sum(w) AS ow FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT s AS d FROM e),
+      |n AS (SELECT count(*) AS nd FROM nodes),
+      |r0 AS (SELECT d, 1000000 // (SELECT nd FROM n) AS r FROM nodes),
+      |c1 AS (
+      |  SELECT e.t AS d, sum(r0.r * e.w // outw.ow) AS sc
+      |  FROM e JOIN r0 ON e.s = r0.d JOIN outw ON e.s = outw.s
+      |  GROUP BY 1),
+      |r1 AS (
+      |  SELECT nodes.d,
+      |         150000 // (SELECT nd FROM n)
+      |           + 85 * coalesce(c1.sc, 0) // 100 AS r
+      |  FROM nodes LEFT JOIN c1 ON nodes.d = c1.d),
+      |c2 AS (
+      |  SELECT e.t AS d, sum(r1.r * e.w // outw.ow) AS sc
+      |  FROM e JOIN r1 ON e.s = r1.d JOIN outw ON e.s = outw.s
+      |  GROUP BY 1),
+      |r2 AS (
+      |  SELECT nodes.d,
+      |         150000 // (SELECT nd FROM n)
+      |           + 85 * coalesce(c2.sc, 0) // 100 AS r
+      |  FROM nodes LEFT JOIN c2 ON nodes.d = c2.d)
+      |SELECT 'www.example' || CAST(d AS VARCHAR) || '.com' AS domain,
+      |       CAST(r AS BIGINT) AS rank_ppm
+      |FROM r2
+      |""".stripMargin
+
   val outlinksOracle: String =
     """WITH l AS (
       |  SELECT doc_id % 7 AS s, (doc_id + k) % 7 AS t
