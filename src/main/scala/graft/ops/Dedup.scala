@@ -1053,7 +1053,7 @@ object Dedup {
        |tw AS (
        |  SELECT doc_id + 1000000000 AS doc_id,
        |         chr(8203) || translate(
-       |           array_to_string(list_slice(tk, 1, len(tk) - 2), ' '),
+       |           array_to_string(list_slice(tk, 1, greatest(len(tk) - 2, 1)), ' '),
        |           'aeo', 'аео') AS t
        |  FROM (SELECT doc_id,
        |               string_split_regex(trim(lower(t)), '\\s+') AS tk

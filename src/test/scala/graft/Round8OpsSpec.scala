@@ -486,7 +486,7 @@ class Round8OpsSpec extends SparkSpec {
     import graft.functions.{ImageCodec, JpegCodec}
     val base = JpegCodec.writeJpegPixels(18, 12, 95, softPx(7))
     // splice an EXIF-style APP1 after APP0 by hand, then a COM
-    val exif = "Exif  GPS=51.5,-0.1".getBytes("ISO-8859-1")
+    val exif = "Exif\u0000\u0000GPS=51.5,-0.1".getBytes("ISO-8859-1")
     val app1 = Array(0xff.toByte, 0xe1.toByte,
       (((exif.length + 2) >> 8) & 0xff).toByte,
       ((exif.length + 2) & 0xff).toByte) ++ exif
