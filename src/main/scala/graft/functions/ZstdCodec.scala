@@ -89,6 +89,358 @@ object ZstdCodec {
     out.toByteArray
   }
 
+  // ------------------------------------------------- entropy encoding
+
+  /** One sequence for [[writeCompressedFrame]]: emit `ll` literal
+    * bytes, then copy `ml` bytes from `offset` back (repCode 1–3 emits
+    * the corresponding repeat-offset code instead of an absolute
+    * offset). */
+  final case class Seqn(ll: Int, ml: Int, offset: Long = 0L, repCode: Int = 0)
+
+  /** Literal-section coding for one Compressed block. */
+  sealed trait LitMode
+  case object Lit1Stream extends LitMode
+  case object Lit4Stream extends LitMode
+  /** Reuse the previous block's Huffman table (type 3) — the literal
+    * alphabet must be a subset of that block's. */
+  case object LitTreeless extends LitMode
+  case object LitRle extends LitMode
+  case object LitRaw extends LitMode
+
+  final case class CompBlock(literals: Array[Byte], sequences: Seq[Seqn],
+                             litMode: LitMode = Lit1Stream)
+
+  /** Backward bit writer (§3.1.1.7): first `put` is the first value the
+    * decoder reads; a sentinel 1-bit tops the stream. */
+  private final class WBits {
+    private val vals = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    def put(v: Long, n: Int): Unit = {
+      require(n >= 0 && (n == 0 || (v >> n) == 0), s"value $v over $n bits")
+      vals += ((v, n))
+    }
+    def pack(): Array[Byte] = {
+      val total = vals.iterator.map(_._2).sum
+      val out = new Array[Byte]((total + 8) / 8)
+      def set(idx: Int): Unit =
+        out(idx >> 3) = (out(idx >> 3) | (1 << (idx & 7))).toByte
+      set(total) // sentinel
+      var idx = total - 1
+      vals.foreach { case (v, n) =>
+        var k = 0
+        while (k < n) {
+          if (((v >> (n - 1 - k)) & 1) != 0) set(idx)
+          idx -= 1; k += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Canonical Huffman codes for the byte histogram of `lit`:
+    * (explicitWeights, perSymbol (code, nbBits), maxBits). Lengths are
+    * Kraft-exact by a greedy deficit fix, so the implicit-last-weight
+    * convention reproduces them. */
+  private def hufAssign(lit: Array[Byte]): (Array[Int], Array[Int], Array[Int], Int) = {
+    val freq = new Array[Long](256)
+    lit.foreach(b => freq(b & 0xff) += 1)
+    val present = (0 until 256).filter(freq(_) > 0)
+    require(present.size >= 2, "huffman needs >= 2 distinct symbols")
+    val lastSym = present.max
+    require(lastSym <= 128, "direct-weight header covers symbols 0..128")
+    val n = present.size
+    val L = math.max(1, 32 - Integer.numberOfLeadingZeros(n - 1)) // ceil(log2 n)
+    val len = new Array[Int](256)
+    present.foreach(len(_) = L)
+    var deficit = (1 << L) - n
+    // greedy: shorten highest-frequency symbols first, each contributing
+    // 2^m - 1 toward the Kraft deficit
+    val byFreq = present.sortBy(-freq(_)).iterator
+    while (deficit > 0) {
+      val s = byFreq.next()
+      var m = 1
+      while ((1 << (m + 1)) - 1 <= deficit && L - (m + 1) >= 1) m += 1
+      len(s) = L - m
+      deficit -= (1 << m) - 1
+    }
+    val maxBits = L
+    val weights = new Array[Int](256)
+    present.foreach(s => weights(s) = maxBits + 1 - len(s))
+    // code assignment mirrors the decode-table fill: weight ascending,
+    // symbol ascending; code = cur >> (w-1)
+    val code = new Array[Int](256)
+    val nb = new Array[Int](256)
+    var cur = 0
+    var w = 1
+    while (w <= maxBits) {
+      var s = 0
+      while (s <= lastSym) {
+        if (weights(s) == w) {
+          nb(s) = maxBits + 1 - w
+          code(s) = cur >> (w - 1)
+          cur += 1 << (w - 1)
+        }
+        s += 1
+      }
+      w += 1
+    }
+    val explicit = (0 until lastSym).map(weights(_)).toArray
+    (explicit, code, nb, maxBits)
+  }
+
+  /** Encode one Huffman stream (first literal first). */
+  private def hufStream(lit: Array[Byte], from: Int, until: Int,
+                        code: Array[Int], nb: Array[Int]): Array[Byte] = {
+    val wb = new WBits
+    var i = from
+    while (i < until) {
+      val s = lit(i) & 0xff
+      wb.put(code(s).toLong, nb(s))
+      i += 1
+    }
+    wb.pack()
+  }
+
+  /** Literals section bytes for a Compressed block; returns
+    * (bytes, codes, nb) so treeless blocks can reuse the table. */
+  private def encodeLiterals(lit: Array[Byte], mode: LitMode,
+                             prev: Option[(Array[Int], Array[Int])]): (Array[Byte], Option[(Array[Int], Array[Int])]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    def rawHeader(typ: Int, regen: Int): Unit =
+      if (regen <= 31) out.write(typ | (regen << 3))
+      else if (regen <= 4095) {
+        val v = typ | (1 << 2) | (regen << 4)
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      } else {
+        val v = typ | (3 << 2) | (regen << 4)
+        out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
+      }
+    mode match {
+      case LitRaw =>
+        rawHeader(0, lit.length)
+        out.write(lit, 0, lit.length)
+        (out.toByteArray, prev)
+      case LitRle =>
+        require(lit.nonEmpty && lit.forall(_ == lit(0)), "RLE literals must be uniform")
+        rawHeader(1, lit.length)
+        out.write(lit(0))
+        (out.toByteArray, prev)
+      case LitTreeless =>
+        val (code, nb) = prev.getOrElse(
+          throw new IllegalArgumentException("treeless without prior table"))
+        lit.foreach(b => require(nb(b & 0xff) > 0, "treeless alphabet not covered"))
+        val body = hufStream(lit, 0, lit.length, code, nb)
+        require(lit.length <= 1023 && body.length <= 1023, "1-stream caps at 1023")
+        val v = 3L | (0L << 2) | (lit.length.toLong << 4) | (body.length.toLong << 14)
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt)
+        out.write(body, 0, body.length)
+        (out.toByteArray, prev)
+      case Lit1Stream | Lit4Stream =>
+        val (explicit, code, nb, _) = hufAssign(lit)
+        val tree = new java.io.ByteArrayOutputStream()
+        tree.write(127 + explicit.length)
+        var i = 0
+        while (i < explicit.length) {
+          val hi = explicit(i)
+          val lo = if (i + 1 < explicit.length) explicit(i + 1) else 0
+          tree.write((hi << 4) | lo)
+          i += 2
+        }
+        val treeB = tree.toByteArray
+        val body = new java.io.ByteArrayOutputStream()
+        if (mode == Lit1Stream) {
+          val s = hufStream(lit, 0, lit.length, code, nb)
+          body.write(s, 0, s.length)
+          val comp = treeB.length + body.size()
+          require(lit.length <= 1023 && comp <= 1023, "1-stream caps at 1023")
+          val v = 2L | (0L << 2) | (lit.length.toLong << 4) | (comp.toLong << 14)
+          out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt)
+        } else {
+          val r13 = (lit.length + 3) / 4
+          val r4 = lit.length - 3 * r13
+          require(r4 >= 1, s"4-stream needs a non-empty 4th stream (len ${lit.length})")
+          val ss = Array(
+            hufStream(lit, 0, r13, code, nb),
+            hufStream(lit, r13, 2 * r13, code, nb),
+            hufStream(lit, 2 * r13, 3 * r13, code, nb),
+            hufStream(lit, 3 * r13, lit.length, code, nb))
+          ss.take(3).foreach { s =>
+            body.write(s.length & 0xff); body.write((s.length >> 8) & 0xff)
+          }
+          ss.foreach(s => body.write(s, 0, s.length))
+          val comp = treeB.length + body.size()
+          // pick the smallest 4-stream size format that fits
+          if (lit.length <= 1023 && comp <= 1023) {
+            val v = 2L | (1L << 2) | (lit.length.toLong << 4) | (comp.toLong << 14)
+            out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+            out.write(((v >> 16) & 0xff).toInt)
+          } else if (lit.length <= 16383 && comp <= 16383) {
+            val v = 2L | (2L << 2) | (lit.length.toLong << 4) | (comp.toLong << 18)
+            out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+            out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+          } else {
+            require(lit.length <= 262143, "literal section too large")
+            val v = 2L | (3L << 2) | (lit.length.toLong << 4) | (comp.toLong << 22)
+            var k = 0
+            while (k < 5) { out.write(((v >> (8 * k)) & 0xff).toInt); k += 1 }
+          }
+        }
+        out.write(treeB, 0, treeB.length)
+        body.writeTo(out)
+        (out.toByteArray, Some((code, nb)))
+    }
+  }
+
+  /** Map a literals-length value to its (code, extraBits). */
+  private def llCodeOf(v: Int): (Int, Int) =
+    if (v < 16) (v, 0)
+    else {
+      var c = 35
+      while (LLBase(c) > v) c -= 1
+      (c, LLExtra(c))
+    }
+
+  private def mlCodeOf(v: Int): (Int, Int) = {
+    require(v >= 3, "match length >= 3")
+    if (v <= 34) (v - 3, 0)
+    else {
+      var c = 52
+      while (MLBase(c) > v) c -= 1
+      (c, MLExtra(c))
+    }
+  }
+
+  /** Emit a Compressed-block zstd frame (single segment). Literals are
+    * Huffman/RLE/raw coded per block; sequences use RLE table mode, so
+    * all sequences within one block must share their LL/ML/OF codes
+    * (extra bits may differ). Optionally appends the XXH64 content
+    * checksum. Returns (frame, decodedContent). */
+  def writeCompressedFrame(blocks: Seq[CompBlock],
+                           checksum: Boolean = false): (Array[Byte], Array[Byte]) = {
+    require(blocks.nonEmpty, "empty frame")
+    // simulate execution to size the FCS, validate offsets, and hash
+    val sim = new OutBuf(256)
+    var rep1 = 1L; var rep2 = 4L; var rep3 = 8L
+    val encoded = blocks.map { blk =>
+      var litPos = 0
+      blk.sequences.foreach { q =>
+        require(q.ll >= 0 && litPos + q.ll <= blk.literals.length, "ll overruns literals")
+        sim.write(blk.literals, litPos, q.ll); litPos += q.ll
+        val offset: Long =
+          if (q.repCode == 0) {
+            require(q.offset > 0, "absolute offset must be > 0")
+            rep3 = rep2; rep2 = rep1; rep1 = q.offset
+            q.offset
+          } else {
+            val idx = q.repCode + (if (q.ll == 0) 1 else 0)
+            val o = idx match {
+              case 1 => rep1
+              case 2 => val x = rep2; rep2 = rep1; rep1 = x; x
+              case 3 => val x = rep3; rep3 = rep2; rep2 = rep1; rep1 = x; x
+              case _ =>
+                val x = rep1 - 1
+                require(x > 0, "rep1-1 offset must be > 0")
+                rep3 = rep2; rep2 = rep1; rep1 = x; x
+            }
+            o
+          }
+        require(offset <= sim.n, s"offset $offset reaches before frame start")
+        sim.ensure(q.ml)
+        val a = sim.a
+        val src = sim.n - offset.toInt
+        var k = 0
+        while (k < q.ml) { a(sim.n) = a(src + k); sim.n += 1; k += 1 }
+      }
+      sim.write(blk.literals, litPos, blk.literals.length - litPos)
+      blk
+    }
+    val content = sim.toArray
+    // assemble blocks
+    var prevTable: Option[(Array[Int], Array[Int])] = None
+    var r1 = 1L; var r2 = 4L; var r3 = 8L
+    val blockBytes = encoded.map { blk =>
+      val (litSec, table) = encodeLiterals(blk.literals, blk.litMode, prevTable)
+      prevTable = table
+      val seqSec = new java.io.ByteArrayOutputStream()
+      if (blk.sequences.isEmpty) seqSec.write(0)
+      else {
+        val n = blk.sequences.size
+        require(n < 128, "fixture blocks keep nbSeq < 128")
+        seqSec.write(n)
+        // RLE table mode for all three families
+        seqSec.write((1 << 6) | (1 << 4) | (1 << 2))
+        // per-sequence codes; RLE mode requires one shared code per family
+        val triples = blk.sequences.map { q =>
+          val ofValue: Long =
+            if (q.repCode == 0) {
+              r3 = r2; r2 = r1; r1 = q.offset
+              q.offset + 3
+            } else {
+              val idx = q.repCode + (if (q.ll == 0) 1 else 0)
+              idx match {
+                case 1 => ()
+                case 2 => val x = r2; r2 = r1; r1 = x
+                case 3 => val x = r3; r3 = r2; r2 = r1; r1 = x
+                case _ => val x = r1 - 1; r3 = r2; r2 = r1; r1 = x
+              }
+              q.repCode.toLong
+            }
+          val ofCode = 63 - java.lang.Long.numberOfLeadingZeros(ofValue)
+          val ofExtra = ofValue - (1L << ofCode)
+          val (llC, llB) = llCodeOf(q.ll)
+          val (mlC, mlB) = mlCodeOf(q.ml)
+          (ofCode.toInt, ofExtra, llC, llB, q.ll - LLBase(llC), mlC, mlB,
+            q.ml - MLBase(mlC))
+        }
+        val (ofCode, _, llC, _, _, mlC, _, _) = triples.head
+        require(triples.forall(t => t._1 == ofCode && t._3 == llC && t._6 == mlC),
+          "RLE sequence mode needs shared LL/ML/OF codes within a block")
+        seqSec.write(llC); seqSec.write(ofCode); seqSec.write(mlC)
+        val wb = new WBits
+        // RLE tables have accuracy 0: state init reads no bits; per
+        // sequence the decoder reads OF extra, ML extra, LL extra
+        triples.foreach { case (ofC, ofE, _, llB, llE, _, mlB, mlE) =>
+          wb.put(ofE, ofC)
+          wb.put(mlE.toLong, mlB)
+          wb.put(llE.toLong, llB)
+        }
+        val bs = wb.pack()
+        seqSec.write(bs, 0, bs.length)
+      }
+      val litB = litSec
+      val body = new Array[Byte](litB.length + seqSec.size())
+      System.arraycopy(litB, 0, body, 0, litB.length)
+      System.arraycopy(seqSec.toByteArray, 0, body, litB.length, seqSec.size())
+      body
+    }
+    // frame header: explicit 128 KiB window (NOT single-segment — a
+    // single-segment window equals the content size, and the reference
+    // decoder enforces compressed-block-size <= window, which tiny
+    // contents with Huffman-table overhead would violate), 4-byte FCS
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic, 0, 4)
+    val checkBit = if (checksum) 0x04 else 0x00
+    val contentSize = content.length.toLong
+    out.write(0x80 | checkBit) // FCS flag 2 (4 bytes), windowed, no dict
+    out.write(0x38)            // window descriptor: exponent 7 -> 128 KiB
+    var v = contentSize
+    for (_ <- 0 until 4) { out.write((v & 0xff).toInt); v >>= 8 }
+    blockBytes.zipWithIndex.foreach { case (body, i) =>
+      val last = if (i == blockBytes.size - 1) 1 else 0
+      val hdr = last | (2 << 1) | (body.length << 3)
+      out.write(hdr & 0xff); out.write((hdr >> 8) & 0xff)
+      out.write((hdr >> 16) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    if (checksum) {
+      val h = xxh64(content)
+      var k = 0
+      while (k < 4) { out.write(((h >> (8 * k)) & 0xff).toInt); k += 1 }
+    }
+    (out.toByteArray, content)
+  }
+
   /** Walk block headers, returning (meta, payloadOffsets) — shared by
     * census and extract. None on malformed structure; sizes validated
     * in Long space. */

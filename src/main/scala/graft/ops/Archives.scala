@@ -591,6 +591,117 @@ object Archives {
       |FROM c
       |""".stripMargin
 
+  /** Entropy-coded zstd round trip: per document a three-block
+    * Compressed frame — Huffman literals (1-stream on even ids,
+    * 4-stream on odd), an RLE-mode sequence whose match copy OVERLAPS
+    * its own output (cyclic window repetition), a treeless second
+    * block whose sequence uses repeat-offset 1 carried over from block
+    * one, and a literals-only third block; checksum on every third
+    * doc. The decoded content is formula-predictable, so the oracle
+    * replays literal construction + both match copies in SQL. The
+    * encode+decode both run in-plan (map-only, scan-shaped at
+    * 100 TB); the reference-CLI agreement for both directions is
+    * spec-gated in Round10ZstdSpec. */
+  def zstdEntropyQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ZstdCodec
+    import graft.functions.ZstdCodec.{CompBlock, Lit1Stream, Lit4Stream, LitTreeless, Seqn}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val p = 8 + (id % 5).toInt
+          val pat = "abcdefghijkl".take(p)
+          val l1 = s"zstd doc $id mid " + pat
+          val l2 = " mid " + pat
+          val l3 = s" tail $id end."
+          val mode1 = if (id % 2 == 0) Lit1Stream else Lit4Stream
+          val mode2 = if (id % 3 == 0) Lit1Stream else LitTreeless
+          val (frame, _) = ZstdCodec.writeCompressedFrame(Seq(
+            CompBlock(l1.getBytes("US-ASCII"),
+              Seq(Seqn(ll = l1.length, ml = 2 * p + 3, offset = p)), mode1),
+            CompBlock(l2.getBytes("US-ASCII"),
+              Seq(Seqn(ll = l2.length, ml = p + (id % 3).toInt + 3, repCode = 1)), mode2),
+            CompBlock(l3.getBytes("US-ASCII"), Nil)),
+            checksum = id % 3 == 0)
+          for {
+            m <- ZstdCodec.census(frame)
+            c <- ZstdCodec.extract(frame)
+          } yield (id, new String(c, "US-ASCII"), m.nBlocks, m.nCompressed)
+        }
+      }
+      .toDF("doc_id", "content", "n_blocks", "n_compressed")
+      .select(col("doc_id"),
+        length(col("content")).cast("int").as("content_len"),
+        md5(col("content")).as("content_md5"),
+        col("n_blocks").cast("int").as("n_blocks"),
+        col("n_compressed").cast("int").as("n_compressed"))
+  }
+
+  val zstdEntropyOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         left('abcdefghijkl', CAST(8 + doc_id % 5 AS INT)) AS pat,
+      |         CAST(8 + doc_id % 5 AS INT) AS p
+      |  FROM documents),
+      |built AS (
+      |  SELECT doc_id,
+      |         'zstd doc ' || CAST(doc_id AS VARCHAR) || ' mid ' || pat
+      |           || left(repeat(pat, 4), 2 * p + 3)
+      |           || ' mid ' || pat
+      |           || left(repeat(pat, 4), p + CAST(doc_id % 3 AS INT) + 3)
+      |           || ' tail ' || CAST(doc_id AS VARCHAR) || ' end.' AS content
+      |  FROM c)
+      |SELECT doc_id,
+      |       CAST(length(content) AS INT) AS content_len,
+      |       md5(content) AS content_md5,
+      |       CAST(3 AS INT) AS n_blocks,
+      |       CAST(3 AS INT) AS n_compressed
+      |FROM built
+      |""".stripMargin
+
+  /** Decode the eight embedded reference-CLI zstd frames (entropy-coded
+    * by the real `zstd` binary at level 3: FSE sequence tables, 4-stream
+    * Huffman literals, repeat offsets, content checksums) — each doc
+    * selects one by id. The oracle carries the fixture-generation-time
+    * lengths and md5s as constants, so the gate proves this decoder
+    * reproduces the reference encoder's content exactly. */
+  def zstdCliQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ZstdCliFixtures, ZstdCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.flatMap { id =>
+          val v = (id % 8).toInt
+          val frame = ZstdCliFixtures.frames(v)
+          for {
+            m <- ZstdCodec.census(frame)
+            c <- ZstdCodec.extract(frame)
+          } yield (id, v, c.length,
+            md.digest(c).map("%02x".format(_)).mkString, m.nCompressed)
+        }
+      }
+      .toDF("doc_id", "variant", "content_len", "content_md5", "n_compressed")
+      .select(col("doc_id"), col("variant").cast("int").as("variant"),
+        col("content_len").cast("int").as("content_len"), col("content_md5"),
+        col("n_compressed").cast("int").as("n_compressed"))
+  }
+
+  val zstdCliOracle: String = {
+    val rows = graft.functions.ZstdCliFixtures.expected
+      .map { case (v, n, h, nc) => s"($v, $n, '$h', $nc)" }.mkString(",\n        ")
+    s"""WITH exp(variant, content_len, content_md5, n_compressed) AS (VALUES
+       |        $rows)
+       |SELECT d.doc_id,
+       |       CAST(e.variant AS INT) AS variant,
+       |       CAST(e.content_len AS INT) AS content_len,
+       |       e.content_md5,
+       |       CAST(e.n_compressed AS INT) AS n_compressed
+       |FROM documents d
+       |JOIN exp e ON e.variant = CAST(d.doc_id % 8 AS INT)
+       |""".stripMargin
+  }
+
   // ------------------------------------------------ OOXML (docx) layer
 
   /** Build a minimal valid .docx: a zip with [Content_Types].xml and

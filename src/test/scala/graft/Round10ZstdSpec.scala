@@ -103,6 +103,76 @@ class Round10ZstdSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("compressed-frame encoder round-trips over the option x size matrix") {
+    import ZstdCodec._
+    val text = "abcdefgh ijklmnop qrstuvwx yz0123456789 the quick brown fox "
+    def lit(n: Int): Array[Byte] =
+      Iterator.continually(text).flatten.take(n).map(_.toByte).toArray
+    for (mode <- Seq(Lit1Stream, Lit4Stream, LitRaw);
+         n <- Seq(4, 10, 61, 200, 1000);
+         check <- Seq(false, true)) {
+      val l = lit(n)
+      val blocks = Seq(
+        CompBlock(l, Seq(Seqn(ll = n, ml = 7, offset = math.min(5, n - 1)))),
+        CompBlock(lit(math.max(n / 2, 4)), Seq(Seqn(ll = 3, ml = 11, repCode = 1))))
+      val (frame, content) = writeCompressedFrame(blocks, check)
+      val got = ZstdCodec.extract(frame)
+      assert(got.isDefined, s"$mode n=$n check=$check did not decode")
+      assert(java.util.Arrays.equals(got.get, content), s"$mode n=$n check=$check bytes")
+    }
+    // RLE literals, literals-only block, treeless reuse, overlap copy
+    val uni = Array.fill(40)('z'.toByte)
+    val (f1, c1) = writeCompressedFrame(Seq(
+      CompBlock(lit(100), Seq(Seqn(ll = 100, ml = 23, offset = 9))), // overlap: ml > offset
+      CompBlock(uni, Seq(Seqn(ll = 40, ml = 5, repCode = 1)), LitRle),
+      CompBlock(lit(50), Nil, LitTreeless),
+      CompBlock(lit(30), Nil)))
+    assert(java.util.Arrays.equals(ZstdCodec.extract(f1).get, c1))
+    // 4-stream large literal crossing the sf2 format boundary
+    val (f2, c2) = writeCompressedFrame(Seq(
+      CompBlock(lit(5000), Seq(Seqn(ll = 5000, ml = 100, offset = 61)), Lit4Stream),
+      CompBlock(lit(8), Nil)), checksum = true)
+    assert(java.util.Arrays.equals(ZstdCodec.extract(f2).get, c2))
+    // two sequences sharing codes, extra bits differ (ll 16/17 = code 16,
+    // ml 43/45 = code 36, offsets 12/15 -> ofValue 15/18, code 3/4? keep same code: 13/14 -> 16/17 code 4)
+    val (f3, c3) = writeCompressedFrame(Seq(
+      CompBlock(lit(60), Seq(
+        Seqn(ll = 16, ml = 43, offset = 13),
+        Seqn(ll = 17, ml = 45, offset = 14)))))
+    assert(java.util.Arrays.equals(ZstdCodec.extract(f3).get, c3))
+  }
+
+  test("reference zstd decodes our compressed frames byte-exactly") {
+    assume(zstdBin.canExecute, "reference zstd not installed")
+    import ZstdCodec._
+    import scala.sys.process._
+    val text = "interop payload 0123456789 abcdefghij "
+    def lit(n: Int): Array[Byte] =
+      Iterator.continually(text).flatten.take(n).map(_.toByte).toArray
+    val cases = Seq(
+      "one-stream" -> writeCompressedFrame(Seq(
+        CompBlock(lit(80), Seq(Seqn(ll = 80, ml = 19, offset = 7))))),
+      "four-stream+checksum" -> writeCompressedFrame(Seq(
+        CompBlock(lit(600), Seq(Seqn(ll = 600, ml = 64, offset = 38))),
+        CompBlock(lit(90), Seq(Seqn(ll = 90, ml = 8, repCode = 1)))), checksum = true),
+      "treeless+rle+litonly" -> writeCompressedFrame(Seq(
+        CompBlock(lit(120), Seq(Seqn(ll = 120, ml = 30, offset = 11))),
+        CompBlock(lit(70), Nil, LitTreeless),
+        CompBlock(Array.fill(33)('q'.toByte), Nil, LitRle),
+        CompBlock(lit(44), Nil, LitRaw))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstd10e")
+    cases.foreach { case (name, (frame, content)) =>
+      val fz = dir.resolve(s"$name.zst")
+      val fout = dir.resolve(s"$name.out")
+      java.nio.file.Files.write(fz, frame)
+      assert(Seq(zstdBin.getPath, "-d", "-f", fz.toString, "-o",
+        fout.toString).! == 0, s"reference decoder rejected $name")
+      val ref = java.nio.file.Files.readAllBytes(fout)
+      assert(java.util.Arrays.equals(ref, content), s"$name reference bytes differ")
+      assert(java.util.Arrays.equals(ZstdCodec.extract(frame).get, content))
+    }
+  }
+
   test("xxh64 matches published test vectors") {
     // Public XXH64 reference vectors (seed 0)
     assert(ZstdCodec.xxh64(Array.emptyByteArray) == 0xef46db3751d8e999L)
