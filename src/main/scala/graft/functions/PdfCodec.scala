@@ -55,26 +55,97 @@ object PdfCodec {
 
   // ------------------------------------------------- text extraction
 
-  private val TjRe = java.util.regex.Pattern.compile(
-    "\\(((?:\\\\.|[^\\\\)])*)\\)\\s*Tj")
+  /** WinAnsiEncoding's 0x80–0x9F remaps (the rest is Latin-1 identity). */
+  private val WinAnsiHigh: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8a -> 'Š', 0x8b -> '‹', 0x8c -> 'Œ',
+    0x8e -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9a -> 'š', 0x9b -> '›',
+    0x9c -> 'œ', 0x9e -> 'ž', 0x9f -> 'Ÿ')
 
-  /** Unescape a PDF literal string: \( \) \\ and the common control
-    * escapes. */
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
-          case 't' => sb.append('\t')
-          case other => sb.append(other)
+  /** Inverse for the fixture writer. */
+  private val WinAnsiInverse: Map[Char, Int] = WinAnsiHigh.map(_.swap)
+
+  private val IdentityDec: Int => String = c => c.toChar.toString
+  private val WinAnsiDec: Int => String =
+    c => WinAnsiHigh.getOrElse(c, c.toChar).toString
+
+  /** A TJ kerning number whose magnitude exceeds this is treated as an
+    * inter-word gap and re-emitted as one space (thousandths of an em;
+    * real text extractors use the same order of magnitude). */
+  private val KernSpace = 100.0
+
+  /** Font resource name → byte-code decoder, built from a whole-document
+    * object scan: `/Font << /F1 9 0 R >>` resource entries resolved to
+    * font objects; `/Encoding /WinAnsiEncoding` and `/ToUnicode N 0 R`
+    * CMaps (bfchar + bfrange, UTF-16BE targets) are honored, anything
+    * else decodes as Latin-1 identity. Resource names are collected
+    * document-wide — pages with CONFLICTING bindings for the same name
+    * are out of scope (last binding wins), stated here honestly. */
+  private def fontDecoders(s: String): Map[String, Int => String] = {
+    val objRe = java.util.regex.Pattern.compile("(?s)(\\d+)\\s+\\d+\\s+obj(.*?)endobj")
+    val objs = scala.collection.mutable.Map[Int, String]()
+    val om = objRe.matcher(s)
+    while (om.find()) objs(om.group(1).toInt) = om.group(2)
+    // ToUnicode CMap: code -> text
+    def cmapOf(body: String): Option[Int => String] = {
+      val entries = scala.collection.mutable.Map[Int, String]()
+      def utf16(hex: String): String = {
+        val units = hex.grouped(4).map(Integer.parseInt(_, 16).toChar).toArray
+        new String(units)
+      }
+      val charRe = java.util.regex.Pattern.compile(
+        "(?s)beginbfchar(.*?)endbfchar")
+      val pairRe = java.util.regex.Pattern.compile(
+        "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>")
+      val cm = charRe.matcher(body)
+      while (cm.find()) {
+        val pm = pairRe.matcher(cm.group(1))
+        while (pm.find())
+          entries(Integer.parseInt(pm.group(1), 16)) = utf16(pm.group(2))
+      }
+      val rangeRe = java.util.regex.Pattern.compile(
+        "(?s)beginbfrange(.*?)endbfrange")
+      val tripleRe = java.util.regex.Pattern.compile(
+        "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>")
+      val rm = rangeRe.matcher(body)
+      while (rm.find()) {
+        val tm = tripleRe.matcher(rm.group(1))
+        while (tm.find()) {
+          val lo = Integer.parseInt(tm.group(1), 16)
+          val hi = Integer.parseInt(tm.group(2), 16)
+          val st = Integer.parseInt(tm.group(3), 16)
+          if (hi - lo <= 0xffff) {
+            var c = lo
+            while (c <= hi) { entries(c) = (st + (c - lo)).toChar.toString; c += 1 }
+          }
         }
-        i += 2
-      } else { sb.append(c); i += 1 }
+      }
+      if (entries.isEmpty) None
+      else Some(c => entries.getOrElse(c, c.toChar.toString))
     }
-    sb.toString
+    def decoderFor(fontBody: String): Int => String = {
+      val tuRe = java.util.regex.Pattern.compile("/ToUnicode\\s+(\\d+)\\s+0\\s+R")
+      val tm = tuRe.matcher(fontBody)
+      if (tm.find()) {
+        objs.get(tm.group(1).toInt).flatMap(cmapOf).getOrElse(IdentityDec)
+      } else if (fontBody.contains("/WinAnsiEncoding")) WinAnsiDec
+      else IdentityDec
+    }
+    val out = scala.collection.mutable.Map[String, Int => String]()
+    val resRe = java.util.regex.Pattern.compile("(?s)/Font\\s*<<(.*?)>>")
+    val entRe = java.util.regex.Pattern.compile("/(\\w+)\\s+(\\d+)\\s+0\\s+R")
+    val rm = resRe.matcher(s)
+    while (rm.find()) {
+      val em = entRe.matcher(rm.group(1))
+      while (em.find()) {
+        val name = em.group(1)
+        objs.get(em.group(2).toInt).foreach(b => out(name) = decoderFor(b))
+      }
+    }
+    out.toMap
   }
 
   private val LengthRe = java.util.regex.Pattern.compile(
@@ -111,22 +182,131 @@ object PdfCodec {
     } finally d.end()
   }
 
-  /** Tj text of one decoded content stream: every `(…) Tj` inside a
-    * BT…ET block, concatenated. */
-  private def streamText(content: Array[Byte]): String = {
+  /** Show-text of one decoded content stream: an operator-level walk of
+    * BT…ET blocks covering how real PDFs actually emit text —
+    * `(…) Tj`, hex-string `<…> Tj`, the `'`/`"` show-with-line-move
+    * forms, and `[ (…) -250 <…> ] TJ` arrays where kerning numbers
+    * larger than [[KernSpace]] re-emit as one space. Literal strings
+    * handle balanced nested parens, octal `\ooo` escapes, and
+    * backslash-EOL continuations; string BYTES are mapped through the
+    * current `Tf` font's decoder (WinAnsi / ToUnicode CMap /
+    * Latin-1). */
+  private def streamText(content: Array[Byte],
+                         fonts: Map[String, Int => String]): String = {
     val s = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
-    var at = 0
-    var bt = s.indexOf("BT", at)
-    while (bt >= 0) {
-      val et = s.indexOf("ET", bt)
-      if (et < 0) bt = -1
-      else {
-        val m = TjRe.matcher(s.substring(bt, et))
-        while (m.find()) sb.append(unescape(m.group(1)))
-        at = et + 2
-        bt = s.indexOf("BT", at)
+    var cur: Int => String = IdentityDec
+    var inText = false
+    var lastName = ""
+    var pendStr: Array[Int] = null
+    var pendArr: List[Either[Array[Int], Double]] = null
+    var i = 0
+    val n = s.length
+
+    // literal string starting at '(' — returns (byte codes, index after ')')
+    def literal(from: Int): (Array[Int], Int) = {
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var depth = 1
+      var j = from + 1
+      while (j < n && depth > 0) {
+        val c = s.charAt(j)
+        if (c == '\\' && j + 1 < n) {
+          val e = s.charAt(j + 1)
+          e match {
+            case 'n' => out += '\n'; j += 2
+            case 'r' => out += '\r'; j += 2
+            case 't' => out += '\t'; j += 2
+            case 'b' => out += '\b'; j += 2
+            case 'f' => out += '\f'; j += 2
+            case '\n' => j += 2 // line continuation
+            case '\r' =>
+              j += 2; if (j < n && s.charAt(j) == '\n') j += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; j += 1
+              while (k < 3 && j < n && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                v = v * 8 + (s.charAt(j) - '0'); j += 1; k += 1
+              }
+              out += (v & 0xff)
+            case other => out += other.toInt; j += 2
+          }
+        } else {
+          if (c == '(') { depth += 1; out += c.toInt }
+          else if (c == ')') { depth -= 1; if (depth > 0) out += c.toInt }
+          else out += c.toInt
+          j += 1
+        }
       }
+      (out.toArray, j)
+    }
+
+    // hex string starting at '<' — returns (byte codes, index after '>')
+    def hexStr(from: Int): (Array[Int], Int) = {
+      val digits = new StringBuilder
+      var j = from + 1
+      while (j < n && s.charAt(j) != '>') {
+        val c = s.charAt(j)
+        if (!c.isWhitespace) digits.append(c)
+        j += 1
+      }
+      if (digits.length % 2 == 1) digits.append('0') // odd count pads 0
+      val out = digits.toString.grouped(2)
+        .flatMap(h => scala.util.Try(Integer.parseInt(h, 16)).toOption)
+        .toArray
+      (out, j + 1)
+    }
+
+    def emit(codes: Array[Int]): Unit = codes.foreach(c => sb.append(cur(c)))
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val (codes, ni) = literal(i)
+        if (pendArr != null) pendArr = Left(codes) :: pendArr else pendStr = codes
+        i = ni
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
+        i += 2 // dictionary open — skip the token, not the contents
+      } else if (c == '<') {
+        val (codes, ni) = hexStr(i)
+        if (pendArr != null) pendArr = Left(codes) :: pendArr else pendStr = codes
+        i = ni
+      } else if (c == '[') {
+        pendArr = Nil; i += 1
+      } else if (c == ']') {
+        i += 1 // operator (TJ) consumes the finished array
+      } else if (c == '/') {
+        val st = i + 1
+        var j = st
+        while (j < n && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+        lastName = s.substring(st, j)
+        i = j
+      } else if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+        var j = i + 1
+        while (j < n && ((s.charAt(j) >= '0' && s.charAt(j) <= '9') || s.charAt(j) == '.')) j += 1
+        if (pendArr != null)
+          s.substring(i, j).toDoubleOption.foreach(v => pendArr = Right(v) :: pendArr)
+        i = j
+      } else if (c.isLetter || c == '\'' || c == '"') {
+        var j = i + 1
+        while (j < n && (s.charAt(j).isLetter || s.charAt(j) == '*')) j += 1
+        val op = s.substring(i, j)
+        op match {
+          case "BT" => inText = true
+          case "ET" => inText = false
+          case "Tf" => cur = fonts.getOrElse(lastName, IdentityDec)
+          case "Tj" | "'" | "\"" =>
+            if (inText && pendStr != null) emit(pendStr)
+            pendStr = null
+          case "TJ" =>
+            if (inText && pendArr != null)
+              pendArr.reverse.foreach {
+                case Left(codes) => emit(codes)
+                case Right(v) => if (math.abs(v) > KernSpace) sb.append(' ')
+              }
+            pendArr = null
+          case _ => ()
+        }
+        i = j
+      } else i += 1
     }
     sb.toString
   }
@@ -146,6 +326,7 @@ object PdfCodec {
     try {
       if (meta(b).isEmpty) return None
       val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fonts = fontDecoders(s)
       val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
       var at = 0
       var si = s.indexOf("stream", at)
@@ -157,6 +338,7 @@ object PdfCodec {
           val objAt = s.lastIndexOf(" obj", si)
           val dict = s.substring(math.max(objAt, 0), si)
           val isFlate = dict.contains("/FlateDecode")
+          val isCmap = dict.contains("/CMapType")
           val lm = LengthRe.matcher(dict)
           val declared =
             if (lm.find()) lm.group(1).toLongOption else None
@@ -180,7 +362,8 @@ object PdfCodec {
               case None => return None
             }
             else raw
-          out += ((streamText(content), isFlate))
+          // ToUnicode CMap streams are font metadata, not page content
+          if (!isCmap) out += ((streamText(content, fonts), isFlate))
           at = math.max(end, ds) + 9
         } else at = si + 6
         si = s.indexOf("stream", at)
@@ -237,6 +420,155 @@ object PdfCodec {
       obj(s"<< /Length ${stream.length}$filter >>\nstream\n$stream\nendstream")
     }
     obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Encode one word's bytes as a TJ array element, rotating through
+    * the three real-world spellings: literal string, hex string, and
+    * literal-with-octal-first-char. */
+  private def tjElement(word: String, kind: Int, enc: Char => Int): String = {
+    val codes = word.map(enc)
+    kind % 3 match {
+      case 0 => "(" + codes.map(c => escape(c.toChar.toString)).mkString + ")"
+      case 1 => "<" + codes.map(c => f"$c%02X").mkString + ">"
+      case _ =>
+        val head = f"\\${codes.head}%03o"
+        "(" + head + codes.tail.map(c => escape(c.toChar.toString)).mkString + ")"
+    }
+  }
+
+  /** TJ-array fixture writer: one WinAnsiEncoding font, each page's
+    * text emitted as `[ elem -250 elem … ] TJ` — words alternate
+    * literal / hex / octal-headed spellings, inter-word kerning -250
+    * (re-emitted as the space by the extractor), and the first word is
+    * additionally split in two with a -20 kern that must NOT produce a
+    * space. Characters in WinAnsi's 0x80–0x9F remap region (€ ™ …)
+    * are encoded through the inverse table. `flate` zlib-compresses
+    * the content streams. */
+  def writePdfTjText(version: String, texts: Seq[String],
+      flate: Boolean = false): Array[Byte] = {
+    val nPages = texts.length
+    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
+    val enc: Char => Int = c =>
+      WinAnsiInverse.getOrElse(c, { require(c.toInt <= 255, s"not WinAnsi: $c"); c.toInt })
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$version\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    val fontObj = 3 + 2 * nPages
+    for (k <- 0 until nPages)
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Contents ${3 + nPages + k} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+    for (t <- texts) {
+      val words = t.split(" ", -1)
+      val elems = scala.collection.mutable.ArrayBuffer[String]()
+      words.zipWithIndex.foreach { case (w, wi) =>
+        if (wi > 0) elems += "-250"
+        if (wi == 0 && w.length >= 2) {
+          val cut = w.length / 2
+          elems += tjElement(w.substring(0, cut), 0, enc)
+          elems += "-20"
+          elems += tjElement(w.substring(cut), 1, enc)
+        } else if (w.nonEmpty) elems += tjElement(w, wi, enc)
+      }
+      val ops = s"BT /F1 12 Tf 72 720 Td [ ${elems.mkString(" ")} ] TJ ET"
+      val stream =
+        if (flate) new String(
+          deflate(ops.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        else ops
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      obj(s"<< /Length ${stream.length}$filter >>\nstream\n$stream\nendstream")
+    }
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** ToUnicode-CMap fixture writer: a single font whose codes are
+    * assigned per distinct character of the given texts (codes from
+    * 0x21), with every occurrence of "fi" collapsed to ONE code whose
+    * bfchar target is the two-codepoint sequence — the ligature case
+    * real subset fonts produce. Pages show hex strings `<…> Tj`;
+    * extraction must resolve codes through the CMap. */
+  def writePdfCmapText(version: String, texts: Seq[String]): Array[Byte] = {
+    val nPages = texts.length
+    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
+    // token stream per text: Left("fi") ligature or Right(char)
+    def tokens(t: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t.charAt(i) == 'f' && t.charAt(i + 1) == 'i') {
+          out += "fi"; i += 2
+        } else { out += t.charAt(i).toString; i += 1 }
+      }
+      out.toSeq
+    }
+    val toks = texts.map(tokens)
+    val alphabet = toks.flatten.distinct
+    require(alphabet.size <= 200, "fixture alphabet too large")
+    val code: Map[String, Int] = alphabet.zipWithIndex.map {
+      case (t, k) => t -> (0x21 + k)
+    }.toMap
+    val bfchars = alphabet.map { t =>
+      val dst = t.map(c => f"${c.toInt}%04X").mkString
+      f"<${code(t)}%02X> <$dst>"
+    }.mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |1 begincodespacerange
+         |<00> <FF>
+         |endcodespacerange
+         |${alphabet.size} beginbfchar
+         |$bfchars
+         |endbfchar
+         |endcmap
+         |""".stripMargin
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$version\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    val fontObj = 3 + 2 * nPages
+    val cmapObj = fontObj + 1
+    for (k <- 0 until nPages)
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Contents ${3 + nPages + k} 0 R " +
+        s"/Resources << /Font << /F2 $fontObj 0 R >> >> >>")
+    for (tk <- toks) {
+      val hex = tk.map(t => f"${code(t)}%02X").mkString
+      val ops = s"BT /F2 12 Tf 72 720 Td <$hex> Tj ET"
+      obj(s"<< /Length ${ops.length} >>\nstream\n$ops\nendstream")
+    }
+    obj(s"<< /Type /Font /Subtype /Type1 /BaseFont /Fixture " +
+      s"/ToUnicode $cmapObj 0 R >>")
+    obj(s"<< /CMapType 2 /Length ${cmap.length} >>\nstream\n$cmap\nendstream")
     val xrefAt = sb.length
     sb.append(s"xref\n0 ${offsets.length + 1}\n")
     sb.append("0000000000 65535 f \n")

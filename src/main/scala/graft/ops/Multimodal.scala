@@ -1450,6 +1450,89 @@ object Multimodal {
       |FROM t
       |""".stripMargin
 
+  /** PDF TJ-ARRAY extraction: pages emitted as `[ (lit) -250 <hex>
+    * -20 (\157ctal…) ] TJ` arrays under a WinAnsiEncoding font — the
+    * spellings real PDFs overwhelmingly use (literal Tj alone has
+    * near-zero recall there). Inter-word kerning re-emits as spaces,
+    * the intra-word -20 kern must not, hex/octal spellings and the
+    * WinAnsi 0x80-region remaps (€ ™) must all land; every other doc's
+    * streams are additionally FlateDecode-wrapped. The oracle rebuilds
+    * each page's text by formula and matches per-page md5. */
+  def pdfExtractTj(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val texts = (0 until (id % 3).toInt + 1).map(p =>
+            s"doc $id page $p cost €${id % 100} brand ™ fin")
+          val pdf = graft.functions.PdfCodec.writePdfTjText(
+            s"1.${(id % 4) + 4}", texts, flate = id % 2 == 0)
+          graft.functions.PdfCodec.extractText(pdf).toSeq.flatMap { pages =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            pages.zipWithIndex.map { case (t, p) =>
+              (id, p, t.length.toLong,
+                md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "page_id", "n_chars", "text_md5")
+      .select(col("doc_id"), col("page_id").cast("int").as("page_id"),
+        col("n_chars"), col("text_md5"))
+  }
+
+  val pdfExtractTjOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, p,
+      |         'doc ' || CAST(doc_id AS VARCHAR) || ' page ' ||
+      |         CAST(p AS VARCHAR) || ' cost €' ||
+      |         CAST(doc_id % 100 AS VARCHAR) || ' brand ™ fin' AS txt
+      |  FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS INT))) u(p))
+      |SELECT doc_id, CAST(p AS INT) AS page_id,
+      |       CAST(length(txt) AS BIGINT) AS n_chars,
+      |       md5(txt) AS text_md5
+      |FROM t
+      |""".stripMargin
+
+  /** PDF ToUnicode-CMAP extraction: pages show hex strings whose codes
+    * resolve through a per-document bfchar CMap, with every "fi"
+    * collapsed to one ligature code mapping to two codepoints — subset
+    * fonts in the wild need exactly this resolution or extraction
+    * produces garbage codes. Oracle replays the text by formula. */
+  def pdfExtractCmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val texts = (0 until (id % 2).toInt + 1).map(p =>
+            s"fi doc $id λΩ page $p final fiction")
+          val pdf = graft.functions.PdfCodec.writePdfCmapText("1.6", texts)
+          graft.functions.PdfCodec.extractText(pdf).toSeq.flatMap { pages =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            pages.zipWithIndex.map { case (t, p) =>
+              (id, p, t.length.toLong,
+                md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "page_id", "n_chars", "text_md5")
+      .select(col("doc_id"), col("page_id").cast("int").as("page_id"),
+        col("n_chars"), col("text_md5"))
+  }
+
+  val pdfExtractCmapOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, p,
+      |         'fi doc ' || CAST(doc_id AS VARCHAR) || ' λΩ page ' ||
+      |         CAST(p AS VARCHAR) || ' final fiction' AS txt
+      |  FROM documents, unnest(generate_series(0, CAST(doc_id % 2 AS INT))) u(p))
+      |SELECT doc_id, CAST(p AS INT) AS page_id,
+      |       CAST(length(txt) AS BIGINT) AS n_chars,
+      |       md5(txt) AS text_md5
+      |FROM t
+      |""".stripMargin
+
   // ------------------------------------------- image-text pair curation
 
   /** One image per document for the PAIR-CURATION fixture: the pattern
