@@ -792,4 +792,212 @@ object Archives {
       |       md5(text) AS text_md5
       |FROM t
       |""".stripMargin
+
+  // ------------------------------------------------ OOXML (xlsx) layer
+
+  /** Build a minimal valid .xlsx: [Content_Types].xml, xl/workbook.xml,
+    * xl/sharedStrings.xml (deduplicated `si/t` entries) and
+    * xl/worksheets/sheet1.xml. Cells are Left(string) — emitted as a
+    * shared string when `shared`, else inline (`t="inlineStr"`) — or
+    * Right(number) value cells. */
+  def writeXlsx(rows: Seq[Seq[Either[String, Double]]],
+                shared: Int => Boolean = _ % 2 == 0): Array[Byte] = {
+    def colName(c: Int): String = { // 1-based -> A, B, ..., Z, AA...
+      var n = c; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val strings = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val sb = new StringBuilder
+    sb.append("""<sheetData>""")
+    var k = 0
+    rows.zipWithIndex.foreach { case (cells, r0) =>
+      val r = r0 + 1
+      sb.append(s"""<row r="$r">""")
+      cells.zipWithIndex.foreach { case (cell, c0) =>
+        val ref = colName(c0 + 1) + r
+        cell match {
+          case Left(s) =>
+            if (shared(k)) {
+              val idx = strings.getOrElseUpdate(s, { val i = strings.size; i })
+              sb.append(s"""<c r="$ref" t="s"><v>$idx</v></c>""")
+            } else
+              sb.append(s"""<c r="$ref" t="inlineStr"><is><t>${esc(s)}</t></is></c>""")
+            k += 1
+          case Right(v) =>
+            val txt = if (v == v.floor && !v.isInfinite) v.toLong.toString else v.toString
+            sb.append(s"""<c r="$ref"><v>$txt</v></c>""")
+            k += 1
+        }
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData>")
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        sb.toString + "</worksheet>"
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.size}" uniqueCount="${strings.size}">""" +
+        strings.keys.map(s => s"<si><t>${esc(s)}</t></si>").mkString +
+        "</sst>"
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets></workbook>"""
+    val types =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/></Types>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("[Content_Types].xml", types)
+    entry("xl/workbook.xml", workbook)
+    entry("xl/sharedStrings.xml", sst)
+    entry("xl/worksheets/sheet1.xml", sheet)
+    z.close()
+    bos.toByteArray
+  }
+
+  /** One extracted spreadsheet cell. `kind` is `shared`, `inline`, or
+    * `number`. */
+  final case class XlsxCell(row: Int, col: Int, kind: String, value: String)
+
+  private val CellRe = java.util.regex.Pattern.compile(
+    """(?s)<c\s+r="([A-Z]+)(\d+)"([^>]*)>(.*?)</c>""")
+  private val VRe = java.util.regex.Pattern.compile("(?s)<v>(.*?)</v>")
+  private val IsRe = java.util.regex.Pattern.compile("(?s)<t[^>]*>(.*?)</t>")
+  private val SiRe = java.util.regex.Pattern.compile(
+    "(?s)<si>\\s*<t[^>]*>(.*?)</t>\\s*</si>")
+
+  private def unescXml(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  /** Cell-level .xlsx extraction: walks the zip for xl/sharedStrings.xml
+    * and xl/worksheets/sheet1.xml, resolves A1-style refs to (row, col)
+    * and `t="s"` cells through the shared-string table. Shared-string
+    * indexes out of range, or a sheet with `t="s"` cells but no
+    * sharedStrings member, reject the document (None) — silent blanks
+    * would corrupt downstream tables. Malformed zips return None. */
+  def xlsxCells(xlsx: Array[Byte]): Option[Seq[XlsxCell]] =
+    try {
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(xlsx))
+      var sheet: String = null
+      var sst: String = null
+      var e = zis.getNextEntry
+      var any = false
+      while (e != null) {
+        any = true
+        def readAll(): String = {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = zis.read(tmp)
+          while (n > 0 && buf.size <= (1 << 22)) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+          new String(buf.toByteArray, "UTF-8")
+        }
+        if (e.getName == "xl/worksheets/sheet1.xml") sheet = readAll()
+        else if (e.getName == "xl/sharedStrings.xml") sst = readAll()
+        e = zis.getNextEntry
+      }
+      if (!any || sheet == null) return None
+      val sharedTab = scala.collection.mutable.ArrayBuffer[String]()
+      if (sst != null) {
+        val m = SiRe.matcher(sst)
+        while (m.find()) sharedTab += unescXml(m.group(1))
+      }
+      val out = scala.collection.mutable.ArrayBuffer[XlsxCell]()
+      val cm = CellRe.matcher(sheet)
+      while (cm.find()) {
+        val colLetters = cm.group(1)
+        val row = cm.group(2).toInt
+        val attrs = cm.group(3)
+        val body = cm.group(4)
+        var col = 0
+        colLetters.foreach(c => col = col * 26 + (c - 'A' + 1))
+        if (attrs.contains("t=\"s\"")) {
+          val vm = VRe.matcher(body)
+          if (!vm.find()) return None
+          val idxOpt = vm.group(1).trim.toIntOption
+          if (idxOpt.isEmpty) return None
+          val idx = idxOpt.get
+          if (idx < 0 || idx >= sharedTab.size) return None
+          out += XlsxCell(row, col, "shared", sharedTab(idx))
+        } else if (attrs.contains("t=\"inlineStr\"")) {
+          val im = IsRe.matcher(body)
+          if (!im.find()) return None
+          out += XlsxCell(row, col, "inline", unescXml(im.group(1)))
+        } else {
+          val vm = VRe.matcher(body)
+          if (vm.find()) out += XlsxCell(row, col, "number", vm.group(1).trim)
+        }
+      }
+      Some(out.toSeq)
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+
+  /** XLSX extraction query: a formula grid per document — row r /
+    * column c cells rotate shared-string, inline-string, and numeric
+    * spellings, with shared strings DEDUPLICATED across cells (every
+    * doc repeats one common string so the sst index path is load
+    * bearing). Oracle replays the grid, refs, kinds, and values. */
+  def xlsxExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val nr = 2 + (id % 3).toInt
+          val nc = 2 + (id % 2).toInt
+          val grid: Seq[Seq[Either[String, Double]]] =
+            (1 to nr).map(r => (1 to nc).map { c =>
+              (r + c) % 3 match {
+                case 0 => Left(if (c == 1) s"common $id" else s"cell $r $c of $id")
+                case 1 => Left(s"inline $r $c")
+                case _ => Right((r * 100 + c).toDouble)
+              }
+            })
+          // the writer's `shared` predicate sees every cell's ordinal k;
+          // kind by (r+c)%3: 0 -> shared string, 1 -> inline, 2 -> number
+          val kinds = (1 to nr).flatMap(r => (1 to nc).map(c => (r + c) % 3))
+          val sharedAt: Int => Boolean = { k => kinds(k) == 0 }
+          val xlsx = writeXlsx(grid, sharedAt)
+          xlsxCells(xlsx).toSeq.flatten.map(cl =>
+            (id, cl.row, cl.col, cl.kind, cl.value))
+        }
+      }
+      .toDF("doc_id", "row_id", "col_id", "kind", "value")
+      .select(col("doc_id"), col("row_id").cast("int").as("row_id"),
+        col("col_id").cast("int").as("col_id"), col("kind"), col("value"))
+  }
+
+  val xlsxExtractOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, r, c
+      |  FROM documents,
+      |       unnest(generate_series(1, CAST(2 + doc_id % 3 AS INT))) ur(r),
+      |       unnest(generate_series(1, CAST(2 + doc_id % 2 AS INT))) uc(c))
+      |SELECT doc_id,
+      |       CAST(r AS INT) AS row_id,
+      |       CAST(c AS INT) AS col_id,
+      |       CASE (r + c) % 3 WHEN 0 THEN 'shared'
+      |                        WHEN 1 THEN 'inline'
+      |                        ELSE 'number' END AS kind,
+      |       CASE (r + c) % 3
+      |         WHEN 0 THEN CASE WHEN c = 1
+      |           THEN 'common ' || CAST(doc_id AS VARCHAR)
+      |           ELSE 'cell ' || CAST(r AS VARCHAR) || ' ' ||
+      |                CAST(c AS VARCHAR) || ' of ' || CAST(doc_id AS VARCHAR) END
+      |         WHEN 1 THEN 'inline ' || CAST(r AS VARCHAR) || ' ' || CAST(c AS VARCHAR)
+      |         ELSE CAST(r * 100 + c AS VARCHAR) END AS value
+      |FROM g
+      |""".stripMargin
 }
