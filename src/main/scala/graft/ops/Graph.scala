@@ -21,38 +21,66 @@ import graft.core.Tables
   */
 object Graph {
 
+  /** Above this many vertices the rank / degree / contribution tables
+    * stop being broadcast-sized (1e8–1e9-node web graphs × 16 B of rank
+    * state exceed driver and executor memory) and every node-side join
+    * switches to a partitioned shuffle-hash join. The fixture graphs sit
+    * far below it, so their plans keep the broadcast; PlanGuardSpec
+    * pins both shapes. */
+  val BroadcastNodeLimit: Long = 2L * 1000 * 1000
+
+  /** Join `big` against a NODE-sized table: broadcast below the vertex
+    * threshold, shuffle-hash (hash the node table per partition, never
+    * sort the big stream) above it. */
+  private def nodeJoin(big: DataFrame, nodeSide: DataFrame, keys: Seq[String],
+                       large: Boolean, joinType: String = "inner"): DataFrame =
+    if (large) big.join(nodeSide.hint("shuffle_hash"), keys, joinType)
+    else big.join(broadcast(nodeSide), keys, joinType)
+
   /** One PageRank step in integer micro-units (1e6 = rank 1.0), damping
     * 0.85 as the exact rational 85/100: contribution of edge (u,v) is
     * `(r(u) · w(u,v)) div out(u)` (floor per edge — the same order of
     * operations the oracle evaluates), and
     * `r'(v) = 150000 + (85 · Σ contrib) div 100`. Dangling mass is
     * dropped (simplified PR) — identically on both engines. */
-  private def step(nodes: DataFrame, edges: DataFrame, r: DataFrame): DataFrame = {
+  private def step(nodes: DataFrame, edges: DataFrame, r: DataFrame,
+                   large: Boolean): DataFrame = {
     // the rank vector and the contribution sums are NODE-sized (bounded
-    // by vertex count, not edges) — broadcast both so the edge table is
-    // never shuffled for a join; its only exchange is the map-side-
-    // combined per-destination aggregate
-    val contribs = edges
-      .join(broadcast(r.withColumnRenamed("p", "u").withColumnRenamed("r", "ru")),
-            Seq("u"))
+    // by vertex count, not edges) — below the threshold broadcast both
+    // so the edge table is never shuffled for a join; above it both
+    // joins become partitioned (node-keyed) shuffle-hash joins
+    val contribs = nodeJoin(edges,
+      r.withColumnRenamed("p", "u").withColumnRenamed("r", "ru"),
+      Seq("u"), large)
       .select(col("v"), expr("(ru * w) div outw").as("c"))
       .groupBy(col("v")).agg(sum(col("c")).as("s"))
-    nodes.join(broadcast(contribs), nodes("p") === contribs("v"), "left")
-      .select(col("p"),
-        (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    val joined =
+      if (large)
+        nodes.join(contribs.hint("shuffle_hash"),
+          nodes("p") === contribs("v"), "left")
+      else
+        nodes.join(broadcast(contribs), nodes("p") === contribs("v"), "left")
+    joined.select(col("p"),
+      (lit(150000L) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
   }
 
   /** Weighted PageRank (2 iterations) over an edge list (u, v, w) with
     * per-source out-weights pre-joined; `nodes` carries every vertex so
-    * sinks keep their base rank. */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 2): DataFrame = {
+    * sinks keep their base rank. `largeGraph` selects the partitioned
+    * join shape (None = count the vertices once and compare against
+    * [[BroadcastNodeLimit]]). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 2,
+               largeGraph: Option[Boolean] = None): DataFrame = {
     import graft.core.Caches.TrackedDataset
+    val n = nodes.trackPersist()
+    val large = largeGraph.getOrElse(n.count() > BroadcastNodeLimit)
+    // the out-weight table is node-sized too — same threshold rule
     val out = edges.groupBy(col("u")).agg(sum(col("w")).as("outw"))
     // every iteration re-reads the edge table — persist the built graph
     // once instead of re-running the self-join+aggregate subtree per step
-    val e = edges.join(out, Seq("u")).trackPersist()
-    val r0 = nodes.select(col("p"), lit(1000000L).as("r"))
-    (1 to iters).foldLeft(r0)((r, _) => step(nodes, e, r))
+    val e = nodeJoin(edges, out, Seq("u"), large).trackPersist()
+    val r0 = n.select(col("p"), lit(1000000L).as("r"))
+    (1 to iters).foldLeft(r0)((r, _) => step(n, e, r, large))
   }
 
   /** Product-importance query: PageRank over the co-purchase graph —
@@ -60,7 +88,8 @@ object Graph {
     * appear. The order-local self-join co-partitions on l_orderkey
     * (per-order fanout is bounded by lines-per-order, so pair volume is
     * order-linear), and the graph build is two hash aggregates. */
-  def partPageRank(spark: SparkSession, dir: String): DataFrame = {
+  def partPageRank(spark: SparkSession, dir: String,
+                   largeGraph: Option[Boolean] = None): DataFrame = {
     import graft.core.Caches.TrackedDataset
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -79,7 +108,7 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
     val edges = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
     val nodes = li.select(col("p")).distinct()
-    pageRank(nodes, edges)
+    pageRank(nodes, edges, largeGraph = largeGraph)
       .select(col("p").as("part_key"), col("r").as("rank"))
   }
 
@@ -100,7 +129,8 @@ object Graph {
     * the unique apex with out-edges to the other two). The oracle spells
     * the naive canonical 3-way self-join — an independent algorithm
     * arriving at the same counts. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String,
+                largeGraph: Option[Boolean] = None): DataFrame = {
     import graft.core.Caches.TrackedDataset
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -117,18 +147,21 @@ object Graph {
       .trackPersist() // feeds the degree union AND the orientation join —
                       // unpersisted, the whole pair-build pipeline (scan +
                       // 2 shuffles) replays once per consumer
-    // degree table is NODE-sized (the same size class PageRank broadcasts
-    // its rank vector in) — broadcast it so the edge table joins it
-    // without an exchange
+    // degree table is NODE-sized (the same size class PageRank's rank
+    // vector is in): broadcast below the vertex threshold, partitioned
+    // shuffle-hash above it — at web-graph grain the degree table
+    // exceeds broadcast memory
     val deg = und.select(col("u").as("p"))
       .union(und.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .trackPersist() // counted for the threshold AND joined twice
+    val large = largeGraph.getOrElse(deg.count() > BroadcastNodeLimit)
     // orient low→high in the (deg, id) total order, keeping the OUT
     // endpoint's order key (db) so the wedge join can order out-neighbors
     // without another degree lookup
-    val oriented = und
-      .join(broadcast(deg.select(col("p").as("u"), col("deg").as("du"))), Seq("u"))
-      .join(broadcast(deg.select(col("p").as("v"), col("deg").as("dv"))), Seq("v"))
+    val oriented = nodeJoin(nodeJoin(und,
+        deg.select(col("p").as("u"), col("deg").as("du")), Seq("u"), large),
+        deg.select(col("p").as("v"), col("deg").as("dv")), Seq("v"), large)
       .select(when(col("du") < col("dv") ||
                    (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
@@ -139,8 +172,9 @@ object Graph {
     // orientation uses: each unordered {b, c} wedge is enumerated once
     // (half the naive b≠c volume), and the closing edge — if it exists —
     // is necessarily oriented b→c, so one equi-probe decides it
+    val apexSide = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
     val wedges = oriented.as("x")
-      .join(oriented.select(col("a"), col("b").as("c"), col("db").as("dc")).as("y"),
+      .join(if (large) apexSide.hint("shuffle_hash").as("y") else apexSide.as("y"),
             Seq("a"))
       .filter(col("db") < col("dc") ||
               (col("db") === col("dc") && col("b") < col("c")))

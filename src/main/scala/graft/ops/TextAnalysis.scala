@@ -1421,24 +1421,40 @@ object TextAnalysis {
     * oracle replays both iterations exactly — no floating-point
     * accumulation order in the gate. Domain-grain everywhere: the
     * edge list is sites×sites, broadcast-sized next to any corpus. */
-  def hostRankQuery(spark: SparkSession, dir: String): DataFrame = {
+  def hostRankQuery(spark: SparkSession, dir: String,
+                    largeGraph: Option[Boolean] = None): DataFrame = {
+    import graft.core.Caches.TrackedDataset
     val e = outlinksQuery(spark, dir)
       .select(col("src_domain").as("s"), col("dst_domain").as("t"),
         col("n_links").as("w"))
+    val nodes = e.select(col("s").as("d")).distinct().trackPersist()
+    // the 1-row nd total stays broadcast at any scale; the RANK,
+    // OUT-WEIGHT, and CONTRIBUTION tables are node-sized — broadcast
+    // only below the vertex threshold, partitioned shuffle-hash joins
+    // above it (host grain is ~1e7 and fits; page-grain web graphs
+    // do not)
+    val large = largeGraph.getOrElse(
+      nodes.count() > graft.ops.Graph.BroadcastNodeLimit)
     val outw = e.groupBy(col("s")).agg(sum(col("w")).as("ow"))
-    val ew = e.join(outw, "s")
-    val nodes = e.select(col("s").as("d")).distinct()
+    val ew =
+      if (large) e.join(outw.hint("shuffle_hash"), "s")
+      else e.join(broadcast(outw), "s")
     val nd = nodes.agg(count(lit(1)).as("nd"))
     var rank = nodes.crossJoin(broadcast(nd))
       .select(col("d"), expr("1000000 div nd").as("r"))
     for (_ <- 1 to 2) {
-      val contrib = ew.join(rank.withColumnRenamed("d", "s"), "s")
-        .select(col("t").as("d"), expr("r * w div ow").as("c"))
-        .groupBy(col("d")).agg(sum(col("c")).as("sc"))
-      rank = nodes.join(contrib, Seq("d"), "left")
-        .crossJoin(broadcast(nd))
-        .select(col("d"),
-          expr("150000 div nd + 85 * coalesce(sc, 0) div 100").as("r"))
+      val rs = rank.withColumnRenamed("d", "s")
+      val contrib =
+        (if (large) ew.join(rs.hint("shuffle_hash"), "s")
+         else ew.join(broadcast(rs), "s"))
+          .select(col("t").as("d"), expr("r * w div ow").as("c"))
+          .groupBy(col("d")).agg(sum(col("c")).as("sc"))
+      rank =
+        (if (large) nodes.join(contrib.hint("shuffle_hash"), Seq("d"), "left")
+         else nodes.join(broadcast(contrib), Seq("d"), "left"))
+          .crossJoin(broadcast(nd))
+          .select(col("d"),
+            expr("150000 div nd + 85 * coalesce(sc, 0) div 100").as("r"))
     }
     rank.select(col("d").as("domain"), col("r").cast("long").as("rank_ppm"))
   }

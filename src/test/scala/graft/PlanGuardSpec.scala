@@ -272,4 +272,48 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"single-partition window in: ${offenders.distinct.mkString(", ")}")
   }
+
+  test("graph family: large-N config joins node tables partitioned, not broadcast") {
+    // fixture graphs keep the broadcast; at web-graph grain the rank /
+    // degree / contribution tables exceed broadcast memory, so the
+    // largeGraph configuration must plan ZERO BroadcastHashJoins (the
+    // only broadcast left anywhere is the 1-row nd total in host rank)
+    for ((name, df) <- Seq(
+      "part_pagerank" -> graft.ops.Graph.partPageRank(spark, sf, Some(true)),
+      "part_triangles" -> graft.ops.Graph.triangles(spark, sf, Some(true)),
+      "host_rank" -> graft.ops.TextAnalysis.hostRankQuery(spark, sf, Some(true)))) {
+      val p = plan(df)
+      assert(p.contains("ShuffledHashJoin"), s"$name must shuffle-hash node joins")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$name large-N plan still broadcasts a node table")
+      graft.core.Caches.release(spark)
+    }
+    // the small configuration keeps the broadcast shape
+    for ((name, df) <- Seq(
+      "part_pagerank" -> graft.ops.Graph.partPageRank(spark, sf, Some(false)),
+      "host_rank" -> graft.ops.TextAnalysis.hostRankQuery(spark, sf, Some(false)))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name small-N plan must broadcast")
+      graft.core.Caches.release(spark)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("graph family: large and small configurations return identical results") {
+    val a = graft.ops.Graph.partPageRank(spark, sf, Some(false))
+      .orderBy("part_key").collect().toSeq
+    graft.core.Caches.release(spark)
+    val b = graft.ops.Graph.partPageRank(spark, sf, Some(true))
+      .orderBy("part_key").collect().toSeq
+    graft.core.Caches.release(spark)
+    assert(a == b, "join strategy must not change PageRank values")
+    val h1 = graft.ops.TextAnalysis.hostRankQuery(spark, sf, Some(false))
+      .orderBy("domain").collect().toSeq
+    graft.core.Caches.release(spark)
+    val h2 = graft.ops.TextAnalysis.hostRankQuery(spark, sf, Some(true))
+      .orderBy("domain").collect().toSeq
+    graft.core.Caches.release(spark)
+    assert(h1 == h2, "join strategy must not change host rank values")
+    spark.catalog.clearCache()
+  }
 }
