@@ -410,60 +410,109 @@ object UrlOps {
 
   // -------------------------------------------- registrable domains
 
-  /** Two-level public suffixes the fixture exercises — a subset of
-    * the public-suffix list; real deployments swap in the full PSL as
-    * the same broadcast literal. */
-  private val TwoLevelSuffixes =
-    Seq("co.uk", "org.uk", "com.au", "co.jp", "com.br")
-
-  /** Registrable domain (eTLD+1) of a host column: hosts under a
-    * listed two-level public suffix keep their last THREE labels,
-    * everything else the last two — the grouping key domain caps and
-    * per-site politeness must actually use (grouping by bare host
-    * lets one site dodge its cap via subdomains; grouping by the last
-    * two labels merges every .co.uk site into one). Pure array HOFs
-    * over one split — codegen'd, no UDF. */
+  /** Registrable domain (eTLD+1) of a host column under the FULL
+    * public-suffix-list algorithm — normal rules (longest match),
+    * wildcard `*.base` rules, exception `!rule` rules that prevail
+    * over everything, and the implicit `*` default for unlisted TLDs.
+    * This is the grouping key domain caps and per-site politeness must
+    * actually use: bare hosts let a site dodge its cap via subdomains,
+    * a last-two-labels fold merges every .co.uk site into one, and a
+    * two-level-only subset miscaps wildcard families like
+    * `*.kawasaki.jp`. A host that IS a public suffix has no
+    * registrable domain (null).
+    *
+    * The rule tables come from the vendored
+    * [[graft.functions.PslData]] snapshot, compiled into per-length
+    * membership literals — pure codegen'd array ops, no UDF, no join;
+    * the complete publicsuffix.org file drops into PslData verbatim. */
   def registrableDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    import graft.functions.PslData
+    val labels = split(lower(host), "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
-      element_at(labels, -1))
-    when(n <= 2, host)
-      .when(array_contains(typedLit(TwoLevelSuffixes), last2), last3)
-      .otherwise(last2)
+    // try_element_at: ANSI-safe on hosts with fewer labels than the rule
+    // being probed — every probe is additionally guarded by n >= k, so
+    // the null-skipped shorter string can never false-match a k-label
+    // rule (it has fewer dots than any rule of that length)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => try_element_at(labels, lit(-i))): _*)
+    def inSet(c: Column, set: Seq[String]): Column =
+      if (set.isEmpty) lit(false) else array_contains(typedLit(set), c)
+    // exception rules prevail: registrable = the rule itself
+    val excArm = (PslData.maxExcLen to 1 by -1).foldLeft(Option.empty[(Column, Column)]) {
+      case (acc, e) =>
+        val cond = n >= e && inSet(lastK(e), PslData.exceptionsByLen(e))
+        acc match {
+          case None => Some((cond, lastK(e)))
+          case Some((c0, v0)) => Some((c0 || cond, when(c0, v0).otherwise(lastK(e))))
+        }
+    }
+    // non-exception: longest public suffix p wins; wildcard base b
+    // yields p = b+1; registrable = last p+1 labels, null if host == ps
+    var result: Column = when(n > 1, lastK(2)).otherwise(lit(null)) // implicit *
+    for (p <- 1 to PslData.maxPsLen) {
+      val wildcardHit =
+        if (p >= 2) n >= p && inSet(lastK(p - 1), PslData.wildcardBasesByLen(p - 1))
+        else lit(false)
+      val isPs = (n >= p && inSet(lastK(p), PslData.normalByLen(p))) || wildcardHit
+      result = when(isPs, when(n > p, lastK(p + 1)).otherwise(lit(null)))
+        .otherwise(result)
+    }
+    excArm match {
+      case Some((c, v)) => when(c, v).otherwise(result)
+      case None => result
+    }
   }
 
   /** Per-document registrable-domain extraction over a host mix that
-    * crosses every rule arm: deep subdomains under .co.uk and
-    * .com.au, www under .com, and a bare two-label .org host. */
+    * crosses every PSL rule kind: deep subdomains under two- and
+    * three-label normal rules (.co.uk, gov.uk, k12.ca.us), a wildcard
+    * family (`*.kawasaki.jp` — one arm a plain label under it, one arm
+    * a subdomain of that), the wildcard's EXCEPTION
+    * (`!city.kawasaki.jp`), the `*.ck` / `!www.ck` pair, an unlisted
+    * TLD hitting the implicit `*` rule, and plain .com/.org. */
   def registrableDomainQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val d = (col("doc_id") % 7).cast("string")
-    val host = when(col("doc_id") % 4 === 0,
+    val host = when(col("doc_id") % 8 === 0,
         concat(lit("a"), (col("doc_id") % 11).cast("string"),
           lit(".example"), d, lit(".co.uk")))
-      .when(col("doc_id") % 4 === 1, concat(lit("www.example"), d, lit(".com")))
-      .when(col("doc_id") % 4 === 2,
+      .when(col("doc_id") % 8 === 1, concat(lit("www.example"), d, lit(".com")))
+      .when(col("doc_id") % 8 === 2,
         concat(lit("b.c.example"), d, lit(".com.au")))
-      .otherwise(concat(lit("example"), d, lit(".org")))
+      .when(col("doc_id") % 8 === 3,
+        concat(lit("x.dept"), d, lit(".gov.uk")))
+      .when(col("doc_id") % 8 === 4,
+        concat(lit("shop.town"), d, lit(".kawasaki.jp")))
+      .when(col("doc_id") % 8 === 5,
+        concat(lit("a.city.kawasaki.jp")))
+      .when(col("doc_id") % 8 === 6,
+        concat(lit("deep.site"), d, lit(".ck")))
+      .otherwise(concat(lit("example"), d, lit(".zz")))
     docs.withColumn("host", host)
       .withColumn("registrable", registrableDomain(col("host")))
   }
 
   val registrableDomainOracle: String =
     """SELECT doc_id,
-      |       CASE doc_id % 4
+      |       CASE doc_id % 8
       |         WHEN 0 THEN 'a' || CAST(doc_id % 11 AS VARCHAR) || '.example'
       |                    || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
       |         WHEN 1 THEN 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
       |         WHEN 2 THEN 'b.c.example' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
-      |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.org' END AS host,
-      |       CASE doc_id % 4
+      |         WHEN 3 THEN 'x.dept' || CAST(doc_id % 7 AS VARCHAR) || '.gov.uk'
+      |         WHEN 4 THEN 'shop.town' || CAST(doc_id % 7 AS VARCHAR) || '.kawasaki.jp'
+      |         WHEN 5 THEN 'a.city.kawasaki.jp'
+      |         WHEN 6 THEN 'deep.site' || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+      |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.zz' END AS host,
+      |       CASE doc_id % 8
       |         WHEN 0 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
       |         WHEN 1 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
       |         WHEN 2 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
-      |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.org' END
+      |         WHEN 3 THEN 'dept' || CAST(doc_id % 7 AS VARCHAR) || '.gov.uk'
+      |         WHEN 4 THEN 'shop.town' || CAST(doc_id % 7 AS VARCHAR) || '.kawasaki.jp'
+      |         WHEN 5 THEN 'city.kawasaki.jp'
+      |         WHEN 6 THEN 'deep.site' || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+      |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.zz' END
       |         AS registrable
       |FROM documents
       |""".stripMargin

@@ -117,4 +117,43 @@ class UrlOpsSpec extends SparkSpec {
     assert(rows.count(_._4 == "loop") > 0)
     assert(byId.size == rows.length)
   }
+
+  test("registrableDomain: full PSL rule-kind table") {
+    import spark.implicits._
+    def reg(hosts: String*): Seq[Option[String]] =
+      hosts.toDF("h").select(UrlOps.registrableDomain(col("h")))
+        .as[Option[String]].collect().toSeq
+    val cases = Seq(
+      // normal rules, longest match
+      "a.b.example.co.uk" -> Some("example.co.uk"),
+      "x.dept.gov.uk" -> Some("dept.gov.uk"),
+      "deep.school.k12.ca.us" -> Some("school.k12.ca.us"),
+      "www.example.com" -> Some("example.com"),
+      // wildcard *.kawasaki.jp: one label under the base is the suffix
+      "shop.town.kawasaki.jp" -> Some("shop.town.kawasaki.jp"),
+      "a.shop.town.kawasaki.jp" -> Some("shop.town.kawasaki.jp"),
+      // its exception !city.kawasaki.jp prevails over the wildcard
+      "city.kawasaki.jp" -> Some("city.kawasaki.jp"),
+      "a.city.kawasaki.jp" -> Some("city.kawasaki.jp"),
+      // *.ck with !www.ck
+      "a.b.ck" -> Some("a.b.ck"),
+      "sub.www.ck" -> Some("www.ck"),
+      "www.ck" -> Some("www.ck"),
+      // unlisted TLD -> implicit * rule
+      "example.zz" -> Some("example.zz"),
+      "a.example.zz" -> Some("example.zz"),
+      // a host that IS a public suffix has no registrable domain
+      "co.uk" -> None,
+      "gov.uk" -> None,
+      "com" -> None,
+      // the wildcard needs a label to match: bare kawasaki.jp only hits
+      // the implicit jp rule, so it IS a registrable domain
+      "kawasaki.jp" -> Some("kawasaki.jp"),
+      // case folding
+      "WWW.Example.CO.UK" -> Some("example.co.uk"))
+    val got = reg(cases.map(_._1): _*)
+    cases.zip(got).foreach { case ((h, want), g) =>
+      assert(g == want, s"$h: got $g want $want")
+    }
+  }
 }
