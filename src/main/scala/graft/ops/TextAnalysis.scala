@@ -1137,18 +1137,33 @@ object TextAnalysis {
         get_json_object(col("col"), "$.price").cast("int").as("price"))
   }
 
-  /** HTML `<table>` extraction into structured rows — the other half
-    * of web structured-data mining next to [[jsonLdQuery]]: pages
-    * carry relational data (specs, prices, schedules) in markup
-    * tables, and a training-data pipeline flattens them to
-    * (doc, table, row, cells) records. Nested non-greedy
-    * `regexp_extract_all` pulls table → tr → th/td; inner markup in a
-    * cell (the `<b>` wraps the fixture plants) is stripped before
-    * assembly. All codegen'd column expressions — the fixture itself
-    * is built from nested `transform(sequence(...))` HOFs (0–2 tables
+  /** HTML `<table>` extraction over ANY corpus column: one output row
+    * per table row, keeping every input column and adding
+    * (table_idx, row_idx, n_cells, row_text) — nested non-greedy
+    * `regexp_extract_all` pulls table → tr → th/td, inner markup is
+    * stripped from cells, cells join on `|`. Rows without tables
+    * produce nothing. All codegen'd column expressions, zero UDFs, no
+    * shuffle, scan-linear at 100 TB. */
+  def htmlTables(df: DataFrame, html: Column): DataFrame =
+    df.select(col("*"), posexplode(regexp_extract_all(html,
+        lit("(?s)<table[^>]*>(.*?)</table>"), lit(1)))
+        .as(Seq("table_idx", "__graft_tbl")))
+      .select(col("*"), posexplode(regexp_extract_all(col("__graft_tbl"),
+        lit("(?s)<tr[^>]*>(.*?)</tr>"), lit(1)))
+        .as(Seq("row_idx", "__graft_row")))
+      .withColumn("__graft_cells", regexp_extract_all(col("__graft_row"),
+        lit("(?s)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)))
+      .withColumn("table_idx", col("table_idx").cast("int"))
+      .withColumn("row_idx", col("row_idx").cast("int"))
+      .withColumn("n_cells", size(col("__graft_cells")).cast("int"))
+      .withColumn("row_text", array_join(transform(col("__graft_cells"),
+        c => regexp_replace(c, lit("<[^>]*>"), lit(""))), "|"))
+      .drop("__graft_tbl", "__graft_row", "__graft_cells")
+
+  /** Oracle gate for [[htmlTables]] over a formula fixture: 0–2 tables
     * per doc, 2–4 rows, 2–3 cells, header rows as `<th>` on even
-    * tables) so the absent / single / multi paths are all gated.
-    * Zero UDFs, no shuffle, scan-linear at 100 TB. */
+    * tables, `<b>` markup planted inside cells — the absent / single /
+    * multi paths are all gated. */
   def htmlTablesQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     def cellText(t: Column, r: Column, j: Column): Column =
@@ -1177,23 +1192,9 @@ object TextAnalysis {
       when(col("doc_id") % 3 >= 1, tbl(lit(0L))).otherwise(lit("")),
       when(col("doc_id") % 3 === 2, tbl(lit(1L))).otherwise(lit("")),
       lit("<p>footer</p></body></html>")))
-    html
-      .select(col("doc_id"), posexplode(regexp_extract_all(col("html"),
-        lit("(?s)<table[^>]*>(.*?)</table>"), lit(1))))
-      .toDF("doc_id", "table_idx", "tbl")
-      .select(col("doc_id"), col("table_idx"),
-        posexplode(regexp_extract_all(col("tbl"),
-          lit("(?s)<tr[^>]*>(.*?)</tr>"), lit(1))))
-      .toDF("doc_id", "table_idx", "row_idx", "row_html")
-      .select(col("doc_id"),
-        col("table_idx").cast("int").as("table_idx"),
-        col("row_idx").cast("int").as("row_idx"),
-        regexp_extract_all(col("row_html"),
-          lit("(?s)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)).as("cells"))
+    htmlTables(html, col("html"))
       .select(col("doc_id"), col("table_idx"), col("row_idx"),
-        size(col("cells")).cast("int").as("n_cells"),
-        array_join(transform(col("cells"),
-          c => regexp_replace(c, lit("<[^>]*>"), lit(""))), "|").as("row_text"))
+        col("n_cells"), col("row_text"))
   }
 
   val htmlTablesOracle: String =
@@ -1214,16 +1215,41 @@ object TextAnalysis {
       |FROM rr
       |""".stripMargin
 
-  /** Subtitle (SRT / WebVTT) cue extraction — the text side of
-    * video-audio alignment: training pipelines pair media with its
-    * transcript cues, so the engine parses both wire formats into
-    * (doc, cue, start_ms, end_ms, text) rows. One cue-block
-    * `regexp_extract_all` (timestamp separator `,` SRT / `.` VTT
-    * accepted uniformly), then pure column timestamp arithmetic and
-    * markup stripping (VTT italic tags) — zero UDFs, one scan,
-    * per-payload linear. Fixture: 2–5 cues per doc, VTT (headered,
-    * index-free, dot separator, `<i>` wraps) for every third doc, SRT
-    * otherwise; every cell oracle-predicted. */
+  /** Subtitle (SRT / WebVTT) cue extraction over ANY corpus column:
+    * one output row per cue, keeping every input column and adding
+    * (format, cue_idx, start_ms, end_ms, text). The format is
+    * DETECTED from the payload (a `WEBVTT` header → vtt, else srt) —
+    * not supplied by the caller. One cue-block `regexp_extract_all`
+    * (timestamp separator `,` SRT / `.` VTT accepted uniformly), then
+    * pure column timestamp arithmetic and markup stripping (VTT
+    * italic tags) — zero UDFs, one scan, per-payload linear. */
+  def subtitleCues(df: DataFrame, sub: Column): DataFrame = {
+    def msOf(c: Column): Column =
+      substring(c, 1, 2).cast("long") * 3600000L +
+        substring(c, 4, 2).cast("long") * 60000L +
+        substring(c, 7, 2).cast("long") * 1000L +
+        substring(c, 10, 3).cast("long")
+    df.withColumn("format",
+        when(sub.startsWith("WEBVTT"), lit("vtt")).otherwise(lit("srt")))
+      .select(col("*"), posexplode(regexp_extract_all(sub,
+        lit("(\\d{2}:\\d{2}:\\d{2}[,.]\\d{3} --> " +
+          "\\d{2}:\\d{2}:\\d{2}[,.]\\d{3}\\n[^\\n]*)"), lit(1)))
+        .as(Seq("cue_idx", "__graft_cue")))
+      .withColumn("cue_idx", col("cue_idx").cast("int"))
+      .withColumn("start_ms", msOf(regexp_extract(col("__graft_cue"),
+        "^(\\d{2}:\\d{2}:\\d{2}[,.]\\d{3})", 1)))
+      .withColumn("end_ms", msOf(regexp_extract(col("__graft_cue"),
+        "--> (\\d{2}:\\d{2}:\\d{2}[,.]\\d{3})", 1)))
+      .withColumn("text", regexp_replace(
+        regexp_extract(col("__graft_cue"), "\\n(.*)$", 1),
+        lit("<[^>]*>"), lit("")))
+      .drop("__graft_cue")
+  }
+
+  /** Oracle gate for [[subtitleCues]]: 2–5 cues per doc, VTT
+    * (headered, index-free, dot separator, `<i>` wraps) for every
+    * third doc, SRT otherwise; every cell oracle-predicted, and the
+    * format column comes from DETECTION, not the fixture arm. */
   def subtitleQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val vtt = col("doc_id") % 3 === 0
@@ -1248,26 +1274,9 @@ object TextAnalysis {
     }), "\n\n")
     val payload = docs.withColumn("sub",
       concat(when(vtt, lit("WEBVTT\n\n")).otherwise(lit("")), body))
-    def msOf(c: Column): Column =
-      substring(c, 1, 2).cast("long") * 3600000L +
-        substring(c, 4, 2).cast("long") * 60000L +
-        substring(c, 7, 2).cast("long") * 1000L +
-        substring(c, 10, 3).cast("long")
-    payload
-      .select(col("doc_id"),
-        when(vtt, lit("vtt")).otherwise(lit("srt")).as("format"),
-        posexplode(regexp_extract_all(col("sub"),
-          lit("(\\d{2}:\\d{2}:\\d{2}[,.]\\d{3} --> " +
-            "\\d{2}:\\d{2}:\\d{2}[,.]\\d{3}\\n[^\\n]*)"), lit(1))))
-      .toDF("doc_id", "format", "cue_idx", "cue")
-      .select(col("doc_id"), col("format"),
-        col("cue_idx").cast("int").as("cue_idx"),
-        msOf(regexp_extract(col("cue"),
-          "^(\\d{2}:\\d{2}:\\d{2}[,.]\\d{3})", 1)).as("start_ms"),
-        msOf(regexp_extract(col("cue"),
-          "--> (\\d{2}:\\d{2}:\\d{2}[,.]\\d{3})", 1)).as("end_ms"),
-        regexp_replace(regexp_extract(col("cue"), "\\n(.*)$", 1),
-          lit("<[^>]*>"), lit("")).as("text"))
+    subtitleCues(payload, col("sub"))
+      .select(col("doc_id"), col("format"), col("cue_idx"),
+        col("start_ms"), col("end_ms"), col("text"))
   }
 
   val subtitleOracle: String =
@@ -1282,13 +1291,28 @@ object TextAnalysis {
       |FROM documents, unnest(generate_series(0, 1 + doc_id % 4)) u(i)
       |""".stripMargin
 
-  /** Markdown structure census — repository/docs corpora are
-    * markdown-heavy and a curation pass routes by structure (how much
-    * is code, how deep the outline, link density). Counts ATX
+  /** Markdown structure census over ANY corpus column — repository /
+    * docs corpora are markdown-heavy and a curation pass routes by
+    * structure (how much is code, how deep the outline, link
+    * density). Keeps every input column and adds counts of ATX
     * headings and their max depth, inline links, fenced code blocks
     * (fence pairs), and list items — multiline-anchored regexp
-    * columns over one scan, zero UDFs. The fixture assembles each
-    * element class in formula-known quantities. */
+    * columns over one scan, zero UDFs. */
+  def markdownCensus(df: DataFrame, md: Column): DataFrame =
+    df.withColumn("n_headings",
+        size(regexp_extract_all(md, lit("(?m)^(#+) "), lit(1))).cast("int"))
+      .withColumn("max_depth", coalesce(array_max(transform(
+        regexp_extract_all(md, lit("(?m)^(#+) "), lit(1)),
+        x => length(x))), lit(0)).cast("int"))
+      .withColumn("n_links", size(regexp_extract_all(md,
+        lit("\\[[^\\]]*\\]\\(([^)]*)\\)"), lit(1))).cast("int"))
+      .withColumn("n_code_blocks",
+        (size(regexp_extract_all(md, lit("(?m)^```"), lit(0))) / 2).cast("int"))
+      .withColumn("n_list_items",
+        size(regexp_extract_all(md, lit("(?m)^- "), lit(0))).cast("int"))
+
+  /** Oracle gate for [[markdownCensus]]: each element class assembled
+    * in formula-known quantities. */
   def markdownCensusQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     // sequence(1, 0) DESCENDS in Spark, so zero-count must short-circuit
@@ -1309,19 +1333,9 @@ object TextAnalysis {
       repIdx(col("doc_id") % 5, k =>
         concat(lit("- item "), k.cast("string"), lit("\n"))),
       rep(col("doc_id") % 2, lit("```\ncode line\n```\n"))))
-    md.select(col("doc_id"),
-      size(regexp_extract_all(col("md"), lit("(?m)^(#+) "), lit(1)))
-        .cast("int").as("n_headings"),
-      coalesce(array_max(transform(
-        regexp_extract_all(col("md"), lit("(?m)^(#+) "), lit(1)),
-        x => length(x))), lit(0)).cast("int").as("max_depth"),
-      size(regexp_extract_all(col("md"),
-        lit("\\[[^\\]]*\\]\\(([^)]*)\\)"), lit(1)))
-        .cast("int").as("n_links"),
-      (size(regexp_extract_all(col("md"), lit("(?m)^```"), lit(0))) / 2)
-        .cast("int").as("n_code_blocks"),
-      size(regexp_extract_all(col("md"), lit("(?m)^- "), lit(0)))
-        .cast("int").as("n_list_items"))
+    markdownCensus(md, col("md"))
+      .select(col("doc_id"), col("n_headings"), col("max_depth"),
+        col("n_links"), col("n_code_blocks"), col("n_list_items"))
   }
 
   val markdownCensusOracle: String =
@@ -1334,13 +1348,27 @@ object TextAnalysis {
       |FROM documents
       |""".stripMargin
 
-  /** EML / RFC 5322 header extraction — mail archives are a standard
-    * corpus source and their PII lives in the headers: sender
-    * display-name and address, recipient, unfolded subject, and the
-    * body size. Folding (CRLF + whitespace continuation) is unfolded
-    * before extraction — the fixture folds every fourth subject so
-    * the unfold path is gated, not decorative. Pure column
-    * expressions over one scan. */
+  /** EML / RFC 5322 header extraction over ANY corpus column — mail
+    * archives are a standard corpus source and their PII lives in the
+    * headers. Keeps every input column and adds sender display-name
+    * and address, recipient, unfolded subject, and the body size.
+    * Folding (CRLF + whitespace continuation) is unfolded before
+    * extraction. Pure column expressions over one scan. */
+  def emlHeaders(df: DataFrame, eml: Column): DataFrame = {
+    val unfolded = regexp_replace(eml, "\r\n[ \t]", " ")
+    val header = regexp_extract(unfolded, "(?s)^(.*?)\r\n\r\n", 1)
+    val body = regexp_extract(unfolded, "(?s)\r\n\r\n(.*)$", 1)
+    df.withColumn("sender_name",
+        regexp_extract(header, "(?m)^From: ([^<]*) <", 1))
+      .withColumn("sender_addr",
+        regexp_extract(header, "(?m)^From: [^<]*<([^>]*)>", 1))
+      .withColumn("to_addr", regexp_extract(header, "(?m)^To: (.*)$", 1))
+      .withColumn("subject", regexp_extract(header, "(?m)^Subject: (.*)$", 1))
+      .withColumn("body_chars", length(body).cast("int"))
+  }
+
+  /** Oracle gate for [[emlHeaders]] — the fixture folds every fourth
+    * subject so the unfold path is gated, not decorative. */
   def emlExtractQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val subj = concat(lit("Re: topic "), (col("doc_id") % 31).cast("string"))
@@ -1354,16 +1382,9 @@ object TextAnalysis {
       lit("Subject: "), subjWire, lit("\r\n"),
       lit("Content-Type: text/plain\r\n\r\n"),
       lit("body of message "), col("doc_id").cast("string"), lit("\r\n")))
-    val unfolded = regexp_replace(col("eml"), "\r\n[ \t]", " ")
-    val header = regexp_extract(unfolded, "(?s)^(.*?)\r\n\r\n", 1)
-    val body = regexp_extract(unfolded, "(?s)\r\n\r\n(.*)$", 1)
-    eml.select(col("doc_id"),
-      regexp_extract(header, "(?m)^From: ([^<]*) <", 1).as("sender_name"),
-      regexp_extract(header, "(?m)^From: [^<]*<([^>]*)>", 1)
-        .as("sender_addr"),
-      regexp_extract(header, "(?m)^To: (.*)$", 1).as("to_addr"),
-      regexp_extract(header, "(?m)^Subject: (.*)$", 1).as("subject"),
-      length(body).cast("int").as("body_chars"))
+    emlHeaders(eml, col("eml"))
+      .select(col("doc_id"), col("sender_name"), col("sender_addr"),
+        col("to_addr"), col("subject"), col("body_chars"))
   }
 
   val emlExtractOracle: String =
