@@ -14,7 +14,16 @@ package graft.functions
 object OggCodec {
 
   final case class OggMeta(codec: String, channels: Int, sampleRate: Int,
-                           nPages: Int, lastGranule: Long)
+                           nPages: Int, lastGranule: Long, preSkip: Int) {
+    /** Stream duration from the final granule position — the census
+      * readout that needs NO packet decode: Vorbis granules count PCM
+      * samples at the stream rate; Opus granules are ALWAYS 48 kHz
+      * ticks and start after the OpusHead pre-skip. */
+    def durationMs: Long = codec match {
+      case "opus" => math.max(lastGranule - preSkip, 0L) * 1000L / 48000L
+      case _ => if (sampleRate > 0) lastGranule * 1000L / sampleRate else -1L
+    }
+  }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le32(b: Array[Byte], i: Int): Long =
@@ -58,7 +67,7 @@ object OggCodec {
       var p = 0
       var nPages = 0
       var lastGranule = 0L
-      var id: Option[(String, Int, Int)] = None
+      var id: Option[(String, Int, Int, Int)] = None
       while (p + 27 <= b.length) {
         if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' ||
           b(p + 3) != 'S' || u8(b, p + 4) != 0) return None
@@ -77,11 +86,13 @@ object OggCodec {
           if (payloadLen >= 30 && u8(b, dataAt) == 1 &&
             new String(b, dataAt + 1, 6, "US-ASCII") == "vorbis") {
             id = Some(("vorbis", u8(b, dataAt + 11),
-              le32(b, dataAt + 12).toInt))
+              le32(b, dataAt + 12).toInt, 0))
           } else if (payloadLen >= 19 &&
             new String(b, dataAt, 8, "US-ASCII") == "OpusHead") {
+            // bytes 10-11: pre-skip, in 48 kHz samples
             id = Some(("opus", u8(b, dataAt + 9),
-              le32(b, dataAt + 12).toInt))
+              le32(b, dataAt + 12).toInt,
+              u8(b, dataAt + 10) | (u8(b, dataAt + 11) << 8)))
           } else return None
         }
         nPages += 1
@@ -89,8 +100,8 @@ object OggCodec {
         p = dataAt + payloadLen
       }
       if (p != b.length || nPages == 0) return None
-      id.map { case (codec, ch, sr) =>
-        OggMeta(codec, ch, sr, nPages, lastGranule)
+      id.map { case (codec, ch, sr, ps) =>
+        OggMeta(codec, ch, sr, nPages, lastGranule, ps)
       }
     } catch {
       case _: IndexOutOfBoundsException => None
@@ -125,9 +136,11 @@ object OggCodec {
     * pages with monotone granules ending at `totalSamples`, EOS flag on
     * the last. Real CRCs throughout. */
   def writeOgg(codec: String, channels: Int, sampleRate: Int,
-               nAudioPages: Int, totalSamples: Long): Array[Byte] = {
+               nAudioPages: Int, totalSamples: Long,
+               preSkip: Int = 0): Array[Byte] = {
     require(channels >= 1 && channels <= 8 && sampleRate > 0 &&
-      nAudioPages >= 1 && totalSamples >= nAudioPages, "bad params")
+      nAudioPages >= 1 && totalSamples >= nAudioPages &&
+      preSkip >= 0 && preSkip <= 0xffff, "bad params")
     val idHeader = codec match {
       case "vorbis" =>
         val h = new Array[Byte](30)
@@ -144,6 +157,8 @@ object OggCodec {
         System.arraycopy("OpusHead".getBytes("US-ASCII"), 0, h, 0, 8)
         h(8) = 1 // version
         h(9) = channels.toByte
+        h(10) = (preSkip & 0xff).toByte // pre-skip, 48 kHz samples, LE
+        h(11) = ((preSkip >> 8) & 0xff).toByte
         var v = sampleRate // input sample rate (informational)
         for (i <- 0 until 4) { h(12 + i) = (v & 0xff).toByte; v >>>= 8 }
         h

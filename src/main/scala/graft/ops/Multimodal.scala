@@ -1282,7 +1282,8 @@ object Multimodal {
               ch, Array(44100, 48000)((id % 2).toInt),
               (id % 4).toInt + 1, (id % 500) + 10)
             case _ => OggCodec.writeOgg("opus",
-              ch, 48000, (id % 3).toInt + 1, (id % 500) + 10)
+              ch, 48000, (id % 3).toInt + 1, (id % 500) + 10,
+              preSkip = (id % 8).toInt * 40)
           }
           (id, bytes)
         }
@@ -1302,26 +1303,37 @@ object Multimodal {
     audioFormatPayloads(spark, dir)
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          val cell: Option[(String, Int, Int, Long)] =
+          // duration in ms from header state only — Vorbis granules are
+          // stream-rate PCM samples, Opus granules 48 kHz ticks net of
+          // pre-skip, WAV/FLAC carry sample counts; MP3 headers don't
+          // carry length, so -1 "unknown" like the other MP3 cells
+          val cell: Option[(String, Int, Int, Long, Long)] =
             if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I')
               AudioCodec.decode(bytes).map(m =>
-                ("wav", m.sampleRate, m.channels, m.nSamples))
+                ("wav", m.sampleRate, m.channels, m.nSamples.toLong,
+                  m.nSamples.toLong * 1000L / m.sampleRate))
             else if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L')
               FlacCodec.meta(bytes).map(m =>
-                ("flac", m.sampleRate, m.channels, m.totalSamples))
+                ("flac", m.sampleRate, m.channels, m.totalSamples,
+                  if (m.totalSamples > 0 && m.sampleRate > 0)
+                    m.totalSamples * 1000L / m.sampleRate
+                  else -1L))
             else if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g')
               OggCodec.meta(bytes).map(m =>
-                (s"ogg-${m.codec}", m.sampleRate, m.channels, m.lastGranule))
+                (s"ogg-${m.codec}", m.sampleRate, m.channels, m.lastGranule,
+                  m.durationMs))
             else
               Mp3Codec.meta(bytes).map(m =>
-                ("mp3", m.sampleRate, -1, -1L))
-          cell.map { case (f, sr, c, n) => (id, f, sr, c, n) }
+                ("mp3", m.sampleRate, -1, -1L, -1L))
+          cell.map { case (f, sr, c, n, d) => (id, f, sr, c, n, d) }
         }
       }
-      .toDF("doc_id", "format", "sample_rate", "channels", "n_samples")
+      .toDF("doc_id", "format", "sample_rate", "channels", "n_samples",
+        "duration_ms")
       .select(col("doc_id"), col("format"),
         col("sample_rate").cast("int").as("sample_rate"),
-        col("channels").cast("int").as("channels"), col("n_samples"))
+        col("channels").cast("int").as("channels"), col("n_samples"),
+        col("duration_ms").cast("long").as("duration_ms"))
   }
 
   val audioFormatCensusOracle: String =
@@ -1345,7 +1357,18 @@ object Multimodal {
       |         WHEN 0 THEN doc_id % 50 + 10
       |         WHEN 1 THEN -1
       |         WHEN 2 THEN doc_id % 1000 + 1
-      |         ELSE doc_id % 500 + 10 END AS BIGINT) AS n_samples
+      |         ELSE doc_id % 500 + 10 END AS BIGINT) AS n_samples,
+      |       CAST(CASE CAST(doc_id % 5 AS INT)
+      |         WHEN 0 THEN (doc_id % 50 + 10) * 1000 // (CASE CAST(doc_id % 3 AS INT)
+      |           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+      |         WHEN 1 THEN -1
+      |         WHEN 2 THEN (doc_id % 1000 + 1) * 1000 // (CASE CAST(doc_id % 4 AS INT)
+      |           WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 96000
+      |           ELSE 22050 END)
+      |         WHEN 3 THEN (doc_id % 500 + 10) * 1000
+      |           // (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END)
+      |         ELSE greatest(doc_id % 500 + 10 - (doc_id % 8) * 40, 0)
+      |           * 1000 // 48000 END AS BIGINT) AS duration_ms
       |FROM documents
       |""".stripMargin
 

@@ -491,9 +491,9 @@ class Round9OpsSpec extends SparkSpec {
   test("Ogg census walks pages, checks CRCs, reads Vorbis and Opus ids") {
     import graft.functions.OggCodec
     val v = OggCodec.meta(OggCodec.writeOgg("vorbis", 2, 44100, 3, 999L)).get
-    assert(v == OggCodec.OggMeta("vorbis", 2, 44100, 4, 999L))
+    assert(v == OggCodec.OggMeta("vorbis", 2, 44100, 4, 999L, 0))
     val o = OggCodec.meta(OggCodec.writeOgg("opus", 1, 48000, 1, 10L)).get
-    assert(o == OggCodec.OggMeta("opus", 1, 48000, 2, 10L))
+    assert(o == OggCodec.OggMeta("opus", 1, 48000, 2, 10L, 0))
     // a flipped payload byte breaks that page's CRC -> whole stream None
     val bytes = OggCodec.writeOgg("vorbis", 2, 44100, 2, 100L)
     val corrupt = bytes.clone()
