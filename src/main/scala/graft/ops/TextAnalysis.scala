@@ -1146,13 +1146,13 @@ object TextAnalysis {
     * shuffle, scan-linear at 100 TB. */
   def htmlTables(df: DataFrame, html: Column): DataFrame =
     df.select(col("*"), posexplode(regexp_extract_all(html,
-        lit("(?s)<table[^>]*>(.*?)</table>"), lit(1)))
+        lit("(?si)<table[^>]*>(.*?)</table>"), lit(1)))
         .as(Seq("table_idx", "__graft_tbl")))
       .select(col("*"), posexplode(regexp_extract_all(col("__graft_tbl"),
-        lit("(?s)<tr[^>]*>(.*?)</tr>"), lit(1)))
+        lit("(?si)<tr[^>]*>(.*?)</tr>"), lit(1)))
         .as(Seq("row_idx", "__graft_row")))
       .withColumn("__graft_cells", regexp_extract_all(col("__graft_row"),
-        lit("(?s)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)))
+        lit("(?si)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)))
       .withColumn("table_idx", col("table_idx").cast("int"))
       .withColumn("row_idx", col("row_idx").cast("int"))
       .withColumn("n_cells", size(col("__graft_cells")).cast("int"))
@@ -1398,9 +1398,21 @@ object TextAnalysis {
       |FROM documents
       |""".stripMargin
 
+  /** href extraction over ANY corpus column: one output row per link,
+    * keeping every input column and adding the raw `href` — tolerant
+    * of real markup (single OR double quotes, any attribute case,
+    * whitespace around `=`). Canonicalization is the caller's next
+    * step ([[graft.ops.UrlOps.canonicalizeUrl]]). */
+  def outlinks(df: DataFrame, html: Column): DataFrame =
+    df.select(col("*"), explode(concat(
+        regexp_extract_all(html,
+          lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+        regexp_extract_all(html,
+          lit("(?i)href\\s*=\\s*'([^']*)'"), lit(1)))).as("href"))
+
   /** Outlink-graph extraction — the web-graph building block: pull
-    * every `href` from the page markup, CANONICALIZE it (the wire
-    * form carries uppercase hosts and tracking params —
+    * every `href` from the page markup via [[outlinks]], CANONICALIZE
+    * it (the wire form carries uppercase hosts and tracking params —
     * [[graft.ops.UrlOps.canonicalizeUrl]] is applied before anything
     * aggregates), and emit the domain-level edge list with link
     * counts. Domain-grain output is what host-level quality signals
@@ -1419,10 +1431,8 @@ object TextAnalysis {
     val html = docs.withColumn("html", concat(
       lit("<html><body><nav><a href=\"/local/nav\">home</a></nav>"),
       anchors, lit("</body></html>")))
-    html
-      .select(col("doc_id"),
-        explode(regexp_extract_all(col("html"),
-          lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+    outlinks(html.select(col("doc_id"), col("html")), col("html"))
+      .select(col("doc_id"), col("href"))
       .filter(col("href").startsWith("HTTP") || col("href").startsWith("http"))
       .select(
         concat(lit("www.example"), (col("doc_id") % 7).cast("string"),
