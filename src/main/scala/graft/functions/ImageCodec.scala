@@ -403,7 +403,21 @@ object ImageCodec {
         GifCodec.decodePixels(bytes)
       else if (bytes.length >= 20 && bytes(0) == 'R' && bytes(1) == 'I' &&
           bytes(2) == 'F' && bytes(3) == 'F')
-        Vp8lCodec.decodePixels(bytes)
+        // lossless VP8L first; lossy VP8 keyframes (the majority of
+        // real WebP) decode through the full Vp8Codec
+        Vp8lCodec.decodePixels(bytes).orElse(
+          Vp8Codec.decodeWebp(bytes).map { yuv =>
+            val px = Vp8Codec.toRgb(yuv)
+            val rgb = new Array[Byte](px.length * 3)
+            var i = 0
+            while (i < px.length) {
+              rgb(3 * i) = ((px(i) >> 16) & 0xff).toByte
+              rgb(3 * i + 1) = ((px(i) >> 8) & 0xff).toByte
+              rgb(3 * i + 2) = (px(i) & 0xff).toByte
+              i += 1
+            }
+            ImagePixels("webp-vp8", yuv.width, yuv.height, rgb)
+          })
       else if (bytes.length >= 8 &&
           ((bytes(0) == 'I' && bytes(1) == 'I') ||
            (bytes(0) == 'M' && bytes(1) == 'M')))

@@ -557,6 +557,78 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** Lossy-WebP twins: the PNG/BMP base against a VP8 LOSSY keyframe
+    * re-encode at 2× — the majority encoding of real-world WebP, now
+    * decodable end to end ([[graft.functions.Vp8Codec]], validated
+    * pixel-exact against libwebp). The gray pattern rides in the luma
+    * plane (BT.601 limited-range mapping, inverted exactly by
+    * [[graft.functions.Vp8Codec.toRgb]]), chroma neutral; quantizer
+    * index 8 keeps reconstruction error well inside the 16-level
+    * bands the lossy near-dup gate quantizes to (pattern grays sit at
+    * band CENTERS — x*16+8 — by construction). */
+  def imageWebpLossyVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
+    import graft.functions.Vp8Codec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val w0 = 9 + 3 * (id % 4).toInt
+          val h0 = 9 + 3 * (id % 3).toInt
+          val base =
+            if (id % 2 == 0) writePngPixels(w0, h0, patternPx(id, w0, h0))
+            else writeBmpPixels(w0, h0, patternPx(id, w0, h0))
+          val w2 = 2 * w0; val h2 = 2 * h0
+          val cw = (w2 + 1) / 2; val ch = (h2 + 1) / 2
+          val y = Array.tabulate(w2 * h2) { i =>
+            val g = patternPx(id, w2, h2)(i % w2, i / w2) & 0xff
+            (16 + (g * 219 + 128) / 255).toByte
+          }
+          val yuv = Vp8Codec.Yuv(w2, h2, y,
+            Array.fill(cw * ch)(128.toByte), Array.fill(cw * ch)(128.toByte))
+          Seq((id, base), (id + TwinSpace, Vp8Codec.encodeWebp(yuv, qi = 8)))
+        }
+      }
+  }
+
+  /** Perceptual near-dup across the LOSSY boundary, same shape as the
+    * JPEG family: 16-level-banded 9×8 grid + dhash equality — lossy
+    * quantization noise stays inside a band, content changes do not. */
+  def imageWebpLossyNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.ImageCodec
+    val rasters = imageWebpLossyVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          ImageCodec.decodePixels(bytes).map { p =>
+            val lvl = ImageCodec.sampleGrid9x8(p).map(_ / 16)
+            (id, p.format, p.width, lvl.toSeq, ImageCodec.dHash64(lvl))
+          }
+        }
+      }
+      .toDF("doc_id", "format", "w", "lvl", "dhash")
+      .trackPersist()
+    rasters.as("a").join(rasters.as("b"),
+        col("a.dhash") === col("b.dhash") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.lvl") === col("b.lvl"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.format").as("format_a"), col("b.format").as("format_b"),
+        col("a.w").as("w_a"), col("b.w").as("w_b"))
+  }
+
+  val imageWebpLossyNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a,
+       |       doc_id + $TwinSpace AS doc_b,
+       |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format_a,
+       |       'webp-vp8' AS format_b,
+       |       CAST(9 + 3 * (doc_id % 4) AS INT) AS w_a,
+       |       CAST(2 * (9 + 3 * (doc_id % 4)) AS INT) AS w_b
+       |FROM documents
+       |""".stripMargin
+
   /** TIFF twins: the PNG/BMP base against a real TIFF re-encode at 2×
     * — the scanned-document container. Per-doc
     * [[graft.functions.TiffCodec.TiffOpts]] rotate over both byte
