@@ -444,14 +444,15 @@ object ZstdCodec {
   /** Walk block headers, returning (meta, payloadOffsets) — shared by
     * census and extract. None on malformed structure; sizes validated
     * in Long space. */
-  private def walk(b: Array[Byte]): Option[(ZstdMeta, Seq[(Int, Int, Int)])] = {
-    if (b.length < 6 || !b.take(4).sameElements(Magic)) return None
-    val fhd = u8(b, 4)
+  private def walk(b: Array[Byte], start: Int = 0): Option[(ZstdMeta, Seq[(Int, Int, Int)])] = {
+    if (b.length - start < 6 || b(start) != Magic(0) || b(start + 1) != Magic(1) ||
+      b(start + 2) != Magic(2) || b(start + 3) != Magic(3)) return None
+    val fhd = u8(b, start + 4)
     val fcsFlag = fhd >> 6
     val singleSegment = (fhd & 0x20) != 0
     val checksum = (fhd & 0x04) != 0
     val didFlag = fhd & 0x03
-    var p = 5
+    var p = start + 5
     if (!singleSegment) p += 1 // window descriptor
     val didSize = Array(0, 1, 2, 4)(didFlag)
     if (p + didSize > b.length) return None
@@ -495,6 +496,11 @@ object ZstdCodec {
     Some((ZstdMeta(singleSegment, dictId, contentSize, nBlocks, nRaw,
       nRle, nComp), blocks.result()))
   }
+
+  /** Skippable-frame magics 0x184D2A50..5F (RFC 8878 §3.1.2). */
+  private def isSkippable(b: Array[Byte], p: Int): Boolean =
+    p + 8 <= b.length && (u8(b, p) & 0xf0) == 0x50 && u8(b, p + 1) == 0x2a &&
+      u8(b, p + 2) == 0x4d && u8(b, p + 3) == 0x18
 
   def census(b: Array[Byte]): Option[ZstdMeta] =
     try walk(b).map(_._1)
@@ -1114,41 +1120,68 @@ object ZstdCodec {
   /** Fully decode a zstd frame: Raw, RLE, and Compressed blocks.
     * None on malformed structure, dictionary frames, content-size
     * mismatch, or checksum mismatch. Never throws on hostile input. */
-  def extract(b: Array[Byte]): Option[Array[Byte]] =
-    try {
-      walk(b).flatMap { case (meta, blocks) =>
-        if (meta.dictId != 0) return None
-        if (meta.contentSize > MaxOut) return None
-        val ctx = new FrameCtx
-        val out = new OutBuf(math.max(meta.contentSize.toInt, 64))
-        blocks.foreach { case (typ, off, size) =>
-          typ match {
-            case 0 =>
-              if (out.n + size > MaxOut) return None
-              out.write(b, off, size)
-            case 1 =>
-              if (out.n + size > MaxOut) return None
-              val v = b(off)
-              var i = 0
-              while (i < size) { out.writeByte(v); i += 1 }
-            case _ =>
-              if (!decodeCompressedBlock(b, off, size, ctx, out)) return None
-          }
-        }
-        val r = out.toArray
-        if (meta.contentSize >= 0 && meta.contentSize != r.length) None
-        else {
-          // verify content checksum when the frame carries one
-          val fhd = u8(b, 4)
-          if ((fhd & 0x04) != 0) {
-            val lastBlock = blocks.last
-            val stored = lastBlock._2 + (if (lastBlock._1 == 1) 1 else lastBlock._3)
-            if (stored + 4 > b.length) return None
-            val want = leN(b, stored, 4)
-            if ((xxh64(r) & 0xffffffffL) != want) return None
-          }
-          Some(r)
+  /** Decode one frame starting at `start`; returns (content, end). */
+  private def extractFrame(b: Array[Byte], start: Int): Option[(Array[Byte], Int)] =
+    walk(b, start).flatMap { case (meta, blocks) =>
+      if (meta.dictId != 0) return None
+      if (meta.contentSize > MaxOut) return None
+      val ctx = new FrameCtx
+      val out = new OutBuf(math.max(meta.contentSize.toInt, 64))
+      blocks.foreach { case (typ, off, size) =>
+        typ match {
+          case 0 =>
+            if (out.n + size > MaxOut) return None
+            out.write(b, off, size)
+          case 1 =>
+            if (out.n + size > MaxOut) return None
+            val v = b(off)
+            var i = 0
+            while (i < size) { out.writeByte(v); i += 1 }
+          case _ =>
+            if (!decodeCompressedBlock(b, off, size, ctx, out)) return None
         }
       }
+      val r = out.toArray
+      if (meta.contentSize >= 0 && meta.contentSize != r.length) None
+      else {
+        val lastBlock = blocks.last
+        var end = lastBlock._2 + (if (lastBlock._1 == 1) 1 else lastBlock._3)
+        // verify content checksum when the frame carries one
+        val fhd = u8(b, start + 4)
+        if ((fhd & 0x04) != 0) {
+          if (end + 4 > b.length) return None
+          val want = leN(b, end, 4)
+          if ((xxh64(r) & 0xffffffffL) != want) return None
+          end += 4
+        }
+        Some((r, end))
+      }
+    }
+
+  def extract(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      // a real .zst is a SEQUENCE of frames (pzstd, cat'd archives):
+      // regular frames concatenate, skippable frames are skipped,
+      // anything else rejects the payload
+      val out = new java.io.ByteArrayOutputStream()
+      var p = 0
+      var frames = 0
+      while (p < b.length) {
+        if (isSkippable(b, p)) {
+          val size = leN(b, p + 4, 4)
+          if (p + 8L + size > b.length) return None
+          p += 8 + size.toInt
+        } else {
+          extractFrame(b, p) match {
+            case Some((content, end)) =>
+              if (out.size() + content.length > MaxOut) return None
+              out.write(content, 0, content.length)
+              frames += 1
+              p = end
+            case None => return None
+          }
+        }
+      }
+      if (frames == 0) None else Some(out.toByteArray)
     } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
 }

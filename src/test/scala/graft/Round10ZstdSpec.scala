@@ -173,6 +173,28 @@ class Round10ZstdSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("multi-frame payloads: concatenation, skippable frames, garbage tails") {
+    assume(zstdBin.canExecute, "reference zstd not installed")
+    val p1 = ("first frame " * 100).getBytes
+    val p2 = ("second frame " * 80).getBytes
+    val f1 = cliCompress(p1, Seq("-3"))
+    val f2 = cliCompress(p2, Seq("-5"))
+    // cat'd frames decode to cat'd contents (pzstd / archive shape)
+    assert(java.util.Arrays.equals(ZstdCodec.extract(f1 ++ f2).get, p1 ++ p2))
+    // skippable frame between them is skipped
+    val skip = Array[Byte](0x52, 0x2a, 0x4d, 0x18, 5, 0, 0, 0, 1, 2, 3, 4, 5)
+    assert(java.util.Arrays.equals(
+      ZstdCodec.extract(f1 ++ skip ++ f2).get, p1 ++ p2))
+    assert(java.util.Arrays.equals(
+      ZstdCodec.extract(skip ++ f1).get, p1))
+    // trailing garbage rejects instead of silently truncating
+    assert(ZstdCodec.extract(f1 ++ "garbage".getBytes).isEmpty)
+    // a skippable frame alone has no content
+    assert(ZstdCodec.extract(skip).isEmpty)
+    // truncated skippable length rejects
+    assert(ZstdCodec.extract(skip.take(9)).isEmpty)
+  }
+
   test("xxh64 matches published test vectors") {
     // Public XXH64 reference vectors (seed 0)
     assert(ZstdCodec.xxh64(Array.emptyByteArray) == 0xef46db3751d8e999L)
