@@ -1459,20 +1459,20 @@ object TextAnalysis {
       .select(col("src_domain").as("s"), col("dst_domain").as("t"),
         col("n_links").as("w"))
     val nodes = e.select(col("s").as("d")).distinct().trackPersist()
-    // the 1-row nd total stays broadcast at any scale; the RANK,
-    // OUT-WEIGHT, and CONTRIBUTION tables are node-sized — broadcast
-    // only below the vertex threshold, partitioned shuffle-hash joins
-    // above it (host grain is ~1e7 and fits; page-grain web graphs
-    // do not)
-    val large = largeGraph.getOrElse(
-      nodes.count() > graft.ops.Graph.BroadcastNodeLimit)
+    // ONE driver-side node count serves double duty: it is the nd
+    // normalizer the rank formula needs anyway (injected as a literal
+    // instead of the former 1-row crossJoin), AND the join-strategy
+    // threshold -- the RANK, OUT-WEIGHT, and CONTRIBUTION tables are
+    // node-sized, so they broadcast only below the vertex threshold
+    // and become partitioned shuffle-hash joins above it (host grain
+    // is ~1e7 and fits; page-grain web graphs do not)
+    val nd = math.max(nodes.count(), 1L)
+    val large = largeGraph.getOrElse(nd > graft.ops.Graph.BroadcastNodeLimit)
     val outw = e.groupBy(col("s")).agg(sum(col("w")).as("ow"))
     val ew =
       if (large) e.join(outw.hint("shuffle_hash"), "s")
       else e.join(broadcast(outw), "s")
-    val nd = nodes.agg(count(lit(1)).as("nd"))
-    var rank = nodes.crossJoin(broadcast(nd))
-      .select(col("d"), expr("1000000 div nd").as("r"))
+    var rank = nodes.select(col("d"), lit(1000000L / nd).as("r"))
     for (_ <- 1 to 2) {
       val rs = rank.withColumnRenamed("d", "s")
       val contrib =
@@ -1483,9 +1483,9 @@ object TextAnalysis {
       rank =
         (if (large) nodes.join(contrib.hint("shuffle_hash"), Seq("d"), "left")
          else nodes.join(broadcast(contrib), Seq("d"), "left"))
-          .crossJoin(broadcast(nd))
           .select(col("d"),
-            expr("150000 div nd + 85 * coalesce(sc, 0) div 100").as("r"))
+            (lit(150000L / nd) +
+              expr("85 * coalesce(sc, 0) div 100")).as("r"))
     }
     rank.select(col("d").as("domain"), col("r").cast("long").as("rank_ppm"))
   }
