@@ -70,10 +70,16 @@ object Graph {
     * join shape (None = count the vertices once and compare against
     * [[BroadcastNodeLimit]]). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 2,
-               largeGraph: Option[Boolean] = None): DataFrame = {
+               largeGraph: Option[Boolean] = None,
+               nodeCountHint: Option[Long] = None): DataFrame = {
     import graft.core.Caches.TrackedDataset
     val n = nodes.trackPersist()
-    val large = largeGraph.getOrElse(n.count() > BroadcastNodeLimit)
+    // the threshold needs only an ORDER OF MAGNITUDE: callers pass a
+    // metadata-cheap UPPER BOUND (overestimating selects the
+    // partitioned shape — the safe direction at scale) so no extra
+    // distinct-count job runs; with neither hint the exact count runs
+    val large = largeGraph.getOrElse(
+      nodeCountHint.getOrElse(n.count()) > BroadcastNodeLimit)
     // the out-weight table is node-sized too — same threshold rule
     val out = edges.groupBy(col("u")).agg(sum(col("w")).as("outw"))
     // every iteration re-reads the edge table — persist the built graph
@@ -108,7 +114,13 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
     val edges = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
     val nodes = li.select(col("p")).distinct()
-    pageRank(nodes, edges, largeGraph = largeGraph)
+    // node-count upper bound from parquet metadata (part keys are a
+    // subset of part rows) — no distinct-count job
+    val hint = largeGraph match {
+      case Some(_) => None
+      case None => Some(Tables.part(spark, dir).count())
+    }
+    pageRank(nodes, edges, largeGraph = largeGraph, nodeCountHint = hint)
       .select(col("p").as("part_key"), col("r").as("rank"))
   }
 
@@ -154,8 +166,12 @@ object Graph {
     val deg = und.select(col("u").as("p"))
       .union(und.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-      .trackPersist() // counted for the threshold AND joined twice
-    val large = largeGraph.getOrElse(deg.count() > BroadcastNodeLimit)
+      .trackPersist() // joined twice (orientation u- and v-sides)
+    // metadata-cheap node upper bound (vertices are part keys) — the
+    // threshold needs only the order of magnitude, and overestimating
+    // picks the partitioned shape, the safe direction at scale
+    val large = largeGraph.getOrElse(
+      Tables.part(spark, dir).count() > BroadcastNodeLimit)
     // orient low→high in the (deg, id) total order, keeping the OUT
     // endpoint's order key (db) so the wedge join can order out-neighbors
     // without another degree lookup
