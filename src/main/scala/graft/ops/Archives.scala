@@ -866,6 +866,117 @@ object Archives {
     bos.toByteArray
   }
 
+  // ------------------------------------------------ OOXML (pptx) layer
+
+  /** Build a minimal valid .pptx: [Content_Types].xml plus one
+    * ppt/slides/slideN.xml per slide, each carrying one a:t run per
+    * paragraph (DrawingML text bodies). */
+  def writePptx(slides: Seq[Seq[String]]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/></Types>""")
+    slides.zipWithIndex.foreach { case (paras, i) =>
+      val body =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" """ +
+          """xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"><p:cSld><p:spTree>""" +
+          paras.map(t =>
+            s"<p:sp><p:txBody><a:p><a:r><a:t>${esc(t)}</a:t></a:r></a:p></p:txBody></p:sp>").mkString +
+          "</p:spTree></p:cSld></p:sld>"
+      entry(s"ppt/slides/slide${i + 1}.xml", body)
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val SlideNumRe = java.util.regex.Pattern.compile(
+    "^ppt/slides/slide(\\d+)\\.xml$")
+  private val AtRe = java.util.regex.Pattern.compile("(?s)<a:t>(.*?)</a:t>")
+
+  /** PPTX slide-text extraction: walks the zip for ppt/slides/slideN.xml
+    * members, pulls every a:t run in document order per slide. Returns
+    * (slideNumber, runs) sorted by slide number; None for malformed
+    * zips or decks with no slide members. */
+  def pptxSlides(pptx: Array[Byte]): Option[Seq[(Int, Seq[String])]] =
+    try {
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(pptx))
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Seq[String])]()
+      var e = zis.getNextEntry
+      while (e != null) {
+        val m = SlideNumRe.matcher(e.getName)
+        if (m.matches()) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = zis.read(tmp)
+          while (n > 0 && buf.size <= (1 << 22)) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+          val xml = new String(buf.toByteArray, "UTF-8")
+          val runs = scala.collection.mutable.ArrayBuffer[String]()
+          val am = AtRe.matcher(xml)
+          while (am.find()) runs += unescXml(am.group(1))
+          out += ((m.group(1).toInt, runs.toSeq))
+        }
+        e = zis.getNextEntry
+      }
+      if (out.isEmpty) None else Some(out.sortBy(_._1).toSeq)
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+
+  /** PPTX extraction query: per-doc deck with (id%3)+1 slides, each
+    * slide carrying (slide + id%2 + 1) formula paragraphs; one row per
+    * slide with run count and joined-text md5. */
+  def pptxExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.flatMap { id =>
+          val nSlides = (id % 3).toInt + 1
+          val slides = (1 to nSlides).map(s =>
+            (0 until s + (id % 2).toInt).map(k =>
+              s"slide $s para $k of deck $id"))
+          val pptx = writePptx(slides)
+          pptxSlides(pptx).toSeq.flatten.map { case (sn, runs) =>
+            val text = runs.mkString("\n")
+            (id, sn, runs.size,
+              md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "slide_id", "n_runs", "text_md5")
+      .select(col("doc_id"), col("slide_id").cast("int").as("slide_id"),
+        col("n_runs").cast("int").as("n_runs"), col("text_md5"))
+  }
+
+  val pptxExtractOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, sn
+      |  FROM documents,
+      |       unnest(generate_series(1, CAST(doc_id % 3 + 1 AS INT))) u(sn)),
+      |t AS (
+      |  SELECT doc_id, sn,
+      |         array_to_string(list_transform(
+      |           generate_series(0, sn + doc_id % 2 - 1),
+      |           k -> 'slide ' || CAST(sn AS VARCHAR) || ' para ' ||
+      |                CAST(k AS VARCHAR) || ' of deck ' ||
+      |                CAST(doc_id AS VARCHAR)), chr(10)) AS text,
+      |         CAST(sn + doc_id % 2 AS INT) AS n_runs
+      |  FROM s)
+      |SELECT doc_id, CAST(sn AS INT) AS slide_id, n_runs, md5(text) AS text_md5
+      |FROM t
+      |""".stripMargin
+
   /** One extracted spreadsheet cell. `kind` is `shared`, `inline`, or
     * `number`. */
   final case class XlsxCell(row: Int, col: Int, kind: String, value: String)

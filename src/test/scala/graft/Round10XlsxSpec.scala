@@ -47,6 +47,31 @@ class Round10XlsxSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cells.exists(c => c.col == 28 && c.value == "28"))
   }
 
+  test("pptx slides round-trip, out-of-order members sort, hostile rejects") {
+    val decks = Seq(
+      Seq(Seq("one & only")),
+      Seq(Seq("s1 p0", "s1 p1"), Seq("s2 <tagged>"), Seq()))
+    for (slides <- decks) {
+      val got = Archives.pptxSlides(Archives.writePptx(slides)).get
+      assert(got.map(_._2) == slides, s"got $got")
+      assert(got.map(_._1) == (1 to slides.size).toList)
+    }
+    // members stored out of order still sort by slide number
+    val b = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(b)
+    def entry(n: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(body.getBytes); z.closeEntry()
+    }
+    entry("ppt/slides/slide2.xml", "<p:sld><a:t>two</a:t></p:sld>")
+    entry("ppt/slides/slide10.xml", "<p:sld><a:t>ten</a:t></p:sld>")
+    entry("ppt/slides/slide1.xml", "<p:sld><a:t>one</a:t></p:sld>")
+    z.close()
+    assert(Archives.pptxSlides(b.toByteArray).get.map(_._1) == Seq(1, 2, 10))
+    assert(Archives.pptxSlides("junk".getBytes).isEmpty)
+    assert(Archives.pptxSlides(Archives.writeXlsx(
+      Seq(Seq(Right(1.0), Right(2.0)))) ).isEmpty, "xlsx has no slides")
+  }
+
   test("hostile inputs reject as None, never throw") {
     val good = Archives.writeXlsx(Seq(Seq(Left("a"), Right(1.0))), _ => true)
     // truncated zip
