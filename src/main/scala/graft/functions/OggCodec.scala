@@ -107,6 +107,89 @@ object OggCodec {
       case _: IndexOutOfBoundsException => None
     }
 
+  /** VorbisComment / OpusTags extraction: the comment header packet
+    * (second packet: `vorbis` or `OpusTags` magic) parsed into
+    * (vendor, key=value fields) — where audio PII lives (ARTIST,
+    * contact email in COMMENT). Only single-page comment headers are
+    * parsed (fixture and typical real files; cover-art-sized headers
+    * spanning pages return None and route to rejects). */
+  def comments(b: Array[Byte]): Option[(String, Seq[(String, String)])] =
+    try {
+      // page walk to the second page's payload
+      var p = 0
+      var pageIdx = 0
+      while (p + 27 <= b.length && pageIdx < 2) {
+        if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' ||
+          b(p + 3) != 'S' || u8(b, p + 4) != 0) return None
+        val nSegs = u8(b, p + 26)
+        if (p + 27 + nSegs > b.length) return None
+        var payloadLen = 0
+        var s = 0
+        while (s < nSegs) { payloadLen += u8(b, p + 27 + s); s += 1 }
+        val dataAt = p + 27 + nSegs
+        if (dataAt.toLong + payloadLen > b.length.toLong) return None
+        if (crc(b, p, dataAt + payloadLen, p + 22) != le32(b, p + 22).toInt)
+          return None
+        if (pageIdx == 1) {
+          // comment packet: magic, vendor, field list
+          var q = dataAt
+          val end = dataAt + payloadLen
+          if (q + 8 <= end &&
+            new String(b, q, 8, "US-ASCII") == "OpusTags") q += 8
+          else if (q + 7 <= end && u8(b, q) == 3 &&
+            new String(b, q + 1, 6, "US-ASCII") == "vorbis") q += 7
+          else return None
+          if (q + 4 > end) return None
+          val vlen = le32(b, q).toInt; q += 4
+          if (vlen < 0 || q + vlen > end) return None
+          val vendor = new String(b, q, vlen, "UTF-8"); q += vlen
+          if (q + 4 > end) return None
+          val n = le32(b, q).toInt; q += 4
+          if (n < 0 || n > 1024) return None
+          val fields = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          var i = 0
+          while (i < n) {
+            if (q + 4 > end) return None
+            val flen = le32(b, q).toInt; q += 4
+            if (flen < 0 || q + flen > end) return None
+            val f = new String(b, q, flen, "UTF-8"); q += flen
+            val eq = f.indexOf('=')
+            if (eq <= 0) return None
+            fields += ((f.substring(0, eq).toUpperCase(java.util.Locale.ROOT),
+              f.substring(eq + 1)))
+            i += 1
+          }
+          return Some((vendor, fields.toSeq))
+        }
+        pageIdx += 1
+        p = dataAt + payloadLen
+      }
+      None
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  /** Serialize a comment header packet body. */
+  private def commentPacket(codec: String, vendor: String,
+                            fields: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32w(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    if (codec == "opus") out.write("OpusTags".getBytes("US-ASCII"))
+    else { out.write(3); out.write("vorbis".getBytes("US-ASCII")) }
+    val vb = vendor.getBytes("UTF-8")
+    le32w(vb.length); out.write(vb, 0, vb.length)
+    le32w(fields.size)
+    fields.foreach { case (k, v) =>
+      val fb = s"$k=$v".getBytes("UTF-8")
+      le32w(fb.length); out.write(fb, 0, fb.length)
+    }
+    if (codec != "opus") out.write(1) // vorbis framing bit
+    out.toByteArray
+  }
+
   private def page(serial: Int, seq: Int, granule: Long, headerType: Int,
                    payload: Array[Byte]): Array[Byte] = {
     require(payload.length < 255 * 255, "fixture payload too large")
@@ -137,7 +220,9 @@ object OggCodec {
     * the last. Real CRCs throughout. */
   def writeOgg(codec: String, channels: Int, sampleRate: Int,
                nAudioPages: Int, totalSamples: Long,
-               preSkip: Int = 0): Array[Byte] = {
+               preSkip: Int = 0,
+               tags: Seq[(String, String)] = Nil,
+               vendor: String = "graft"): Array[Byte] = {
     require(channels >= 1 && channels <= 8 && sampleRate > 0 &&
       nAudioPages >= 1 && totalSamples >= nAudioPages &&
       preSkip >= 0 && preSkip <= 0xffff, "bad params")
@@ -167,10 +252,17 @@ object OggCodec {
     val serial = 0x6772 // arbitrary fixed stream serial
     val out = new java.io.ByteArrayOutputStream()
     out.write(page(serial, 0, 0L, 0x02, idHeader)) // BOS
+    var seq = 1
+    if (tags.nonEmpty) {
+      out.write(page(serial, seq, 0L, 0x00,
+        commentPacket(codec, vendor, tags)))
+      seq += 1
+    }
     for (k <- 1 to nAudioPages) {
       val granule = totalSamples * k / nAudioPages
       val flags = if (k == nAudioPages) 0x04 else 0x00 // EOS on last
-      out.write(page(serial, k, granule, flags, Array[Byte](0)))
+      out.write(page(serial, seq, granule, flags, Array[Byte](0)))
+      seq += 1
     }
     out.toByteArray
   }

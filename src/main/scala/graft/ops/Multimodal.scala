@@ -1325,6 +1325,56 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  /** VorbisComment / OpusTags census — the streamed-audio twin of the
+    * EXIF and ID3 privacy censuses: artist identity in ARTIST, contact
+    * email in COMMENT (planted on every third doc), parsed from the
+    * second Ogg packet for BOTH codecs. One row per tag field, with an
+    * email flag the scrub pipeline routes by. */
+  def oggTagsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.OggCodec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val codec = if (id % 2 == 0) "vorbis" else "opus"
+          val tags = Seq(
+            "ARTIST" -> s"artist ${id % 13}",
+            "TITLE" -> s"track ${id % 31}") ++
+            (if (id % 3 == 0)
+              Seq("COMMENT" -> s"contact c${id % 7}@ex.org") else Nil)
+          val ogg = OggCodec.writeOgg(codec, 1 + (id % 2).toInt,
+            if (codec == "opus") 48000 else 44100,
+            (id % 3).toInt + 1, (id % 100) + 5, tags = tags)
+          OggCodec.comments(ogg).toSeq.flatMap { case (_, fields) =>
+            fields.map { case (k, v) =>
+              (id, codec, k, v, v.contains("@"))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "codec", "tag_key", "tag_value", "has_email")
+  }
+
+  val oggTagsOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, 'ARTIST' AS tag_key,
+      |         'artist ' || CAST(doc_id % 13 AS VARCHAR) AS tag_value
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'TITLE',
+      |         'track ' || CAST(doc_id % 31 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'COMMENT',
+      |         'contact c' || CAST(doc_id % 7 AS VARCHAR) || '@ex.org'
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+      |       tag_key, tag_value,
+      |       tag_key = 'COMMENT' AS has_email
+      |FROM f
+      |""".stripMargin
+
   // -------------------------------------------- audio format census
 
   /** Mixed audio fixture, one payload per document, format by id%5:
