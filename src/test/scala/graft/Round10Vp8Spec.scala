@@ -186,6 +186,43 @@ class Round10Vp8Spec extends org.scalatest.funsuite.AnyFunSuite {
       Vp8Codec.decodeWebp(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
   }
 
+  test("VP8X extended containers decode: the frame chunk is found past metadata") {
+    val src = mkYuv(32, 16, 1)
+    val frame = Vp8Codec.encodeFrame(src, qi = 24)
+    // wrap as RIFF/WEBP with a VP8X chunk (canvas dims) + junk EXIF
+    // chunk BEFORE the VP8 chunk — the shape real extended files have
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def chunk(tagS: String, body: Array[Byte]): Unit = {
+      out.write(tagS.getBytes("US-ASCII")); le32(body.length)
+      out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    val vp8x = Array[Byte](0x0c, 0, 0, 0, // flags: EXIF bit-ish
+      31, 0, 0, // canvas w-1 (24-bit LE)
+      15, 0, 0) // canvas h-1
+    val exif = "Exif  fakemeta".getBytes("ISO-8859-1")
+    val inner = new java.io.ByteArrayOutputStream()
+    chunk("VP8X", vp8x); chunk("EXIF", exif); chunk("VP8 ", frame)
+    val chunks = out.toByteArray
+    val riff = new java.io.ByteArrayOutputStream()
+    riff.write("RIFF".getBytes("US-ASCII"))
+    val payload = 4 + chunks.length
+    riff.write(payload & 0xff); riff.write((payload >> 8) & 0xff)
+    riff.write((payload >> 16) & 0xff); riff.write((payload >> 24) & 0xff)
+    riff.write("WEBP".getBytes("US-ASCII")); riff.write(chunks, 0, chunks.length)
+    val webp = riff.toByteArray
+    // the bare-container decode and the extended-container decode agree
+    val bare = Vp8Codec.decodeWebp(Vp8Codec.wrapWebp(frame)).get
+    val ext = Vp8Codec.decodeWebp(webp)
+    assert(ext.isDefined, "extended container must decode")
+    assert(java.util.Arrays.equals(ext.get.y, bare.y))
+    // the ImageCodec dispatch route works too
+    assert(graft.functions.ImageCodec.decodePixels(webp).exists(_.format == "webp-vp8"))
+    // census sees it as extended
+    assert(graft.functions.WebpCodec.meta(webp).exists(_.variant == "extended"))
+  }
+
   test("toRgb produces a stable raster for perceptual use") {
     val d = Vp8Codec.decodeWebp(Vp8Codec.encodeWebp(mkYuv(16, 16, 1), 20)).get
     val rgb = Vp8Codec.toRgb(d)
