@@ -29,6 +29,17 @@ object Graph {
     * pins both shapes. */
   val BroadcastNodeLimit: Long = 2L * 1000 * 1000
 
+  /** Metadata-cheap vertex upper bound: the part table's parquet row
+    * count (vertices are part keys, so the FK parent bounds them);
+    * when no part table exists (synthetic graph fixtures), the
+    * lineitem row count — looser but still a sound upper bound. */
+  private def nodeUpperBound(spark: SparkSession, dir: String): Long =
+    try Tables.part(spark, dir).count()
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        Tables.lineitem(spark, dir).count()
+    }
+
   /** Join `big` against a NODE-sized table: broadcast below the vertex
     * threshold, shuffle-hash (hash the node table per partition, never
     * sort the big stream) above it. */
@@ -115,10 +126,12 @@ object Graph {
     val edges = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
     val nodes = li.select(col("p")).distinct()
     // node-count upper bound from parquet metadata (part keys are a
-    // subset of part rows) — no distinct-count job
+    // subset of part rows; fall back to the lineitem row count — a
+    // looser but still sound bound — when no part table exists) so no
+    // distinct-count job runs just to pick a join strategy
     val hint = largeGraph match {
       case Some(_) => None
-      case None => Some(Tables.part(spark, dir).count())
+      case None => Some(nodeUpperBound(spark, dir))
     }
     pageRank(nodes, edges, largeGraph = largeGraph, nodeCountHint = hint)
       .select(col("p").as("part_key"), col("r").as("rank"))
@@ -171,7 +184,7 @@ object Graph {
     // threshold needs only the order of magnitude, and overestimating
     // picks the partitioned shape, the safe direction at scale
     val large = largeGraph.getOrElse(
-      Tables.part(spark, dir).count() > BroadcastNodeLimit)
+      nodeUpperBound(spark, dir) > BroadcastNodeLimit)
     // orient low→high in the (deg, id) total order, keeping the OUT
     // endpoint's order key (db) so the wedge join can order out-neighbors
     // without another degree lookup
