@@ -1,16 +1,29 @@
 package graft.functions
 
 /** MP3 header census — ID3v2 tag walk + first MPEG audio frame header:
-  * version/layer, bitrate, sample rate, and the tag size. The
+  * version/layer, bitrate, sample rate, channel mode, the tag size, and
+  * the stream DURATION the way every real tool computes it without
+  * decoding: a Xing/Info VBR header's frame count when the first frame
+  * carries one, else the CBR estimate `audioBytes / frameSize` (ISO
+  * 11172-3 layer-III frame size `144 * bitrate / sampleRate`). The
   * compressed-audio twin of the [[IsoBmff]]/[[WebpCodec]] censuses
-  * (full MPEG audio decode is out of scope the same way VP8 is): what
-  * an audio-corpus governance pass needs first is the format mix, the
-  * bitrate distribution, and how much of the byte volume is tag
-  * metadata rather than audio. Hostile input returns None. */
+  * (full MPEG audio sample decode is out of scope the same way Opus
+  * is): what an audio-corpus governance pass needs first is the format
+  * mix, the bitrate distribution, the hour volume, and how much of the
+  * byte volume is tag metadata. Hostile input returns None. */
 object Mp3Codec {
 
+  /** `frames`/`durationMs` are -1 when the stream is not MPEG1 Layer
+    * III (the census's exact-table scope) or no estimate is possible;
+    * `vbr` is true only when a "Xing" tag was present (an "Info" tag
+    * marks a CBR stream that merely carries the frame count). */
   final case class Mp3Meta(version: String, layer: Int, bitrateKbps: Int,
-                           sampleRate: Int, id3Size: Int)
+                           sampleRate: Int, id3Size: Int,
+                           channels: Int = -1, frames: Long = -1L,
+                           durationMs: Long = -1L, vbr: Boolean = false)
+
+  /** Samples per MPEG1 Layer III frame (ISO 11172-3 §2.4.2.1). */
+  val SamplesPerFrameV1L3 = 1152
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
@@ -54,7 +67,39 @@ object Mp3Codec {
         if (version == "1" && layer == 3)
           (BitratesV1L3(brIdx), SampleRatesV1(srIdx))
         else (-1, -1)
-      Some(Mp3Meta(version, layer, kbps, sr, id3))
+      // channel mode is version-independent: mode 3 = single channel
+      val channels = if (((u8(b, p + 3) >> 6) & 3) == 3) 1 else 2
+      var frames = -1L
+      var vbr = false
+      if (kbps > 0 && sr > 0) {
+        // Xing/Info tag sits after the side info (MPEG1: 17 B mono,
+        // 32 B stereo); flags bit 0 gates the 32-bit frame count
+        val tagOff = p + 4 + (if (channels == 1) 17 else 32)
+        val hasTag = tagOff + 8 <= b.length &&
+          ((b(tagOff) == 'X' && b(tagOff + 1) == 'i' &&
+            b(tagOff + 2) == 'n' && b(tagOff + 3) == 'g') ||
+           (b(tagOff) == 'I' && b(tagOff + 1) == 'n' &&
+            b(tagOff + 2) == 'f' && b(tagOff + 3) == 'o'))
+        if (hasTag) {
+          val flags = (u8(b, tagOff + 4) << 24) | (u8(b, tagOff + 5) << 16) |
+            (u8(b, tagOff + 6) << 8) | u8(b, tagOff + 7)
+          if ((flags & 1) != 0 && tagOff + 12 <= b.length) {
+            frames = ((u8(b, tagOff + 8).toLong << 24) |
+              (u8(b, tagOff + 9) << 16) | (u8(b, tagOff + 10) << 8) |
+              u8(b, tagOff + 11))
+            vbr = b(tagOff) == 'X'
+          }
+        } else {
+          // CBR estimate: whole frames in the post-tag byte span
+          val frameSize = 144000 * kbps / sr
+          if (frameSize > 0) frames = (b.length - p).toLong / frameSize
+        }
+      }
+      val durationMs =
+        if (frames >= 0 && sr > 0) frames * SamplesPerFrameV1L3 * 1000L / sr
+        else -1L
+      Some(Mp3Meta(version, layer, kbps, sr, id3, channels, frames,
+        durationMs, vbr))
     } catch {
       case _: IndexOutOfBoundsException => None
     }
@@ -157,6 +202,47 @@ object Mp3Codec {
     out.write((9 << 4) | (0 << 2))
     out.write(0)
     out.write(new Array[Byte](96))
+    out.toByteArray
+  }
+
+  /** Fixture: a first MPEG1-L3 frame carrying a Xing (VBR) or Info
+    * (CBR) tag with the frame-count field set — the header every
+    * VBR-encoded real MP3 carries so players can seek/report duration
+    * without a full scan. Bitrate index pinned to 9 (128 kbps). */
+  def writeMp3Xing(sampleRateIdx: Int, mono: Boolean, frames: Int,
+                   info: Boolean = false): Array[Byte] = {
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2 && frames >= 0, "bad params")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xfb)
+    out.write((9 << 4) | (sampleRateIdx << 2))
+    out.write(if (mono) 0xc0 else 0x00)
+    out.write(new Array[Byte](if (mono) 17 else 32)) // zero side info
+    out.write((if (info) "Info" else "Xing").getBytes("US-ASCII"))
+    out.write(0); out.write(0); out.write(0); out.write(1) // flags: FRAMES
+    out.write((frames >> 24) & 0xff); out.write((frames >> 16) & 0xff)
+    out.write((frames >> 8) & 0xff); out.write(frames & 0xff)
+    out.write(new Array[Byte](32)) // stub remainder
+    out.toByteArray
+  }
+
+  /** Fixture: `nFrames` whole CBR frames (header + zero fill to the
+    * ISO frame size `144000 * kbps / sampleRate`), no Xing tag — the
+    * shape whose duration only a size estimate can produce. */
+  def writeMp3Cbr(bitrateIdx: Int, sampleRateIdx: Int, mono: Boolean,
+                  nFrames: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 &&
+      sampleRateIdx >= 0 && sampleRateIdx <= 2 && nFrames >= 1, "bad params")
+    val frameSize =
+      144000 * BitratesV1L3(bitrateIdx) / SampleRatesV1(sampleRateIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < nFrames) {
+      out.write(0xff); out.write(0xfb)
+      out.write((bitrateIdx << 4) | (sampleRateIdx << 2))
+      out.write(if (mono) 0xc0 else 0x00)
+      out.write(new Array[Byte](frameSize - 4))
+      i += 1
+    }
     out.toByteArray
   }
 

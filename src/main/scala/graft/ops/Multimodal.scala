@@ -17,17 +17,20 @@ final case class MediaFeatures(doc_id: Long, media_type: String,
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-wise batches.
   *
-  * The decode seam runs at two depths. The HEADER layer is REAL:
-  * [[imageDecodeQuery]] synthesizes genuine PNG/BMP payloads per row and
-  * [[graft.functions.ImageCodec]] parses width/height/channels back out
-  * of the container bytes (oracle-gated — the driver's DuckDB check
-  * verifies the decoded values). The PIXEL layer (full JPEG/FLAC/H.264
-  * decode) stays stubbed behind the [[Decoder]] trait — this container
-  * has no codec libraries — but everything Spark-side is real and
-  * tested: the schema, the binary column handling, the partition-batched
-  * execution shape (the Scala analog of `mapInPandas`: one [[Decoder]]
-  * instance per partition, rows processed in bounded batches), and the
-  * expression-based fast path for features that don't need a codec.
+  * The decode seam runs at two depths, and BOTH are real. The HEADER
+  * layer: [[imageDecodeQuery]] synthesizes genuine PNG/BMP payloads per
+  * row and [[graft.functions.ImageCodec]] parses width/height/channels
+  * back out of the container bytes (oracle-gated). The PIXEL/SAMPLE
+  * layer: pure-JVM decoders in `graft.functions` cover baseline +
+  * progressive JPEG, PNG (incl. Adam7), GIF LZW, BMP, WebP VP8L and
+  * lossy VP8 keyframes, TIFF strips, WAV, and FLAC — the perceptual
+  * neardup queries below run over actually-decoded pixels/samples. The
+  * [[Decoder]] trait remains as the seam a production binding would use
+  * to swap in a native codec (libjpeg-turbo/ffmpeg) initialized once per
+  * partition; everything Spark-side is shared between the two: the
+  * schema, the binary column handling, the partition-batched execution
+  * shape (the Scala analog of `mapInPandas`), and the expression-based
+  * fast path for features that don't need a codec.
   *
   * Scale notes: payloads dominate row size, so feature extraction
   * projects payload-derived columns and DROPS the payload as early as
@@ -1378,9 +1381,10 @@ object Multimodal {
   // -------------------------------------------- audio format census
 
   /** Mixed audio fixture, one payload per document, format by id%5:
-    * PCM WAV, MP3 (header fixture), FLAC header, Ogg Vorbis, Ogg Opus
-    * — the five containers a crawled audio corpus is actually made of.
-    * Each parameter is a doc_id formula so the census is
+    * PCM WAV, MP3 (Xing-tagged VBR on even id/5, whole CBR frames
+    * otherwise), FLAC header, Ogg Vorbis, Ogg Opus — the five
+    * containers a crawled audio corpus is actually made of. Each
+    * parameter is a doc_id formula so the census is
     * oracle-predictable. */
   def audioFormatPayloads(spark: SparkSession, dir: String)
       : Dataset[(Long, Array[Byte])] = {
@@ -1394,8 +1398,13 @@ object Multimodal {
             case 0 => AudioCodec.writeWav(
               Array(8000, 16000, 44100)((id % 3).toInt), ch,
               (id % 50).toInt + 10, (s, c) => (s * 7 + c).toShort)
-            case 1 => Mp3Codec.writeMp3Header(
-              (id % 14).toInt + 1, (id % 3).toInt, 0)
+            case 1 =>
+              if ((id / 5) % 2 == 0)
+                Mp3Codec.writeMp3Xing((id % 3).toInt, mono = ch == 1,
+                  (id % 400).toInt + 5)
+              else
+                Mp3Codec.writeMp3Cbr((id % 14).toInt + 1, (id % 3).toInt,
+                  mono = ch == 1, (id % 40).toInt + 2)
             case 2 => FlacCodec.writeFlacHeader(
               Array(44100, 48000, 96000, 22050)((id % 4).toInt), ch,
               if (id % 2 == 0) 16 else 24, (id % 1000) + 1,
@@ -1415,10 +1424,11 @@ object Multimodal {
   /** AUDIO FORMAT CENSUS: container/codec, sample rate, channels, and
     * total samples DETECTED from the bytes across the five-format mix
     * — the first readout an audio-curation pass produces (format mix
-    * for transcode routing, rate/volume for budget). MP3 headers
-    * don't carry channel count or length, so those cells are the -1
-    * "unknown" sentinel, same as the census tables real pipelines
-    * keep. Header-only walks everywhere: no sample decode. */
+    * for transcode routing, rate/volume for budget). The MP3 arm
+    * reports duration the way real tools do without decoding: the
+    * Xing frame count when the first frame carries one, else the CBR
+    * `bytes / frameSize` estimate ([[graft.functions.Mp3Codec.meta]]).
+    * Header-only walks everywhere: no sample decode. */
   def audioFormatCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{AudioCodec, FlacCodec, Mp3Codec, OggCodec}
@@ -1427,8 +1437,8 @@ object Multimodal {
         rows.flatMap { case (id, bytes) =>
           // duration in ms from header state only — Vorbis granules are
           // stream-rate PCM samples, Opus granules 48 kHz ticks net of
-          // pre-skip, WAV/FLAC carry sample counts; MP3 headers don't
-          // carry length, so -1 "unknown" like the other MP3 cells
+          // pre-skip, WAV/FLAC carry sample counts, MP3 frames carry
+          // 1152 samples each (count from Xing or the CBR estimate)
           val cell: Option[(String, Int, Int, Long, Long)] =
             if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I')
               AudioCodec.decode(bytes).map(m =>
@@ -1445,8 +1455,11 @@ object Multimodal {
                 (s"ogg-${m.codec}", m.sampleRate, m.channels, m.lastGranule,
                   m.durationMs))
             else
-              Mp3Codec.meta(bytes).map(m =>
-                ("mp3", m.sampleRate, -1, -1L, -1L))
+              Mp3Codec.meta(bytes).map { m =>
+                val ns = if (m.frames >= 0)
+                  m.frames * Mp3Codec.SamplesPerFrameV1L3 else -1L
+                ("mp3", m.sampleRate, m.channels, ns, m.durationMs)
+              }
           cell.map { case (f, sr, c, n, d) => (id, f, sr, c, n, d) }
         }
       }
@@ -1473,17 +1486,20 @@ object Multimodal {
       |           ELSE 22050 END
       |         WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
       |         ELSE 48000 END AS INT) AS sample_rate,
-      |       CAST(CASE WHEN doc_id % 5 = 1 THEN -1
-      |         ELSE doc_id % 2 + 1 END AS INT) AS channels,
+      |       CAST(doc_id % 2 + 1 AS INT) AS channels,
       |       CAST(CASE CAST(doc_id % 5 AS INT)
       |         WHEN 0 THEN doc_id % 50 + 10
-      |         WHEN 1 THEN -1
+      |         WHEN 1 THEN (CASE WHEN (doc_id // 5) % 2 = 0
+      |           THEN doc_id % 400 + 5 ELSE doc_id % 40 + 2 END) * 1152
       |         WHEN 2 THEN doc_id % 1000 + 1
       |         ELSE doc_id % 500 + 10 END AS BIGINT) AS n_samples,
       |       CAST(CASE CAST(doc_id % 5 AS INT)
       |         WHEN 0 THEN (doc_id % 50 + 10) * 1000 // (CASE CAST(doc_id % 3 AS INT)
       |           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
-      |         WHEN 1 THEN -1
+      |         WHEN 1 THEN (CASE WHEN (doc_id // 5) % 2 = 0
+      |           THEN doc_id % 400 + 5 ELSE doc_id % 40 + 2 END) * 1152 * 1000
+      |           // (CASE CAST(doc_id % 3 AS INT)
+      |           WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
       |         WHEN 2 THEN (doc_id % 1000 + 1) * 1000 // (CASE CAST(doc_id % 4 AS INT)
       |           WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 96000
       |           ELSE 22050 END)
