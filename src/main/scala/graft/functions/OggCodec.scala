@@ -62,6 +62,12 @@ object OggCodec {
     r
   }
 
+  /** CRC gate for one page span, shared with [[VorbisCodec]]'s
+    * depacketizer. */
+  private[functions] def pageCrcCheck(b: Array[Byte], from: Int,
+                                      until: Int): Boolean =
+    crc(b, from, until, from + 22) == le32(b, from + 22).toInt
+
   def meta(b: Array[Byte]): Option[OggMeta] =
     try {
       var p = 0
@@ -170,8 +176,8 @@ object OggCodec {
     }
 
   /** Serialize a comment header packet body. */
-  private def commentPacket(codec: String, vendor: String,
-                            fields: Seq[(String, String)]): Array[Byte] = {
+  private[functions] def commentPacket(codec: String, vendor: String,
+                                       fields: Seq[(String, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32w(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
@@ -190,8 +196,9 @@ object OggCodec {
     out.toByteArray
   }
 
-  private def page(serial: Int, seq: Int, granule: Long, headerType: Int,
-                   payload: Array[Byte]): Array[Byte] = {
+  private[functions] def page(serial: Int, seq: Int, granule: Long,
+                              headerType: Int,
+                              payload: Array[Byte]): Array[Byte] = {
     require(payload.length < 255 * 255, "fixture payload too large")
     val nSegs = payload.length / 255 + 1
     val out = new Array[Byte](27 + nSegs + payload.length)
