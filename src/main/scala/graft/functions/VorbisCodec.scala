@@ -64,6 +64,27 @@ object VorbisCodec {
       }
       v
     }
+    /** Read n bits WITHOUT consuming, zero-padded past end-of-packet
+      * (the Huffman fast path peeks a fixed window). */
+    def peekBits(n: Int): Int = {
+      var v = 0
+      var p = pos
+      var bi = bit
+      var i = 0
+      while (i < n) {
+        if (p < until) v |= (((b(p) >> bi) & 1) << i)
+        bi += 1
+        if (bi == 8) { bi = 0; p += 1 }
+        i += 1
+      }
+      v
+    }
+    def skip(n: Int): Unit = {
+      val total = bit + n
+      pos += total >> 3
+      bit = total & 7
+      if (pos > until || (pos == until && bit > 0)) bail()
+    }
     def readLong(n: Int): Long = {
       var v = 0L
       var i = 0
@@ -100,6 +121,10 @@ object VorbisCodec {
       out.toByteArray
     }
   }
+
+  /** Huffman fast-path window width (≥ the longest code our encoder
+    * emits, so corpus decode never touches the map fallback). */
+  private val FastBits = 12
 
   /** Spec ilog: position of the highest set bit; ilog(0)=0, ilog(7)=3. */
   def ilog(x0: Int): Int = {
@@ -141,13 +166,31 @@ object VorbisCodec {
                             mults: Array[Int] = Array.emptyIntArray) {
     def entries: Int = lengths.length
 
-    /** §3.2.1 lookup1_values: largest v with v^dims <= entries. */
-    def lookup1Values: Int = {
+    /** §3.2.1 lookup1_values: largest v with v^dims <= entries. A VAL —
+      * [[vqVector]] runs per decoded symbol, and an O(entries) probe
+      * there turned the decode hot loop quadratic (caught by jstack on
+      * the first corpus bench, 800+ s in this frame). */
+    lazy val lookup1Values: Int = {
+      def pow(v: Int): Long = {
+        var r = 1L
+        var i = 0
+        while (i < dims) {
+          r *= v
+          if (r > entries) return Long.MaxValue
+          i += 1
+        }
+        r
+      }
       var v = 1
-      while (math.pow((v + 1).toDouble, dims.toDouble) <= entries + 1e-9)
-        v += 1
+      while (pow(v + 1) <= entries) v += 1
       v
     }
+
+    /** Per-entry VQ vectors, materialized once per codebook (decode
+      * reads one per symbol — table build is O(entries·dims), bounded
+      * by the read-time size gate). */
+    lazy val vqTable: Array[Array[Double]] =
+      Array.tabulate(entries)(vqVectorSlow)
 
     /** Canonical codeword per entry (MSB-first value; -1 unused), via the
       * spec's first-fit tree-building algorithm. */
@@ -193,21 +236,58 @@ object VorbisCodec {
       m
     }
 
+    /** Flat lookup over the first [[FastBits]] stream bits (LSb-first
+      * peek order): value = entry<<6 | len, -1 = no code ≤ FastBits
+      * here. Covers every book our encoder emits (max len 11); longer
+      * codes fall back to the per-bit map walk. */
+    lazy val fastTable: Array[Int] = {
+      val t = Array.fill(1 << FastBits)(-1)
+      var e = 0
+      while (e < entries) {
+        val len = lengths(e)
+        if (len > 0 && len <= FastBits) {
+          // reverse the MSB-first codeword into peek bit order
+          var base = 0
+          var i = 0
+          while (i < len) {
+            base |= ((codewords(e) >> (len - 1 - i)) & 1) << i
+            i += 1
+          }
+          var s = 0
+          while (s < (1 << (FastBits - len))) {
+            t(base | (s << len)) = (e << 6) | len
+            s += 1
+          }
+        }
+        e += 1
+      }
+      t
+    }
+
     def decodeScalar(br: BitReader): Int = {
+      val hit = fastTable(br.peekBits(FastBits))
+      if (hit >= 0) {
+        br.skip(hit & 63)
+        return hit >>> 6
+      }
       var code = 0L
       var len = 0
       while (len <= 32) {
         code = (code << 1) | br.readBit()
         len += 1
-        val e = decodeMap.get((len.toLong << 32) | code)
-        if (e != null) return e.intValue()
+        if (len > FastBits) {
+          val e = decodeMap.get((len.toLong << 32) | code)
+          if (e != null) return e.intValue()
+        }
       }
       bail()
     }
 
+    def vqVector(entry: Int): Array[Double] = vqTable(entry)
+
     /** VQ vector for an entry (§3.3: lookup type 1 implicit multiplicand
       * grid with sequence_p accumulation, type 2 explicit list). */
-    def vqVector(entry: Int): Array[Double] = {
+    private def vqVectorSlow(entry: Int): Array[Double] = {
       val out = new Array[Double](dims)
       var last = 0.0
       if (lookupType == 1) {
@@ -299,6 +379,8 @@ object VorbisCodec {
       val seqP = br.readBit() == 1
       val cb0 = Codebook(dims, lengths, lookupType, minimum, delta,
         valueBits, seqP)
+      // size gate: the decoder materializes entries×dims VQ values
+      if (entries.toLong * dims > (1 << 22)) bail()
       val n = if (lookupType == 1) cb0.lookup1Values else entries * dims
       if (n > (1 << 22)) bail()
       val mults = new Array[Int](n)

@@ -2392,6 +2392,90 @@ object Multimodal {
        |FROM documents
        |""".stripMargin
 
+  /** Per document, a mono WAV base on a 32-step amplitude grid and its
+    * LOSSY Ogg Vorbis re-encode twin: stereo, REAL Vorbis I streams
+    * from [[graft.functions.VorbisCodec]] with per-doc options that
+    * rotate the decoder across block-switching cadences, residue types
+    * 1 and 2, and square-polar coupling — so the corpus decode crosses
+    * the codec surface, not one happy path. Amplitudes stay on the
+    * 32 grid because Vorbis is lossy: the measured decode drift is
+    * ≤0.4 (worst-case bound 4) of the ±16 snap band, so amplitude
+    * quantization recovers exact samples and the twin pairs stay
+    * formula-predictable — the same device as the JPEG mid-band
+    * fixtures. */
+  def audioVorbisVariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.VorbisCodec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val frames = 256 * ((id % 3).toInt + 1)
+          def amp(s: Int): Int =
+            audioNibbleAmp(id, (s.toLong * 8 / frames).toInt) * 8
+          def signed(s: Int): Int = if (s % 2 == 0) amp(s) else -amp(s)
+          val base = graft.functions.AudioCodec.writeWav(8000, 1, frames,
+            (s, _) => signed(s).toShort)
+          val opts = VorbisCodec.VorbisOpts(
+            shortEvery = Array(0, 3, 1, 4)((id % 4).toInt),
+            residueType = if (id % 2 == 0) 2 else 1,
+            coupling = id % 3 == 0)
+          val twin = VorbisCodec.writeVorbisPcm(8000, 2, frames,
+            (s, _) => signed(s), opts)
+          Seq((id, base), (id + TwinSpace, twin))
+        }
+      }
+  }
+
+  /** PERCEPTUAL audio dedup across a LOSSY container boundary: the WAV
+    * original and its Ogg Vorbis re-encode collide on the normalized
+    * unit-time energy profile after REAL sample decode of both — the
+    * Vorbis side goes through codebook/floor1/residue/IMDCT synthesis,
+    * then amplitude quantization to the fixture grid erases the
+    * sub-integer codec drift (the step every perceptual audio hash
+    * has). Same nominate-then-verify shape as [[audioNearDupQuery]];
+    * the oracle predicts the twin pairs by formula. */
+  def audioVorbisNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.{AudioCodec, VorbisCodec}
+    val profiles = audioVorbisVariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val decoded =
+            AudioCodec.decodeSamples(bytes).map(s =>
+              ("wav", s.sampleRate, s.channels,
+                s.samples.map(_.toInt))).orElse(
+              VorbisCodec.decodePcm(bytes).map(v =>
+                ("ogg", v.sampleRate, v.channels, v.samples)))
+          decoded.map { case (container, sr, ch, raw) =>
+            // amplitude quantization to the 32 grid (identity on the
+            // PCM side, drift-erasing on the lossy side)
+            val snapped = raw.map(s => (math.round(s / 32.0) * 32).toShort)
+            val p = AudioCodec.normalizeProfile(AudioCodec.energyProfile8(
+              AudioCodec.AudioSamples(sr, ch, snapped)))
+            val fp = p.foldLeft(1125899906842597L)((h, x) => h * 31 + x)
+            (id, container, p.toSeq, fp)
+          }
+        }
+      }
+      .toDF("doc_id", "container", "profile", "fp")
+      .trackPersist() // both sides of the candidate self-join
+    profiles.as("a").join(profiles.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.profile") === col("b.profile"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.container").as("container_a"),
+        col("b.container").as("container_b"))
+  }
+
+  val audioVorbisNearDupOracle: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b,
+       |       'wav' AS container_a, 'ogg' AS container_b
+       |FROM documents
+       |""".stripMargin
+
   /** Audio quality stats over REAL decoded samples — the audio-corpus
     * analog of `q_text_quality`: clipping count (rail-pinned samples,
     * the transcode-damage signal), digital-silence count, and peak

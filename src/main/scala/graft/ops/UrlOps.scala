@@ -435,8 +435,11 @@ object UrlOps {
     // rule (it has fewer dots than any rule of that length)
     def lastK(k: Int): Column =
       concat_ws(".", (k to 1 by -1).map(i => try_element_at(labels, lit(-i))): _*)
+    // isin compiles to InSet (hash lookup) above the conversion
+    // threshold — the probe stays O(1) as the vendored rule snapshot
+    // grows, where array_contains would scan the literal array per row
     def inSet(c: Column, set: Seq[String]): Column =
-      if (set.isEmpty) lit(false) else array_contains(typedLit(set), c)
+      if (set.isEmpty) lit(false) else c.isin(set: _*)
     // exception rules prevail: registrable = the rule itself
     val excArm = (PslData.maxExcLen to 1 by -1).foldLeft(Option.empty[(Column, Column)]) {
       case (acc, e) =>
@@ -469,24 +472,36 @@ object UrlOps {
     * family (`*.kawasaki.jp` — one arm a plain label under it, one arm
     * a subdomain of that), the wildcard's EXCEPTION
     * (`!city.kawasaki.jp`), the `*.ck` / `!www.ck` pair, an unlisted
-    * TLD hitting the implicit `*` rule, and plain .com/.org. */
+    * TLD hitting the implicit `*` rule, plain .com/.org, and — from the
+    * round-11 snapshot expansion — a multi-level ccSLD absent from the
+    * old subset (asso.fr), a jp PREFECTURE rule (tokyo.jp), com.pl,
+    * and a 3-label Tokyo-ward rule that must out-rank its 2-label
+    * prefecture parent (chiyoda.tokyo.jp). */
   def registrableDomainQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val d = (col("doc_id") % 7).cast("string")
-    val host = when(col("doc_id") % 8 === 0,
+    val host = when(col("doc_id") % 12 === 0,
         concat(lit("a"), (col("doc_id") % 11).cast("string"),
           lit(".example"), d, lit(".co.uk")))
-      .when(col("doc_id") % 8 === 1, concat(lit("www.example"), d, lit(".com")))
-      .when(col("doc_id") % 8 === 2,
+      .when(col("doc_id") % 12 === 1, concat(lit("www.example"), d, lit(".com")))
+      .when(col("doc_id") % 12 === 2,
         concat(lit("b.c.example"), d, lit(".com.au")))
-      .when(col("doc_id") % 8 === 3,
+      .when(col("doc_id") % 12 === 3,
         concat(lit("x.dept"), d, lit(".gov.uk")))
-      .when(col("doc_id") % 8 === 4,
+      .when(col("doc_id") % 12 === 4,
         concat(lit("shop.town"), d, lit(".kawasaki.jp")))
-      .when(col("doc_id") % 8 === 5,
+      .when(col("doc_id") % 12 === 5,
         concat(lit("a.city.kawasaki.jp")))
-      .when(col("doc_id") % 8 === 6,
+      .when(col("doc_id") % 12 === 6,
         concat(lit("deep.site"), d, lit(".ck")))
+      .when(col("doc_id") % 12 === 8,
+        concat(lit("blog.club"), d, lit(".asso.fr")))
+      .when(col("doc_id") % 12 === 9,
+        concat(lit("web.office"), d, lit(".tokyo.jp")))
+      .when(col("doc_id") % 12 === 10,
+        concat(lit("x.shop"), d, lit(".com.pl")))
+      .when(col("doc_id") % 12 === 11,
+        concat(lit("portal.ward"), d, lit(".chiyoda.tokyo.jp")))
       .otherwise(concat(lit("example"), d, lit(".zz")))
     docs.withColumn("host", host)
       .withColumn("registrable", registrableDomain(col("host")))
@@ -494,7 +509,7 @@ object UrlOps {
 
   val registrableDomainOracle: String =
     """SELECT doc_id,
-      |       CASE doc_id % 8
+      |       CASE doc_id % 12
       |         WHEN 0 THEN 'a' || CAST(doc_id % 11 AS VARCHAR) || '.example'
       |                    || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
       |         WHEN 1 THEN 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
@@ -503,8 +518,13 @@ object UrlOps {
       |         WHEN 4 THEN 'shop.town' || CAST(doc_id % 7 AS VARCHAR) || '.kawasaki.jp'
       |         WHEN 5 THEN 'a.city.kawasaki.jp'
       |         WHEN 6 THEN 'deep.site' || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+      |         WHEN 8 THEN 'blog.club' || CAST(doc_id % 7 AS VARCHAR) || '.asso.fr'
+      |         WHEN 9 THEN 'web.office' || CAST(doc_id % 7 AS VARCHAR) || '.tokyo.jp'
+      |         WHEN 10 THEN 'x.shop' || CAST(doc_id % 7 AS VARCHAR) || '.com.pl'
+      |         WHEN 11 THEN 'portal.ward' || CAST(doc_id % 7 AS VARCHAR)
+      |                     || '.chiyoda.tokyo.jp'
       |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.zz' END AS host,
-      |       CASE doc_id % 8
+      |       CASE doc_id % 12
       |         WHEN 0 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
       |         WHEN 1 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
       |         WHEN 2 THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
@@ -512,6 +532,11 @@ object UrlOps {
       |         WHEN 4 THEN 'shop.town' || CAST(doc_id % 7 AS VARCHAR) || '.kawasaki.jp'
       |         WHEN 5 THEN 'city.kawasaki.jp'
       |         WHEN 6 THEN 'deep.site' || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+      |         WHEN 8 THEN 'club' || CAST(doc_id % 7 AS VARCHAR) || '.asso.fr'
+      |         WHEN 9 THEN 'office' || CAST(doc_id % 7 AS VARCHAR) || '.tokyo.jp'
+      |         WHEN 10 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR) || '.com.pl'
+      |         WHEN 11 THEN 'ward' || CAST(doc_id % 7 AS VARCHAR)
+      |                     || '.chiyoda.tokyo.jp'
       |         ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.zz' END
       |         AS registrable
       |FROM documents

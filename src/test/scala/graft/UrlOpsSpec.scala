@@ -150,7 +150,24 @@ class UrlOpsSpec extends SparkSpec {
       // the implicit jp rule, so it IS a registrable domain
       "kawasaki.jp" -> Some("kawasaki.jp"),
       // case folding
-      "WWW.Example.CO.UK" -> Some("example.co.uk"))
+      "WWW.Example.CO.UK" -> Some("example.co.uk"),
+      // round-11 snapshot expansion: multi-level ccSLDs absent from
+      // the old subset
+      "blog.assoc.asso.fr" -> Some("assoc.asso.fr"),
+      "x.shop.com.pl" -> Some("shop.com.pl"),
+      "asso.fr" -> None,
+      // jp prefecture normal rule
+      "web.office.tokyo.jp" -> Some("office.tokyo.jp"),
+      "tokyo.jp" -> None,
+      // 3-label Tokyo-ward rule out-ranks its 2-label prefecture parent
+      "portal.ward.chiyoda.tokyo.jp" -> Some("ward.chiyoda.tokyo.jp"),
+      "chiyoda.tokyo.jp" -> None,
+      // new wildcard TLDs
+      "a.b.kh" -> Some("a.b.kh"),
+      "x.gov.fk" -> Some("x.gov.fk"),
+      // US state grid
+      "deep.lib.wy.us" -> Some("deep.lib.wy.us"),
+      "a.deep.cc.tx.us" -> Some("deep.cc.tx.us"))
     val got = reg(cases.map(_._1): _*)
     cases.zip(got).foreach { case ((h, want), g) =>
       assert(g == want, s"$h: got $g want $want")
