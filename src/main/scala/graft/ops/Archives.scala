@@ -1111,4 +1111,332 @@ object Archives {
       |         ELSE CAST(r * 100 + c AS VARCHAR) END AS value
       |FROM g
       |""".stripMargin
+
+  // --------------------------------------------------------------- EPUB
+  //
+  // The remaining common zip+XML document container after DOCX/XLSX/PPTX:
+  // a `mimetype` member (STORED, first), META-INF/container.xml pointing
+  // at the OPF package file, the OPF's manifest (id → href) and spine
+  // (reading order by idref), and XHTML content members. Extraction
+  // resolves the chain for real — container → OPF → spine order →
+  // relative-href members — because real EPUBs list manifest items in
+  // arbitrary order and nest content under subdirectories.
+
+  private def escXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Build a minimal valid EPUB: mimetype stored first (the spec's
+    * magic-sniffing requirement), container.xml, OPF under OEBPS/ with
+    * the manifest deliberately in REVERSE spine order (proves the
+    * reader follows the spine, not member order), chapters under a
+    * `text/` subdirectory (proves relative-href resolution). */
+  def writeEpub(chapters: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val mime = "application/epub+zip".getBytes("US-ASCII")
+    val me = new java.util.zip.ZipEntry("mimetype")
+    me.setMethod(java.util.zip.ZipEntry.STORED)
+    me.setSize(mime.length)
+    val crc = new java.util.zip.CRC32(); crc.update(mime)
+    me.setCrc(crc.getValue)
+    zos.putNextEntry(me); zos.write(mime); zos.closeEntry()
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("META-INF/container.xml",
+      """<?xml version="1.0"?>
+        |<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+        |  <rootfiles>
+        |    <rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>
+        |  </rootfiles>
+        |</container>""".stripMargin)
+    val manifest = chapters.indices.reverse.map(k =>
+      s"""<item id="ch$k" href="text/ch$k.xhtml" media-type="application/xhtml+xml"/>""")
+      .mkString("\n    ")
+    val spine = chapters.indices.map(k => s"""<itemref idref="ch$k"/>""")
+      .mkString("\n    ")
+    entry("OEBPS/content.opf",
+      s"""<?xml version="1.0"?>
+         |<package version="3.0" xmlns="http://www.idpf.org/2007/opf" unique-identifier="id">
+         |  <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+         |    <dc:identifier id="id">graft-fixture</dc:identifier>
+         |    <dc:title>${escXml(chapters.headOption.map(_._1).getOrElse("untitled"))}</dc:title>
+         |  </metadata>
+         |  <manifest>
+         |    $manifest
+         |  </manifest>
+         |  <spine>
+         |    $spine
+         |  </spine>
+         |</package>""".stripMargin)
+    for ((k, (title, body)) <- chapters.indices.zip(chapters))
+      entry(s"OEBPS/text/ch$k.xhtml",
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<html xmlns="http://www.w3.org/1999/xhtml">
+           |<head><title>${escXml(title)}</title></head>
+           |<body><h1>${escXml(title)}</h1><p>${escXml(body)}</p></body>
+           |</html>""".stripMargin)
+    zos.close()
+    bos.toByteArray
+  }
+
+  private def attrOf(tag: String, attr: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile(attr + "\\s*=\\s*\"([^\"]*)\"").matcher(tag)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** Resolve `href` against the directory of `base` (handles `../`). */
+  private[graft] def resolveHref(base: String, href: String): String = {
+    val dir = base.lastIndexOf('/') match {
+      case -1 => ""
+      case i => base.substring(0, i + 1)
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    (dir + href).split('/').foreach {
+      case "" | "." => ()
+      case ".." => if (parts.nonEmpty) parts.remove(parts.length - 1)
+      case p => parts += p
+    }
+    parts.mkString("/")
+  }
+
+  /** EPUB chapter walk: mimetype gate → container.xml rootfile → OPF
+    * manifest/spine → spine-ordered (index, href, xhtml) members.
+    * Hostile containers (wrong mimetype, missing chain links, oversized
+    * members) return None → rejects. */
+  def epubChapters(b: Array[Byte]): Option[Seq[(Int, String, String)]] =
+    try {
+      val members = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(b))
+      var e = zis.getNextEntry
+      while (e != null && members.size < 4096) {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = zis.read(tmp)
+        while (n > 0 && buf.size <= (1 << 22)) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+        members(e.getName) = buf.toByteArray
+        e = zis.getNextEntry
+      }
+      val mime = members.get("mimetype")
+        .map(m => new String(m, "US-ASCII").trim)
+      if (!mime.contains("application/epub+zip")) return None
+      val container = members.get("META-INF/container.xml")
+        .map(new String(_, "UTF-8")).getOrElse(return None)
+      val rootM = java.util.regex.Pattern
+        .compile("<rootfile\\b[^>]*>").matcher(container)
+      if (!rootM.find()) return None
+      val opfPath = attrOf(rootM.group(0), "full-path").getOrElse(return None)
+      val opf = members.get(opfPath).map(new String(_, "UTF-8"))
+        .getOrElse(return None)
+      // manifest id → href
+      val hrefs = scala.collection.mutable.HashMap[String, String]()
+      val itemM = java.util.regex.Pattern
+        .compile("<item\\b[^>]*>").matcher(opf)
+      while (itemM.find()) {
+        val tag = itemM.group(0)
+        for (id <- attrOf(tag, "id"); href <- attrOf(tag, "href"))
+          hrefs(id) = href
+      }
+      // spine order
+      val out = Seq.newBuilder[(Int, String, String)]
+      val refM = java.util.regex.Pattern
+        .compile("<itemref\\b[^>]*>").matcher(opf)
+      var idx = 0
+      while (refM.find()) {
+        val idref = attrOf(refM.group(0), "idref").getOrElse(return None)
+        val href = hrefs.getOrElse(idref, return None)
+        val path = resolveHref(opfPath, href)
+        val xhtml = members.get(path).map(new String(_, "UTF-8"))
+          .getOrElse(return None)
+        out += ((idx, path, xhtml))
+        idx += 1
+      }
+      if (idx == 0) None else Some(out.result())
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+
+  /** EPUB TEXT EXTRACTION: one row per spine chapter in reading order,
+    * body text pulled from the XHTML with codegen'd column regexes
+    * (same zero-UDF shape as the DOCX/PPTX queries). The fixture's
+    * reversed manifest and `text/` subdirectory make the chain
+    * resolution load-bearing, not decorative. */
+  def epubExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val n = (id % 3).toInt + 1
+          val chapters = (0 until n).map(k =>
+            (s"Chapter $k", s"Chapter $k body of doc $id"))
+          epubChapters(writeEpub(chapters)).toSeq.flatten.map {
+            case (idx, href, xhtml) => (id, idx, href, xhtml)
+          }
+        }
+      }
+      .toDF("doc_id", "spine_idx", "href", "xhtml")
+      .select(col("doc_id"), col("spine_idx").cast("int").as("spine_idx"),
+        col("href"),
+        regexp_extract(col("xhtml"), "<title>(.*?)</title>", 1).as("title"),
+        md5(regexp_extract(col("xhtml"), "<p>(.*?)</p>", 1)).as("body_md5"))
+  }
+
+  val epubExtractOracle: String =
+    """SELECT doc_id,
+      |       CAST(k AS INT) AS spine_idx,
+      |       'OEBPS/text/ch' || CAST(k AS VARCHAR) || '.xhtml' AS href,
+      |       'Chapter ' || CAST(k AS VARCHAR) AS title,
+      |       md5('Chapter ' || CAST(k AS VARCHAR) || ' body of doc '
+      |           || CAST(doc_id AS VARCHAR)) AS body_md5
+      |FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS INT))) u(k)
+      |""".stripMargin
+
+  // ---------------------------------------- zip central directory + zip64
+  //
+  // The streaming extractors above read local headers front-to-back; at
+  // 100 TB the INDEXING pass wants the central directory instead — read
+  // the EOCD from the tail, jump straight to the member list, and never
+  // touch payload bytes. That walk is also where zip64 lives: archives
+  // past 4 GiB (or 65535 members) stash the real counts in the zip64
+  // EOCD record behind a locator, and per-entry 64-bit sizes/offsets in
+  // the 0x0001 extra field. Inconsistent records reject.
+
+  final case class ZipCentralEntry(name: String, method: Int,
+                                   compSize: Long, uncompSize: Long,
+                                   localOffset: Long)
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (u16(b, i).toLong) | (u16(b, i + 2).toLong << 16)
+  private def u64(b: Array[Byte], i: Int): Long =
+    u32(b, i) | (u32(b, i + 4) << 32)
+
+  /** Central-directory walk with zip64 support: returns the entries and
+    * whether zip64 records were engaged. None on any inconsistency. */
+  def zipCentralMembers(b: Array[Byte])
+      : Option[(Seq[ZipCentralEntry], Boolean)] =
+    try {
+      // EOCD: scan back over the (≤64 KiB) comment span
+      var eocd = -1
+      var i = b.length - 22
+      val stop = math.max(0, b.length - 22 - 65535)
+      while (i >= stop && eocd < 0) {
+        if (b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 5 && b(i + 3) == 6)
+          eocd = i
+        i -= 1
+      }
+      if (eocd < 0) return None
+      var total = u16(b, eocd + 10).toLong
+      var cdSize = u32(b, eocd + 12)
+      var cdOff = u32(b, eocd + 16)
+      var zip64 = false
+      if (total == 0xffffL || cdSize == 0xffffffffL || cdOff == 0xffffffffL) {
+        // zip64 EOCD locator directly precedes the EOCD
+        val loc = eocd - 20
+        if (loc < 0 || b(loc) != 'P' || b(loc + 1) != 'K' ||
+          b(loc + 2) != 6 || b(loc + 3) != 7) return None
+        if (u32(b, loc + 4) != 0L || u32(b, loc + 16) != 1L) return None
+        val e64 = u64(b, loc + 8)
+        if (e64 < 0 || e64 + 56 > loc) return None
+        val p = e64.toInt
+        if (b(p) != 'P' || b(p + 1) != 'K' || b(p + 2) != 6 || b(p + 3) != 6)
+          return None
+        if (u32(b, p + 16) != 0L || u32(b, p + 20) != 0L) return None // disks
+        if (u64(b, p + 24) != u64(b, p + 32)) return None // this-disk ≠ total
+        total = u64(b, p + 32)
+        cdSize = u64(b, p + 40)
+        cdOff = u64(b, p + 48)
+        zip64 = true
+      }
+      if (total < 0 || total > 100000 || cdOff < 0 ||
+        cdOff + cdSize > b.length) return None
+      val out = Seq.newBuilder[ZipCentralEntry]
+      var p = cdOff.toInt
+      var n = 0L
+      while (n < total) {
+        if (p + 46 > b.length || b(p) != 'P' || b(p + 1) != 'K' ||
+          b(p + 2) != 1 || b(p + 3) != 2) return None
+        val method = u16(b, p + 10)
+        var comp = u32(b, p + 20)
+        var uncomp = u32(b, p + 24)
+        val nameLen = u16(b, p + 28)
+        val extraLen = u16(b, p + 30)
+        val commentLen = u16(b, p + 32)
+        var localOff = u32(b, p + 42)
+        if (p + 46 + nameLen + extraLen + commentLen > b.length) return None
+        val name = new String(b, p + 46, nameLen, "UTF-8")
+        // zip64 extra field 0x0001: only the 0xFFFFFFFF fields appear,
+        // in uncomp / comp / offset order
+        var x = p + 46 + nameLen
+        val xEnd = x + extraLen
+        while (x + 4 <= xEnd) {
+          val tag = u16(b, x)
+          val len = u16(b, x + 2)
+          if (x + 4 + len > xEnd) return None
+          if (tag == 0x0001) {
+            var q = x + 4
+            if (uncomp == 0xffffffffL) {
+              if (q + 8 > x + 4 + len) return None
+              uncomp = u64(b, q); q += 8
+            }
+            if (comp == 0xffffffffL) {
+              if (q + 8 > x + 4 + len) return None
+              comp = u64(b, q); q += 8
+            }
+            if (localOff == 0xffffffffL) {
+              if (q + 8 > x + 4 + len) return None
+              localOff = u64(b, q); q += 8
+            }
+            zip64 = true
+          }
+          x += 4 + len
+        }
+        if (comp == 0xffffffffL || uncomp == 0xffffffffL ||
+          localOff == 0xffffffffL) return None
+        if (localOff > b.length) return None
+        out += ZipCentralEntry(name, method, comp, uncomp, localOff)
+        p += 46 + nameLen + extraLen + commentLen
+        n += 1
+      }
+      if (p != (cdOff + cdSize).toInt) return None // span mismatch
+      Some((out.result(), zip64))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  /** ZIP CENSUS from the central directory alone — the tail-read
+    * indexing pass a 100 TB archive lake runs before any extraction
+    * (member counts and byte volume without touching payloads). */
+  def zipCensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    zipPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          zipCentralMembers(bytes).map { case (entries, z64) =>
+            (id, entries.length, entries.map(_.uncompSize).sum, z64)
+          }
+        }
+      }
+      .toDF("doc_id", "n_entries", "total_uncompressed", "zip64")
+      .select(col("doc_id"), col("n_entries").cast("int").as("n_entries"),
+        col("total_uncompressed"), col("zip64"))
+  }
+
+  val zipCensusOracle: String =
+    """SELECT doc_id,
+      |       CAST(doc_id % 3 + 1 AS INT) AS n_entries,
+      |       -- member t is the 21+len(id)-char line repeated t+1 times;
+      |       -- sum over t = 0..n-1 is the triangular count
+      |       CAST((21 + length(CAST(doc_id AS VARCHAR)))
+      |            * ((doc_id % 3 + 1) * (doc_id % 3 + 2) / 2) AS BIGINT)
+      |         AS total_uncompressed,
+      |       FALSE AS zip64
+      |FROM documents
+      |""".stripMargin
 }

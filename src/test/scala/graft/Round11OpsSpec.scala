@@ -42,6 +42,134 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(m.frames == 3 && m.id3Size > 5000)
   }
 
+  // ------------------------------------------------------------- EPUB
+
+  test("EPUB chain resolution: spine order, reversed manifest, subdirs") {
+    import graft.ops.Archives
+    val chapters = Seq(("One", "first body"), ("Two", "second body"),
+      ("Thr<ee&", "third <b>ody&"))
+    val epub = Archives.writeEpub(chapters)
+    val got = Archives.epubChapters(epub).get
+    assert(got.map(_._1) == Seq(0, 1, 2))
+    assert(got.map(_._2) == Seq("OEBPS/text/ch0.xhtml",
+      "OEBPS/text/ch1.xhtml", "OEBPS/text/ch2.xhtml"))
+    // spine order holds even though the manifest lists items reversed
+    assert(got(0)._3.contains("first body"))
+    assert(got(2)._3.contains("third &lt;b&gt;ody&amp;"))
+  }
+
+  test("EPUB hostile containers reject: mimetype, chain links, junk") {
+    import graft.ops.Archives
+    val epub = Archives.writeEpub(Seq(("T", "b")))
+    assert(Archives.epubChapters(epub).isDefined)
+    // a plain zip (wrong/missing mimetype) is not an EPUB
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("a.txt"))
+    zos.write("x".getBytes); zos.closeEntry(); zos.close()
+    assert(Archives.epubChapters(bos.toByteArray).isEmpty)
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 100)
+      Archives.epubChapters(
+        Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+    for (cut <- Seq(1, 30, epub.length / 2))
+      Archives.epubChapters(epub.take(cut))
+    assert(Archives.resolveHref("OEBPS/content.opf", "../top.xhtml") ==
+      "top.xhtml")
+    assert(Archives.resolveHref("a/b/c.opf", "./d/../e.xhtml") == "a/b/e.xhtml")
+  }
+
+  // ------------------------------------- zip central directory + zip64
+
+  private def le(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit =
+    for (i <- 0 until n) out.write(((v >> (8 * i)) & 0xff).toInt)
+
+  /** Forced-zip64 single-member archive: masked 32-bit fields with the
+    * real values in the 0x0001 extra, zip64 EOCD + locator, masked EOCD. */
+  private def writeZip64Fixture(content: Array[Byte],
+                                breakIt: String = ""): Array[Byte] = {
+    val name = "big.txt".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(content)
+    val out = new java.io.ByteArrayOutputStream()
+    // local header @0
+    out.write(Array[Byte]('P', 'K', 3, 4)); le(out, 45, 2); le(out, 0, 2)
+    le(out, 0, 2); le(out, 0, 4); le(out, crc.getValue, 4)
+    le(out, 0xffffffffL, 4); le(out, 0xffffffffL, 4)
+    le(out, name.length, 2); le(out, 20, 2)
+    out.write(name)
+    le(out, 1, 2); le(out, 16, 2)
+    le(out, content.length, 8); le(out, content.length, 8)
+    out.write(content)
+    val cdOff = out.size()
+    // central entry
+    out.write(Array[Byte]('P', 'K', 1, 2)); le(out, 45, 2); le(out, 45, 2)
+    le(out, 0, 2); le(out, 0, 2); le(out, 0, 4); le(out, crc.getValue, 4)
+    le(out, 0xffffffffL, 4); le(out, 0xffffffffL, 4)
+    le(out, name.length, 2); le(out, 28, 2); le(out, 0, 2)
+    le(out, 0, 2); le(out, 0, 2); le(out, 0, 4); le(out, 0xffffffffL, 4)
+    out.write(name)
+    le(out, 1, 2); le(out, 24, 2)
+    le(out, content.length, 8); le(out, content.length, 8); le(out, 0, 8)
+    val cdSize = out.size() - cdOff
+    val e64Off = out.size()
+    // zip64 EOCD record
+    out.write(Array[Byte]('P', 'K', 6, 6)); le(out, 44, 8)
+    le(out, 45, 2); le(out, 45, 2); le(out, 0, 4); le(out, 0, 4)
+    le(out, if (breakIt == "count") 2 else 1, 8); le(out, 1, 8)
+    le(out, cdSize, 8); le(out, cdOff, 8)
+    // locator
+    out.write(Array[Byte]('P', 'K', 6, 7)); le(out, 0, 4)
+    le(out, if (breakIt == "locator") e64Off + 9999 else e64Off, 8)
+    le(out, if (breakIt == "disks") 2 else 1, 4)
+    // masked EOCD
+    out.write(Array[Byte]('P', 'K', 5, 6)); le(out, 0, 2); le(out, 0, 2)
+    le(out, 0xffff, 2); le(out, 0xffff, 2)
+    le(out, 0xffffffffL, 4); le(out, 0xffffffffL, 4); le(out, 0, 2)
+    out.toByteArray
+  }
+
+  test("zip64 EOCD locator + record + per-entry extras parse") {
+    import graft.ops.Archives
+    val content = "hello zip64 content".getBytes("UTF-8")
+    val (entries, z64) =
+      Archives.zipCentralMembers(writeZip64Fixture(content)).get
+    assert(z64)
+    assert(entries.length == 1)
+    assert(entries.head.name == "big.txt")
+    assert(entries.head.uncompSize == content.length)
+    assert(entries.head.compSize == content.length)
+    assert(entries.head.localOffset == 0)
+  }
+
+  test("zip central walk agrees with streaming on ordinary archives") {
+    import graft.ops.Archives
+    val epub = Archives.writeEpub(Seq(("A", "a"), ("B", "b")))
+    val (entries, z64) = Archives.zipCentralMembers(epub).get
+    assert(!z64)
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(epub))
+    val streamed = Iterator.continually(zis.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toSeq
+    assert(entries.map(_.name) == streamed)
+    assert(entries.head.name == "mimetype" &&
+      entries.head.uncompSize == 20)
+  }
+
+  test("zip64 inconsistencies and junk reject, never throw") {
+    import graft.ops.Archives
+    val c = "x".getBytes
+    assert(Archives.zipCentralMembers(writeZip64Fixture(c, "count")).isEmpty)
+    assert(Archives.zipCentralMembers(writeZip64Fixture(c, "locator")).isEmpty)
+    assert(Archives.zipCentralMembers(writeZip64Fixture(c, "disks")).isEmpty)
+    val good = writeZip64Fixture(c)
+    for (cut <- Seq(1, 20, good.length / 2, good.length - 1))
+      Archives.zipCentralMembers(good.take(cut))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200)
+      Archives.zipCentralMembers(
+        Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte))
+  }
+
   test("non-V1L3 and hostile inputs keep -1 sentinels, never throw") {
     // stub header fixture (96-byte body): tiny span, frames is a small
     // non-negative estimate, channels parse
