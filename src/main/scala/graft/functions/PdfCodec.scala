@@ -36,18 +36,28 @@ object PdfCodec {
       // partial counts but the root is the one the catalog references —
       // take the MAX count among /Pages nodes, which is the root's)
       var nPages = -1
-      val om = ObjRe.matcher(s)
-      while (om.find()) {
-        val body = om.group(1)
-        if (body.contains("/Type") && body.contains("/Pages")) {
-          val cm = CountRe.matcher(body)
-          if (cm.find()) nPages = math.max(nPages, cm.group(1).toInt)
+      def scanPages(text: String): Unit = {
+        val om = ObjRe.matcher(text)
+        while (om.find()) {
+          val body = om.group(1)
+          if (body.contains("/Type") && body.contains("/Pages")) {
+            val cm = CountRe.matcher(body)
+            if (cm.find()) nPages = math.max(nPages, cm.group(1).toInt)
+          }
         }
       }
+      scanPages(s)
+      // PDF 1.5+: the page tree root may live inside an object stream
+      if (nPages < 0 && s.contains("/ObjStm"))
+        scanPages(expandObjectStreams(b, s))
       if (nPages < 0) return None
-      // encryption: the trailer dictionary's /Encrypt entry
+      // encryption: the trailer dictionary's /Encrypt entry (xref-stream
+      // documents have no `trailer` keyword — the entry lives in the
+      // xref stream's own dictionary)
       val trailerAt = s.lastIndexOf("trailer")
-      val encrypted = trailerAt >= 0 && s.indexOf("/Encrypt", trailerAt) >= 0
+      val encrypted =
+        if (trailerAt >= 0) s.indexOf("/Encrypt", trailerAt) >= 0
+        else s.contains("/XRef") && s.contains("/Encrypt")
       Some(PdfMeta(version, nPages, encrypted))
     } catch {
       case scala.util.control.NonFatal(_) => None
@@ -311,6 +321,187 @@ object PdfCodec {
     sb.toString
   }
 
+  /** Iterate stream objects as `(dictText, dataStart, dataEnd)` — the
+    * `/Length`-trusted-else-scan slicing shared by the extractors. */
+  private def forEachStream(b: Array[Byte], s: String)
+                           (f: (String, Int, Int) => Unit): Unit = {
+    var at = 0
+    var si = s.indexOf("stream", at)
+    while (si >= 0) {
+      var ds = si + 6
+      if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+      if (ds < s.length && s.charAt(ds) == '\n') {
+        ds += 1
+        val objAt = s.lastIndexOf(" obj", si)
+        val dict = s.substring(math.max(objAt, 0), si)
+        val lm = LengthRe.matcher(dict)
+        val declared = if (lm.find()) lm.group(1).toLongOption else None
+        val end = declared match {
+          case Some(len) if len >= 0 && ds.toLong + len <= b.length &&
+            { var p = ds + len.toInt
+              while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n')) p += 1
+              s.startsWith("endstream", p) } => ds + len.toInt
+          case _ => s.indexOf("endstream", ds)
+        }
+        if (end < 0) return
+        f(dict, ds, end)
+        at = math.max(end, ds) + 9
+      } else at = si + 6
+      si = s.indexOf("stream", at)
+    }
+  }
+
+  // -------------------------------------- object streams (PDF 1.5+)
+  //
+  // Post-2005 PDFs pack their non-stream objects (catalog, page dicts,
+  // FONT dicts) into flate-compressed `/Type /ObjStm` containers and
+  // index them through xref STREAMS instead of the classic table. The
+  // round-10 whole-document object scan could not see inside those, so
+  // its TJ/CMap depth was capped on real files; the expansion below
+  // re-materializes every packed object as top-level text so the same
+  // scan covers both worlds.
+
+  /** Inflate each `/Type /ObjStm` stream and append its members as
+    * `N 0 obj … endobj` text: the ObjStm layout is `/N` pairs of
+    * `objnum offset` in the header, bodies from `/First` on. Malformed
+    * object streams contribute nothing (the rest of the document still
+    * parses). */
+  private[functions] def expandObjectStreams(b: Array[Byte], s: String): String = {
+    if (!s.contains("/ObjStm")) return s
+    val sb = new StringBuilder(s)
+    val nRe = java.util.regex.Pattern.compile("/N\\s+(\\d+)")
+    val fRe = java.util.regex.Pattern.compile("/First\\s+(\\d+)")
+    forEachStream(b, s) { (dict, ds, end) =>
+      if (dict.contains("/ObjStm")) {
+        val raw = java.util.Arrays.copyOfRange(b, ds, end)
+        val content =
+          if (dict.contains("/FlateDecode")) inflate(raw).getOrElse(Array.emptyByteArray)
+          else raw
+        val cs = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val nm = nRe.matcher(dict)
+        val fm = fRe.matcher(dict)
+        if (nm.find() && fm.find()) {
+          val n = nm.group(1).toInt
+          val first = fm.group(1).toInt
+          if (n > 0 && n <= 10000 && first >= 0 && first <= cs.length) {
+            val header = cs.substring(0, first).trim
+              .split("\\s+").filter(_.nonEmpty)
+            if (header.length >= 2 * n) {
+              val nums = (0 until n).map(i => header(2 * i).toLongOption)
+              val offs = (0 until n).map(i => header(2 * i + 1).toIntOption)
+              if (nums.forall(_.isDefined) && offs.forall(_.isDefined)) {
+                var i = 0
+                while (i < n) {
+                  val st = first + offs(i).get
+                  val en = if (i + 1 < n) first + offs(i + 1).get else cs.length
+                  if (st >= 0 && st <= en && en <= cs.length)
+                    sb.append(s"\n${nums(i).get} 0 obj\n" +
+                      cs.substring(st, en).trim + "\nendobj\n")
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** One xref-stream row: type 0 = free, 1 = at byte offset `fieldB`,
+    * 2 = object `fieldC`-th member of object stream `fieldB`. */
+  final case class XrefEntry(entryType: Int, fieldB: Long, fieldC: Long)
+
+  /** Parse the xref STREAM chain from `startxref`: `/W`-array field
+    * widths (big-endian), `/Index` subsections (default `[0 /Size]`),
+    * `/Prev` hops (newest entry wins, ≤ 8 hops). None when the tail
+    * points at a classic `xref` table or anything malformed — callers
+    * fall back to the linear object scan. */
+  def xrefStreamEntries(b: Array[Byte]): Option[Map[Long, XrefEntry]] =
+    try {
+      val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val sx = s.lastIndexOf("startxref")
+      if (sx < 0) return None
+      val om = java.util.regex.Pattern
+        .compile("startxref\\s+(\\d+)").matcher(s)
+      if (!om.find(sx)) return None
+      var off = om.group(1).toLong
+      val out = scala.collection.mutable.Map[Long, XrefEntry]()
+      val wRe = java.util.regex.Pattern
+        .compile("/W\\s*\\[\\s*(\\d+)\\s+(\\d+)\\s+(\\d+)\\s*\\]")
+      val sizeRe = java.util.regex.Pattern.compile("/Size\\s+(\\d+)")
+      val idxRe = java.util.regex.Pattern.compile("/Index\\s*\\[([^\\]]*)\\]")
+      val prevRe = java.util.regex.Pattern.compile("/Prev\\s+(\\d+)")
+      var hops = 0
+      while (off >= 0 && off < b.length && hops < 8) {
+        hops += 1
+        val si = s.indexOf("stream", off.toInt)
+        if (si < 0) return if (out.isEmpty) None else Some(out.toMap)
+        val dict = s.substring(off.toInt, si)
+        if (!dict.contains("/XRef"))
+          return if (out.isEmpty) None else Some(out.toMap)
+        val wm = wRe.matcher(dict)
+        val sm = sizeRe.matcher(dict)
+        if (!wm.find() || !sm.find()) return None
+        val wa = wm.group(1).toInt
+        val wb = wm.group(2).toInt
+        val wc = wm.group(3).toInt
+        if (wa > 8 || wb > 8 || wc > 8 || wa + wb + wc == 0) return None
+        val size = sm.group(1).toLong
+        val im = idxRe.matcher(dict)
+        val index: Seq[Long] =
+          if (im.find()) im.group(1).trim.split("\\s+")
+            .filter(_.nonEmpty).toSeq.map(_.toLong)
+          else Seq(0L, size)
+        if (index.length % 2 != 0) return None
+        // slice this one stream (same /Length discipline as the walk)
+        var ds = si + 6
+        if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+        if (ds >= s.length || s.charAt(ds) != '\n') return None
+        ds += 1
+        val lm = LengthRe.matcher(dict)
+        val end = (if (lm.find()) lm.group(1).toLongOption else None) match {
+          case Some(len) if len >= 0 && ds.toLong + len <= b.length &&
+            { var p = ds + len.toInt
+              while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n')) p += 1
+              s.startsWith("endstream", p) } => ds + len.toInt
+          case _ => s.indexOf("endstream", ds)
+        }
+        if (end < 0) return None
+        val raw = java.util.Arrays.copyOfRange(b, ds, end)
+        val rows =
+          if (dict.contains("/FlateDecode")) inflate(raw).getOrElse(return None)
+          else raw
+        val rowLen = wa + wb + wc
+        var p = 0
+        def be(at: Int, n: Int): Long = {
+          var v = 0L
+          var i = 0
+          while (i < n) { v = (v << 8) | (rows(at + i) & 0xffL); i += 1 }
+          v
+        }
+        index.grouped(2).foreach { case Seq(start, count) =>
+          if (count < 0 || count > 1000000) return None
+          var i = 0L
+          while (i < count) {
+            if (p + rowLen > rows.length) return None
+            val tpe = if (wa == 0) 1 else be(p, wa).toInt
+            val f2 = be(p + wa, wb)
+            val f3 = be(p + wa + wb, wc)
+            val num = start + i
+            if (!out.contains(num)) out(num) = XrefEntry(tpe, f2, f3)
+            p += rowLen
+            i += 1
+          }
+        }
+        val pm = prevRe.matcher(dict)
+        off = if (pm.find()) pm.group(1).toLong else -1L
+      }
+      if (out.isEmpty) None else Some(out.toMap)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
   /** TEXT EXTRACTION as a stream-object walk: each `stream…endstream`
     * payload is sliced by `/Length` (falling back to an `endstream`
     * scan when the length is missing or lies), inflated when its
@@ -326,7 +517,9 @@ object PdfCodec {
     try {
       if (meta(b).isEmpty) return None
       val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val fonts = fontDecoders(s)
+      // font dicts (and their resource bindings) may live inside object
+      // streams — resolve decoders over the expanded document
+      val fonts = fontDecoders(expandObjectStreams(b, s))
       val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
       var at = 0
       var si = s.indexOf("stream", at)
@@ -338,7 +531,10 @@ object PdfCodec {
           val objAt = s.lastIndexOf(" obj", si)
           val dict = s.substring(math.max(objAt, 0), si)
           val isFlate = dict.contains("/FlateDecode")
-          val isCmap = dict.contains("/CMapType")
+          // metadata streams are not page content: ToUnicode CMaps,
+          // packed object streams, xref streams
+          val isCmap = dict.contains("/CMapType") ||
+            dict.contains("/ObjStm") || dict.contains("/XRef")
           val lm = LengthRe.matcher(dict)
           val declared =
             if (lm.find()) lm.group(1).toLongOption else None
@@ -510,10 +706,11 @@ object PdfCodec {
     * bfchar target is the two-codepoint sequence — the ligature case
     * real subset fonts produce. Pages show hex strings `<…> Tj`;
     * extraction must resolve codes through the CMap. */
-  def writePdfCmapText(version: String, texts: Seq[String]): Array[Byte] = {
-    val nPages = texts.length
-    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
-    // token stream per text: Left("fi") ligature or Right(char)
+  /** Fixture CMap over the distinct tokens of `texts` ("fi" collapses
+    * to ONE code whose bfchar target is the two-codepoint sequence —
+    * the ligature case real subset fonts produce): returns the CMap
+    * text and each page's hex string. */
+  private def cmapFixture(texts: Seq[String]): (String, Seq[String]) = {
     def tokens(t: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String]()
       var i = 0
@@ -545,6 +742,13 @@ object PdfCodec {
          |endbfchar
          |endcmap
          |""".stripMargin
+    (cmap, toks.map(tk => tk.map(t => f"${code(t)}%02X").mkString))
+  }
+
+  def writePdfCmapText(version: String, texts: Seq[String]): Array[Byte] = {
+    val nPages = texts.length
+    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
+    val (cmap, hexes) = cmapFixture(texts)
     val sb = new StringBuilder
     val offsets = scala.collection.mutable.ArrayBuffer[Int]()
     def obj(body: String): Unit = {
@@ -561,8 +765,7 @@ object PdfCodec {
       obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
         s"/Contents ${3 + nPages + k} 0 R " +
         s"/Resources << /Font << /F2 $fontObj 0 R >> >> >>")
-    for (tk <- toks) {
-      val hex = tk.map(t => f"${code(t)}%02X").mkString
+    for (hex <- hexes) {
       val ops = s"BT /F2 12 Tf 72 720 Td <$hex> Tj ET"
       obj(s"<< /Length ${ops.length} >>\nstream\n$ops\nendstream")
     }
@@ -576,6 +779,84 @@ object PdfCodec {
     sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n")
     sb.append(s"startxref\n$xrefAt\n%%EOF\n")
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** PDF 1.5+ fixture writer: catalog, pages root, page dicts, and the
+    * FONT dict (with its `/ToUnicode N 0 R`) live ONLY inside a
+    * flate-compressed `/Type /ObjStm`; the cross-reference is an xref
+    * STREAM (`/W [ 1 4 2 ]`, type-1 rows for top-level objects, type-2
+    * rows pointing into the object stream), no classic table or
+    * trailer anywhere — the layout most post-2005 PDFs actually use.
+    * Page content shows CMap-coded hex strings, so extraction must
+    * resolve the font THROUGH the object stream to decode at all. */
+  def writePdfObjStm(version: String, texts: Seq[String]): Array[Byte] = {
+    val nPages = texts.length
+    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val (cmap, hexes) = cmapFixture(texts)
+    val cmapNum = nPages + 1
+    val objStmNum = nPages + 2
+    val catalogNum = nPages + 3
+    val pagesNum = nPages + 4
+    val fontNum = 2 * nPages + 5
+    val xrefNum = 2 * nPages + 6
+    val packed: Seq[(Int, String)] =
+      Seq(catalogNum -> s"<< /Type /Catalog /Pages $pagesNum 0 R >>",
+          pagesNum -> (s"<< /Type /Pages /Kids [ " +
+            (0 until nPages).map(k => s"${nPages + 5 + k} 0 R").mkString(" ") +
+            s" ] /Count $nPages >>")) ++
+      (0 until nPages).map(k => (nPages + 5 + k) ->
+        (s"<< /Type /Page /Parent $pagesNum 0 R /MediaBox [ 0 0 612 792 ] " +
+         s"/Contents ${k + 1} 0 R " +
+         s"/Resources << /Font << /F2 $fontNum 0 R >> >> >>")) :+
+      (fontNum -> (s"<< /Type /Font /Subtype /Type1 /BaseFont /Fixture " +
+        s"/ToUnicode $cmapNum 0 R >>"))
+    val bodyBuf = new StringBuilder
+    val memberOffs = scala.collection.mutable.ArrayBuffer[Int]()
+    packed.foreach { case (_, body) =>
+      memberOffs += bodyBuf.length
+      bodyBuf.append(body).append('\n')
+    }
+    val header = packed.zip(memberOffs)
+      .map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+    val objStmStr =
+      new String(deflate((header + bodyBuf).getBytes(iso)), iso)
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    def obj(num: Int, body: String): Unit = {
+      offsets(num) = sb.length
+      sb.append(s"$num 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$version\n")
+    for ((hex, k) <- hexes.zipWithIndex) {
+      val ops = s"BT /F2 12 Tf 72 720 Td <$hex> Tj ET"
+      obj(k + 1, s"<< /Length ${ops.length} >>\nstream\n$ops\nendstream")
+    }
+    obj(cmapNum,
+      s"<< /CMapType 2 /Length ${cmap.length} >>\nstream\n$cmap\nendstream")
+    obj(objStmNum,
+      s"<< /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${objStmStr.length} >>\n" +
+      s"stream\n$objStmStr\nendstream")
+    val xrefAt = sb.length
+    val size = 2 * nPages + 7
+    val rows = new java.io.ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      rows.write(t)
+      for (i <- 3 to 0 by -1) rows.write(((f2 >> (8 * i)) & 0xff).toInt)
+      rows.write((f3 >> 8) & 0xff)
+      rows.write(f3 & 0xff)
+    }
+    row(0, 0, 0xffff)
+    for (num <- 1 to nPages + 2) row(1, offsets(num).toLong, 0)
+    packed.indices.foreach(idx => row(2, objStmNum.toLong, idx))
+    row(1, xrefAt.toLong, 0)
+    val xrefData = new String(deflate(rows.toByteArray), iso)
+    sb.append(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [ 1 4 2 ] " +
+      s"/Root $catalogNum 0 R /Filter /FlateDecode " +
+      s"/Length ${xrefData.length} >>\nstream\n$xrefData\nendstream\nendobj\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(iso)
   }
 
   /** One extracted Image XObject: declared geometry, the filter that

@@ -1694,6 +1694,51 @@ object Multimodal {
       |FROM t
       |""".stripMargin
 
+  /** PDF 1.5+ extraction: fonts and page dicts live ONLY inside a
+    * flate-compressed object stream, indexed by an xref STREAM — the
+    * layout most post-2005 PDFs use, and the round-10 recall cap on
+    * the TJ/CMap depth. Text rows prove the ObjStm expansion resolved
+    * the CMap font; `objstm_objs` proves the xref-stream parser read
+    * the type-2 rows (count = pages + catalog + pages root + font). */
+  def pdfExtractObjStm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val texts = (0 until (id % 3).toInt + 1).map(p =>
+            s"fi objstm doc $id page $p official")
+          val pdf = graft.functions.PdfCodec.writePdfObjStm("1.6", texts)
+          val objstmObjs = graft.functions.PdfCodec.xrefStreamEntries(pdf)
+            .map(_.values.count(_.entryType == 2)).getOrElse(-1)
+          graft.functions.PdfCodec.extractText(pdf).toSeq.flatMap { pages =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            pages.zipWithIndex.map { case (t, p) =>
+              (id, p, t.length.toLong,
+                md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+                objstmObjs)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "page_id", "n_chars", "text_md5", "objstm_objs")
+      .select(col("doc_id"), col("page_id").cast("int").as("page_id"),
+        col("n_chars"), col("text_md5"),
+        col("objstm_objs").cast("int").as("objstm_objs"))
+  }
+
+  val pdfExtractObjStmOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, p,
+      |         'fi objstm doc ' || CAST(doc_id AS VARCHAR) || ' page ' ||
+      |         CAST(p AS VARCHAR) || ' official' AS txt
+      |  FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS INT))) u(p))
+      |SELECT doc_id, CAST(p AS INT) AS page_id,
+      |       CAST(length(txt) AS BIGINT) AS n_chars,
+      |       md5(txt) AS text_md5,
+      |       CAST(doc_id % 3 + 4 AS INT) AS objstm_objs
+      |FROM t
+      |""".stripMargin
+
   // ------------------------------------------- image-text pair curation
 
   /** One image per document for the PAIR-CURATION fixture: the pattern

@@ -79,6 +79,51 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(Archives.resolveHref("a/b/c.opf", "./d/../e.xhtml") == "a/b/e.xhtml")
   }
 
+  // -------------------------------- PDF object streams + xref streams
+
+  test("ObjStm-packed fonts and page dicts resolve; text round-trips") {
+    import graft.functions.PdfCodec
+    val texts = Seq("fi first page λ", "second fi page", "third official")
+    val pdf = PdfCodec.writePdfObjStm("1.6", texts)
+    // no classic trailer/xref anywhere — the 1.5+ layout is real
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!s.contains("trailer") && !s.contains("xref\n0 "))
+    val m = PdfCodec.meta(pdf).get
+    assert(m.version == "1.6" && m.nPages == 3 && !m.encrypted)
+    assert(PdfCodec.extractText(pdf).get == texts)
+  }
+
+  test("xref stream parses: W widths, type-1/2 rows, classic rejects") {
+    import graft.functions.PdfCodec
+    val pdf = PdfCodec.writePdfObjStm("1.5", Seq("a", "b"))
+    val entries = PdfCodec.xrefStreamEntries(pdf).get
+    assert(entries.size == 11) // 2*2+7
+    assert(entries(0L).entryType == 0)
+    assert(entries.values.count(_.entryType == 1) == 5) // 2 content+cmap+objstm+xref
+    val t2 = entries.filter(_._2.entryType == 2)
+    assert(t2.size == 5) // catalog+pages+2 page dicts+font
+    assert(t2.values.forall(_.fieldB == 4L)) // all point at the ObjStm (obj 4)
+    assert(t2.values.map(_.fieldC).toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L))
+    // a classic-xref PDF has no xref stream
+    assert(PdfCodec.xrefStreamEntries(
+      PdfCodec.writePdf("1.4", 2, encrypted = false)).isEmpty)
+  }
+
+  test("ObjStm fuzz: flips and truncations never throw") {
+    import graft.functions.PdfCodec
+    val pdf = PdfCodec.writePdfObjStm("1.6", Seq("fi page"))
+    for (i <- 0 until pdf.length by 11) {
+      val c = pdf.clone(); c(i) = (c(i) ^ (1 << (i % 8))).toByte
+      PdfCodec.extractText(c)
+      PdfCodec.xrefStreamEntries(c)
+      PdfCodec.meta(c)
+    }
+    for (cut <- Seq(1, 40, pdf.length / 2, pdf.length - 3)) {
+      PdfCodec.extractText(pdf.take(cut))
+      PdfCodec.xrefStreamEntries(pdf.take(cut))
+    }
+  }
+
   // ------------------------------------- zip central directory + zip64
 
   private def le(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit =
