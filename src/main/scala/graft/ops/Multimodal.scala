@@ -1274,6 +1274,62 @@ object Multimodal {
       |FROM documents
       |""".stripMargin
 
+  /** ANIMATED-WEBP CENSUS + FIRST-FRAME DECODE: per document a real
+    * animated container (VP8X/ANIM/ANMF, frames embedding real VP8L
+    * chunks from the lossless encoder), censused from headers alone —
+    * frame count, total duration, loop count, frame dims — plus the
+    * first frame rebuilt as a standalone image and PIXEL-DECODED
+    * through the existing VP8L path (r0/g0/b0 prove actual decode,
+    * not header echo). The WebP twin of the GIF animation census. */
+  def webpAnimCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Vp8lCodec, WebpCodec}
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val nFrames = (id % 4).toInt + 2
+          val delay = 40 + (id % 25).toInt * 10
+          val loop = (id % 5).toInt
+          val fw = 8 + (id % 9).toInt
+          val fh = 8 + (id % 7).toInt
+          val rgb = (((id % 200) + 10).toInt << 16) |
+            (((id % 150) + 20).toInt << 8) | ((id % 100) + 30).toInt
+          val imgChunk =
+            Vp8lCodec.writeWebpPixels(fw, fh, (_, _) => rgb).drop(12)
+          val anim = WebpCodec.writeAnimated(fw, fh, loop,
+            Seq.fill(nFrames)((fw, fh, delay, imgChunk)))
+          for {
+            m <- WebpCodec.animMeta(anim)
+            frame <- WebpCodec.firstFrameWebp(anim)
+            px <- Vp8lCodec.decodePixels(frame)
+          } yield (id, m.nFrames, m.totalDurationMs, m.loopCount,
+            px.width, px.height, px.rgb(0) & 0xff, px.rgb(1) & 0xff,
+            px.rgb(2) & 0xff)
+        }
+      }
+      .toDF("doc_id", "n_frames", "total_ms", "loop_count", "fw", "fh",
+        "r0", "g0", "b0")
+      .select(col("doc_id"), col("n_frames").cast("int").as("n_frames"),
+        col("total_ms"), col("loop_count").cast("int").as("loop_count"),
+        col("fw").cast("int").as("fw"), col("fh").cast("int").as("fh"),
+        col("r0").cast("int").as("r0"), col("g0").cast("int").as("g0"),
+        col("b0").cast("int").as("b0"))
+  }
+
+  val webpAnimCensusOracle: String =
+    """SELECT doc_id,
+      |       CAST(doc_id % 4 + 2 AS INT) AS n_frames,
+      |       CAST((doc_id % 4 + 2) * (40 + (doc_id % 25) * 10) AS BIGINT)
+      |         AS total_ms,
+      |       CAST(doc_id % 5 AS INT) AS loop_count,
+      |       CAST(8 + doc_id % 9 AS INT) AS fw,
+      |       CAST(8 + doc_id % 7 AS INT) AS fh,
+      |       CAST(doc_id % 200 + 10 AS INT) AS r0,
+      |       CAST(doc_id % 150 + 20 AS INT) AS g0,
+      |       CAST(doc_id % 100 + 30 AS INT) AS b0
+      |FROM documents
+      |""".stripMargin
+
   // ----------------------------------------------------- MP3 census
 
   /** Formula-built MP3 headers: bitrate index id%14+1, sample-rate

@@ -79,6 +79,45 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(Archives.resolveHref("a/b/c.opf", "./d/../e.xhtml") == "a/b/e.xhtml")
   }
 
+  // ------------------------------------------------ WebP ANIM census
+
+  test("animated WebP census + first-frame decode round-trip") {
+    import graft.functions.{Vp8lCodec, WebpCodec}
+    val img = Vp8lCodec.writeWebpPixels(9, 5, (x, y) => (x << 16) | y).drop(12)
+    val anim = WebpCodec.writeAnimated(9, 5, 3,
+      Seq((9, 5, 120, img), (9, 5, 80, img)))
+    val m = WebpCodec.animMeta(anim).get
+    assert(m.nFrames == 2 && m.totalDurationMs == 200 && m.loopCount == 3)
+    assert(m.canvasW == 9 && m.canvasH == 5 && m.firstW == 9 && m.firstH == 5)
+    // census arm still reads it as 'extended'
+    assert(WebpCodec.meta(anim).get.variant == "extended")
+    val frame = WebpCodec.firstFrameWebp(anim).get
+    val px = Vp8lCodec.decodePixels(frame).get
+    assert(px.width == 9 && px.height == 5)
+    assert((px.rgb(3 * (2 * 9 + 4)) & 0xff) == 4) // (x=4,y=2): r = x
+  }
+
+  test("WebP ANIM chunk discipline and hostile containers reject") {
+    import graft.functions.{Vp8lCodec, WebpCodec}
+    val img = Vp8lCodec.writeWebpPixels(4, 4, (_, _) => 0x102030).drop(12)
+    val good = WebpCodec.writeAnimated(4, 4, 0, Seq((4, 4, 50, img)))
+    assert(WebpCodec.animMeta(good).isDefined)
+    // a still extended container is not an animation
+    assert(WebpCodec.animMeta(WebpCodec.writeExtendedHeader(4, 4)).isEmpty)
+    // a plain lossless container is not an animation
+    assert(WebpCodec.animMeta(Vp8lCodec.writeWebpPixels(4, 4,
+      (_, _) => 0)).isEmpty)
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 200)
+      WebpCodec.animMeta(Array.fill(rnd.nextInt(80))(rnd.nextInt(256).toByte))
+    for (i <- 0 until good.length by 3) {
+      val c = good.clone(); c(i) = (c(i) ^ 0x20).toByte
+      WebpCodec.animMeta(c); WebpCodec.firstFrameWebp(c) // never throw
+    }
+    for (cut <- Seq(1, 12, 25, good.length / 2))
+      WebpCodec.animMeta(good.take(cut))
+  }
+
   // -------------------------------- PDF object streams + xref streams
 
   test("ObjStm-packed fonts and page dicts resolve; text round-trips") {
