@@ -205,6 +205,72 @@ object Mp3Codec {
     out.toByteArray
   }
 
+  /** Full FRAME WALK — the exact duration path for VBR streams that
+    * carry no Xing header (real rips often don't): every frame header
+    * is synced and stepped by its OWN bitrate's frame size, so
+    * mid-stream bitrate changes count correctly where the single-header
+    * CBR estimate in [[meta]] would drift. Returns (frames, durationMs,
+    * distinct bitrates seen); stops at the first non-sync byte run
+    * (tag padding, truncation). V1L3 scope like the census tables. */
+  final case class Mp3Walk(frames: Long, durationMs: Long, nBitrates: Int)
+
+  def frameWalk(b: Array[Byte]): Option[Mp3Walk] =
+    try {
+      var p = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = syncsafe(b, 6)
+        if (size < 0 || 10L + size > b.length.toLong) return None
+        p = 10 + size
+      }
+      var frames = 0L
+      var sr0 = -1
+      val rates = scala.collection.mutable.Set[Int]()
+      while (p + 4 <= b.length && u8(b, p) == 0xff &&
+        (u8(b, p + 1) & 0xfe) == 0xfa) { // MPEG1 Layer III, either CRC bit
+        val brIdx = (u8(b, p + 2) >> 4) & 15
+        val srIdx = (u8(b, p + 2) >> 2) & 3
+        val padding = (u8(b, p + 2) >> 1) & 1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+        val kbps = BitratesV1L3(brIdx)
+        val sr = SampleRatesV1(srIdx)
+        if (sr0 < 0) sr0 = sr
+        else if (sr != sr0) return None // mixed rates: out of scope
+        rates += kbps
+        val frameSize = 144000 * kbps / sr + padding
+        if (frameSize <= 4) return None
+        frames += 1
+        if (frames > (1L << 22)) return None
+        p += frameSize
+      }
+      if (frames == 0) None
+      else Some(Mp3Walk(frames,
+        frames * SamplesPerFrameV1L3 * 1000L / sr0, rates.size))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  /** Fixture: headerless-VBR stream — `nFrames` whole frames whose
+    * bitrate index rotates by `brIdx(f)`, no Xing tag anywhere. */
+  def writeMp3Vbr(sampleRateIdx: Int, mono: Boolean, nFrames: Int,
+                  brIdx: Int => Int): Array[Byte] = {
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2 && nFrames >= 1,
+      "bad params")
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val bi = brIdx(f)
+      require(bi >= 1 && bi <= 14, s"bad bitrate index $bi")
+      val frameSize =
+        144000 * BitratesV1L3(bi) / SampleRatesV1(sampleRateIdx)
+      out.write(0xff); out.write(0xfb)
+      out.write((bi << 4) | (sampleRateIdx << 2))
+      out.write(0)
+      out.write(new Array[Byte](frameSize - 4))
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** Fixture: a first MPEG1-L3 frame carrying a Xing (VBR) or Info
     * (CBR) tag with the frame-count field set — the header every
     * VBR-encoded real MP3 carries so players can seek/report duration

@@ -1366,6 +1366,39 @@ object Multimodal {
         col("id3_size").cast("int").as("id3_size"))
   }
 
+  /** MP3 FRAME WALK: exact frame-count/duration for headerless-VBR
+    * streams (no Xing anywhere — the case the census estimate cannot
+    * serve), stepping every frame by its own bitrate's size. The
+    * n_bitrates column proves the walk read each header rather than
+    * extrapolating from the first. */
+  def mp3FrameWalkQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Mp3Codec
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val n = (id % 60).toInt + 3
+          val bytes = Mp3Codec.writeMp3Vbr((id % 3).toInt, mono = false, n,
+            f => ((id + f) % 14).toInt + 1)
+          Mp3Codec.frameWalk(bytes).map(w =>
+            (id, w.frames, w.durationMs, w.nBitrates))
+        }
+      }
+      .toDF("doc_id", "n_frames", "duration_ms", "n_bitrates")
+      .select(col("doc_id"), col("n_frames"), col("duration_ms"),
+        col("n_bitrates").cast("int").as("n_bitrates"))
+  }
+
+  val mp3FrameWalkOracle: String =
+    """SELECT doc_id,
+      |       CAST(doc_id % 60 + 3 AS BIGINT) AS n_frames,
+      |       CAST((doc_id % 60 + 3) * 1152 * 1000 // (CASE CAST(doc_id % 3 AS INT)
+      |         WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END) AS BIGINT)
+      |         AS duration_ms,
+      |       CAST(least(doc_id % 60 + 3, 14) AS INT) AS n_bitrates
+      |FROM documents
+      |""".stripMargin
+
   val mp3CensusOracle: String =
     """SELECT doc_id,
       |       '1' AS version, 3 AS layer,

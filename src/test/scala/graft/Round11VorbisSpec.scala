@@ -154,6 +154,75 @@ class Round11VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("floor1 non-flat decode: prediction, odd/even vals, room overflow") {
+    // branches real streams use that our flat-floor encoder never emits
+    val book = Codebook(1, completeLengths(256))
+    val floor = Floor1(partitionClasses = Array(0), classDims = Array(2),
+      classSubclasses = Array(0), classMasterbooks = Array(-1),
+      subclassBooks = Array(Array(0)), multiplier = 1, rangebits = 7,
+      xList = Array(0, 128, 32, 96))
+    def decode(y0: Int, y1: Int, v2: Int, v3: Int) = {
+      val bw = new BitWriter
+      bw.writeBit(1)
+      bw.write(y0, 8); bw.write(y1, 8)
+      book.writeCodeword(bw, v2); book.writeCodeword(bw, v3)
+      val bytes = bw.bytes
+      decodeFloor1Packet(new BitReader(bytes, 0, bytes.length),
+        floor, Array(book)).get
+    }
+    // predicted(32) = 120 + 20*32/128 = 125; val 3 odd -> 125-2 = 123
+    // predicted(96) from (32,123)-(128,140) = 123 + 17*64/96 = 134; val 0
+    val p = decode(120, 140, 3, 0)
+    assert(p.finalY.toSeq == Seq(120, 140, 123, 134))
+    assert(p.step2.toSeq == Seq(true, true, true, false))
+    val curve = floor1Curve(floor, p, 128)
+    assert(curve(0) == 120 && curve(32) == 123 && curve(127) == 139)
+    // val >= room overflow arm: highroom 131 > lowroom 125, val 251
+    val q = decode(120, 140, 251, 0)
+    assert(q.finalY(2) == 251 - 125 + 125) // = 251
+    // even val: predicted + val/2
+    assert(decode(120, 140, 4, 0).finalY(2) == 127)
+    // nonzero bit clear -> silent channel
+    val bw = new BitWriter; bw.writeBit(0)
+    val bytes = bw.bytes
+    assert(decodeFloor1Packet(new BitReader(bytes, 0, bytes.length),
+      floor, Array(book)).isEmpty)
+  }
+
+  test("residue type 0 vs 1 with dim-2 books: interleave semantics") {
+    val classbook = Codebook(2, completeLengths(4))
+    val vq = Codebook(2, completeLengths(9), lookupType = 1,
+      minimum = 0.0, delta = 1.0, valueBits = 2, sequenceP = false,
+      mults = Array(0, 1, 2))
+    assert(vq.lookup1Values == 3)
+    assert(vq.vqVector(5).toSeq == Seq(2.0, 1.0)) // 5%3=2, 5/3=1
+    def run(resType: Int, entries: Seq[Int]): Seq[Double] = {
+      val r = Residue(resType, 0, 8, 4, 2, 0, Array(0, 1),
+        Array(Array.fill(8)(-1), Array(1, -1, -1, -1, -1, -1, -1, -1)))
+      val bw = new BitWriter
+      classbook.writeCodeword(bw, 3) // classes (1,1) for both partitions
+      entries.foreach(vq.writeCodeword(bw, _))
+      val bytes = bw.bytes
+      decodeResidueVectors(new BitReader(bytes, 0, bytes.length), r,
+        Array(classbook, vq), 1, 8, Array(false))(0).toSeq
+    }
+    // entries: A=1 -> (1,0); B=5 -> (2,1); C=7 -> (1,2); D=2 -> (2,0)
+    // type 0, psize 4, dim 2 -> step 2: A at off+0/off+2, B at off+1/off+3
+    assert(run(0, Seq(1, 5, 7, 2)) ==
+      Seq(1.0, 2.0, 0.0, 1.0, 1.0, 2.0, 2.0, 0.0))
+    // type 1: contiguous dim-sized runs
+    assert(run(1, Seq(1, 5, 7, 2)) ==
+      Seq(1.0, 0.0, 2.0, 1.0, 1.0, 2.0, 2.0, 0.0))
+  }
+
+  test("sequence_p accumulates VQ components") {
+    val vq = Codebook(2, completeLengths(9), lookupType = 1,
+      minimum = 1.0, delta = 1.0, valueBits = 2, sequenceP = true,
+      mults = Array(0, 1, 2))
+    // entry 5: j0 = 1 + 2 = 3; j1 = 1 + 1 + last(3) = 5
+    assert(vq.vqVector(5).toSeq == Seq(3.0, 5.0))
+  }
+
   test("fuzz: junk, truncation, and bit flips return None, never throw") {
     val ogg = writeVorbisPcm(8000, 1, 100, (f, _) => if (f % 2 == 0) 256
       else -256, VorbisOpts(shortEvery = 3))
