@@ -1791,7 +1791,11 @@ object Multimodal {
     * the type-2 rows (count = pages + catalog + pages root + font). */
   def pdfExtractObjStm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // per-doc deflate/inflate dominates; spread ids before the work
+    // (see audioVorbisVariantPayloads — one parquet split otherwise
+    // serializes the whole decode at fixture scales)
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val texts = (0 until (id % 3).toInt + 1).map(p =>
@@ -2541,7 +2545,11 @@ object Multimodal {
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.VorbisCodec
+    // the doc-id scan is one small parquet split at fixture scales, but
+    // the per-doc MDCT work is the cost — spread the ids across the
+    // cluster BEFORE synthesis/decode (the shuffle moves bare longs)
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val frames = 256 * ((id % 3).toInt + 1)

@@ -389,10 +389,12 @@ class Round9OpsSpec extends SparkSpec {
 
   test("MP3 census: ID3 skip + frame header parse; hostile input None") {
     import graft.functions.Mp3Codec
+    // round 11 added channel-mode parsing and the CBR frame estimate:
+    // these 100-byte stub fixtures hold no whole frame, so frames = 0
     val tagged = Mp3Codec.meta(Mp3Codec.writeMp3Header(9, 1, 140)).get
-    assert(tagged == Mp3Codec.Mp3Meta("1", 3, 128, 48000, 150))
+    assert(tagged == Mp3Codec.Mp3Meta("1", 3, 128, 48000, 150, 2, 0, 0))
     val bare = Mp3Codec.meta(Mp3Codec.writeMp3Header(14, 0, 0)).get
-    assert(bare == Mp3Codec.Mp3Meta("1", 3, 320, 44100, 0))
+    assert(bare == Mp3Codec.Mp3Meta("1", 3, 320, 44100, 0, 2, 0, 0))
     // hostile: ID3 size past buffer, bad sync, free/bad bitrate index
     assert(Mp3Codec.meta("ID3".getBytes("US-ASCII")).isEmpty)
     val lie = Mp3Codec.writeMp3Header(5, 0, 20).clone()
@@ -511,7 +513,9 @@ class Round9OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
     assert(rows(0L) == (("wav", 8000, 1, 10L)))
-    assert(rows(1L) == (("mp3", 48000, -1, -1L)))
+    // round 11: the mp3 arm carries a Xing frame count (doc 1: 6 frames
+    // x 1152 samples) and a parsed channel mode instead of -1 sentinels
+    assert(rows(1L) == (("mp3", 48000, 2, 6912L)))
     assert(rows(2L) == (("flac", 96000, 1, 3L)))
     assert(rows(3L) == (("ogg-vorbis", 48000, 2, 13L)))
     assert(rows(4L) == (("ogg-opus", 48000, 1, 14L)))
