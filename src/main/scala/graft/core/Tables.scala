@@ -12,6 +12,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Document ids SPREAD across the cluster, for per-doc codec/fixture
+    * kernels: the documents scan is one small parquet split at fixture
+    * scales, so a heavy `mapPartitions` downstream would serialize on a
+    * single task (measured: the Vorbis near-dup read 6.0 s on one core,
+    * 0.96 s spread). The partition count is explicit because AQE
+    * coalesces a count-less repartition of a bare-longs shuffle right
+    * back to one partition. At warehouse scale the scan has thousands
+    * of splits and the shuffle (longs only) is noise — while still
+    * rebalancing skewed per-doc payload sizes. */
+  def docIds(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    load(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")

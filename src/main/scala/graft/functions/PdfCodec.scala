@@ -15,6 +15,10 @@ package graft.functions
   * → pages tree → page objects, trailer — the fixture source. */
 object PdfCodec {
 
+  private final class Bail extends RuntimeException
+    with scala.util.control.NoStackTrace
+  private def bail(): Nothing = throw new Bail
+
   final case class PdfMeta(version: String, nPages: Int, encrypted: Boolean)
 
   private val VersionRe = java.util.regex.Pattern.compile(
@@ -501,6 +505,241 @@ object PdfCodec {
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
+
+  // ------------------------------------- incremental updates (revisions)
+  //
+  // Edited PDFs are APPENDED to, never rewritten: the update re-emits
+  // changed objects under their ORIGINAL numbers at new offsets and adds
+  // a new xref section whose /Prev points at the previous one. A linear
+  // stream walk then sees BOTH revisions of a replaced page (stale text,
+  // duplicated rows); only newest-wins resolution through the xref chain
+  // extracts the document the user actually sees. [[xrefStreamEntries]]
+  // already folds the chain newest-first; the walk below resolves
+  // catalog → pages → kids → contents through it.
+
+  /** Dictionary text of object `num` via the xref chain: type-1 rows
+    * parse at their byte offset (up to `stream`/`endobj`), type-2 rows
+    * re-materialize their object-stream member. */
+  private def objDictAt(b: Array[Byte], s: String,
+                        entries: Map[Long, XrefEntry],
+                        num: Long): Option[String] = {
+    entries.get(num).flatMap {
+      case XrefEntry(1, off, _) if off >= 0 && off < b.length =>
+        val at = off.toInt
+        val endObj = s.indexOf("endobj", at)
+        val streamAt = s.indexOf("stream", at)
+        if (endObj < 0) None
+        else {
+          val end = if (streamAt >= 0 && streamAt < endObj) streamAt else endObj
+          Some(s.substring(at, end))
+        }
+      case XrefEntry(2, stmNum, idx) =>
+        // inflate the container object stream and take member `idx`
+        entries.get(stmNum).collect { case XrefEntry(1, off, _) => off }
+          .flatMap { off =>
+            val at = off.toInt
+            val si = s.indexOf("stream", at)
+            if (si < 0) return None
+            val dict = s.substring(at, si)
+            if (!dict.contains("/ObjStm")) return None
+            var ds = si + 6
+            if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+            if (ds >= s.length || s.charAt(ds) != '\n') return None
+            ds += 1
+            val lm = LengthRe.matcher(dict)
+            val end = (if (lm.find()) lm.group(1).toLongOption else None) match {
+              case Some(len) if len >= 0 && ds.toLong + len <= b.length =>
+                ds + len.toInt
+              case _ => s.indexOf("endstream", ds)
+            }
+            if (end < 0) return None
+            val raw = java.util.Arrays.copyOfRange(b, ds, end)
+            val content =
+              if (dict.contains("/FlateDecode")) inflate(raw).getOrElse(return None)
+              else raw
+            val cs = new String(content,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val nm = java.util.regex.Pattern.compile("/N\\s+(\\d+)").matcher(dict)
+            val fm = java.util.regex.Pattern.compile("/First\\s+(\\d+)").matcher(dict)
+            if (!nm.find() || !fm.find()) return None
+            val n = nm.group(1).toInt
+            val first = fm.group(1).toInt
+            if (idx < 0 || idx >= n || first > cs.length) return None
+            val header = cs.substring(0, first).trim.split("\\s+")
+            if (header.length < 2 * n) return None
+            val offs = (0 until n).map(i => header(2 * i + 1).toIntOption
+              .getOrElse(return None))
+            val st = first + offs(idx.toInt)
+            val en = if (idx.toInt + 1 < n) first + offs(idx.toInt + 1)
+              else cs.length
+            if (st < 0 || st > en || en > cs.length) None
+            else Some(cs.substring(st, en))
+          }
+      case _ => None
+    }
+  }
+
+  /** Content-stream bytes of object `num` (type-1 entries only — the
+    * spec forbids streams inside object streams), inflated if flate. */
+  private def contentBytesAt(b: Array[Byte], s: String,
+                             entries: Map[Long, XrefEntry],
+                             num: Long): Option[Array[Byte]] =
+    entries.get(num).collect { case XrefEntry(1, off, _) => off }
+      .flatMap { off =>
+        val at = off.toInt
+        val si = s.indexOf("stream", at)
+        val endObj = s.indexOf("endobj", at)
+        if (si < 0 || (endObj >= 0 && endObj < si)) return None
+        val dict = s.substring(at, si)
+        var ds = si + 6
+        if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+        if (ds >= s.length || s.charAt(ds) != '\n') return None
+        ds += 1
+        val lm = LengthRe.matcher(dict)
+        val end = (if (lm.find()) lm.group(1).toLongOption else None) match {
+          case Some(len) if len >= 0 && ds.toLong + len <= b.length &&
+            { var p = ds + len.toInt
+              while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n')) p += 1
+              s.startsWith("endstream", p) } => ds + len.toInt
+          case _ => s.indexOf("endstream", ds)
+        }
+        if (end < 0) return None
+        val raw = java.util.Arrays.copyOfRange(b, ds, end)
+        if (dict.contains("/FlateDecode")) inflate(raw) else Some(raw)
+      }
+
+  private val RefRe = java.util.regex.Pattern.compile("(\\d+)\\s+0\\s+R")
+
+  /** REVISION-AWARE text extraction: page text in page-tree order with
+    * every object resolved newest-wins through the xref-stream chain —
+    * replaced pages read their CURRENT revision exactly once, appended
+    * pages appear, stale revisions never leak (the linear walk's
+    * failure mode on edited documents). Fonts resolve via the expanded
+    * linear scan (append order = last-wins, which IS the incremental
+    * semantic for dictionaries). None for classic-xref or malformed
+    * chains — callers fall back to [[extractText]]. */
+  def extractTextIncremental(b: Array[Byte]): Option[Seq[String]] =
+    try {
+      val entries = xrefStreamEntries(b).getOrElse(return None)
+      val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fonts = fontDecoders(expandObjectStreams(b, s))
+      // /Root lives in the NEWEST xref stream's dict
+      val sx = s.lastIndexOf("startxref")
+      if (sx < 0) return None
+      val om = java.util.regex.Pattern
+        .compile("startxref\\s+(\\d+)").matcher(s)
+      if (!om.find(sx)) return None
+      val xrefOff = om.group(1).toLong.toInt
+      if (xrefOff < 0 || xrefOff >= b.length) return None
+      val xrefDictEnd = s.indexOf("stream", xrefOff)
+      if (xrefDictEnd < 0) return None
+      val rootM = java.util.regex.Pattern
+        .compile("/Root\\s+(\\d+)\\s+0\\s+R")
+        .matcher(s.substring(xrefOff, xrefDictEnd))
+      if (!rootM.find()) return None
+      val catalog = objDictAt(b, s, entries, rootM.group(1).toLong)
+        .getOrElse(return None)
+      val pagesM = java.util.regex.Pattern
+        .compile("/Pages\\s+(\\d+)\\s+0\\s+R").matcher(catalog)
+      if (!pagesM.find()) return None
+      // walk the page tree (depth-first; fixtures are flat but
+      // intermediate /Pages nodes resolve too)
+      val out = Seq.newBuilder[String]
+      var visited = 0
+      def walk(num: Long): Unit = {
+        visited += 1
+        if (visited > 10000) bail()
+        val dict = objDictAt(b, s, entries, num).getOrElse(bail())
+        if (dict.contains("/Pages") || dict.contains("/Kids")) {
+          val kidsM = java.util.regex.Pattern
+            .compile("(?s)/Kids\\s*\\[([^\\]]*)\\]").matcher(dict)
+          if (kidsM.find()) {
+            val rm = RefRe.matcher(kidsM.group(1))
+            while (rm.find()) walk(rm.group(1).toLong)
+          }
+        } else {
+          val cm = java.util.regex.Pattern
+            .compile("/Contents\\s+(\\d+)\\s+0\\s+R").matcher(dict)
+          if (cm.find()) {
+            val bytes = contentBytesAt(b, s, entries, cm.group(1).toLong)
+              .getOrElse(bail())
+            out += streamText(bytes, fonts)
+          } else out += ""
+        }
+      }
+      walk(pagesM.group(1).toLong)
+      val pages = out.result()
+      if (pages.isEmpty) None else Some(pages)
+    } catch {
+      case _: Bail => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Append an incremental UPDATE to a [[writePdfObjStm]] document:
+    * page 0's content stream is REPLACED (same object number, new
+    * offset) and one page is APPENDED (new content + page dict, pages
+    * root re-emitted with the extra kid under its original number).
+    * The update's xref stream covers only the touched numbers via
+    * /Index subsections and chains back with /Prev — the layout every
+    * save-in-place editor produces. Update streams show plain literal
+    * text (no font switch), so they read through the identity decoder
+    * while base pages keep their CMap font. */
+  def writePdfIncrementalUpdate(base: Array[Byte], nPages: Int,
+                                revisedText: String,
+                                appendedText: String): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val s = new String(base, iso)
+    val sx = s.lastIndexOf("startxref")
+    require(sx >= 0, "base has no startxref")
+    val om = java.util.regex.Pattern.compile("startxref\\s+(\\d+)").matcher(s)
+    require(om.find(sx), "unparsable startxref")
+    val prevXref = om.group(1).toLong
+    // base numbering per writePdfObjStm
+    val pagesNum = nPages + 4
+    val contents0 = 1L // page 0's content stream
+    val size = 2 * nPages + 7
+    val newContentNum = size // appended page's content stream
+    val newPageNum = size + 1 // appended page dict
+    val xrefNum = 2 * nPages + 6 // re-emitted under its original number
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.Map[Long, Long]()
+    def obj(num: Long, body: String): Unit = {
+      offsets(num) = base.length.toLong + sb.length
+      sb.append(s"$num 0 obj\n$body\nendobj\n")
+    }
+    sb.append("\n")
+    val rev = s"BT 72 720 Td (${escape(revisedText)}) Tj ET"
+    obj(contents0, s"<< /Length ${rev.length} >>\nstream\n$rev\nendstream")
+    val app = s"BT 72 720 Td (${escape(appendedText)}) Tj ET"
+    obj(newContentNum,
+      s"<< /Length ${app.length} >>\nstream\n$app\nendstream")
+    obj(newPageNum, s"<< /Type /Page /Parent $pagesNum 0 R " +
+      s"/MediaBox [ 0 0 612 792 ] /Contents $newContentNum 0 R >>")
+    val kids = ((0 until nPages).map(k => s"${nPages + 5 + k} 0 R") :+
+      s"$newPageNum 0 R").mkString(" ")
+    obj(pagesNum,
+      s"<< /Type /Pages /Kids [ $kids ] /Count ${nPages + 1} >>")
+    // update xref stream: /Index subsections for the touched numbers
+    val xrefAt = base.length.toLong + sb.length
+    offsets(xrefNum) = xrefAt
+    val touched = Seq(contents0, pagesNum, xrefNum, newContentNum, newPageNum)
+    val index = touched.sorted.map(n => s"$n 1").mkString(" ")
+    val rows = new java.io.ByteArrayOutputStream()
+    touched.sorted.foreach { n =>
+      rows.write(1)
+      val off = offsets(n)
+      for (i <- 3 to 0 by -1) rows.write(((off >> (8 * i)) & 0xff).toInt)
+      rows.write(0); rows.write(0)
+    }
+    val xrefData = new String(deflate(rows.toByteArray), iso)
+    val catalogNum = nPages + 3
+    sb.append(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${size + 2} " +
+      s"/W [ 1 4 2 ] /Index [ $index ] /Root $catalogNum 0 R " +
+      s"/Prev $prevXref /Filter /FlateDecode " +
+      s"/Length ${xrefData.length} >>\nstream\n$xrefData\nendstream\nendobj\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    base ++ sb.toString.getBytes(iso)
+  }
 
   /** TEXT EXTRACTION as a stream-object walk: each `stream…endstream`
     * payload is sliced by `/Length` (falling back to an `endstream`

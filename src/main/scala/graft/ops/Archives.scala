@@ -27,7 +27,7 @@ object Archives {
     * members. */
   def zipPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
@@ -115,7 +115,7 @@ object Archives {
     * gated by the SAME oracle as [[extractQuery]]. */
   def tarPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val bos = new java.io.ByteArrayOutputStream()
@@ -480,7 +480,7 @@ object Archives {
     * shingles. */
   def warcCharsetPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val mode = (id % 4).toInt
@@ -547,7 +547,7 @@ object Archives {
     import spark.implicits._
     import graft.functions.ZstdCodec
     import graft.functions.ZstdCodec.{RawPart, RlePart}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val frame = ZstdCodec.writeFrame(Seq(
@@ -606,7 +606,7 @@ object Archives {
     import spark.implicits._
     import graft.functions.ZstdCodec
     import graft.functions.ZstdCodec.{CompBlock, Lit1Stream, Lit4Stream, LitTreeless, Seqn}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val p = 8 + (id % 5).toInt
@@ -668,7 +668,7 @@ object Archives {
   def zstdCliQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{ZstdCliFixtures, ZstdCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.flatMap { id =>
@@ -734,7 +734,7 @@ object Archives {
     * real container in, plain text out. Per-payload local, map-only. */
   def docxExtractQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 1 + (id % 4).toInt
@@ -938,7 +938,7 @@ object Archives {
     * slide with run count and joined-text md5. */
   def pptxExtractQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.flatMap { id =>
@@ -1063,7 +1063,7 @@ object Archives {
     * bearing). Oracle replays the grid, refs, kinds, and values. */
   def xlsxExtractQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val nr = 2 + (id % 3).toInt
@@ -1268,7 +1268,7 @@ object Archives {
     * resolution load-bearing, not decorative. */
   def epubExtractQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val n = (id % 3).toInt + 1

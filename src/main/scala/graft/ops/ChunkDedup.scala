@@ -57,7 +57,7 @@ object ChunkDedup {
   /** Per document: the raw payload and its shifted twin. */
   def payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val content = prngBytes(id * 1009 + 7, ContentLen)

@@ -177,7 +177,7 @@ object Multimodal {
     * `binaryFile`-format media then decoding. */
   def imagePayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (id % 64 + 16).toInt
@@ -236,7 +236,7 @@ object Multimodal {
     * [[imagePayloads]]. */
   def audioPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val rate = (8000 + (id % 8) * 1000).toInt
@@ -291,7 +291,7 @@ object Multimodal {
     * matching the container header. */
   def videoPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = (id % 32 + 8).toInt
@@ -384,7 +384,7 @@ object Multimodal {
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -457,7 +457,7 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
     import graft.functions.GifCodec.writeGifPixels
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -511,7 +511,7 @@ object Multimodal {
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
     import graft.functions.Vp8lCodec
     import graft.functions.Vp8lCodec.Vp8lOptions
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -574,7 +574,7 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
     import graft.functions.Vp8Codec
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -646,7 +646,7 @@ object Multimodal {
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
     import graft.functions.TiffCodec
     import graft.functions.TiffCodec.TiffOpts
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -706,7 +706,7 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPalettePixels,
       writePngPixels, writePngRgbaPixels}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -762,7 +762,7 @@ object Multimodal {
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.ImageCodec.{writePngInterlacedPixels, writePngPixels}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -808,7 +808,7 @@ object Multimodal {
   def imageQualityQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.ImageCodec
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val g = (id % 5) match {
@@ -869,7 +869,7 @@ object Multimodal {
     * predicts every census cell in SQL. */
   def mp4Payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val v1 = id % 2 == 1
@@ -924,7 +924,7 @@ object Multimodal {
   def mp4TracksQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.IsoBmff
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val specs = (0 to (id % 3).toInt).map { k =>
@@ -1027,7 +1027,7 @@ object Multimodal {
   def icoCensusQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{IcoCodec, ImageCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 1 + (id % 4).toInt
@@ -1085,7 +1085,7 @@ object Multimodal {
   def mjpegScenesQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{JpegCodec, VideoCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val nf = 4 + (id % 5).toInt
@@ -1133,7 +1133,7 @@ object Multimodal {
     * the id pattern shifted per frame. */
   def gifAnimPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -1231,7 +1231,7 @@ object Multimodal {
   def webpPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.WebpCodec
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 50).toInt * 7
@@ -1284,7 +1284,7 @@ object Multimodal {
   def webpAnimCensus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{Vp8lCodec, WebpCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val nFrames = (id % 4).toInt + 2
@@ -1336,7 +1336,7 @@ object Multimodal {
     * index id%3, ID3v2 tag on every even id sized (id%50)*7. */
   def mp3Payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           (id, graft.functions.Mp3Codec.writeMp3Header(
@@ -1374,7 +1374,7 @@ object Multimodal {
   def mp3FrameWalkQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Mp3Codec
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val n = (id % 60).toInt + 3
@@ -1425,7 +1425,7 @@ object Multimodal {
   def oggTagsQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.OggCodec
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val codec = if (id % 2 == 0) "vorbis" else "opus"
@@ -1479,7 +1479,7 @@ object Multimodal {
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.{AudioCodec, FlacCodec, Mp3Codec, OggCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val ch = (id % 2).toInt + 1
@@ -1606,7 +1606,7 @@ object Multimodal {
     * /Encrypt). */
   def pdfPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           (id, graft.functions.PdfCodec.writePdf(
@@ -1650,7 +1650,7 @@ object Multimodal {
     * crawl presents — uncompressed streams are the minority there. */
   def pdfTextPayloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val texts = (0 until (id % 4).toInt + 1).map(p =>
@@ -1710,7 +1710,7 @@ object Multimodal {
     * each page's text by formula and matches per-page md5. */
   def pdfExtractTj(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val texts = (0 until (id % 3).toInt + 1).map(p =>
@@ -1751,7 +1751,7 @@ object Multimodal {
     * produces garbage codes. Oracle replays the text by formula. */
   def pdfExtractCmap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val texts = (0 until (id % 2).toInt + 1).map(p =>
@@ -1794,8 +1794,7 @@ object Multimodal {
     // per-doc deflate/inflate dominates; spread ids before the work
     // (see audioVorbisVariantPayloads — one parquet split otherwise
     // serializes the whole decode at fixture scales)
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val texts = (0 until (id % 3).toInt + 1).map(p =>
@@ -1832,6 +1831,54 @@ object Multimodal {
       |FROM t
       |""".stripMargin
 
+  /** INCREMENTALLY-UPDATED PDF extraction: each doc is a 1.5+ base
+    * (fonts/pages in an object stream) plus an appended save-in-place
+    * update that REPLACES page 0's content under its original object
+    * number and APPENDS a page (re-emitting the pages root). Only
+    * newest-wins resolution through the xref /Prev chain reads the
+    * edited document — the linear stream walk would return the stale
+    * revision AND a duplicate (asserted in Round11OpsSpec). */
+  def pdfExtractIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val nPages = (id % 2).toInt + 1
+          val baseTexts = (0 until nPages).map(p => s"fi base doc $id page $p")
+          val base = graft.functions.PdfCodec.writePdfObjStm("1.6", baseTexts)
+          val pdf = graft.functions.PdfCodec.writePdfIncrementalUpdate(
+            base, nPages, s"revised doc $id", s"appendix doc $id")
+          graft.functions.PdfCodec.extractTextIncremental(pdf)
+            .toSeq.flatMap { pages =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              pages.zipWithIndex.map { case (t, p) =>
+                (id, p, t.length.toLong,
+                  md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+              }
+            }
+        }
+      }
+      .toDF("doc_id", "page_id", "n_chars", "text_md5")
+      .select(col("doc_id"), col("page_id").cast("int").as("page_id"),
+        col("n_chars"), col("text_md5"))
+  }
+
+  val pdfExtractIncrementalOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, p,
+      |         CASE WHEN p = 0 THEN 'revised doc ' || CAST(doc_id AS VARCHAR)
+      |              WHEN p = doc_id % 2 + 1
+      |                THEN 'appendix doc ' || CAST(doc_id AS VARCHAR)
+      |              ELSE 'fi base doc ' || CAST(doc_id AS VARCHAR)
+      |                   || ' page ' || CAST(p AS VARCHAR) END AS txt
+      |  FROM documents,
+      |       unnest(generate_series(0, CAST(doc_id % 2 + 1 AS INT))) u(p))
+      |SELECT doc_id, CAST(p AS INT) AS page_id,
+      |       CAST(length(txt) AS BIGINT) AS n_chars,
+      |       md5(txt) AS text_md5
+      |FROM t
+      |""".stripMargin
+
   // ------------------------------------------- image-text pair curation
 
   /** One image per document for the PAIR-CURATION fixture: the pattern
@@ -1844,7 +1891,7 @@ object Multimodal {
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.ImageCodec.writePngPixels
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val g = id / 7
@@ -1925,7 +1972,7 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
     import graft.functions.JpegCodec.{writeJpegPixels, writeJpegProgressivePixels}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -2058,7 +2105,7 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.TiffCodec
     import graft.functions.TiffCodec.TiffOpts
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -2116,7 +2163,7 @@ object Multimodal {
   def pdfImagesQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{JpegCodec, PdfCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -2191,7 +2238,7 @@ object Multimodal {
   def exifCensusQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{ExifCodec, JpegCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -2239,7 +2286,7 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.Mp3Codec
     import graft.functions.Mp3Codec.Id3Frame
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val frames = Seq(
@@ -2346,7 +2393,7 @@ object Multimodal {
     * scan-shaped at 100 TB. */
   def mimeMismatchQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val fam = (id % 16).toInt
@@ -2389,7 +2436,7 @@ object Multimodal {
   def audioVariantPayloads(spark: SparkSession, dir: String)
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val frames = 8 * ((id % 6).toInt + 2)
@@ -2459,7 +2506,7 @@ object Multimodal {
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.FlacCodec
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val frames = 8 * ((id % 6).toInt + 2)
@@ -2548,8 +2595,7 @@ object Multimodal {
     // the doc-id scan is one small parquet split at fixture scales, but
     // the per-doc MDCT work is the cost — spread the ids across the
     // cluster BEFORE synthesis/decode (the shuffle moves bare longs)
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val frames = 256 * ((id % 3).toInt + 1)
@@ -2629,7 +2675,7 @@ object Multimodal {
   def audioQualityQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{AudioCodec, FlacCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val frames = 64
@@ -2685,7 +2731,7 @@ object Multimodal {
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     import graft.functions.ImageCodec.{writeBmpPixels, writePngPixels}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val k = (id % 3).toInt + 2
@@ -2813,7 +2859,7 @@ object Multimodal {
   def imageScrubQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.ImageCodec
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val w0 = 9 + 3 * (id % 4).toInt
@@ -2844,7 +2890,7 @@ object Multimodal {
   def jpegScrubQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.{ImageCodec, JpegCodec}
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.docIds(spark, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val w0 = 9 + 3 * (id % 4).toInt

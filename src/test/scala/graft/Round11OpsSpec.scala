@@ -148,6 +148,41 @@ class Round11OpsSpec extends AnyFunSuite {
       PdfCodec.writePdf("1.4", 2, encrypted = false)).isEmpty)
   }
 
+  test("incremental update: xref /Prev chain reads the EDITED document") {
+    import graft.functions.PdfCodec
+    val base = PdfCodec.writePdfObjStm("1.6", Seq("fi page zero", "page one"))
+    val pdf = PdfCodec.writePdfIncrementalUpdate(base, 2,
+      "revision two", "brand new page")
+    // revision-aware walk: replaced page once, appended page present
+    assert(PdfCodec.extractTextIncremental(pdf).get ==
+      Seq("revision two", "page one", "brand new page"))
+    // the linear stream walk shows WHY the chain matters: it still sees
+    // the stale revision of page 0 (both revisions' streams exist)
+    val linear = PdfCodec.extractText(pdf).get
+    assert(linear.contains("fi page zero") && linear.contains("revision two"))
+    // the un-edited base resolves identically through both paths
+    assert(PdfCodec.extractTextIncremental(base).get ==
+      PdfCodec.extractText(base).get)
+    // newest xref /Size reflects the two appended objects
+    val entries = PdfCodec.xrefStreamEntries(pdf).get
+    assert(entries.size == 13) // base 11 + content + page dict
+    // classic documents have no chain: falls back to None
+    assert(PdfCodec.extractTextIncremental(
+      PdfCodec.writePdfWithText("1.4", Seq("x"))).isEmpty)
+  }
+
+  test("incremental update fuzz: flips and truncations never throw") {
+    import graft.functions.PdfCodec
+    val pdf = PdfCodec.writePdfIncrementalUpdate(
+      PdfCodec.writePdfObjStm("1.6", Seq("fi a")), 1, "r", "n")
+    for (i <- 0 until pdf.length by 13) {
+      val c = pdf.clone(); c(i) = (c(i) ^ (1 << (i % 8))).toByte
+      PdfCodec.extractTextIncremental(c)
+    }
+    for (cut <- Seq(1, 60, pdf.length / 2, pdf.length - 2))
+      PdfCodec.extractTextIncremental(pdf.take(cut))
+  }
+
   test("ObjStm fuzz: flips and truncations never throw") {
     import graft.functions.PdfCodec
     val pdf = PdfCodec.writePdfObjStm("1.6", Seq("fi page"))
