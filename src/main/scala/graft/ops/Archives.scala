@@ -1296,6 +1296,131 @@ object Archives {
       |FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS INT))) u(k)
       |""".stripMargin
 
+  /** EPUB metadata census — the document-container twin of the
+    * EXIF/ID3/OggTags privacy censuses: Dublin Core fields from the
+    * OPF (title, creator = the identity PII, language for routing,
+    * identifier) plus spine length. Same chain resolution as
+    * [[epubChapters]]; books whose OPF chain is broken route to
+    * rejects (None). */
+  def epubMeta(b: Array[Byte]): Option[(String, String, String, String, Int)] =
+    try {
+      val members = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(b))
+      var e = zis.getNextEntry
+      while (e != null && members.size < 4096) {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = zis.read(tmp)
+        while (n > 0 && buf.size <= (1 << 22)) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+        members(e.getName) = buf.toByteArray
+        e = zis.getNextEntry
+      }
+      if (!members.get("mimetype").map(m => new String(m, "US-ASCII").trim)
+        .contains("application/epub+zip")) return None
+      val container = members.get("META-INF/container.xml")
+        .map(new String(_, "UTF-8")).getOrElse(return None)
+      val rootM = java.util.regex.Pattern
+        .compile("<rootfile\\b[^>]*>").matcher(container)
+      if (!rootM.find()) return None
+      val opfPath = attrOf(rootM.group(0), "full-path").getOrElse(return None)
+      val opf = members.get(opfPath).map(new String(_, "UTF-8"))
+        .getOrElse(return None)
+      def dc(tag: String): String = {
+        val m = java.util.regex.Pattern
+          .compile(s"(?s)<dc:$tag\\b[^>]*>(.*?)</dc:$tag>").matcher(opf)
+        if (m.find()) unescXml(m.group(1).trim) else ""
+      }
+      var spine = 0
+      val refM = java.util.regex.Pattern
+        .compile("<itemref\\b[^>]*>").matcher(opf)
+      while (refM.find()) spine += 1
+      Some((dc("title"), dc("creator"), dc("language"), dc("identifier"),
+        spine))
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None
+    }
+
+  /** Fixture: [[writeEpub]] plus a full Dublin Core block. */
+  def writeEpubWithMeta(chapters: Seq[(String, String)], creator: String,
+                        language: String, identifier: String): Array[Byte] = {
+    val plain = writeEpub(chapters)
+    // rewrite the OPF metadata block in a fresh container (zip members
+    // are immutable once written, so rebuild with the enriched OPF)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(plain))
+    var e = zis.getNextEntry
+    while (e != null) {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = zis.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = zis.read(tmp) }
+      val body =
+        if (e.getName == "OEBPS/content.opf") {
+          val opf = new String(buf.toByteArray, "UTF-8")
+          opf.replace("</metadata>",
+            s"""  <dc:creator>${escXml(creator)}</dc:creator>
+               |    <dc:language>${escXml(language)}</dc:language>
+               |  </metadata>""".stripMargin)
+            .replace(">graft-fixture</dc:identifier>",
+              s">${escXml(identifier)}</dc:identifier>")
+            .getBytes("UTF-8")
+        } else buf.toByteArray
+      if (e.getName == "mimetype") {
+        val me = new java.util.zip.ZipEntry("mimetype")
+        me.setMethod(java.util.zip.ZipEntry.STORED)
+        me.setSize(body.length)
+        val crc = new java.util.zip.CRC32(); crc.update(body)
+        me.setCrc(crc.getValue)
+        zos.putNextEntry(me)
+      } else zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+      zos.write(body)
+      zos.closeEntry()
+      e = zis.getNextEntry
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** EPUB METADATA CENSUS query: title/creator/language/identifier +
+    * spine length per document — creator is the identity column a
+    * privacy scrub routes on, language the corpus-mix column. */
+  def epubMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val n = (id % 3).toInt + 1
+          val chapters = (0 until n).map(k =>
+            (s"Chapter $k", s"Chapter $k body of doc $id"))
+          val epub = writeEpubWithMeta(chapters,
+            creator = s"Author ${id % 17}",
+            language = Seq("en", "de", "fr", "ja")((id % 4).toInt),
+            identifier = s"urn:graft:$id")
+          epubMeta(epub).map { case (t, c, l, i, spine) =>
+            (id, t, c, l, i, spine)
+          }
+        }
+      }
+      .toDF("doc_id", "title", "creator", "language", "identifier", "n_spine")
+      .select(col("doc_id"), col("title"), col("creator"), col("language"),
+        col("identifier"), col("n_spine").cast("int").as("n_spine"))
+  }
+
+  val epubMetaOracle: String =
+    """SELECT doc_id,
+      |       'Chapter 0' AS title,
+      |       'Author ' || CAST(doc_id % 17 AS VARCHAR) AS creator,
+      |       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+      |         WHEN 2 THEN 'fr' ELSE 'ja' END AS language,
+      |       'urn:graft:' || CAST(doc_id AS VARCHAR) AS identifier,
+      |       CAST(doc_id % 3 + 1 AS INT) AS n_spine
+      |FROM documents
+      |""".stripMargin
+
   // ---------------------------------------- zip central directory + zip64
   //
   // The streaming extractors above read local headers front-to-back; at

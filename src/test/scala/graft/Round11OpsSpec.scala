@@ -198,6 +198,30 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("EPUB metadata census: Dublin Core fields round-trip, XML escapes") {
+    import graft.ops.Archives
+    val epub = Archives.writeEpubWithMeta(
+      Seq(("T<itle&", "b"), ("Two", "b2")),
+      creator = "A. <Author> & Co", language = "de",
+      identifier = "urn:x:1")
+    val (t, c, l, i, spine) = Archives.epubMeta(epub).get
+    assert(t == "T<itle&" && c == "A. <Author> & Co")
+    assert(l == "de" && i == "urn:x:1" && spine == 2)
+    // chapters still extract from the enriched container
+    assert(Archives.epubChapters(epub).get.length == 2)
+    // plain epub: creator/language empty, identifier = the fixture id
+    val (t2, c2, l2, i2, s2) = Archives.epubMeta(
+      Archives.writeEpub(Seq(("X", "y")))).get
+    assert(t2 == "X" && c2 == "" && l2 == "" &&
+      i2 == "graft-fixture" && s2 == 1)
+    // non-epub zips reject
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("a")); zos.write(1)
+    zos.closeEntry(); zos.close()
+    assert(Archives.epubMeta(bos.toByteArray).isEmpty)
+  }
+
   // ------------------------------------- zip central directory + zip64
 
   private def le(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit =
