@@ -73,8 +73,11 @@ object Mp3Codec {
       var vbr = false
       if (kbps > 0 && sr > 0) {
         // Xing/Info tag sits after the side info (MPEG1: 17 B mono,
-        // 32 B stereo); flags bit 0 gates the 32-bit frame count
-        val tagOff = p + 4 + (if (channels == 1) 17 else 32)
+        // 32 B stereo); a clear protection bit means a 16-bit CRC sits
+        // between header and side info, shifting the tag by 2; flags
+        // bit 0 gates the 32-bit frame count
+        val crc = if ((u8(b, p + 1) & 1) == 0) 2 else 0
+        val tagOff = p + 4 + crc + (if (channels == 1) 17 else 32)
         val hasTag = tagOff + 8 <= b.length &&
           ((b(tagOff) == 'X' && b(tagOff + 1) == 'i' &&
             b(tagOff + 2) == 'n' && b(tagOff + 3) == 'g') ||

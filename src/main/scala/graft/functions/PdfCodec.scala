@@ -61,11 +61,37 @@ object PdfCodec {
       val trailerAt = s.lastIndexOf("trailer")
       val encrypted =
         if (trailerAt >= 0) s.indexOf("/Encrypt", trailerAt) >= 0
-        else s.contains("/XRef") && s.contains("/Encrypt")
+        else xrefStreamDictEncrypt(s)
       Some(PdfMeta(version, nPages, encrypted))
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** Whether any xref-STREAM dictionary in the `startxref`→`/Prev`
+    * chain carries `/Encrypt`. Scoped to the dict slices the xref walk
+    * itself uses (offset → the following `stream` keyword), never the
+    * whole byte string — page content or comments that merely mention
+    * "/Encrypt" must not flip the census flag. */
+  private def xrefStreamDictEncrypt(s: String): Boolean = {
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0) return false
+    val om = java.util.regex.Pattern.compile("startxref\\s+(\\d+)").matcher(s)
+    if (!om.find(sx)) return false
+    var off = om.group(1).toLong
+    val prevRe = java.util.regex.Pattern.compile("/Prev\\s+(\\d+)")
+    var hops = 0
+    while (off >= 0 && off < s.length && hops < 8) {
+      hops += 1
+      val si = s.indexOf("stream", off.toInt)
+      if (si < 0) return false
+      val dict = s.substring(off.toInt, si)
+      if (!dict.contains("/XRef")) return false
+      if (dict.contains("/Encrypt")) return true
+      val pm = prevRe.matcher(dict)
+      off = if (pm.find()) pm.group(1).toLong else -1L
+    }
+    false
+  }
 
   // ------------------------------------------------- text extraction
 

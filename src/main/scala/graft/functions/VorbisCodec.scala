@@ -941,7 +941,12 @@ object VorbisCodec {
       var lastGranule = 0L
       val packets = Vector.newBuilder[Array[Byte]]
       var nPackets = 0
-      var cur = new java.io.ByteArrayOutputStream()
+      // segments of the in-flight packet as (offset, len) spans into b —
+      // the packet array is allocated EXACT-SIZE on completion (growing
+      // a stream buffer per packet is measurable churn on the corpus
+      // decode path, where this runs once per document)
+      var spans = List.empty[(Int, Int)]
+      var curLen = 0
       var inPacket = false
       def u8(i: Int): Int = b(i) & 0xff
       while (p + 27 <= b.length) {
@@ -962,14 +967,19 @@ object VorbisCodec {
         var off = dataAt
         for (s <- 0 until nSegs) {
           val l = u8(p + 27 + s)
-          cur.write(b, off, l)
+          if (l > 0) { spans = (off, l) :: spans; curLen += l }
           off += l
           inPacket = l == 255
           if (!inPacket) {
-            packets += cur.toByteArray
+            val pk = new Array[Byte](curLen)
+            var at = curLen
+            spans.foreach { case (so, sl) =>
+              at -= sl; System.arraycopy(b, so, pk, at, sl)
+            }
+            packets += pk
+            spans = Nil; curLen = 0
             nPackets += 1
             if (nPackets > 100000) return None
-            cur = new java.io.ByteArrayOutputStream()
           }
         }
         lastGranule = g
@@ -1025,7 +1035,10 @@ object VorbisCodec {
       if (lastGranule < 0 || lastGranule > (1L << 24)) return None
       var totalN = 0L
       audio.foreach(_ => totalN += bs1)
-      if (totalN > (1L << 26)) return None
+      // allocation below is channels × (totalN + 2·bs1) doubles, so the
+      // hostile-size gate must bound the PRODUCT — an 8-channel stream
+      // must not buy 8× the samples a mono one can
+      if (totalN > (1L << 26) / channels) return None
       val outLen = (totalN + 2L * bs1).toInt
       val out = Array.fill(channels)(new Array[Double](outLen))
       var t = bs1 // base margin (short→long transitions step back n/4)
@@ -1113,7 +1126,11 @@ object VorbisCodec {
               j += 1
             }
           }
-          if (nonzero(c) || floorPackets(c).isDefined) {
+          // §4.3: a channel whose floor packet is UNUSED renders silence
+          // even when coupling propagation decoded residue for it (the
+          // residue feeds the coupling partner only) — gate synthesis on
+          // the floor, not on the propagated nonzero vector
+          if (floorPackets(c).isDefined) {
             val y = imdct(spectrum(c), n)
             var j = 0
             while (j < n) {
@@ -1145,7 +1162,6 @@ object VorbisCodec {
       case _: Bail => None
       case _: IndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
-      case _: OutOfMemoryError => None
     }
 
   // ======================================================= the encoder
@@ -1156,8 +1172,14 @@ object VorbisCodec {
     * 2 interleaved), and square-polar coupling (stereo only; fixture
     * channels must keep the angle vector inside the coarse book range —
     * identical channels give angle 0). */
+  /** `unusedFloorCh` ≥ 0 marks that channel's floor UNUSED in every
+    * audio packet — legal only with stereo coupling + residue type 2
+    * (coupling propagation keeps the residue decode in sync), modelling
+    * the externally-encoded silent-coupled-channel shape the spec says
+    * must render silence (§4.3). */
   final case class VorbisOpts(shortEvery: Int = 0, residueType: Int = 2,
-                              coupling: Boolean = false)
+                              coupling: Boolean = false,
+                              unusedFloorCh: Int = -1)
 
   val Bs0 = 64
   val Bs1 = 256
@@ -1286,6 +1308,9 @@ object VorbisCodec {
     require(channels >= 1 && channels <= 8 && sampleRate > 0 &&
       nSamples >= 1 && nSamples <= (1 << 22), "bad params")
     require(opts.residueType == 1 || opts.residueType == 2, "residue type")
+    require(opts.unusedFloorCh < 0 ||
+      (opts.coupling && channels == 2 && opts.residueType == 2),
+      "unusedFloorCh needs stereo coupling + residue type 2")
     val setup = buildSetup(channels, opts)
     val coupling = opts.coupling && channels == 2
     // ---- block plan on the absolute timeline
@@ -1379,13 +1404,18 @@ object VorbisCodec {
         bw.writeBit(if (prevFlag) 1 else 0)
         bw.writeBit(if (nextFlag) 1 else 0)
       }
-      // flat floor per channel: nonzero, Y0=Y1=255, two book-0 values
-      for (_ <- 0 until channels) {
-        bw.writeBit(1)
-        bw.write(255, 8)
-        bw.write(255, 8)
-        setup.books(3).writeCodeword(bw, 0)
-        setup.books(3).writeCodeword(bw, 0)
+      // flat floor per channel: nonzero, Y0=Y1=255, two book-0 values;
+      // the unusedFloorCh knob writes the single "unused" bit instead
+      // (residue stays fully coupled so the partner still round-trips)
+      for (c <- 0 until channels) {
+        if (c == opts.unusedFloorCh) bw.writeBit(0)
+        else {
+          bw.writeBit(1)
+          bw.write(255, 8)
+          bw.write(255, 8)
+          setup.books(3).writeCodeword(bw, 0)
+          setup.books(3).writeCodeword(bw, 0)
+        }
       }
       encodeResidue(bw, res, setup.books, entries)
       val granule = math.min((starts(b) + n / 2 - off).toLong,
