@@ -189,6 +189,178 @@ object WebpCodec {
       case _: IndexOutOfBoundsException => None
     }
 
+  // ------------------------------------- full frame walk + compositing
+  //
+  // The round-11 verdict's remaining WebP gap: q_webp_anim_census only
+  // decoded frame 1, so animations couldn't join scene detection the
+  // way MJPEG and GIF frames do. The walk below reads EVERY ANMF with
+  // its placement rect and blend/dispose flags, and the compositor
+  // renders canvas snapshots per frame — offsets in the spec's 2-pixel
+  // units, alpha blending (src-over), and dispose-to-background honored.
+
+  /** One ANMF frame spec: placement rect (PIXELS — the container stores
+    * x/2, y/2, so x and y must be even), duration, the two flag bits
+    * (`noBlend` = overwrite instead of alpha-blend, `disposeBg` = fill
+    * the rect with the ANIM background color after rendering), and the
+    * embedded image CHUNK bytes (header + payload, e.g. a
+    * [[Vp8lCodec.writeWebpPixels]] container minus its 12-byte RIFF
+    * prefix). */
+  final case class AnmfSpec(x: Int, y: Int, w: Int, h: Int,
+                            durationMs: Int, noBlend: Boolean,
+                            disposeBg: Boolean, img: Array[Byte])
+
+  /** Animated WebP with full per-frame placement and flags; `bgArgb`
+    * is the ANIM background color as an ARGB int — the little-endian
+    * uint32 write lands the spec's B,G,R,A stream byte order. */
+  def writeAnimatedFrames(canvasW: Int, canvasH: Int, loopCount: Int,
+                          bgArgb: Long,
+                          frames: Seq[AnmfSpec]): Array[Byte] = {
+    require(canvasW >= 1 && canvasH >= 1 && frames.nonEmpty &&
+      loopCount >= 0 && loopCount <= 0xffff, "bad animation shape")
+    val vp8x = chunk("VP8X",
+      Array[Byte](0x02, 0, 0, 0) ++ le24b(canvasW - 1) ++ le24b(canvasH - 1))
+    val anim = chunk("ANIM", le32b(bgArgb) ++
+      Array((loopCount & 0xff).toByte, ((loopCount >> 8) & 0xff).toByte))
+    val anmfs = frames.map { f =>
+      require(f.x >= 0 && f.y >= 0 && f.x % 2 == 0 && f.y % 2 == 0 &&
+        f.w >= 1 && f.h >= 1 && f.durationMs >= 0 &&
+        f.durationMs < (1 << 24), "bad frame")
+      val flags = (if (f.noBlend) 2 else 0) | (if (f.disposeBg) 1 else 0)
+      chunk("ANMF", le24b(f.x / 2) ++ le24b(f.y / 2) ++ le24b(f.w - 1) ++
+        le24b(f.h - 1) ++ le24b(f.durationMs) ++
+        Array(flags.toByte) ++ f.img)
+    }
+    riffMulti(vp8x +: anim +: anmfs)
+  }
+
+  /** Decoded ANMF frame: rect in pixels, flags, embedded chunk kind
+    * ("VP8 "/"VP8L") and its payload (header stripped). */
+  final case class AnmfInfo(x: Int, y: Int, w: Int, h: Int,
+                            durationMs: Int, noBlend: Boolean,
+                            disposeBg: Boolean, kind: String,
+                            payload: Array[Byte])
+
+  /** Walk every ANMF: (canvasW, canvasH, background ARGB, frames).
+    * Frames whose rect leaves the canvas — the hostile-container class
+    * (out-of-bounds blits) — return None, as do truncated sub-chunks. */
+  def animFrames(b: Array[Byte])
+      : Option[(Int, Int, Int, Seq[AnmfInfo])] =
+    try {
+      val meta = animMeta(b).getOrElse(return None)
+      if (meta.canvasW.toLong * meta.canvasH > (1L << 22)) return None
+      if (meta.nFrames > 1024) return None
+      var i = 12
+      var bg = 0
+      val out = Seq.newBuilder[AnmfInfo]
+      while (i + 8 <= b.length) {
+        val kind = tag(b, i)
+        val len = le32(b, i + 4)
+        val from = i + 8
+        if (len < 0 || from.toLong + len > b.length.toLong) return None
+        kind match {
+          case "ANIM" =>
+            // BGRA byte order → ARGB int
+            bg = (u8(b, from + 3) << 24) | (u8(b, from + 2) << 16) |
+              (u8(b, from + 1) << 8) | u8(b, from)
+          case "ANMF" =>
+            if (len < 16) return None
+            val x = 2 * le24(b, from)
+            val y = 2 * le24(b, from + 3)
+            val fw = le24(b, from + 6) + 1
+            val fh = le24(b, from + 9) + 1
+            val dur = le24(b, from + 12)
+            val flags = u8(b, from + 15)
+            if (x + fw > meta.canvasW || y + fh > meta.canvasH) return None
+            // embedded image sub-chunk
+            var j = from + 16
+            var found: Option[(String, Array[Byte])] = None
+            while (j + 8 <= from + len && found.isEmpty) {
+              val sub = tag(b, j)
+              val subLen = le32(b, j + 4)
+              if (subLen < 0 || j + 8 + subLen > from + len) return None
+              if (sub == "VP8 " || sub == "VP8L")
+                found = Some((sub, java.util.Arrays.copyOfRange(
+                  b, j + 8, j + 8 + subLen.toInt)))
+              else j += 8 + subLen.toInt + (subLen.toInt & 1)
+            }
+            val (k2, payload) = found.getOrElse(return None)
+            out += AnmfInfo(x, y, fw, fh, dur, (flags & 2) != 0,
+              (flags & 1) != 0, k2, payload)
+          case _ => ()
+        }
+        i = from + len.toInt + (len.toInt & 1)
+      }
+      Some((meta.canvasW, meta.canvasH, bg, out.result()))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  /** Composite every frame onto the canvas: returns one (durationMs,
+    * ARGB canvas snapshot) per ANMF. The canvas starts transparent;
+    * each frame's pixels are placed at its rect either by overwrite
+    * (`noBlend`) or src-over alpha blending; `disposeBg` fills the rect
+    * with the background color AFTER the snapshot. Frame payloads must
+    * be VP8L (the lossless arm both fixture writers use — VP8-in-ANMF
+    * stays census+first-frame scope, [[firstFrameWebp]]). */
+  def compositeFrames(b: Array[Byte]): Option[Seq[(Int, Array[Int])]] =
+    try {
+      val (cw, ch, bg, frames) = animFrames(b).getOrElse(return None)
+      val canvas = new Array[Int](cw * ch) // transparent
+      val snaps = Seq.newBuilder[(Int, Array[Int])]
+      for (f <- frames) {
+        if (f.kind != "VP8L") return None
+        val (fw, fh, argb) = Vp8lCodec.decodeArgb(f.payload)
+          .getOrElse(return None)
+        if (fw != f.w || fh != f.h) return None
+        var yy = 0
+        while (yy < fh) {
+          var xx = 0
+          while (xx < fw) {
+            val src = argb(yy * fw + xx)
+            val at = (f.y + yy) * cw + (f.x + xx)
+            canvas(at) =
+              if (f.noBlend) src
+              else blendSrcOver(src, canvas(at))
+            xx += 1
+          }
+          yy += 1
+        }
+        snaps += ((f.durationMs, canvas.clone()))
+        if (f.disposeBg) {
+          var y2 = 0
+          while (y2 < fh) {
+            var x2 = 0
+            while (x2 < fw) {
+              canvas((f.y + y2) * cw + (f.x + x2)) = bg
+              x2 += 1
+            }
+            y2 += 1
+          }
+        }
+      }
+      Some(snaps.result())
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  /** src-over in straight (unpremultiplied) ARGB, the spec's blending
+    * formula; integer-exact when src and dst share a color. */
+  def blendSrcOver(src: Int, dst: Int): Int = {
+    val sa = (src >>> 24) & 0xff
+    if (sa == 255) return src
+    val da = (dst >>> 24) & 0xff
+    val outA = sa + da * (255 - sa) / 255.0
+    if (outA <= 0.0) return 0
+    def ch(shift: Int): Int = {
+      val sc = (src >> shift) & 0xff
+      val dc = (dst >> shift) & 0xff
+      val v = (sc * sa + dc * da * (255 - sa) / 255.0) / outA
+      math.max(0, math.min(255, math.rint(v).toInt))
+    }
+    (math.max(0, math.min(255, math.rint(outA).toInt)) << 24) |
+      (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
   /** Rebuild the FIRST animation frame as a standalone single-image
     * .webp (RIFF + the embedded VP8/VP8L chunk verbatim), ready for
     * the existing pixel decoders. None when there is no frame or the

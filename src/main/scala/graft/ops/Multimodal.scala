@@ -1126,6 +1126,86 @@ object Multimodal {
       |FROM documents, unnest(generate_series(0, 3 + doc_id % 5)) u(f)
       |""".stripMargin
 
+  /** Animated-WebP scene detection — the [[mjpegScenesQuery]] shape
+    * over the new full ANMF walk: every frame is REAL-decoded (VP8L)
+    * and composited onto the canvas honoring offsets, alpha blending,
+    * and dispose-to-background, then a scene boundary fires where the
+    * composited gray level steps. Each doc alternates full-canvas
+    * level frames with small OFFSET inset frames that alpha-blend a
+    * half-transparent patch of the SAME level (blending same-color
+    * pixels is integer-exact, so the canvas mean stays on the 16-grid)
+    * and then dispose their rect to background — the compositing paths
+    * all run while the oracle stays a pure id formula. VP8L is
+    * lossless, so `mean >> 4` recovers the level exactly. Map-only. */
+  def webpScenesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Vp8lCodec, WebpCodec}
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nPairs = 2 + (id % 3).toInt
+          val period = 1 + (id % 2).toInt
+          val frames = (0 until 2 * nPairs).map { f =>
+            val k = f / 2
+            val l = ((id + k / period) % 16).toInt
+            val g = 16 * l + 8
+            if (f % 2 == 0) {
+              val img = Vp8lCodec.writeWebpPixels(8, 8,
+                (_, _) => (g << 16) | (g << 8) | g).drop(12)
+              WebpCodec.AnmfSpec(0, 0, 8, 8, 40, noBlend = true,
+                disposeBg = false, img)
+            } else {
+              // 2×2 half-alpha inset at an id-dependent EVEN offset,
+              // same gray → blend leaves the canvas unchanged; its
+              // dispose fills the rect with background, which the next
+              // full frame overwrites
+              val argb = Array.fill(4)(0x80000000 | (g << 16) | (g << 8) | g)
+              val payload = Vp8lCodec.encode(2, 2, argb)
+              val img = "VP8L".getBytes("US-ASCII") ++
+                Array((payload.length & 0xff).toByte,
+                  ((payload.length >> 8) & 0xff).toByte,
+                  ((payload.length >> 16) & 0xff).toByte,
+                  ((payload.length >> 24) & 0xff).toByte) ++
+                (if (payload.length % 2 == 1) payload :+ 0.toByte else payload)
+              WebpCodec.AnmfSpec(2 * (id % 4).toInt, 2 * (f % 4), 2, 2,
+                40, noBlend = false, disposeBg = true, img)
+            }
+          }
+          (id, WebpCodec.writeAnimatedFrames(8, 8, (id % 3).toInt,
+            0xff202020L, frames))
+        }
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, webp) =>
+          WebpCodec.compositeFrames(webp).toSeq.flatMap { snaps =>
+            val levels = snaps.map { case (_, canvas) =>
+              var sum = 0L
+              var i = 0
+              while (i < canvas.length) { sum += (canvas(i) >> 8) & 0xff; i += 1 }
+              (sum / canvas.length).toInt >> 4
+            }
+            levels.zipWithIndex.map { case (l, f) =>
+              (id, f, l, f == 0 || l != levels(f - 1))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "level", "is_key")
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("level").cast("int").as("level"), col("is_key"))
+  }
+
+  val webpScenesOracle: String =
+    """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      |       CAST((doc_id + (f // 2) // (1 + doc_id % 2)) % 16 AS INT)
+      |         AS level,
+      |       f = 0 OR
+      |       (doc_id + (f // 2) // (1 + doc_id % 2)) % 16 <>
+      |       (doc_id + ((f - 1) // 2) // (1 + doc_id % 2)) % 16 AS is_key
+      |FROM documents,
+      |     unnest(generate_series(0, 2 * (2 + doc_id % 3) - 1)) u(f)
+      |""".stripMargin
+
   // ---------------------------------------------- GIF animation census
 
   /** Formula-built animated GIFs: (id%4)+2 frames, (id%7+1)·5 cs per
@@ -2663,6 +2743,141 @@ object Multimodal {
        |       'wav' AS container_a, 'ogg' AS container_b
        |FROM documents
        |""".stripMargin
+
+  // --------------------------------------------- MP3 perceptual dedup
+
+  /** Per document, a WAV original and its MPEG-1 Layer III twin from
+    * [[graft.functions.Mp3Layer3]]'s own encoder (conformance scope on
+    * that object): the fixture PCM is synthesized from deterministic
+    * on-grid spectra, the encoder's round trip is bit-exact on that
+    * grid, so the WAV's int16 samples equal `rint` of the MP3 decode
+    * EXACTLY — no snap band needed, unlike the lossy-drift Vorbis
+    * twins. Encoder options rotate per doc (block cadence, MS stereo,
+    * scalefac_scale, bit reservoir, CRC frames, scfsi sharing) so the
+    * corpus decode crosses the whole bitstream surface. */
+  def audioMp3VariantPayloads(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    import graft.functions.Mp3Layer3
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (pcm, mp3, _, channels, sr) = mp3FixtureFor(id)
+          val wav = graft.functions.AudioCodec.writeWav(sr, channels,
+            pcm(0).length,
+            (s, c) => clip16(math.rint(pcm(c)(s))).toShort)
+          Seq((id, wav), (id + TwinSpace, mp3))
+        }
+      }
+  }
+
+  private def clip16(v: Double): Int =
+    math.max(-32767, math.min(32767, v.toInt))
+
+  /** Deterministic per-doc MP3 fixture: (pcm, mp3, nGranules, channels,
+    * sampleRate). One device shared by the neardup and census queries
+    * (and their oracles' formulas). */
+  private def mp3FixtureFor(id: Long)
+      : (Array[Array[Double]], Array[Byte], Int, Int, Int) = {
+    import graft.functions.Mp3Layer3
+    val nG = 8 + (id % 3).toInt * 2
+    val channels = 1 + (id % 2).toInt
+    val sr = Array(44100, 48000, 32000)((id % 3).toInt)
+    val opts = Mp3Layer3.Mp3Opts(
+      shortEvery = Array(0, 3, 4)((id % 5).toInt % 3),
+      msStereo = channels == 2 && id % 4 == 1,
+      shareScf = id % 7 == 0,
+      scalefacScale = if (id % 5 == 0) 1 else 0,
+      crc = id % 3 == 1,
+      reservoir = id % 2 == 0)
+    val (pcm, mp3) = Mp3Layer3.writeMp3Fixture(sr, channels, nG, id, opts)
+    (pcm, mp3, nG, channels, sr)
+  }
+
+  /** Perceptual audio dedup across the WAV / MP3 container boundary:
+    * both sides go through REAL sample decode (the MP3 side through
+    * side info, the bit reservoir, count1 Huffman, requantize, stereo
+    * modes, alias butterflies, IMDCT and the polyphase bank), then
+    * collide on the normalized unit-time energy profile. Map-only
+    * decode, candidates meet on the profile hash — broadcast-scale
+    * shuffle at any corpus size. */
+  def audioMp3NearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Caches.TrackedDataset
+    import graft.functions.{AudioCodec, Mp3Layer3}
+    val profiles = audioMp3VariantPayloads(spark, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val decoded =
+            AudioCodec.decodeSamples(bytes).map(s =>
+              ("wav", s.sampleRate, s.channels, s.samples.map(_.toInt)))
+              .orElse(Mp3Layer3.decodePcmF(bytes).map { case (sr, ch, fl) =>
+                ("mp3", sr, ch, fl.map(v => clip16(math.rint(v))))
+              })
+          decoded.map { case (container, sr, ch, raw) =>
+            // the MP3 side decodes MORE samples than the WAV (its
+            // trailing lookahead granules) — profile the WAV's span,
+            // which both sides share exactly
+            val nG = 8 + (id % TwinSpace % 3).toInt * 2
+            val span = raw.take(nG * 576 * ch).map(_.toShort)
+            val p = AudioCodec.normalizeProfile(AudioCodec.energyProfile8(
+              AudioCodec.AudioSamples(sr, ch, span)))
+            val fp = p.foldLeft(1125899906842597L)((h, x) => h * 31 + x)
+            (id, container, p.toSeq, fp)
+          }
+        }
+      }
+      .toDF("doc_id", "container", "profile", "fp")
+      .trackPersist()
+    profiles.as("a").join(profiles.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.profile") === col("b.profile"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.container").as("container_a"),
+        col("b.container").as("container_b"))
+  }
+
+  val audioMp3NearDupOracle: String =
+    s"""SELECT doc_id AS doc_a, doc_id + $TwinSpace AS doc_b,
+       |       'wav' AS container_a, 'mp3' AS container_b
+       |FROM documents
+       |""".stripMargin
+
+  /** MP3 sample-decode census: decoded stream geometry per document —
+    * sample rate, channels, per-channel sample count (the frames·1152
+    * − 576 structural contract), frame count from the independent
+    * header walk, and whether the stream used the bit reservoir. Every
+    * value is formula-predictable from the doc id, which is what makes
+    * this the oracle gate for the whole decode path at three scales. */
+  def mp3DecodeCensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Mp3Layer3
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (_, mp3, nG, _, _) = mp3FixtureFor(id)
+          Mp3Layer3.decodePcmF(mp3).map { case (sr, ch, fl) =>
+            val walk = graft.functions.Mp3Codec.frameWalk(mp3)
+            (id, sr, ch, fl.length.toLong / ch,
+              walk.map(_.frames).getOrElse(-1L))
+          }
+        }
+      }
+      .toDF("doc_id", "sr", "ch", "n_samples", "n_frames")
+      .select(col("doc_id"), col("sr").cast("int").as("sr"),
+        col("ch").cast("int").as("ch"), col("n_samples"), col("n_frames"))
+  }
+
+  val mp3DecodeCensusOracle: String =
+    """SELECT doc_id,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |                 ELSE 32000 END AS INT) AS sr,
+      |       CAST(1 + doc_id % 2 AS INT) AS ch,
+      |       CAST((6 + doc_id % 3) * 1152 - 576 AS BIGINT) AS n_samples,
+      |       CAST(6 + doc_id % 3 AS BIGINT) AS n_frames
+      |FROM documents
+      |""".stripMargin
 
   /** Audio quality stats over REAL decoded samples — the audio-corpus
     * analog of `q_text_quality`: clipping count (rail-pinned samples,

@@ -167,7 +167,20 @@ class UrlOpsSpec extends SparkSpec {
       "x.gov.fk" -> Some("x.gov.fk"),
       // US state grid
       "deep.lib.wy.us" -> Some("deep.lib.wy.us"),
-      "a.deep.cc.tx.us" -> Some("deep.cc.tx.us"))
+      "a.deep.cc.tx.us" -> Some("deep.cc.tx.us"),
+      // round-12 full-ICANN vendoring: per-state carve-outs the old
+      // k12/cc/lib grid missed
+      "school.pvt.k12.ma.us" -> Some("school.pvt.k12.ma.us"),
+      "x.school.chtr.k12.ma.us" -> Some("school.chtr.k12.ma.us"),
+      // jp geo city rules beyond the old Tokyo-ward subset
+      "farm.aisai.aichi.jp" -> Some("farm.aisai.aichi.jp"),
+      "a.farm.aisai.aichi.jp" -> Some("farm.aisai.aichi.jp"),
+      // ccSLD families absent from the old ~480-rule snapshot
+      "x.co.bw" -> Some("x.co.bw"),
+      "shop.co.zw" -> Some("shop.co.zw"),
+      // punycode twin of an IDN rule (公司.cn → xn--55qx5d.cn)
+      "shop.xn--55qx5d.cn" -> Some("shop.xn--55qx5d.cn"),
+      "a.shop.xn--55qx5d.cn" -> Some("shop.xn--55qx5d.cn"))
     val got = reg(cases.map(_._1): _*)
     cases.zip(got).foreach { case ((h, want), g) =>
       assert(g == want, s"$h: got $g want $want")
