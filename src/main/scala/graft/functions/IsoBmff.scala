@@ -93,6 +93,97 @@ object IsoBmff {
       case _: IndexOutOfBoundsException => None
     }
 
+  // ----------------------------------------------- AVIF / HEIF census
+
+  /** AVIF/HEIF image census: brand, pixel dimensions from the first
+    * `ispe` property, bit depth from `pixi`, and the `iinf` item count
+    * — the fastest-growing image container, read through the same box
+    * walk as MP4 (the `meta` box and its `ispe`/`pixi`/`iinf` children
+    * are FULL boxes: 4 version/flags bytes before content). Header
+    * only; AV1 payload decode is out of scope (a video-codec-sized
+    * project, the [[WebpCodec]] VP8X stance). Hostile input → None. */
+  final case class AvifMeta(brand: String, width: Long, height: Long,
+                            depth: Int, nItems: Int)
+
+  def avifCensus(b: Array[Byte]): Option[AvifMeta] =
+    try {
+      if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+      var brand: String = null
+      var width = -1L
+      var height = -1L
+      var depth = -1
+      var nItems = -1
+      val ok = walk(b, 0L, b.length.toLong) { (typ, from, to) =>
+        typ match {
+          case "ftyp" =>
+            if (to - from >= 4) brand = fourcc(b, from.toInt)
+          case "meta" if to - from >= 4 =>
+            // FullBox: skip version/flags
+            walk(b, from + 4, to) { (child, cFrom, cTo) =>
+              child match {
+                case "iinf" if cTo - cFrom >= 6 =>
+                  val v = b(cFrom.toInt) & 0xff
+                  nItems =
+                    if (v == 0) ((b(cFrom.toInt + 4) & 0xff) << 8) |
+                      (b(cFrom.toInt + 5) & 0xff)
+                    else if (cTo - cFrom >= 8) u32(b, cFrom.toInt + 4).toInt
+                    else -1
+                case "iprp" =>
+                  walk(b, cFrom, cTo) { (p2, pFrom, pTo) =>
+                    if (p2 == "ipco") {
+                      walk(b, pFrom, pTo) { (prop, qFrom, qTo) =>
+                        prop match {
+                          case "ispe" if width < 0 && qTo - qFrom >= 12 =>
+                            width = u32(b, qFrom.toInt + 4)
+                            height = u32(b, qFrom.toInt + 8)
+                          case "pixi" if depth < 0 && qTo - qFrom >= 6 =>
+                            depth = b(qFrom.toInt + 5) & 0xff
+                          case _ => ()
+                        }
+                      }
+                    }
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (ok && brand != null && width > 0 && height > 0)
+        Some(AvifMeta(brand, width, height, depth, nItems))
+      else None
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+
+  private def fullBox(typ: String, payload: Array[Byte]): Array[Byte] =
+    box(typ, Array[Byte](0, 0, 0, 0) ++ payload)
+
+  /** Minimal structurally-valid AVIF/HEIF: ftyp + meta(hdlr pict, iinf
+    * with `nItems` infe entries, iprp/ipco with ispe + pixi). */
+  def writeAvif(brand: String, width: Long, height: Long, depth: Int,
+                nItems: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && depth >= 1 && depth <= 16 &&
+      nItems >= 1 && nItems <= 999 && brand.length == 4, "bad avif shape")
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0L) ++
+      brand.getBytes("US-ASCII") ++ "mif1".getBytes("US-ASCII"))
+    val hdlr = fullBox("hdlr", be32(0L) ++ "pict".getBytes("US-ASCII") ++
+      new Array[Byte](12) ++ Array[Byte](0))
+    val infes = (1 to nItems).map { i =>
+      fullBox("infe", Array[Byte](0, i.toByte, 0, 0) ++
+        "av01".getBytes("US-ASCII") ++ Array[Byte](0))
+    }
+    val iinf = fullBox("iinf",
+      Array[Byte]((nItems >> 8).toByte, (nItems & 0xff).toByte) ++
+        infes.flatten.toArray)
+    val ispe = fullBox("ispe", be32(width) ++ be32(height))
+    val pixi = fullBox("pixi", Array[Byte](1, depth.toByte))
+    val ipco = box("ipco", ispe ++ pixi)
+    val iprp = box("iprp", ipco)
+    val meta = fullBox("meta", hdlr ++ iinf ++ iprp)
+    ftyp ++ meta
+  }
+
   // --------------------------------------------------- per-track walk
 
   final case class TrackMeta(handler: String, timescale: Long,

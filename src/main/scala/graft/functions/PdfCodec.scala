@@ -1268,4 +1268,299 @@ object PdfCodec {
     sb.append(s" >>\nstartxref\n$xrefAt\n%%EOF\n")
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
+
+  // ---------------------------------- standard security handler (RC4)
+  //
+  // Encrypted-PDF support for the empty-user-password majority: the
+  // standard security handler, V1/V2 (RC4) at R2/R3 (ISO 32000-1
+  // §7.6.3 algorithms 2-7, all formula/procedure, implementable and
+  // self-gated by an in-repo encrypter + U-entry authentication). RC4
+  // is length-preserving, so decryption happens IN PLACE on a copy of
+  // the document bytes — every xref offset and /Length stays valid and
+  // the whole existing extraction stack (TJ/CMap/ObjStm/incremental)
+  // runs on the decrypted bytes unchanged. Scope stated honestly:
+  // streams are decrypted (that is where extractable text lives);
+  // V4/V5 AES and non-empty user passwords return None (the census
+  // still reports them); in-dict literal strings are left encrypted
+  // (no fixture writes them — a TODO the census quantifies, not a
+  // silent wrong answer).
+
+  /** The spec's 32-byte password pad (ISO 32000-1 Table 7.6.3.3-1). */
+  private val PdfPad: Array[Byte] = Array(
+    0x28, 0xbf, 0x4e, 0x5e, 0x4e, 0x75, 0x8a, 0x41,
+    0x64, 0x00, 0x4e, 0x56, 0xff, 0xfa, 0x01, 0x08,
+    0x2e, 0x2e, 0x00, 0xb6, 0xd0, 0x68, 0x3e, 0x80,
+    0x2f, 0x0c, 0xa9, 0xfe, 0x64, 0x53, 0x69, 0x7a).map(_.toByte)
+
+  /** Plain RC4 (the spec's symmetric cipher for V1/V2). */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val st = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + st(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = st(i); st(i) = st(j); st(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + st(x)) & 0xff
+      val t = st(x); st(x) = st(y); st(y) = t
+      out(k) = (data(k) ^ st((st(x) + st(y)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def pad32(pwd: Array[Byte]): Array[Byte] =
+    (pwd.take(32) ++ PdfPad).take(32)
+
+  private def leInt(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Algorithm 2: the file encryption key from a (user) password. */
+  private[functions] def stdFileKey(r: Int, lenBytes: Int, o: Array[Byte],
+                                    p: Int, id0: Array[Byte],
+                                    userPwd: Array[Byte]): Array[Byte] = {
+    var h = md5(pad32(userPwd), o, leInt(p), id0)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(lenBytes)); i += 1 }
+    }
+    h.take(lenBytes)
+  }
+
+  /** Algorithm 3: the /O entry from owner + user passwords. */
+  private[functions] def stdOEntry(r: Int, lenBytes: Int,
+                                   ownerPwd: Array[Byte],
+                                   userPwd: Array[Byte]): Array[Byte] = {
+    var h = md5(pad32(ownerPwd))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h); i += 1 }
+    }
+    val key = h.take(lenBytes)
+    var o = rc4(key, pad32(userPwd))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        o = rc4(key.map(b => (b ^ i).toByte), o)
+        i += 1
+      }
+    }
+    o
+  }
+
+  /** Algorithms 4/5: the /U entry from the file key. */
+  private[functions] def stdUEntry(r: Int, fileKey: Array[Byte],
+                                   id0: Array[Byte]): Array[Byte] =
+    if (r == 2) rc4(fileKey, PdfPad)
+    else {
+      var u = rc4(fileKey, md5(PdfPad, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u ++ new Array[Byte](16)
+    }
+
+  /** Per-object key (§7.6.2): md5(fileKey + obj(3 LE) + gen(2 LE)),
+    * first min(len+5, 16) bytes. */
+  private def objectKey(fileKey: Array[Byte], num: Int, gen: Int): Array[Byte] =
+    md5(fileKey, Array(
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      .take(math.min(fileKey.length + 5, 16))
+
+  final case class PdfEncryptMeta(v: Int, r: Int, lengthBits: Int,
+                                  standard: Boolean, emptyUserPwd: Boolean)
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.filterNot(_.isWhitespace).grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  /** Locate and parse the /Encrypt dictionary + the first /ID string:
+    * (V, R, length bytes, P, O, U, id0, standard filter). */
+  private def encryptDict(s: String)
+      : Option[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])] = {
+    val trailerAt = s.lastIndexOf("trailer")
+    val scope = if (trailerAt >= 0) s.substring(trailerAt) else s
+    val em = java.util.regex.Pattern
+      .compile("/Encrypt\\s+(\\d+)\\s+\\d+\\s+R").matcher(scope)
+    if (!em.find()) return None
+    val encNum = em.group(1).toInt
+    val im = java.util.regex.Pattern
+      .compile("/ID\\s*\\[\\s*<([0-9A-Fa-f]+)>").matcher(s)
+    val id0 = if (im.find()) hexBytes(im.group(1)) else Array.emptyByteArray
+    val om = java.util.regex.Pattern
+      .compile(s"(?s)$encNum\\s+\\d+\\s+obj(.*?)endobj").matcher(s)
+    if (!om.find()) return None
+    val dict = om.group(1)
+    if (!dict.contains("/Standard")) return None
+    def num(key: String, dflt: Int): Int = {
+      val m = java.util.regex.Pattern
+        .compile(key + "\\s+(-?\\d+)").matcher(dict)
+      if (m.find()) m.group(1).toInt else dflt
+    }
+    def hexStr(key: String): Option[Array[Byte]] = {
+      val m = java.util.regex.Pattern
+        .compile(key + "\\s*<([0-9A-Fa-f]+)>").matcher(dict)
+      if (m.find()) Some(hexBytes(m.group(1))) else None
+    }
+    val v = num("/V", 0)
+    val r = num("/R", 2)
+    val lenBits = num("/Length", 40)
+    val p = num("/P", -1)
+    for (o <- hexStr("/O"); u <- hexStr("/U"))
+      yield (v, r, lenBits / 8, p, o, u, id0)
+  }
+
+  /** ENCRYPTION CENSUS: handler kind, V/R, key length, and whether the
+    * empty user password authenticates (algorithm 6) — the governance
+    * split between "decryptable majority" and "actually locked". None
+    * when the document declares no /Encrypt. */
+  def encryptMeta(b: Array[Byte]): Option[PdfEncryptMeta] =
+    try {
+      val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      encryptDict(s).map { case (v, r, lenBytes, p, o, u, id0) =>
+        val open = (v == 1 || v == 2) && (r == 2 || r == 3) && {
+          val key = stdFileKey(r, lenBytes, o, p, id0, Array.emptyByteArray)
+          val u2 = stdUEntry(r, key, id0)
+          if (r == 2) java.util.Arrays.equals(u2, u)
+          else u.length >= 16 &&
+            java.util.Arrays.equals(u2.take(16), u.take(16))
+        }
+        PdfEncryptMeta(v, r, lenBytes * 8, standard = true, open)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Decrypt an RC4 standard-handler document with an EMPTY user
+    * password: every stream is RC4-decrypted in place (same length, so
+    * all offsets stay valid) and the decrypted bytes feed the normal
+    * extraction stack. None when not encrypted, not RC4/Standard, or
+    * the empty password does not authenticate. */
+  def decryptPdf(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val (v, r, lenBytes, p, o, u, id0) = encryptDict(s).getOrElse(return None)
+      if (!((v == 1 || v == 2) && (r == 2 || r == 3))) return None
+      val key = stdFileKey(r, lenBytes, o, p, id0, Array.emptyByteArray)
+      val u2 = stdUEntry(r, key, id0)
+      val authed =
+        if (r == 2) java.util.Arrays.equals(u2, u)
+        else u.length >= 16 && java.util.Arrays.equals(u2.take(16), u.take(16))
+      if (!authed) return None
+      val out = b.clone()
+      val objRe = java.util.regex.Pattern
+        .compile("(?s)(\\d+)\\s+(\\d+)\\s+obj(.*?)endobj").matcher(s)
+      while (objRe.find()) {
+        val num = objRe.group(1).toInt
+        val gen = objRe.group(2).toInt
+        val body = objRe.group(3)
+        val si = body.indexOf("stream")
+        if (si >= 0) {
+          var ds = objRe.start(3) + si + 6
+          if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+          if (ds >= s.length || s.charAt(ds) != '\n') return None
+          ds += 1
+          val lm = LengthRe.matcher(body.substring(0, si))
+          val end = (if (lm.find()) lm.group(1).toLongOption else None) match {
+            case Some(len) if len >= 0 && ds.toLong + len <= b.length =>
+              ds + len.toInt
+            case _ =>
+              val e = s.indexOf("endstream", ds)
+              if (e < 0) return None else e
+          }
+          val dec = rc4(objectKey(key, num, gen),
+            java.util.Arrays.copyOfRange(b, ds, end))
+          System.arraycopy(dec, 0, out, ds, dec.length)
+        }
+      }
+      Some(out)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Extraction through encryption: decrypt (empty user password),
+    * then the normal [[extractText]]. */
+  def extractTextEncrypted(b: Array[Byte]): Option[Seq[String]] =
+    decryptPdf(b).flatMap(extractText)
+
+  /** Fixture writer: the [[writePdfWithText]] layout with REAL RC4
+    * standard-handler encryption — content streams encrypted with
+    * per-object keys, /O from the owner password, /U authenticating
+    * the EMPTY user password, /ID present. `r` 2 (40-bit) or 3
+    * (variable length, default 128-bit). */
+  def writePdfEncryptedText(version: String, texts: Seq[String],
+                            ownerPwd: String, r: Int = 3,
+                            lenBits: Int = 128,
+                            flate: Boolean = false): Array[Byte] = {
+    val nPages = texts.length
+    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
+    require(r == 2 || r == 3, "R2 or R3")
+    require(if (r == 2) lenBits == 40 else lenBits % 8 == 0 &&
+      lenBits >= 40 && lenBits <= 128, "bad length")
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val lenBytes = lenBits / 8
+    val pFlags = -44
+    val id0 = md5(texts.mkString("|").getBytes(iso)).take(16)
+    val oEntry = stdOEntry(r, lenBytes, ownerPwd.getBytes(iso),
+      Array.emptyByteArray)
+    val fileKey = stdFileKey(r, lenBytes, oEntry, pFlags, id0,
+      Array.emptyByteArray)
+    val uEntry = stdUEntry(r, fileKey, id0)
+    def hex(a: Array[Byte]): String = a.map("%02X".format(_)).mkString
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$version\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    val fontObj = 3 + 2 * nPages
+    for (k <- 0 until nPages)
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Contents ${3 + nPages + k} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+    for ((t, k) <- texts.zipWithIndex) {
+      val ops = s"BT /F1 12 Tf 72 720 Td (${escape(t)}) Tj ET"
+      val plain =
+        if (flate) deflate(ops.getBytes(iso)) else ops.getBytes(iso)
+      val objNum = 3 + nPages + k
+      val enc = rc4(objectKey(fileKey, objNum, 0), plain)
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      obj(s"<< /Length ${enc.length}$filter >>\nstream\n" +
+        new String(enc, iso) + "\nendstream")
+    }
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
+      (if (r == 3) s"/Length $lenBits " else "") +
+      s"/P $pFlags /O <${hex(oEntry)}> /U <${hex(uEntry)}> >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(of => sb.append(f"$of%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R " +
+      s"/Encrypt ${offsets.length} 0 R " +
+      s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(iso)
+  }
 }

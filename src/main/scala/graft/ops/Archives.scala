@@ -702,6 +702,48 @@ object Archives {
        |""".stripMargin
   }
 
+  /** Brotli extraction over REFERENCE-ENCODER streams: each doc picks
+    * one of the embedded [[graft.functions.BrotliCliFixtures]] streams
+    * (brotli 1.2.0 output at qualities 1-11 over text / binary / UTF-8
+    * payloads, incl. static-dictionary words, transforms, and context
+    * maps) and fully decodes it with [[graft.functions.BrotliCodec]] —
+    * the oracle carries the reference lengths and md5s. Map-only. */
+  def brotliExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{BrotliCliFixtures, BrotliCodec}
+    val nFix = BrotliCliFixtures.all.length
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.flatMap { id =>
+          val v = (id % nFix).toInt
+          val f = BrotliCliFixtures.all(v)
+          BrotliCodec.decode(f.stream).map { c =>
+            (id, v, c.length, md.digest(c).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "variant", "content_len", "content_md5")
+      .select(col("doc_id"), col("variant").cast("int").as("variant"),
+        col("content_len").cast("int").as("content_len"), col("content_md5"))
+  }
+
+  val brotliExtractOracle: String = {
+    val fx = graft.functions.BrotliCliFixtures.all
+    val rows = fx.zipWithIndex
+      .map { case (f, v) => s"($v, ${f.outLen}, '${f.outMd5}')" }
+      .mkString(",\n        ")
+    s"""WITH exp(variant, content_len, content_md5) AS (VALUES
+       |        $rows)
+       |SELECT d.doc_id,
+       |       CAST(e.variant AS INT) AS variant,
+       |       CAST(e.content_len AS INT) AS content_len,
+       |       e.content_md5
+       |FROM documents d
+       |JOIN exp e ON e.variant = CAST(d.doc_id % ${fx.length} AS INT)
+       |""".stripMargin
+  }
+
   // ------------------------------------------------ OOXML (docx) layer
 
   /** Build a minimal valid .docx: a zip with [Content_Types].xml and

@@ -1206,6 +1206,46 @@ object Multimodal {
       |     unnest(generate_series(0, 2 * (2 + doc_id % 3) - 1)) u(f)
       |""".stripMargin
 
+  /** AVIF/HEIF census — brand, ispe dimensions, pixi bit depth, iinf
+    * item count over formula-built containers ([[graft.functions
+    * .IsoBmff.writeAvif]]): the fastest-growing image container joins
+    * the format-census family. Header-only, map-only. */
+  def avifCensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.IsoBmff
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val brands = Array("avif", "avis", "heic", "mif1")
+          val brand = brands((id % 4).toInt)
+          val w = 16 + (id % 100)
+          val h = 16 + (id % 64)
+          val depths = Array(8, 10, 12)
+          val depth = depths((id % 3).toInt)
+          val n = 1 + (id % 4).toInt
+          val bytes = IsoBmff.writeAvif(brand, w, h, depth, n)
+          IsoBmff.avifCensus(bytes).map(m =>
+            (id, m.brand, m.width, m.height, m.depth, m.nItems))
+        }
+      }
+      .toDF("doc_id", "brand", "width", "height", "depth", "n_items")
+      .select(col("doc_id"), col("brand"), col("width"), col("height"),
+        col("depth").cast("int").as("depth"),
+        col("n_items").cast("int").as("n_items"))
+  }
+
+  val avifCensusOracle: String =
+    """SELECT doc_id,
+      |       CASE doc_id % 4 WHEN 0 THEN 'avif' WHEN 1 THEN 'avis'
+      |            WHEN 2 THEN 'heic' ELSE 'mif1' END AS brand,
+      |       CAST(16 + doc_id % 100 AS BIGINT) AS width,
+      |       CAST(16 + doc_id % 64 AS BIGINT) AS height,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 10
+      |            ELSE 12 END AS INT) AS depth,
+      |       CAST(1 + doc_id % 4 AS INT) AS n_items
+      |FROM documents
+      |""".stripMargin
+
   // ---------------------------------------------- GIF animation census
 
   /** Formula-built animated GIFs: (id%4)+2 frames, (id%7+1)·5 cs per
@@ -1908,6 +1948,60 @@ object Multimodal {
       |       CAST(length(txt) AS BIGINT) AS n_chars,
       |       md5(txt) AS text_md5,
       |       CAST(doc_id % 3 + 4 AS INT) AS objstm_objs
+      |FROM t
+      |""".stripMargin
+
+  /** ENCRYPTED-PDF extraction: each doc is an RC4 standard-security-
+    * handler document (R2 40-bit / R3 128-bit rotating, flate rotating,
+    * per-doc owner password) whose text is reachable ONLY after
+    * empty-user-password authentication (algorithm 6) and per-object
+    * RC4 stream decryption — the decrypt is in place (RC4 preserves
+    * length), then the normal extraction stack runs. The census arm
+    * (`r`, `len_bits`, `open`) rides along per page. Map-only. */
+  def pdfEncryptedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val texts = (0 until (id % 3).toInt + 1).map(p =>
+            s"rc4 locked doc $id page $p official")
+          val r = 2 + (id % 2).toInt
+          val len = if (r == 2) 40 else 128
+          val pdf = graft.functions.PdfCodec.writePdfEncryptedText(
+            "1.4", texts, s"owner-$id", r, len, flate = id % 3 == 0)
+          val meta = graft.functions.PdfCodec.encryptMeta(pdf)
+          graft.functions.PdfCodec.extractTextEncrypted(pdf).toSeq
+            .flatMap { pages =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              pages.zipWithIndex.map { case (t, p) =>
+                (id, p, t.length.toLong,
+                  md.digest(t.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString,
+                  r, len, meta.exists(_.emptyUserPwd))
+              }
+            }
+        }
+      }
+      .toDF("doc_id", "page_id", "n_chars", "text_md5", "r", "len_bits",
+        "open")
+      .select(col("doc_id"), col("page_id").cast("int").as("page_id"),
+        col("n_chars"), col("text_md5"), col("r").cast("int").as("r"),
+        col("len_bits").cast("int").as("len_bits"), col("open"))
+  }
+
+  val pdfEncryptedOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, p,
+      |         'rc4 locked doc ' || CAST(doc_id AS VARCHAR) || ' page ' ||
+      |         CAST(p AS VARCHAR) || ' official' AS txt
+      |  FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS INT))) u(p))
+      |SELECT doc_id, CAST(p AS INT) AS page_id,
+      |       CAST(length(txt) AS BIGINT) AS n_chars,
+      |       md5(txt) AS text_md5,
+      |       CAST(2 + doc_id % 2 AS INT) AS r,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 40 ELSE 128 END AS INT)
+      |         AS len_bits,
+      |       TRUE AS open
       |FROM t
       |""".stripMargin
 
