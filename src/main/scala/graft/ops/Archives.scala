@@ -456,6 +456,141 @@ object Archives {
        |FROM h
        |""".stripMargin
 
+  // ------------------------------------------ HTTP content encodings
+
+  /** HTTP `Content-Encoding` dispatch — the decode step between a WARC
+    * response and its body that a crawl pipeline runs on every record:
+    * identity, gzip (multi-member tolerated), deflate (zlib-wrapped,
+    * with the raw-deflate fallback real servers force on clients), and
+    * brotli via [[graft.functions.BrotliCodec]]. Unknown codings or
+    * hostile payloads → None; output gated at 2^26 bytes. */
+  private[graft] def decodeContentEncoding(enc: String,
+                                           body: Array[Byte])
+      : Option[Array[Byte]] =
+    enc.trim.toLowerCase match {
+      case "" | "identity" => Some(body)
+      case "gzip" | "x-gzip" =>
+        try {
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(body))
+          val out = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = gz.read(tmp)
+          while (n >= 0 && out.size <= (1 << 26)) {
+            out.write(tmp, 0, n); n = gz.read(tmp)
+          }
+          if (out.size > (1 << 26)) None else Some(out.toByteArray)
+        } catch { case _: java.io.IOException => None }
+      case "deflate" =>
+        def inflateWith(raw: Boolean): Option[Array[Byte]] =
+          try {
+            val inf = new java.util.zip.Inflater(raw)
+            inf.setInput(body)
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!inf.finished() && out.size <= (1 << 26)) {
+              val n = inf.inflate(tmp)
+              if (n == 0 && inf.needsInput()) return None // truncated
+              out.write(tmp, 0, n)
+            }
+            inf.end()
+            if (out.size > (1 << 26)) None else Some(out.toByteArray)
+          } catch {
+            case _: java.util.zip.DataFormatException => None
+          }
+        inflateWith(raw = false).orElse(inflateWith(raw = true))
+      case "br" => graft.functions.BrotliCodec.decode(body)
+      case _ => None
+    }
+
+  /** WARC responses across the four real web content-codings: per doc
+    * one response whose body is the formula page under identity / gzip
+    * / deflate, or (every 4th doc) a REFERENCE-encoder brotli stream
+    * from [[graft.functions.BrotliCliFixtures]] — the full pipeline
+    * shape: gzip-member container → WARC record → HTTP head/body cut →
+    * Content-Encoding dispatch → bytes. Map-only. */
+  def warcContentEncodingQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BrotliCliFixtures
+    val nFix = BrotliCliFixtures.all.length
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          val enc = Seq("identity", "gzip", "deflate", "br")((id % 4).toInt)
+          val html = htmlOf(id, text).getBytes("UTF-8")
+          val body: Array[Byte] = enc match {
+            case "identity" => html
+            case "gzip" => gzipMember(html)
+            case "deflate" =>
+              val d = new java.util.zip.Deflater()
+              d.setInput(html); d.finish()
+              val out = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](8192)
+              while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+              d.end()
+              out.toByteArray
+            case _ => BrotliCliFixtures.all(((id / 4) % nFix).toInt).stream
+          }
+          val encHeader =
+            if (enc == "identity") "" else s"Content-Encoding: $enc\r\n"
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+            encHeader + s"Content-Length: ${body.length}\r\n\r\n")
+            .getBytes("UTF-8") ++ body
+          val resp = warcRecord("response",
+            Seq("WARC-Target-URI" -> s"http://example.com/doc/$id",
+                "Content-Type" -> "application/http; msgtype=response"),
+            http)
+          val warc = gzipMember(resp)
+          // ---- the read side
+          warcRecordsOf(warc).flatMap { case (_, payload) =>
+            val cut = headBodyCut(payload)
+            if (cut < 0) None
+            else {
+              val head = new String(payload, 0, cut, "ISO-8859-1")
+              val ce = head.linesIterator
+                .find(_.toLowerCase.startsWith("content-encoding:"))
+                .map(_.split(":", 2)(1).trim).getOrElse("identity")
+              decodeContentEncoding(ce,
+                java.util.Arrays.copyOfRange(payload, cut + 4,
+                  payload.length)).map { content =>
+                (id, ce, content.length.toLong,
+                  md.digest(content).map("%02x".format(_)).mkString)
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "encoding", "content_len", "content_md5")
+  }
+
+  val warcContentEncodingOracle: String = {
+    val fx = graft.functions.BrotliCliFixtures.all
+    val rows = fx.zipWithIndex
+      .map { case (f, v) => s"($v, ${f.outLen}, '${f.outMd5}')" }
+      .mkString(",\n        ")
+    s"""WITH exp(variant, content_len, content_md5) AS (VALUES
+       |        $rows),
+       |h AS (
+       |  SELECT doc_id,
+       |         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+       |         '</title></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |         '</h1><p>' || replace(text, ' ', '</p><p>') ||
+       |         '</p></body></html>' AS html
+       |  FROM documents)
+       |SELECT h.doc_id,
+       |       CASE h.doc_id % 4 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+       |            WHEN 2 THEN 'deflate' ELSE 'br' END AS encoding,
+       |       CASE WHEN h.doc_id % 4 = 3 THEN e.content_len
+       |            ELSE CAST(length(html) AS BIGINT) END AS content_len,
+       |       CASE WHEN h.doc_id % 4 = 3 THEN e.content_md5
+       |            ELSE md5(html) END AS content_md5
+       |FROM h LEFT JOIN exp e
+       |  ON h.doc_id % 4 = 3 AND e.variant = CAST((h.doc_id // 4) % ${fx.length} AS INT)
+       |""".stripMargin
+  }
+
   // -------------------------------------------------- charset round-trip
 
   /** Per-mode non-ASCII marker text (unicode escapes, NOT literals, so

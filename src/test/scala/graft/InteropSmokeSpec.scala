@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-implementation interop smokes — the deployment seam the
+  * round-11 verdict asked to put next to [[PostgresSmokeSpec]]: the
+  * Vorbis, PDF, and MP3 codecs are gated in-repo by own-encoder round
+  * trips + spec laws (no reference decoders in this container); their
+  * first deployment should run THESE suites against real tools.
+  * Env-var gated so they cancel (not fail) when a tool is absent:
+  *
+  * {{{
+  * GRAFT_OGGDEC_CMD=oggdec GRAFT_PDFTOTEXT_CMD=pdftotext \
+  * GRAFT_MPG123_CMD=mpg123 sbt "testOnly graft.InteropSmokeSpec"
+  * }}}
+  *
+  * Two probes are NOT gated because this container can run them:
+  *  - the brotli LIVE round trip drives the reference encoder
+  *    (brotlicffi) over fresh payloads at test time — a stronger gate
+  *    than the frozen [[graft.functions.BrotliCliFixtures]];
+  *  - a REAL-WORLD MP3 (an Apache-licensed test asset shipped with
+  *    the container's gsutil) pins the census on bytes this repo did
+  *    not write, and pins the decoder's honest-refusal contract
+  *    (MPEG-2, big-value Huffman → None, never garbage). */
+class InteropSmokeSpec extends AnyFunSuite {
+
+  private def run(cmd: Seq[String]): Int =
+    new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+
+  private def tmp(suffix: String): java.io.File = {
+    val f = java.io.File.createTempFile("graft_interop", suffix)
+    f.deleteOnExit()
+    f
+  }
+
+  // ------------------------------------------------- in-container
+
+  test("real-world MP3: census reads it, sample decode refuses honestly") {
+    val path = java.nio.file.Paths.get("/usr/lib/google-cloud-sdk/" +
+      "platform/gsutil/gslib/tests/test_data/test.mp3")
+    assume(java.nio.file.Files.exists(path), "gsutil test asset absent")
+    val b = java.nio.file.Files.readAllBytes(path)
+    val m = graft.functions.Mp3Codec.meta(b).getOrElse(fail("census failed"))
+    // MPEG-2 Layer III mono: identity reported, V1L3-scoped fields
+    // keep their -1 sentinels
+    assert(m.version == "2" && m.layer == 3 && m.channels == 1)
+    assert(m.id3Size == 32 && m.bitrateKbps == -1 && m.frames == -1L)
+    // sample decode: MPEG-2 is out of shipped scope → None, no throw
+    assert(graft.functions.Mp3Layer3.decodePcm(b).isEmpty)
+    // tag walk survives real bytes
+    graft.functions.Mp3Codec.readId3(b)
+  }
+
+  test("brotli LIVE reference round-trip (fresh payloads, all qualities)") {
+    val pkg = new java.io.File("/root/miniconda/pkgs")
+    val cffi = Option(pkg.listFiles())
+      .flatMap(_.find(_.getName.startsWith("brotlicffi-")))
+      .map(d => d.getAbsolutePath + "/lib/python3.13/site-packages")
+    assume(cffi.isDefined, "brotlicffi not present")
+    val rnd = new scala.util.Random(42)
+    val payloads: Seq[Array[Byte]] = Seq(
+      ("The people of the time said this work is free and open. " * 9)
+        .getBytes("UTF-8"),
+      Array.tabulate(5000)(i => ((i * 31 + (i >> 5)) & 0xff).toByte),
+      Array.fill(2000)(rnd.nextInt(256).toByte),
+      ("日本語のテキストと русский текст. " * 30).getBytes("UTF-8"))
+    for ((p, pi) <- payloads.zipWithIndex; q <- Seq(2, 7, 11)) {
+      val in = tmp(".bin"); val outF = tmp(".br")
+      java.nio.file.Files.write(in.toPath, p)
+      // the cffi build is cpython-3.13-specific: pin the interpreter it
+      // shipped with rather than whatever python3 is on the fork's PATH
+      val py = Seq("/root/miniconda/bin/python3", "python3")
+        .find(p => p == "python3" || new java.io.File(p).exists()).get
+      val code = {
+        val pb = new ProcessBuilder(py, "-c",
+          s"import brotlicffi,sys;" +
+            s"open('${outF.getAbsolutePath}','wb').write(" +
+            s"brotlicffi.compress(open('${in.getAbsolutePath}','rb')" +
+            s".read(), quality=$q))")
+        pb.environment().put("PYTHONPATH", cffi.get)
+        pb.inheritIO().start().waitFor()
+      }
+      assert(code == 0, s"reference encoder failed p$pi q$q")
+      val stream = java.nio.file.Files.readAllBytes(outF.toPath)
+      val dec = graft.functions.BrotliCodec.decode(stream)
+        .getOrElse(fail(s"decode failed p$pi q$q (${stream.length} B)"))
+      assert(java.util.Arrays.equals(dec, p), s"mismatch p$pi q$q")
+    }
+  }
+
+  // ------------------------------------------------- deploy-gated
+
+  test("libvorbis interop: oggdec decodes our encoder's stream") {
+    val cmd = sys.env.get("GRAFT_OGGDEC_CMD")
+    assume(cmd.isDefined, "set GRAFT_OGGDEC_CMD to run")
+    import graft.functions.VorbisCodec
+    val n = 2000
+    val gen: (Int, Int) => Int = (f, _) => ((f % 64) - 32) * 64
+    val ogg = VorbisCodec.writeVorbisPcm(8000, 1, n, gen)
+    val in = tmp(".ogg"); val out = tmp(".wav")
+    java.nio.file.Files.write(in.toPath, ogg)
+    assert(run(Seq(cmd.get, "-o", out.getAbsolutePath,
+      in.getAbsolutePath)) == 0)
+    val wav = graft.functions.AudioCodec.decodeSamples(
+      java.nio.file.Files.readAllBytes(out.toPath)).getOrElse(
+      fail("oggdec output unreadable"))
+    assert(wav.sampleRate == 8000 && wav.channels == 1)
+    for (i <- 0 until n)
+      assert(math.abs(wav.samples(i) - gen(i, 0)) <= 32,
+        s"sample $i: ${wav.samples(i)} vs ${gen(i, 0)}")
+  }
+
+  test("poppler interop: pdftotext reads our writers' documents") {
+    val cmd = sys.env.get("GRAFT_PDFTOTEXT_CMD")
+    assume(cmd.isDefined, "set GRAFT_PDFTOTEXT_CMD to run")
+    import graft.functions.PdfCodec
+    val texts = Seq("alpha bravo charlie", "delta echo")
+    for ((pdf, tag) <- Seq(
+      PdfCodec.writePdfWithText("1.4", texts) -> "plain",
+      PdfCodec.writePdfObjStm("1.6", texts) -> "objstm",
+      PdfCodec.writePdfEncryptedText("1.4", texts, "owner") -> "rc4")) {
+      val in = tmp(".pdf"); val out = tmp(".txt")
+      java.nio.file.Files.write(in.toPath, pdf)
+      assert(run(Seq(cmd.get, in.getAbsolutePath,
+        out.getAbsolutePath)) == 0, s"pdftotext failed on $tag")
+      val got = new String(java.nio.file.Files.readAllBytes(out.toPath),
+        "UTF-8")
+      texts.foreach(t => assert(got.contains(t), s"$tag missing '$t'"))
+    }
+  }
+
+  test("mpg123 interop: a reference decoder accepts our MP3 encoder") {
+    val cmd = sys.env.get("GRAFT_MPG123_CMD")
+    assume(cmd.isDefined, "set GRAFT_MPG123_CMD to run")
+    import graft.functions.Mp3Layer3
+    val (pcm, mp3) = Mp3Layer3.writeMp3Fixture(44100, 1, 8, 77L,
+      Mp3Layer3.Mp3Opts(reservoir = true))
+    val in = tmp(".mp3"); val out = tmp(".wav")
+    java.nio.file.Files.write(in.toPath, mp3)
+    assert(run(Seq(cmd.get, "-q", "-w", out.getAbsolutePath,
+      in.getAbsolutePath)) == 0)
+    val wav = graft.functions.AudioCodec.decodeSamples(
+      java.nio.file.Files.readAllBytes(out.toPath)).getOrElse(
+      fail("mpg123 output unreadable"))
+    // alignment differs by the decoder's own delay convention: gate on
+    // normalized cross-correlation peak instead of exact samples
+    val ref = pcm(0)
+    val dec = wav.samples.map(_.toDouble)
+    var best = 0.0
+    for (lag <- -2000 to 2000) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < ref.length) {
+        val j = i + lag
+        if (j >= 0 && j < dec.length) {
+          dot += ref(i) * dec(j); na += ref(i) * ref(i); nb += dec(j) * dec(j)
+        }
+        i += 1
+      }
+      if (na > 0 && nb > 0) best = math.max(best, dot / math.sqrt(na * nb))
+    }
+    assert(best > 0.98, f"cross-correlation peak $best%.4f")
+  }
+}
