@@ -591,6 +591,55 @@ object Archives {
        |""".stripMargin
   }
 
+  /** WOFF2 web-font census — header + directory + reference-brotli
+    * blob over the embedded [[graft.functions.Woff2Fixtures]] (the
+    * container ships no font tooling, so fixtures carry reference-
+    * compressed blobs the way [[zstdCliQuery]]'s frames do): per doc
+    * one fixture, reporting the table count, whether the blob
+    * decompresses to the directory's exact length sum, and the
+    * extracted `name` table's md5. Map-only. */
+  def woff2CensusQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Woff2Codec, Woff2Fixtures}
+    val nFix = Woff2Fixtures.all.length
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.flatMap { id =>
+          val v = (id % nFix).toInt
+          val f = Woff2Fixtures.all(v)
+          for {
+            m <- Woff2Codec.census(f.bytes)
+            name <- Woff2Codec.extractTable(f.bytes, "name")
+          } yield (id, v, m.numTables, m.blobOk, m.blobLen,
+            md.digest(name).map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "variant", "n_tables", "blob_ok", "blob_len",
+        "name_md5")
+      .select(col("doc_id"), col("variant").cast("int").as("variant"),
+        col("n_tables").cast("int").as("n_tables"), col("blob_ok"),
+        col("blob_len"), col("name_md5"))
+  }
+
+  val woff2CensusOracle: String = {
+    val fx = graft.functions.Woff2Fixtures.all
+    val rows = fx.zipWithIndex
+      .map { case (f, v) => s"($v, ${f.nTables}, ${f.blobLen}, '${f.nameMd5}')" }
+      .mkString(",\n        ")
+    s"""WITH exp(variant, n_tables, blob_len, name_md5) AS (VALUES
+       |        $rows)
+       |SELECT d.doc_id,
+       |       CAST(e.variant AS INT) AS variant,
+       |       CAST(e.n_tables AS INT) AS n_tables,
+       |       TRUE AS blob_ok,
+       |       CAST(e.blob_len AS BIGINT) AS blob_len,
+       |       e.name_md5
+       |FROM documents d
+       |JOIN exp e ON e.variant = CAST(d.doc_id % ${fx.length} AS INT)
+       |""".stripMargin
+  }
+
   // -------------------------------------------------- charset round-trip
 
   /** Per-mode non-ASCII marker text (unicode escapes, NOT literals, so
