@@ -135,9 +135,9 @@ object BrotliCodec {
   // --------------------------------------------------- fixed tables
   private val ClOrder =
     Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
-  private val ClPeekLen =
+  private[functions] val ClPeekLen =
     Array(2, 2, 2, 3, 2, 2, 2, 4, 2, 2, 2, 3, 2, 2, 2, 4)
-  private val ClPeekVal =
+  private[functions] val ClPeekVal =
     Array(0, 4, 3, 2, 0, 4, 3, 1, 0, 4, 3, 2, 0, 4, 3, 5)
 
   private val InsBase = Array(0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34,
@@ -172,7 +172,7 @@ object BrotliCodec {
   }
 
   /** §3.4/3.5: read one prefix code over `alphabet` symbols. */
-  private def readPrefixCode(br: BitReader, alphabet: Int): Prefix = {
+  private[functions] def readPrefixCode(br: BitReader, alphabet: Int): Prefix = {
     val hskip = br.readBits(2)
     if (hskip == 1) {
       // simple code: 1-4 symbols
@@ -257,7 +257,9 @@ object BrotliCodec {
           }
         }
       }
-      if (symSpace != 0) bail("L257")
+      // under-full is legal ONLY as a single-symbol code (§3.5): one
+      // nonzero length decodes with zero bits; any other deficit bails
+      if (symSpace != 0 && lengths.count(_ > 0) != 1) bail("L257")
       new Prefix(lengths)
     }
   }
@@ -376,9 +378,9 @@ object BrotliCodec {
           if (n != 0) 17 + n
           else {
             val m = br.readBits(3)
-            if (m == 3) return None // reserved / large-window
+            if (m == 1) return None // reserved (large-window extension)
             else if (m == 0) 17
-            else 8 + m
+            else 8 + m // 2..7 → WBITS 10..15
           }
         }
       val windowSize = (1 << wbits) - 16

@@ -191,6 +191,9 @@ object PdfCodec {
   private val LengthRe = java.util.regex.Pattern.compile(
     "/Length\\s+(\\d+)")
 
+  private val XrefTypeRe = java.util.regex.Pattern.compile(
+    "/Type\\s*/XRef\\b")
+
   /** zlib-inflate (RFC 1950 — PDF FlateDecode is zlib-wrapped) with a
     * 16 MiB output bound; None on corrupt data. */
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
@@ -1404,8 +1407,10 @@ object PdfCodec {
     val im = java.util.regex.Pattern
       .compile("/ID\\s*\\[\\s*<([0-9A-Fa-f]+)>").matcher(s)
     val id0 = if (im.find()) hexBytes(im.group(1)) else Array.emptyByteArray
+    // (?<!\d) anchors the object number's left edge so "/Encrypt 12 0 R"
+    // cannot match inside an unrelated "112 0 obj" header
     val om = java.util.regex.Pattern
-      .compile(s"(?s)$encNum\\s+\\d+\\s+obj(.*?)endobj").matcher(s)
+      .compile(s"(?s)(?<!\\d)$encNum\\s+\\d+\\s+obj(.*?)endobj").matcher(s)
     if (!om.find()) return None
     val dict = om.group(1)
     if (!dict.contains("/Standard")) return None
@@ -1472,7 +1477,12 @@ object PdfCodec {
         val gen = objRe.group(2).toInt
         val body = objRe.group(3)
         val si = body.indexOf("stream")
-        if (si >= 0) {
+        // ISO 32000-1 §7.5.8.2: cross-reference streams are NEVER
+        // encrypted — RC4-ing one would corrupt the xref table that
+        // locates every other object
+        val isXref = si >= 0 &&
+          XrefTypeRe.matcher(body.substring(0, si)).find()
+        if (si >= 0 && !isXref) {
           var ds = objRe.start(3) + si + 6
           if (ds < s.length && s.charAt(ds) == '\r') ds += 1
           if (ds >= s.length || s.charAt(ds) != '\n') return None

@@ -482,22 +482,26 @@ object Archives {
           if (out.size > (1 << 26)) None else Some(out.toByteArray)
         } catch { case _: java.io.IOException => None }
       case "deflate" =>
-        def inflateWith(raw: Boolean): Option[Array[Byte]] =
+        def inflateWith(raw: Boolean): Option[Array[Byte]] = {
+          val inf = new java.util.zip.Inflater(raw)
           try {
-            val inf = new java.util.zip.Inflater(raw)
             inf.setInput(body)
             val out = new java.io.ByteArrayOutputStream()
             val tmp = new Array[Byte](8192)
             while (!inf.finished() && out.size <= (1 << 26)) {
               val n = inf.inflate(tmp)
-              if (n == 0 && inf.needsInput()) return None // truncated
+              // n == 0 while unfinished: truncated input, or a zlib
+              // FDICT stream demanding a preset dictionary we don't
+              // have — both are refusals, never a spin
+              if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+                return None
               out.write(tmp, 0, n)
             }
-            inf.end()
             if (out.size > (1 << 26)) None else Some(out.toByteArray)
           } catch {
             case _: java.util.zip.DataFormatException => None
-          }
+          } finally inf.end()
+        }
         inflateWith(raw = false).orElse(inflateWith(raw = true))
       case "br" => graft.functions.BrotliCodec.decode(body)
       case _ => None
