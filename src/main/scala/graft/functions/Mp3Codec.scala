@@ -27,10 +27,15 @@ object Mp3Codec {
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
-  // MPEG1 Layer III bitrate table (kbps) and sample rates, ISO 11172-3
+  // MPEG1 Layer III bitrate table (kbps) and sample rates, ISO 11172-3;
+  // MPEG-2/2.5 LSF twins from ISO 13818-3
   private val BitratesV1L3 =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
   private val SampleRatesV1 = Array(44100, 48000, 32000)
+  private val BitratesV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SampleRatesV2 = Array(22050, 24000, 16000)
+  private val SampleRatesV25 = Array(11025, 12000, 8000)
 
   /** Syncsafe 28-bit size used by ID3v2 (4 × 7 bits, high bit clear). */
   private def syncsafe(b: Array[Byte], i: Int): Int =
@@ -60,24 +65,30 @@ object Mp3Codec {
       val brIdx = (u8(b, p + 2) >> 4) & 15
       val srIdx = (u8(b, p + 2) >> 2) & 3
       if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-      // the census scopes exact tables to the dominant MPEG1 Layer III;
-      // other version/layer combinations report their identity with the
-      // V1L3 table positions marked invalid (-1)
+      // exact tables for Layer III in all three MPEG versions (round
+      // 13: LSF decodes now, so the census reports it fully); Layer
+      // I/II report identity with table positions marked invalid (-1)
+      val lsf = versionBits != 3
       val (kbps, sr) =
-        if (version == "1" && layer == 3)
-          (BitratesV1L3(brIdx), SampleRatesV1(srIdx))
-        else (-1, -1)
+        if (layer != 3) (-1, -1)
+        else if (!lsf) (BitratesV1L3(brIdx), SampleRatesV1(srIdx))
+        else (BitratesV2L3(brIdx),
+          if (versionBits == 2) SampleRatesV2(srIdx)
+          else SampleRatesV25(srIdx))
       // channel mode is version-independent: mode 3 = single channel
       val channels = if (((u8(b, p + 3) >> 6) & 3) == 3) 1 else 2
       var frames = -1L
       var vbr = false
       if (kbps > 0 && sr > 0) {
         // Xing/Info tag sits after the side info (MPEG1: 17 B mono,
-        // 32 B stereo); a clear protection bit means a 16-bit CRC sits
-        // between header and side info, shifting the tag by 2; flags
-        // bit 0 gates the 32-bit frame count
+        // 32 B stereo; LSF: 9/17); a clear protection bit means a
+        // 16-bit CRC sits between header and side info, shifting the
+        // tag by 2; flags bit 0 gates the 32-bit frame count
         val crc = if ((u8(b, p + 1) & 1) == 0) 2 else 0
-        val tagOff = p + 4 + crc + (if (channels == 1) 17 else 32)
+        val sideLen =
+          if (lsf) { if (channels == 1) 9 else 17 }
+          else { if (channels == 1) 17 else 32 }
+        val tagOff = p + 4 + crc + sideLen
         val hasTag = tagOff + 8 <= b.length &&
           ((b(tagOff) == 'X' && b(tagOff + 1) == 'i' &&
             b(tagOff + 2) == 'n' && b(tagOff + 3) == 'g') ||
@@ -94,12 +105,13 @@ object Mp3Codec {
           }
         } else {
           // CBR estimate: whole frames in the post-tag byte span
-          val frameSize = 144000 * kbps / sr
+          val frameSize = (if (lsf) 72000 else 144000) * kbps / sr
           if (frameSize > 0) frames = (b.length - p).toLong / frameSize
         }
       }
       val durationMs =
-        if (frames >= 0 && sr > 0) frames * SamplesPerFrameV1L3 * 1000L / sr
+        if (frames >= 0 && sr > 0)
+          frames * (if (lsf) 576L else SamplesPerFrameV1L3) * 1000L / sr
         else -1L
       Some(Mp3Meta(version, layer, kbps, sr, id3, channels, frames,
         durationMs, vbr))
@@ -227,19 +239,28 @@ object Mp3Codec {
       }
       var frames = 0L
       var sr0 = -1
+      var lsf0 = false
+      var sawAny = false
       val rates = scala.collection.mutable.Set[Int]()
       while (p + 4 <= b.length && u8(b, p) == 0xff &&
-        (u8(b, p + 1) & 0xfe) == 0xfa) { // MPEG1 Layer III, either CRC bit
+        (u8(b, p + 1) & 0xe0) == 0xe0) { // Layer III, any MPEG version
+        val verBits = (u8(b, p + 1) >> 3) & 3
+        val layerBits = (u8(b, p + 1) >> 1) & 3
+        if (layerBits != 1 || verBits == 1) return None
+        val lsf = verBits != 3 // MPEG-2 / 2.5
         val brIdx = (u8(b, p + 2) >> 4) & 15
         val srIdx = (u8(b, p + 2) >> 2) & 3
         val padding = (u8(b, p + 2) >> 1) & 1
         if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-        val kbps = BitratesV1L3(brIdx)
-        val sr = SampleRatesV1(srIdx)
-        if (sr0 < 0) sr0 = sr
-        else if (sr != sr0) return None // mixed rates: out of scope
+        val kbps = if (lsf) BitratesV2L3(brIdx) else BitratesV1L3(brIdx)
+        val sr =
+          if (verBits == 3) SampleRatesV1(srIdx)
+          else if (verBits == 2) SampleRatesV2(srIdx)
+          else SampleRatesV25(srIdx)
+        if (!sawAny) { sr0 = sr; lsf0 = lsf; sawAny = true }
+        else if (sr != sr0 || lsf != lsf0) return None // mixed: out of scope
         rates += kbps
-        val frameSize = 144000 * kbps / sr + padding
+        val frameSize = (if (lsf) 72000 else 144000) * kbps / sr + padding
         if (frameSize <= 4) return None
         frames += 1
         if (frames > (1L << 22)) return None
@@ -247,7 +268,8 @@ object Mp3Codec {
       }
       if (frames == 0) None
       else Some(Mp3Walk(frames,
-        frames * SamplesPerFrameV1L3 * 1000L / sr0, rates.size))
+        frames * (if (lsf0) 576L else SamplesPerFrameV1L3) * 1000L / sr0,
+        rates.size))
     } catch {
       case _: IndexOutOfBoundsException => None
     }

@@ -6,35 +6,40 @@ package graft.functions
   * is own-encoder round-trip matrices, algorithmic spec laws, and
   * never-throw fuzz; see the conformance notes below).
   *
-  * What is spec-exact here (ISO/IEC 11172-3, all verifiable without a
-  * reference implementation because it is STRUCTURE or FORMULA, not
-  * tabulated data): the frame/side-info bit layout (§2.4.1.7), the bit
-  * reservoir (`main_data_begin` back-pointers, §2.4.2.7), scalefactor
-  * coding incl. scfsi sharing, the count1 Huffman table B (its 4-bit
-  * codes are the one's complement of the quadruple — algorithmic, no
-  * codeword data), big-value table 0 (the empty table: zero bits, all
-  * zeros), the requantization formula (§2.4.3.4), short-block
-  * reordering, MS stereo (±/√2), the 8 alias-reduction butterflies
-  * (cs/ca derived from the published ci constants), the 36/12-point
-  * IMDCT (identical cosine basis to the Vorbis MDCT — reused from
-  * [[VorbisCodec.imdct]]), and the formula block windows (long /
-  * start / short / stop).
+  * What is spec-exact here (ISO/IEC 11172-3 + 13818-3, verifiable
+  * without a reference implementation because it is STRUCTURE or
+  * FORMULA): the frame/side-info bit layout for MPEG-1 AND MPEG-2/2.5
+  * LSF (§2.4.1.7 in both specs — 2-granule vs 1-granule frames, 9- vs
+  * 8-bit back-pointers), the bit reservoir, scalefactor coding incl.
+  * scfsi sharing and the LSF scalefac_compress partitioning algorithm
+  * (13818-3 §2.4.3.2 — its group counts provably cover 21/36 bands for
+  * all 512 values), big-value REGION boundaries and the linbits/ESC
+  * mechanism, the count1 Huffman table B (codes are the one's
+  * complement of the quadruple — algorithmic), the requantization
+  * formula (§2.4.3.4), short-block reordering, MS stereo (±/√2), the 8
+  * alias-reduction butterflies, the 36/12-point IMDCT (cosine basis
+  * reused from [[VorbisCodec.imdct]]), and the formula block windows.
   *
-  * What is NOT shipped, and why (stated honestly, the [[PslData]]
-  * deploy-swap precedent):
-  *  - The 30 non-trivial big-value Huffman tables (Table B.7) are pure
-  *    codeword DATA with no in-container source to verify against.
-  *    Rather than vendor possibly-wrong tables (which would decode real
-  *    MP3s to garbage SILENTLY), streams selecting them return None.
-  *    [[Mp3Huffman.bigValueTables]] is the registry to populate at
-  *    deploy time, after an interop pass against a real decoder.
-  *  - The 512-tap synthesis-window prototype (Table B.3) is likewise
-  *    data; the 32-band polyphase stage here is a perfect-reconstruction
+  * What is VENDORED DATA, and the honesty line it is held to
+  * (the [[PslData]]/[[BrotliData]] precedent — see [[Mp3Huffman]] for
+  * the full statement): Table B.7 big-value tables 1-3, 5-10 and 12
+  * plus count1 table A ship, each gated by Kraft-completeness,
+  * prefix-freeness, dims, per-pair round trips, and whole-stream
+  * fixtures; tables 11/13/15/16-31 did not meet the attestation bar
+  * and REFUSE until [[Mp3Huffman.register]]ed with a verified copy
+  * (17-23/25-31 then resolve by the shipped shared-code rule). LSF
+  * band widths ship for 22.05 kHz (sum-law-gated); other LSF rates
+  * refuse when a granule actually needs band boundaries.
+  *
+  * What is NOT shipped, and why:
+  *  - The 512-tap synthesis-window prototype (Table B.3) is data; the
+  *    32-band polyphase stage here is a perfect-reconstruction
   *    64-point MDCT bank of the same band structure (sine window,
   *    TDAC-exact) instead of the spec's near-PR windowed FIR. For the
-  *    own-encoder corpus this is exact by construction; decoding an
-  *    external stream (once B.7 is vendored) would have a mildly
-  *    different — PR rather than near-PR — reconstruction filter.
+  *    own-encoder corpus this is exact by construction; an external
+  *    stream decodes with a mildly different — PR rather than near-PR
+  *    — reconstruction filter (fine for dedup-grade fingerprints; the
+  *    env-gated mpg123 interop arm is the deploy cross-check).
   *  - Intensity stereo and mixed blocks return None (our encoder never
   *    emits them); MS, plain stereo, dual, mono are real.
   *  - Scalefactor-band boundaries and pretab are small vendored tables
@@ -235,18 +240,170 @@ object Mp3Layer3 {
     sf
   }
 
-  // ------------------------------------------------- Huffman (scope)
+  // ------------------------------------------------- Huffman (Table B.7)
 
-  /** Big-value Huffman registry. Shipped content = table 0 only (the
-    * spec's empty table: all-zero region, ZERO bits — pure structure).
-    * Tables 1-31 are codeword data from Table B.7: vendor at deploy
-    * after an interop check; until then a stream selecting them decodes
-    * to None — an honest refusal instead of silent garbage. */
+  /** Big-value Huffman registry — Table B.7 codeword data, vendored
+    * the [[PslData]]/[[BrotliData]] way with the strongest self-checks
+    * the data admits: every table must be a COMPLETE prefix code
+    * (Kraft sum exactly 1 — a single wrong length breaks it), the
+    * decode-tree build rejects any duplicated or prefix-shadowed
+    * codeword, dims must match the spec's (xlen, ylen), and the spec
+    * suite round-trips every (x, y) pair of every table through
+    * encode→decode plus whole-stream fixtures per table.
+    *
+    * VENDORING HONESTY (the line this registry draws): tables 1, 2, 3,
+    * 5, 6, 7, 8, 9, 10 and 12 are shipped — every entry attested by two
+    * independent recalls of the public table data agreeing exactly,
+    * and the structural laws above all green. Tables 11, 13, 15 and
+    * the shared-code ESC tables 16/24 did NOT meet that bar (recalled
+    * copies violated prefix-freeness, and repairing them would mean
+    * inventing codeword data — the silent-garbage failure this object
+    * exists to refuse), so streams selecting them return None and
+    * [[register]] is the deploy seam: load a verified copy (e.g. from
+    * the dist10 reference tables) and the ESC resolution for ids
+    * 17-23/25-31 (same codes as 16/24, per-id linbits — that mapping
+    * IS shipped, it is structure) activates with it. The env-gated
+    * mpg123 arm of InteropSmokeSpec is the deploy cross-check. */
   object Mp3Huffman {
-    /** linbits per table id (structure we ship so the registry has the
-      * right decode shape once codes arrive; table 0 needs none). */
-    val bigValueTables: Map[Int, Unit] = Map(0 -> (()))
-    def supported(id: Int): Boolean = id == 0
+
+    /** One big-value table: codeword data plus a bit-serial decode
+      * tree. `data` is "len:code" hex pairs, row-major over (x, y).
+      * Construction FAILS (require) unless the code is Kraft-complete
+      * and prefix-free — vendored data cannot load half-wrong. */
+    final class BvTable(val id: Int, val xlen: Int, val ylen: Int,
+                        val linbits: Int, data: String) {
+      val lens = new Array[Int](xlen * ylen)
+      val codes = new Array[Int](xlen * ylen)
+      locally {
+        val parts = data.split(',')
+        require(parts.length == xlen * ylen, s"table $id dims")
+        var i = 0
+        while (i < parts.length) {
+          val c = parts(i).split(':')
+          lens(i) = Integer.parseInt(c(0), 16)
+          codes(i) = Integer.parseInt(c(1), 16)
+          require(lens(i) >= 1 && lens(i) <= 19 &&
+            codes(i) >= 0 && codes(i) < (1 << lens(i)), s"table $id entry $i")
+          i += 1
+        }
+        var kraft = 0L
+        lens.foreach(l => kraft += (1L << (32 - l)))
+        require(kraft == (1L << 32), s"table $id kraft incomplete")
+      }
+      // decode tree: node k has children tree(2k), tree(2k+1);
+      // value > 0 = child node index, < 0 = ~symbolIndex, 0 = unset
+      private val tree: Array[Int] = {
+        val t = new Array[Int](4 * xlen * ylen)
+        var nextNode = 1
+        var si = 0
+        while (si < lens.length) {
+          var node = 0
+          var bit = lens(si) - 1
+          while (bit >= 0) {
+            val b = (codes(si) >> bit) & 1
+            val at = 2 * node + b
+            if (bit == 0) {
+              require(t(at) == 0, s"table $id code collision at sym $si")
+              t(at) = ~si
+            } else {
+              if (t(at) == 0) { t(at) = nextNode; nextNode += 1 }
+              require(t(at) > 0, s"table $id prefix collision at sym $si")
+              node = t(at)
+            }
+            bit -= 1
+          }
+          si += 1
+        }
+        t
+      }
+      /** Decode one symbol index (x·ylen + y); the reader's own bounds
+        * checks stop hostile streams. */
+      def decodeSym(br: BitReader): Int = {
+        var node = 0
+        while (true) {
+          val v = tree(2 * node + br.readBit())
+          if (v < 0) return ~v
+          if (v == 0) throw new IndexOutOfBoundsException("bad code")
+          node = v
+        }
+        -1 // unreachable
+      }
+      def encodeSym(bw: BitWriter, x: Int, y: Int): Unit =
+        bw.write(codes(x * ylen + y), lens(x * ylen + y))
+    }
+
+    // Table B.7 data (ISO/IEC 11172-3). "len:code" hex, row-major.
+    private def bv(id: Int, xl: Int, yl: Int, lin: Int, d: String) =
+      id -> new BvTable(id, xl, yl, lin, d)
+
+    val shipped: Map[Int, BvTable] = Map(
+      bv(1, 2, 2, 0, "1:1,3:1,2:1,3:0"),
+      bv(2, 3, 3, 0, "1:1,3:2,6:1,3:3,3:1,5:1,5:3,5:2,6:0"),
+      bv(3, 3, 3, 0, "2:3,2:2,6:1,3:1,2:1,5:1,5:3,5:2,6:0"),
+      bv(5, 4, 4, 0, "1:1,3:2,6:6,7:5,3:3,3:1,6:4,7:4,6:7,6:5,7:7,8:1," +
+        "7:6,6:1,7:1,8:0"),
+      bv(6, 4, 4, 0, "3:7,3:3,5:5,7:1,3:6,2:2,4:3,5:2,4:5,4:4,5:4,6:1," +
+        "6:3,5:3,6:2,7:0"),
+      bv(7, 6, 6, 0, "1:1,3:2,6:a,8:13,8:10,9:a,3:3,4:3,6:7,7:a,7:5,8:3," +
+        "6:b,5:4,7:d,8:11,8:8,9:4,7:c,7:b,8:12,9:f,9:b,9:2,7:7,7:6,8:9," +
+        "9:e,9:3,a:1,8:6,8:4,9:5,a:3,a:2,a:0"),
+      bv(8, 6, 6, 0, "2:3,3:4,6:6,8:12,8:c,9:5,3:5,2:1,4:2,8:10,8:9,8:3," +
+        "6:7,4:3,6:5,8:e,8:7,9:3,8:13,8:11,8:f,9:d,9:a,a:4,8:d,7:5,8:8," +
+        "9:b,a:5,a:1,9:c,8:4,9:4,9:1,b:1,b:0"),
+      bv(9, 6, 6, 0, "3:7,3:5,5:9,6:e,8:f,9:7,3:6,3:4,4:5,5:5,6:6,8:7," +
+        "4:7,4:6,5:8,6:8,7:8,8:5,6:f,5:6,6:9,7:a,7:5,8:1,7:b,6:7,7:9," +
+        "7:6,8:4,9:1,8:e,7:4,8:6,8:2,9:6,9:0"),
+      bv(10, 8, 8, 0, "1:1,3:2,6:a,8:17,9:23,9:1e,9:c,a:11,3:3,4:3,6:8," +
+        "7:c,8:12,9:15,8:c,8:7,6:b,6:9,7:f,8:15,9:20,a:28,9:13,9:6,7:e," +
+        "7:d,8:16,9:22,a:2e,a:17,9:12,a:7,8:14,8:13,9:21,a:2f,a:1b,a:16," +
+        "a:9,a:3,9:1f,9:16,a:29,a:1a,b:15,b:14,a:5,b:3,8:e,8:d,9:a,a:b," +
+        "a:10,a:6,b:5,b:1,9:9,8:8,9:7,a:8,a:4,b:4,b:2,b:0"),
+      bv(12, 8, 8, 0, "4:9,3:6,5:10,7:21,8:29,9:27,9:26,9:1a,3:7,3:5," +
+        "4:6,5:9,7:17,7:10,8:1a,8:b,5:11,4:7,5:b,6:e,7:15,8:1e,7:a,8:7," +
+        "6:11,5:a,6:f,6:c,7:12,8:1c,8:e,9:b,7:20,6:d,7:16,7:13,8:12," +
+        "8:10,8:9,9:5,8:28,7:11,8:1f,8:1d,8:11,9:d,8:4,9:2,8:1b,7:c," +
+        "7:b,8:f,8:a,9:7,9:4,9:1,9:1b,8:c,8:8,9:c,9:a,9:6,9:3,9:0"))
+
+    /** count1 table A (count1table_select = 0): 16 quadruple patterns,
+      * explicit codes — table B's complement coding stays in
+      * [[readCount1B]]. Pattern bit 3 = v … bit 0 = y. */
+    val count1A: BvTable = new BvTable(32, 16, 1, 0,
+      "1:1,4:5,4:4,5:5,4:6,6:5,5:4,6:4,4:7,5:3,5:6,6:0,5:7,6:2,6:3,6:1")
+
+    /** Deploy-time registration (verified copies of 11/13/15/16/24…);
+      * also the seam the spec suite uses to exercise the linbits/ESC
+      * path with a synthetic table. */
+    @volatile private var registered: Map[Int, BvTable] = Map.empty
+    def register(t: BvTable): Unit = synchronized {
+      registered = registered + (t.id -> t)
+    }
+    private[functions] def clearRegistered(): Unit = synchronized {
+      registered = Map.empty
+    }
+
+    /** linbits for the shared-code ESC families (spec structure):
+      * 16-23 share table 16's codes, 24-31 share table 24's. */
+    private val Linbits16 = Array(1, 2, 3, 4, 6, 8, 10, 13)
+    private val Linbits24 = Array(4, 5, 6, 7, 8, 9, 11, 13)
+
+    /** Resolve a side-info table_select id to a decode table; None =
+      * out of vendored scope (honest refusal upstream). id 0 is the
+      * empty table handled by the caller; 4/14 are spec-invalid. */
+    def resolve(id: Int): Option[BvTable] = {
+      val reg = registered
+      def shared(base: Int, lin: Int): Option[BvTable] =
+        (shipped.get(base) orElse reg.get(base)).map(t =>
+          if (t.linbits == lin) t
+          else new BvTable(id, t.xlen, t.ylen, lin,
+            (0 until t.xlen * t.ylen).map(i =>
+              f"${t.lens(i)}%x:${t.codes(i)}%x").mkString(",")))
+      if (id <= 0 || id == 4 || id == 14 || id > 31) None
+      else if (id >= 24) shared(24, Linbits24(id - 24))
+      else if (id >= 16) shared(16, Linbits16(id - 16))
+      else shipped.get(id) orElse reg.get(id)
+    }
+
+    def supported(id: Int): Boolean = id == 0 || resolve(id).isDefined
   }
 
   /** count1 table B (count1table_select = 1): the 4-bit code is the
@@ -282,70 +439,291 @@ object Mp3Layer3 {
   // ---------------------------------------------------- requantize
 
   /** §2.4.3.4: xr = sign·|is|^(4/3) · 2^((gg−210−8·sbGain)/4) ·
-    * 2^(−(1+sfScale)·0.5·(sf + preflag·pretab)). */
-  def requantAmp(gr: Gr, sf: Int, pretab: Int, window: Int): Double = {
+    * 2^(−(1+sfScale)·0.5·(sf + preflag·pretab)). `preflag` is passed
+    * explicitly because LSF streams derive it from scalefac_compress
+    * rather than a side-info bit. */
+  def requantAmp(gr: Gr, sf: Int, pretab: Int, window: Int,
+                 preflag: Int): Double = {
     val gain = gr.globalGain - 210 -
       (if (gr.blockType == 2) 8 * gr.subblockGain(window) else 0)
-    val sfTotal = sf + gr.preflag * pretab
+    val sfTotal = sf + preflag * pretab
     math.pow(2.0, 0.25 * gain) *
       math.pow(2.0, -(1 + gr.scalefacScale) * 0.5 * sfTotal)
+  }
+
+  // ------------------------------------------------ LSF (MPEG-2/2.5)
+
+  /** MPEG-2 LSF long-block scalefactor-band widths (ISO 13818-3 Table
+    * B.2). VENDORED under the same honesty line as the Huffman
+    * registry: only the 22.05 kHz pair met the attestation bar (each
+    * width table self-checks — long sums to 576, short to 192); other
+    * LSF rates refuse when a granule actually needs band boundaries
+    * (silence granules decode at any rate — p23 = 0 reads no tables). */
+  val SfbLongLsf: Map[Int, Array[Int]] = Map(
+    22050 -> Array(6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32,
+      38, 46, 54, 62, 70, 76, 36))
+
+  val SfbShortLsf: Map[Int, Array[Int]] = Map(
+    22050 -> Array(4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18))
+
+  locally {
+    SfbLongLsf.values.foreach(w => require(w.length == 22 && w.sum == 576))
+    SfbShortLsf.values.foreach(w => require(w.length == 13 && w.sum == 192))
+  }
+
+  /** LSF scalefactor layout (ISO 13818-3 §2.4.3.2, no-intensity
+    * branch): scalefac_compress (9 bits) → 4 group bit-widths, 4 group
+    * sfb counts, and the derived preflag. Counts per block shape sum
+    * to the transmitted scalefactor total (21 long / 36 short) — the
+    * self-check the partitioning admits. Mixed blocks refuse upstream. */
+  def lsfScalefacLayout(sfc: Int, short: Boolean)
+      : (Array[Int], Array[Int], Int) = {
+    val (slen, block) =
+      if (sfc < 400)
+        (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3), 0)
+      else if (sfc < 500) {
+        val s = sfc - 400
+        (Array((s >> 2) / 5, (s >> 2) % 5, s & 3, 0), 1)
+      } else {
+        val s = sfc - 500
+        (Array(s / 3, s % 3, 0, 0), 2)
+      }
+    val nr = (block, short) match {
+      case (0, false) => Array(6, 5, 5, 5)
+      case (0, true)  => Array(9, 9, 9, 9)
+      case (1, false) => Array(6, 5, 7, 3)
+      case (1, true)  => Array(9, 9, 12, 6)
+      case (2, false) => Array(11, 10, 0, 0)
+      case _          => Array(18, 18, 0, 0) // (2, short)
+    }
+    (slen, nr, if (block == 2) 1 else 0)
+  }
+
+  /** Read LSF long-block scalefactors → (sf(22), preflag). */
+  def readScalefacLsfLong(br: BitReader, sfc: Int): (Array[Int], Int) = {
+    val (slen, nr, preflag) = lsfScalefacLayout(sfc, short = false)
+    val sf = new Array[Int](22)
+    var b = 0
+    var g = 0
+    while (g < 4) {
+      var i = 0
+      while (i < nr(g)) {
+        sf(b) = if (slen(g) == 0) 0 else br.read(slen(g))
+        b += 1; i += 1
+      }
+      g += 1
+    }
+    (sf, preflag)
+  }
+
+  /** Read LSF short-block scalefactors → (sf(13)(3), preflag); the 36
+    * values arrive band-major, partitioned by the group counts. */
+  def readScalefacLsfShort(br: BitReader, sfc: Int)
+      : (Array[Array[Int]], Int) = {
+    val (slen, nr, preflag) = lsfScalefacLayout(sfc, short = true)
+    val sf = Array.fill(13)(new Array[Int](3))
+    var at = 0
+    var g = 0
+    while (g < 4) {
+      var i = 0
+      while (i < nr(g)) {
+        sf(at / 3)(at % 3) = if (slen(g) == 0) 0 else br.read(slen(g))
+        at += 1; i += 1
+      }
+      g += 1
+    }
+    (sf, preflag)
+  }
+
+  /** LSF side info (ISO 13818-3 §2.4.1.7): 8-bit main_data_begin, no
+    * scfsi, ONE granule, 9-bit scalefac_compress, no preflag bit —
+    * 9 bytes mono / 17 stereo. */
+  def readSideInfoLsf(br: BitReader, channels: Int): SideInfo = {
+    val mainDataBegin = br.read(8)
+    br.read(if (channels == 1) 1 else 2) // private bits
+    val grs = Array.fill(1) {
+      Array.fill(channels) {
+        val p23 = br.read(12)
+        val bv = br.read(9)
+        val gg = br.read(8)
+        val sfc = br.read(9)
+        val wsf = br.readBit() == 1
+        if (wsf) {
+          val bt = br.read(2)
+          val mixed = br.readBit() == 1
+          val ts = Array(br.read(5), br.read(5), 0)
+          val sbg = Array(br.read(3), br.read(3), br.read(3))
+          Gr(p23, bv, gg, sfc, wsf, bt, mixed, ts, sbg, 0, 0,
+            preflag = 0, br.readBit(), br.readBit())
+        } else {
+          val ts = Array(br.read(5), br.read(5), br.read(5))
+          val r0 = br.read(4)
+          val r1 = br.read(3)
+          Gr(p23, bv, gg, sfc, wsf, 0, mixedBlock = false, ts,
+            Array(0, 0, 0), r0, r1, preflag = 0, br.readBit(), br.readBit())
+        }
+      }
+    }
+    SideInfo(mainDataBegin, Array.fill(channels)(Array.fill(4)(0)), grs)
+  }
+
+  def writeSideInfoLsf(bw: BitWriter, si: SideInfo, channels: Int): Unit = {
+    bw.write(si.mainDataBegin, 8)
+    bw.write(0, if (channels == 1) 1 else 2)
+    for (c <- 0 until channels) {
+      val gr = si.grs(0)(c)
+      bw.write(gr.part23Length, 12)
+      bw.write(gr.bigValues, 9)
+      bw.write(gr.globalGain, 8)
+      bw.write(gr.scalefacCompress, 9)
+      bw.writeBit(if (gr.windowSwitching) 1 else 0)
+      if (gr.windowSwitching) {
+        bw.write(gr.blockType, 2)
+        bw.writeBit(if (gr.mixedBlock) 1 else 0)
+        bw.write(gr.tableSelect(0), 5); bw.write(gr.tableSelect(1), 5)
+        bw.write(gr.subblockGain(0), 3); bw.write(gr.subblockGain(1), 3)
+        bw.write(gr.subblockGain(2), 3)
+      } else {
+        bw.write(gr.tableSelect(0), 5); bw.write(gr.tableSelect(1), 5)
+        bw.write(gr.tableSelect(2), 5)
+        bw.write(gr.region0, 4); bw.write(gr.region1, 3)
+      }
+      bw.writeBit(gr.scalefacScale)
+      bw.writeBit(gr.count1Select)
+    }
   }
 
   // --------------------------------------------- spectra per granule
 
   /** Decode one granule/channel's 576 requantized lines. Returns None
-    * for out-of-scope streams (unshipped Huffman table, mixed blocks).
-    * `br` must sit at the granule's main-data start; on success it is
-    * left exactly part2_3_length bits later (ancillary discipline). */
+    * for out-of-scope streams (unvendored Huffman table, mixed blocks,
+    * LSF rates without attested band tables). `br` must sit at the
+    * granule's main-data start; on success it is left exactly
+    * part2_3_length bits later (ancillary discipline). `lsf` selects
+    * the MPEG-2/2.5 scalefactor algorithm and band tables. */
   def decodeGranule(br: BitReader, gr: Gr, sampleRate: Int,
                     scfsi: Array[Int], granule: Int,
-                    prevSf: Array[Int]): Option[(Array[Double], Array[Int])] = {
+                    prevSf: Array[Int], lsf: Boolean = false)
+      : Option[(Array[Double], Array[Int])] = {
     val startBit = br.pos
     val endBit = startBit + gr.part23Length
+    if (gr.part23Length == 0) {
+      // an empty granule is silence: no scalefactor or Huffman bits are
+      // read, so it decodes at ANY sample rate (a claim of spectral
+      // lines with a zero bit budget is hostile, though)
+      if (gr.bigValues != 0) return None
+      return Some((new Array[Double](576), new Array[Int](22)))
+    }
     if (gr.mixedBlock) return None
     if (gr.windowSwitching && gr.blockType == 0) return None
     val short = gr.blockType == 2
-    // scalefactors
+    val widthsL = (if (lsf) SfbLongLsf else SfbLong)
+      .getOrElse(sampleRate, return None)
+    val widthsS = (if (lsf) SfbShortLsf else SfbShort)
+      .getOrElse(sampleRate, return None)
+    // scalefactors (LSF derives preflag from scalefac_compress)
+    var preflag = gr.preflag
     val sfLong =
       if (short) new Array[Int](22)
-      else readScalefacLong(br, gr, scfsi, granule, prevSf)
-    val sfShort = if (short) readScalefacShort(br, gr) else null
-    // big-value region: only table 0 (all zero) is in shipped scope
+      else if (lsf) {
+        val (sf, pf) = readScalefacLsfLong(br, gr.scalefacCompress)
+        preflag = pf
+        sf
+      } else readScalefacLong(br, gr, scfsi, granule, prevSf)
+    val sfShort =
+      if (!short) null
+      else if (lsf) {
+        val (sf, pf) = readScalefacLsfShort(br, gr.scalefacCompress)
+        preflag = pf
+        sf
+      } else readScalefacShort(br, gr)
+    // ---- big-value region: table per region, ESC linbits, sign bits
     val bigLines = 2 * gr.bigValues
     if (bigLines > 576) return None
-    if (bigLines > 0) {
-      // region boundaries don't matter when every region uses table 0,
-      // but a non-zero table anywhere is out of shipped scope
-      val used = if (gr.windowSwitching) gr.tableSelect.take(2)
-      else gr.tableSelect
-      if (!used.forall(Mp3Huffman.supported)) return None
-      // table 0 consumes no bits and yields zeros — nothing to read
-    }
-    // count1 region: quadruples until bits or lines run out
-    if (gr.count1Select != 1) return None // table A is B.7 data
     val is = new Array[Int](576)
+    if (bigLines > 0) {
+      val ts = gr.tableSelect
+      val used = if (gr.windowSwitching) ts.take(2) else ts
+      if (!used.forall(Mp3Huffman.supported)) return None
+      // region boundaries in LINES (§2.4.2.7): under window switching
+      // region0 is the first 36 lines and region1 the rest; otherwise
+      // region0/region1 count scalefactor bands
+      val (r0End, r1End) =
+        if (gr.windowSwitching) (math.min(36, bigLines), bigLines)
+        else {
+          val idx = new Array[Int](23)
+          var b = 0
+          while (b < 22) { idx(b + 1) = idx(b) + widthsL(b); b += 1 }
+          val a = idx(math.min(22, gr.region0 + 1))
+          val c = idx(math.min(22, gr.region0 + gr.region1 + 2))
+          (math.min(a, bigLines), math.min(c, bigLines))
+        }
+      var line = 0
+      while (line < bigLines) {
+        val tid =
+          if (line < r0End) ts(0) else if (line < r1End) ts(1) else ts(2)
+        if (tid == 0) {
+          is(line) = 0; is(line + 1) = 0
+        } else {
+          val tab = Mp3Huffman.resolve(tid).getOrElse(return None)
+          val sym = try tab.decodeSym(br) catch {
+            case _: IndexOutOfBoundsException => return None
+          }
+          var x = sym / tab.ylen
+          var y = sym % tab.ylen
+          // §2.4.3.4.6: value 15 escapes via linbits, then sign
+          if (x == 15 && tab.linbits > 0) x += br.read(tab.linbits)
+          if (x != 0 && br.readBit() == 1) x = -x
+          if (y == 15 && tab.linbits > 0) y += br.read(tab.linbits)
+          if (y != 0 && br.readBit() == 1) y = -y
+          is(line) = x; is(line + 1) = y
+        }
+        line += 2
+        if (br.pos > endBit) return None
+      }
+    }
+    // ---- count1 region: quadruples until bits or lines run out
     var line = bigLines
-    while (br.pos + 4 <= endBit && line + 4 <= 576) {
+    var c1stop = false
+    while (!c1stop && br.pos < endBit && line + 4 <= 576) {
       // a quadruple whose code crosses the boundary is not decoded
       val mark = br.pos
-      val q = readCount1B(br)
-      if (br.pos > endBit) { br.pos = mark; line = 576 }
-      else {
-        var i = 0
-        while (i < 4) { is(line + i) = q(i); i += 1 }
-        line += 4
+      var q: Array[Int] = null
+      try {
+        if (gr.count1Select == 1) q = readCount1B(br)
+        else {
+          val pat = Mp3Huffman.count1A.decodeSym(br)
+          val out = new Array[Int](4)
+          var i = 0
+          while (i < 4) {
+            if (((pat >> (3 - i)) & 1) == 1)
+              out(i) = if (br.readBit() == 1) -1 else 1
+            i += 1
+          }
+          q = out
+        }
+      } catch {
+        // stuffing bits shorter than any codeword end the region
+        case _: IndexOutOfBoundsException => br.pos = mark; c1stop = true
+      }
+      if (q != null) {
+        if (br.pos > endBit) { br.pos = mark; c1stop = true }
+        else {
+          var i = 0
+          while (i < 4) { is(line + i) = q(i); i += 1 }
+          line += 4
+        }
       }
     }
     if (br.pos > endBit) return None
     br.pos = endBit
     // requantize
     val xr = new Array[Double](576)
-    val widthsL = SfbLong.getOrElse(sampleRate, return None)
-    val widthsS = SfbShort.getOrElse(sampleRate, return None)
     if (!short) {
       var b = 0; var at = 0
       while (b < 22) {
-        val amp = requantAmp(gr, if (b < 21) sfLong(b) else 0, Pretab(b), 0)
+        val amp = requantAmp(gr, if (b < 21) sfLong(b) else 0, Pretab(b), 0,
+          preflag)
         var i = 0
         while (i < widthsL(b)) {
           val v = is(at)
@@ -366,7 +744,8 @@ object Mp3Layer3 {
         val w = widthsS(b)
         var win = 0
         while (win < 3) {
-          val amp = requantAmp(gr, if (b < 12) sfShort(b)(win) else 0, 0, win)
+          val amp = requantAmp(gr, if (b < 12) sfShort(b)(win) else 0, 0, win,
+            preflag)
           var i = 0
           while (i < w) {
             val v = is(at)
@@ -530,7 +909,14 @@ object Mp3Layer3 {
 
   private final case class Frame(headerAt: Int, kbps: Int, sampleRate: Int,
                                  channels: Int, mode: Int, modeExt: Int,
-                                 sideStart: Int, mainStart: Int, end: Int)
+                                 sideStart: Int, mainStart: Int, end: Int,
+                                 lsf: Boolean)
+
+  /** MPEG-2/2.5 Layer III bitrates (kbps) and sample rates. */
+  private val BitratesV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SampleRatesV2 = Array(22050, 24000, 16000)
+  private val SampleRatesV25 = Array(11025, 12000, 8000)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
@@ -552,9 +938,13 @@ object Mp3Layer3 {
         p = 10 + size
       }
       val frames = scala.collection.mutable.ArrayBuffer[Frame]()
-      var sr0 = -1; var ch0 = -1
+      var sr0 = -1; var ch0 = -1; var lsf0 = false; var first = true
       while (p + 4 <= b.length && u8(b, p) == 0xff &&
-        (u8(b, p + 1) & 0xfe) == 0xfa) {
+        (u8(b, p + 1) & 0xe0) == 0xe0) {
+        val verBits = (u8(b, p + 1) >> 3) & 3 // 3=MPEG1 2=MPEG2 0=MPEG2.5
+        val layer = (u8(b, p + 1) >> 1) & 3
+        if (layer != 1 || verBits == 1) return None // Layer III only
+        val lsf = verBits != 3
         val crc = (u8(b, p + 1) & 1) == 0
         val brIdx = (u8(b, p + 2) >> 4) & 15
         val srIdx = (u8(b, p + 2) >> 2) & 3
@@ -563,20 +953,26 @@ object Mp3Layer3 {
         val mode = (u8(b, p + 3) >> 6) & 3
         val modeExt = (u8(b, p + 3) >> 4) & 3
         val channels = if (mode == 3) 1 else 2
-        val kbps = BitratesV1L3(brIdx)
-        val sr = SampleRatesV1(srIdx)
-        if (sr0 < 0) { sr0 = sr; ch0 = channels }
-        else if (sr != sr0 || channels != ch0) return None
-        val frameSize = 144000 * kbps / sr + padding
+        val kbps = if (lsf) BitratesV2L3(brIdx) else BitratesV1L3(brIdx)
+        val sr =
+          if (verBits == 3) SampleRatesV1(srIdx)
+          else if (verBits == 2) SampleRatesV2(srIdx)
+          else SampleRatesV25(srIdx)
+        if (first) { sr0 = sr; ch0 = channels; lsf0 = lsf; first = false }
+        else if (sr != sr0 || channels != ch0 || lsf != lsf0) return None
+        val frameSize =
+          (if (lsf) 72000 else 144000) * kbps / sr + padding
         if (frameSize <= 4 || p + frameSize > b.length) {
           p = b.length // truncated final frame: decode what we have
         } else {
           val sideStart = p + 4 + (if (crc) 2 else 0)
-          val sideLen = if (channels == 1) 17 else 32
+          val sideLen =
+            if (lsf) { if (channels == 1) 9 else 17 }
+            else { if (channels == 1) 17 else 32 }
           val mainStart = sideStart + sideLen
           if (mainStart > p + frameSize) return None
           frames += Frame(p, kbps, sr, channels, mode, modeExt,
-            sideStart, mainStart, p + frameSize)
+            sideStart, mainStart, p + frameSize, lsf)
           if (frames.length > (1 << 18)) return None
           p += frameSize
         }
@@ -595,7 +991,10 @@ object Mp3Layer3 {
           }
       }.map(_._1)
       if (audioFrames.isEmpty) return None
-      if (audioFrames.length.toLong * 1152 > (1L << 26) / channels) return None
+      val grPerFrame = if (lsf0) 1 else 2
+      val frameSamples = 576 * grPerFrame
+      if (audioFrames.length.toLong * frameSamples >
+        (1L << 26) / channels) return None
       // ---- bit-reservoir assembly: all main-data bytes, with per-frame
       // start offsets into the concatenation
       var totalMain = 0
@@ -609,7 +1008,7 @@ object Mp3Layer3 {
         mp += f.end - f.mainStart
       }
       // ---- per-frame granule decode → synthesis
-      val nOutMax = audioFrames.length * 1152
+      val nOutMax = audioFrames.length * frameSamples
       val out = Array.fill(channels)(new Array[Double](nOutMax + 1216))
       val overlap = Array.fill(channels, 32)(new Array[Double](18))
       val poly = Array.fill(channels)(new PolySynth)
@@ -617,25 +1016,28 @@ object Mp3Layer3 {
       for ((f, fi) <- audioFrames.zipWithIndex) {
         val sbr = new BitReader(b, f.sideStart.toLong * 8,
           f.mainStart.toLong * 8)
-        val si = readSideInfo(sbr, channels)
+        val si =
+          if (f.lsf) readSideInfoLsf(sbr, channels)
+          else readSideInfo(sbr, channels)
         val start = regionStart(fi) - si.mainDataBegin
         if (start < 0) {
           // reservoir underflow (stream cut before its back-pointer):
           // spec decoders mute this frame; so do we
-          outAt += 1152
+          outAt += frameSamples
         } else {
           val br = new BitReader(main, start.toLong * 8, main.length.toLong * 8)
           val prevSf = Array.fill(channels)(new Array[Int](22))
           var g = 0
           var bad = false
-          while (g < 2 && !bad) {
+          while (g < grPerFrame && !bad) {
             val spectra = Array.ofDim[Double](channels, 576)
             val grs = new Array[Gr](channels)
             var c = 0
             while (c < channels && !bad) {
               val gr = si.grs(g)(c)
               grs(c) = gr
-              decodeGranule(br, gr, sr, si.scfsi(c), g, prevSf(c)) match {
+              decodeGranule(br, gr, sr, si.scfsi(c), g, prevSf(c),
+                f.lsf) match {
                 case Some((xr, sfl)) =>
                   spectra(c) = xr
                   if (g == 0) prevSf(c) = sfl
@@ -1061,8 +1463,17 @@ object Mp3Layer3 {
       mainData(f) = bw.bytes
       sideInfos(f) = SideInfo(0, scfsi, grs)
     }
-    // ---- CBR bitrate selection + frame assembly (with optional
-    // reservoir: main data may start up to 511 bytes back)
+    assembleFramesV1(sampleRate, channels, mainData, sideInfos, opts)
+  }
+
+  /** CBR bitrate selection + MPEG-1 frame assembly (with optional
+    * reservoir: main data may start up to 511 bytes back). Shared by
+    * the PCM encoder and the big-value/stream fixture writers. */
+  private def assembleFramesV1(sampleRate: Int, channels: Int,
+                               mainData: Array[Array[Byte]],
+                               sideInfos: Array[SideInfo],
+                               opts: Mp3Opts): Array[Byte] = {
+    val nFrames = mainData.length
     val sideLen = if (channels == 1) 17 else 32
     val headerLen = 4 + (if (opts.crc) 2 else 0)
     val need = mainData.map(_.length)
@@ -1236,5 +1647,246 @@ object Mp3Layer3 {
     val mp3 = writeMp3Pcm(sampleRate, channels, pcm, opts,
       btOf = Some(g => if (g == 0) 0 else blockTypeAt(g - 1, opts.shortEvery)))
     (pcm, mp3)
+  }
+
+  // --------------------------------- big-value / LSF stream fixtures
+
+  /** BIG-VALUE fixture: an MPEG-1 stream whose spectra are integer
+    * magnitudes Huffman-coded through the VENDORED Table B.7 tables —
+    * the stream-level gate on the registry (regions, codes, sign
+    * bits). `tids` picks the table for each of the three long-block
+    * regions (region0 = sfb 0-8, region1 = 9-16, region2 = 17-20);
+    * magnitudes are seeded within each region's table range. Returns
+    * (expected PCM including the leading structural-delay granule,
+    * stream) — decodePcmF output must equal pcm.drop(576·channels
+    * worth). */
+  def writeMp3BigFixture(sampleRate: Int, channels: Int, nGranules: Int,
+                         seed: Long, tids: (Int, Int, Int),
+                         crc: Boolean = false, reservoir: Boolean = false)
+      : (Array[Array[Double]], Array[Byte]) = {
+    require(nGranules >= 4 && nGranules <= 64, "granule count")
+    val widths = SfbLong(sampleRate)
+    val idx = widths.scanLeft(0)(_ + _) // 23 entries
+    val region0Count = 8
+    val region1Count = 7
+    val r0End = idx(region0Count + 1)
+    val r1End = idx(region0Count + region1Count + 2)
+    val bigLines = idx(21) // all content bands; even at every rate
+    def tableAt(line: Int): Int =
+      if (line < r0End) tids._1 else if (line < r1End) tids._2 else tids._3
+    // deterministic integer spectra + scalefactors
+    val sf = Array.ofDim[Int](nGranules, channels, 22)
+    val mag = Array.ofDim[Int](nGranules, channels, 576)
+    for (g <- 1 until nGranules - 2; c <- 0 until channels) {
+      var b = 0
+      var at = 0
+      while (b < 21) {
+        val h = seed * 6364136223846793005L + b * 2654435761L +
+          g * 1013904223L + c * 31L
+        sf(g)(c)(b) = math.floorMod(h >> 8, if (b < 11) 8 else 2).toInt
+        val tab = Mp3Huffman.resolve(tableAt(at))
+        val vmax = tab.map(t => math.min(t.xlen, t.ylen) - 1).getOrElse(0)
+        val nLines = 1 + math.floorMod(h >> 16, math.min(4, widths(b))).toInt
+        var i = 0
+        while (i < nLines && vmax > 0) {
+          val m = math.floorMod(h >> (18 + 3 * i), vmax + 1).toInt
+          mag(g)(c)(at + i) =
+            if (math.floorMod(h >> (40 + i), 2) == 0) m else -m
+          i += 1
+        }
+        at += widths(b)
+        b += 1
+      }
+    }
+    // expected PCM via the decoder's own requant formula + synthesis
+    val spectra = Array.ofDim[Double](nGranules, channels, 576)
+    for (g <- 0 until nGranules; c <- 0 until channels) {
+      var b = 0
+      var at = 0
+      while (b < 21) {
+        val amp = gridAmp(sf(g)(c)(b))
+        var i = 0
+        while (i < widths(b)) {
+          val m = mag(g)(c)(at)
+          if (m != 0)
+            spectra(g)(c)(at) = math.signum(m.toDouble) *
+              math.pow(math.abs(m.toDouble), 4.0 / 3.0) * amp
+          i += 1; at += 1
+        }
+        b += 1
+      }
+    }
+    // decode-aligned ground truth: the decoder trims the structural
+    // delay of one granule, so drop it here too — decodePcmF output
+    // equals this array sample-for-sample
+    val pcm = synthesizePcm(nGranules, channels,
+      (g, c) => spectra(g)(c), _ => 0).map(_.drop(576))
+    // pack frames: scalefactors (sfc = 15 layout) + Huffman big values
+    val nFrames = (nGranules + 1) / 2
+    val mainData = new Array[Array[Byte]](nFrames)
+    val sideInfos = new Array[SideInfo](nFrames)
+    for (f <- 0 until nFrames) {
+      val bw = new BitWriter
+      val grs = Array.ofDim[Gr](2, channels)
+      for (g <- 0 until 2; c <- 0 until channels) {
+        val gi = 2 * f + g
+        val startBit = bw.bitLength
+        val sfG = if (gi < nGranules) sf(gi)(c) else new Array[Int](22)
+        val magG = if (gi < nGranules) mag(gi)(c) else new Array[Int](576)
+        var b = 0
+        while (b < 21) {
+          bw.write(sfG(b), if (b < 11) 4 else 3)
+          b += 1
+        }
+        var line = 0
+        while (line < bigLines) {
+          val tid = tableAt(line)
+          if (tid != 0) {
+            val tab = Mp3Huffman.resolve(tid).get
+            val x = magG(line); val y = magG(line + 1)
+            tab.encodeSym(bw, math.abs(x), math.abs(y))
+            if (x != 0) bw.writeBit(if (x < 0) 1 else 0)
+            if (y != 0) bw.writeBit(if (y < 0) 1 else 0)
+          }
+          line += 2
+        }
+        grs(g)(c) = Gr((bw.bitLength - startBit).toInt, bigLines / 2,
+          GlobalGain, 15, windowSwitching = false, blockType = 0,
+          mixedBlock = false, Array(tids._1, tids._2, tids._3),
+          Array(0, 0, 0), region0Count, region1Count, 0, 0, 1)
+      }
+      mainData(f) = bw.bytes
+      sideInfos(f) = SideInfo(0, Array.fill(channels)(Array.fill(4)(0)), grs)
+    }
+    val mp3 = assembleFramesV1(sampleRate, channels, mainData, sideInfos,
+      Mp3Opts(crc = crc, reservoir = reservoir))
+    (pcm, mp3)
+  }
+
+  /** LSF (MPEG-2, 22.05 kHz) fixture: 1-granule frames, the LSF
+    * scalefactor algorithm (scalefac_compress = 399 → slen {4,4,3,3}
+    * over sfb groups {6,5,5,5}), count1 TABLE A quadruples — the
+    * stream-level gate on the whole LSF read path plus the count1 A
+    * codes. Content is on the ±1 count1 grid over the vendored
+    * 22.05 kHz band table. Returns (expected PCM, stream). */
+  def writeMp3LsfFixture(channels: Int, nGranules: Int, seed: Long)
+      : (Array[Array[Double]], Array[Byte]) = {
+    require(nGranules >= 4 && nGranules <= 128, "granule count")
+    val sampleRate = 22050
+    val widths = SfbLongLsf(sampleRate)
+    // deterministic on-grid spectra (±1 per line, per-band sf)
+    val sf = Array.ofDim[Int](nGranules, channels, 22)
+    val lines = Array.ofDim[Int](nGranules, channels, 576)
+    for (g <- 1 until nGranules - 2; c <- 0 until channels) {
+      var b = 0
+      var at = 0
+      while (b < 21) {
+        val h = seed * 1103515245L + b * 2654435761L + g * 97L + c * 31L
+        sf(g)(c)(b) = math.floorMod(h >> 8, if (b < 11) 8 else 2).toInt
+        val nLines = 1 + math.floorMod(h >> 16, math.min(4, widths(b))).toInt
+        var i = 0
+        while (i < nLines) {
+          lines(g)(c)(at + i) = math.floorMod(h >> (20 + i), 3).toInt - 1
+          i += 1
+        }
+        at += widths(b)
+        b += 1
+      }
+    }
+    val spectra = Array.ofDim[Double](nGranules, channels, 576)
+    for (g <- 0 until nGranules; c <- 0 until channels) {
+      var b = 0
+      var at = 0
+      while (b < 21) {
+        val amp = gridAmp(sf(g)(c)(b))
+        var i = 0
+        while (i < widths(b)) {
+          if (lines(g)(c)(at) != 0)
+            spectra(g)(c)(at) = lines(g)(c)(at) * amp
+          i += 1; at += 1
+        }
+        b += 1
+      }
+    }
+    // decode-aligned (structural delay dropped), as in the big fixture
+    val pcm = synthesizePcm(nGranules, channels,
+      (g, c) => spectra(g)(c), _ => 0).map(_.drop(576))
+    // pack: per frame ONE granule; scalefactors via the LSF layout,
+    // then count1 table A quadruples through the last nonzero line
+    val sfc = 399 // slen {4,4,3,3}, nr {6,5,5,5}, preflag 0
+    val (slen, nr, _) = lsfScalefacLayout(sfc, short = false)
+    val mainData = new Array[Array[Byte]](nGranules)
+    val sideInfos = new Array[SideInfo](nGranules)
+    for (g <- 0 until nGranules) {
+      val bw = new BitWriter
+      val grs = Array.ofDim[Gr](1, channels)
+      for (c <- 0 until channels) {
+        val startBit = bw.bitLength
+        var b = 0
+        var grp = 0
+        var inGrp = 0
+        while (b < 21) {
+          bw.write(sf(g)(c)(b), slen(grp))
+          inGrp += 1
+          if (inGrp == nr(grp)) { grp += 1; inGrp = 0 }
+          b += 1
+        }
+        val ls = lines(g)(c)
+        var last = 575
+        while (last >= 0 && ls(last) == 0) last -= 1
+        val quads = (last + 4) / 4
+        var qn = 0
+        while (qn < quads) {
+          var pat = 0
+          var i = 0
+          while (i < 4) {
+            if (ls(4 * qn + i) != 0) pat |= 1 << (3 - i)
+            i += 1
+          }
+          Mp3Huffman.count1A.encodeSym(bw, pat, 0)
+          i = 0
+          while (i < 4) {
+            if (ls(4 * qn + i) != 0)
+              bw.writeBit(if (ls(4 * qn + i) < 0) 1 else 0)
+            i += 1
+          }
+          qn += 1
+        }
+        grs(0)(c) = Gr((bw.bitLength - startBit).toInt, 0, GlobalGain, sfc,
+          windowSwitching = false, blockType = 0, mixedBlock = false,
+          Array(0, 0, 0), Array(0, 0, 0), 0, 0, 0, 0, 0)
+      }
+      mainData(g) = bw.bytes
+      sideInfos(g) = SideInfo(0, Array.fill(channels)(Array.fill(4)(0)), grs)
+    }
+    // CBR selection from the LSF bitrate table; no reservoir, no CRC
+    val sideLen = if (channels == 1) 9 else 17
+    val need = mainData.map(_.length)
+    val brIdx = (1 to 14).find { bi =>
+      val cap = 72000 * BitratesV2L3(bi) / sampleRate - 4 - sideLen
+      cap > 0 && need.forall(_ <= cap)
+    }.getOrElse(throw new IllegalArgumentException(
+      "LSF fixture main data exceeds 160 kbps CBR"))
+    val kbps = BitratesV2L3(brIdx)
+    val frameSize = 72000 * kbps / sampleRate
+    val cap = frameSize - 4 - sideLen
+    val out = new java.io.ByteArrayOutputStream(nGranules * frameSize)
+    for (g <- 0 until nGranules) {
+      val hdr = new Array[Byte](4)
+      hdr(0) = 0xff.toByte
+      hdr(1) = 0xf3.toByte // MPEG-2, Layer III, no CRC
+      hdr(2) = ((brIdx << 4) | (0 << 2)).toByte // 22050 = srIdx 0
+      hdr(3) = (if (channels == 1) 3 << 6 else 0).toByte
+      val sbw = new BitWriter
+      writeSideInfoLsf(sbw, sideInfos(g), channels)
+      val side = sbw.bytes
+      require(side.length == sideLen, s"LSF side ${side.length} != $sideLen")
+      out.write(hdr, 0, 4)
+      out.write(side, 0, side.length)
+      val region = new Array[Byte](cap)
+      System.arraycopy(mainData(g), 0, region, 0, mainData(g).length)
+      out.write(region, 0, cap)
+    }
+    (pcm, out.toByteArray)
   }
 }

@@ -2870,22 +2870,41 @@ object Multimodal {
 
   /** Deterministic per-doc MP3 fixture: (pcm, mp3, nGranules, channels,
     * sampleRate). One device shared by the neardup and census queries
-    * (and their oracles' formulas). */
+    * (and their oracles' formulas). Three families by doc id (round
+    * 13): id%11==3 → BIG-VALUE streams through the vendored Table B.7
+    * Huffman tables (table trio rotates per doc); id%11==7 → MPEG-2
+    * LSF streams (1-granule frames, LSF scalefactors, count1 table A);
+    * else the original count1-grid MPEG-1 encoder. All three decode
+    * through the same [[graft.functions.Mp3Layer3.decodePcmF]]. */
   private def mp3FixtureFor(id: Long)
       : (Array[Array[Double]], Array[Byte], Int, Int, Int) = {
     import graft.functions.Mp3Layer3
-    val nG = 8 + (id % 3).toInt * 2
     val channels = 1 + (id % 2).toInt
-    val sr = Array(44100, 48000, 32000)((id % 3).toInt)
-    val opts = Mp3Layer3.Mp3Opts(
-      shortEvery = Array(0, 3, 4)((id % 5).toInt % 3),
-      msStereo = channels == 2 && id % 4 == 1,
-      shareScf = id % 7 == 0,
-      scalefacScale = if (id % 5 == 0) 1 else 0,
-      crc = id % 3 == 1,
-      reservoir = id % 2 == 0)
-    val (pcm, mp3) = Mp3Layer3.writeMp3Fixture(sr, channels, nG, id, opts)
-    (pcm, mp3, nG, channels, sr)
+    if (id % 11 == 3) {
+      val tabs = Array(1, 2, 3, 5, 6, 7, 8, 9, 10, 12)
+      val sr = Array(44100, 48000, 32000)((id % 3).toInt)
+      val tids = (tabs((id % 10).toInt), tabs(((id / 3) % 10).toInt),
+        tabs(((id / 7) % 10).toInt))
+      val (pcm, mp3) = Mp3Layer3.writeMp3BigFixture(sr, channels, 8, id,
+        tids, crc = id % 3 == 1, reservoir = id % 2 == 0)
+      (pcm, mp3, 8, channels, sr)
+    } else if (id % 11 == 7) {
+      val nG = 8 + (id % 3).toInt * 2
+      val (pcm, mp3) = Mp3Layer3.writeMp3LsfFixture(channels, nG, id)
+      (pcm, mp3, nG, channels, 22050)
+    } else {
+      val nG = 8 + (id % 3).toInt * 2
+      val sr = Array(44100, 48000, 32000)((id % 3).toInt)
+      val opts = Mp3Layer3.Mp3Opts(
+        shortEvery = Array(0, 3, 4)((id % 5).toInt % 3),
+        msStereo = channels == 2 && id % 4 == 1,
+        shareScf = id % 7 == 0,
+        scalefacScale = if (id % 5 == 0) 1 else 0,
+        crc = id % 3 == 1,
+        reservoir = id % 2 == 0)
+      val (pcm, mp3) = Mp3Layer3.writeMp3Fixture(sr, channels, nG, id, opts)
+      (pcm, mp3, nG, channels, sr)
+    }
   }
 
   /** Perceptual audio dedup across the WAV / MP3 container boundary:
@@ -2965,11 +2984,20 @@ object Multimodal {
 
   val mp3DecodeCensusOracle: String =
     """SELECT doc_id,
-      |       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |       CAST(CASE WHEN doc_id % 11 = 7 THEN 22050
+      |                 WHEN doc_id % 3 = 0 THEN 44100
+      |                 WHEN doc_id % 3 = 1 THEN 48000
       |                 ELSE 32000 END AS INT) AS sr,
       |       CAST(1 + doc_id % 2 AS INT) AS ch,
-      |       CAST((6 + doc_id % 3) * 1152 - 576 AS BIGINT) AS n_samples,
-      |       CAST(6 + doc_id % 3 AS BIGINT) AS n_frames
+      |       CAST(CASE WHEN doc_id % 11 = 3 THEN 8 * 576 - 576
+      |                 WHEN doc_id % 11 = 7
+      |                   THEN (8 + doc_id % 3 * 2) * 576 - 576
+      |                 ELSE (6 + doc_id % 3) * 1152 - 576
+      |            END AS BIGINT) AS n_samples,
+      |       CAST(CASE WHEN doc_id % 11 = 3 THEN 4
+      |                 WHEN doc_id % 11 = 7 THEN 8 + doc_id % 3 * 2
+      |                 ELSE 6 + doc_id % 3
+      |            END AS BIGINT) AS n_frames
       |FROM documents
       |""".stripMargin
 

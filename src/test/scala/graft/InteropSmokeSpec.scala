@@ -35,18 +35,31 @@ class InteropSmokeSpec extends AnyFunSuite {
 
   // ------------------------------------------------- in-container
 
-  test("real-world MP3: census reads it, sample decode refuses honestly") {
+  test("real-world MP3: census reads it, MPEG-2 sample decode works") {
     val path = java.nio.file.Paths.get("/usr/lib/google-cloud-sdk/" +
       "platform/gsutil/gslib/tests/test_data/test.mp3")
     assume(java.nio.file.Files.exists(path), "gsutil test asset absent")
     val b = java.nio.file.Files.readAllBytes(path)
     val m = graft.functions.Mp3Codec.meta(b).getOrElse(fail("census failed"))
-    // MPEG-2 Layer III mono: identity reported, V1L3-scoped fields
-    // keep their -1 sentinels
+    // MPEG-2 Layer III mono, 64 kbps CBR at 22.05 kHz
     assert(m.version == "2" && m.layer == 3 && m.channels == 1)
-    assert(m.id3Size == 32 && m.bitrateKbps == -1 && m.frames == -1L)
-    // sample decode: MPEG-2 is out of shipped scope → None, no throw
-    assert(graft.functions.Mp3Layer3.decodePcm(b).isEmpty)
+    assert(m.id3Size == 32 && m.bitrateKbps == 64 && m.sampleRate == 22050)
+    // independent frame walk agrees with the census estimate
+    val walk = graft.functions.Mp3Codec.frameWalk(b)
+      .getOrElse(fail("frame walk failed"))
+    assert(walk.frames == 45 && m.frames == 45)
+    assert(walk.durationMs == 45L * 576 * 1000 / 22050)
+    // LSF sample decode (round 13): this asset turns out to be pure
+    // digital silence — every granule has part2_3_length = 0 (verified
+    // by independent side-info walk) — so its decode proves the LSF
+    // frame/side-info/granule path on real bytes, while the Huffman
+    // tables are proven by the own-encoder fixtures in Round13Mp3Spec
+    val audio = graft.functions.Mp3Layer3.decodePcm(b)
+      .getOrElse(fail("MPEG-2 decode refused"))
+    assert(audio.sampleRate == 22050 && audio.channels == 1)
+    // 45 frames x 576 samples, minus the 576-sample structural delay
+    assert(audio.samples.length == 45 * 576 - 576, s"${audio.samples.length}")
+    assert(audio.samples.forall(_ == 0), "silence asset must decode silent")
     // tag walk survives real bytes
     graft.functions.Mp3Codec.readId3(b)
   }
