@@ -1331,6 +1331,79 @@ object PdfCodec {
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
+  // -------------------------------------------------- AES primitives
+
+  private def aesCbc(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+                     data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  private def aesEcbEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    c.doFinal(data)
+  }
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def pkcs5Pad(data: Array[Byte]): Array[Byte] = {
+    val n = 16 - data.length % 16
+    data ++ Array.fill(n)(n.toByte)
+  }
+
+  private def pkcs5Strip(data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.isEmpty || data.length % 16 != 0) return None
+    val n = data.last & 0xff
+    if (n < 1 || n > 16 || n > data.length) return None
+    Some(data.dropRight(n))
+  }
+
+  /** AESV2 per-object key (ISO 32000-1 Algorithm 1): MD5 of the file
+    * key, the object/generation numbers, and the constant "sAlT". */
+  private def objectKeyAes(fileKey: Array[Byte], num: Int, gen: Int)
+      : Array[Byte] =
+    md5(fileKey, Array(
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte),
+      Array(0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte))
+      .take(math.min(fileKey.length + 5, 16))
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash. The digest
+    * choice takes the first 16 bytes of E as a big-endian integer mod
+    * 3, and 256 ≡ 1 (mod 3), so the byte SUM mod 3 is exact. */
+  private[functions] def hashR6(pwd: Array[Byte], salt: Array[Byte],
+                                udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    var e: Array[Byte] = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e.last & 0xff) > i - 32) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      e = aesCbc(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(Seq("SHA-256", "SHA-384", "SHA-512")(mod), e)
+      i += 1
+    }
+    k.take(32)
+  }
+
   /** Algorithm 2: the file encryption key from a (user) password. */
   private[functions] def stdFileKey(r: Int, lenBytes: Int, o: Array[Byte],
                                     p: Int, id0: Array[Byte],
@@ -1394,10 +1467,13 @@ object PdfCodec {
     s.filterNot(_.isWhitespace).grouped(2)
       .map(h => Integer.parseInt(h, 16).toByte).toArray
 
-  /** Locate and parse the /Encrypt dictionary + the first /ID string:
-    * (V, R, length bytes, P, O, U, id0, standard filter). */
-  private def encryptDict(s: String)
-      : Option[(Int, Int, Int, Int, Array[Byte], Array[Byte], Array[Byte])] = {
+  private final case class EncDict(v: Int, r: Int, lenBytes: Int, p: Int,
+                                   o: Array[Byte], u: Array[Byte],
+                                   ue: Option[Array[Byte]],
+                                   id0: Array[Byte], cfm: String)
+
+  /** Locate and parse the /Encrypt dictionary + the first /ID string. */
+  private def encryptDict(s: String): Option[EncDict] = {
     val trailerAt = s.lastIndexOf("trailer")
     val scope = if (trailerAt >= 0) s.substring(trailerAt) else s
     val em = java.util.regex.Pattern
@@ -1426,10 +1502,52 @@ object PdfCodec {
     }
     val v = num("/V", 0)
     val r = num("/R", 2)
-    val lenBits = num("/Length", 40)
+    val lenBits = num("/Length", if (v >= 5) 256 else 40)
     val p = num("/P", -1)
+    // stream crypt filter method: V4/V5 declare it in /CF /StdCF /CFM
+    val cfm = {
+      val m = java.util.regex.Pattern
+        .compile("/CFM\\s*/(\\w+)").matcher(dict)
+      if (m.find()) m.group(1)
+      else if (v <= 2) "V2" // RC4 implied pre-/CF
+      else ""
+    }
     for (o <- hexStr("/O"); u <- hexStr("/U"))
-      yield (v, r, lenBits / 8, p, o, u, id0)
+      yield EncDict(v, r, lenBits / 8, p, o, u, hexStr("/UE"), id0, cfm)
+  }
+
+  /** Empty-user-password authentication + file-key recovery across the
+    * standard handler generations: RC4 R2/R3, AESV2 (V4/R4), AESV3
+    * (V5/R6). None = not authenticated or out-of-scope handler. */
+  private def authEmptyUser(d: EncDict): Option[Array[Byte]] = d.v match {
+    case 1 | 2 if d.r == 2 || d.r == 3 =>
+      val key = stdFileKey(d.r, d.lenBytes, d.o, d.p, d.id0,
+        Array.emptyByteArray)
+      val u2 = stdUEntry(d.r, key, d.id0)
+      val ok =
+        if (d.r == 2) java.util.Arrays.equals(u2, d.u)
+        else d.u.length >= 16 &&
+          java.util.Arrays.equals(u2.take(16), d.u.take(16))
+      if (ok) Some(key) else None
+    case 4 if d.r == 4 && d.cfm == "AESV2" =>
+      val key = stdFileKey(3, d.lenBytes, d.o, d.p, d.id0,
+        Array.emptyByteArray)
+      val u2 = stdUEntry(3, key, d.id0)
+      if (d.u.length >= 16 &&
+        java.util.Arrays.equals(u2.take(16), d.u.take(16))) Some(key)
+      else None
+    case 5 if d.r == 6 && d.cfm == "AESV3" && d.u.length >= 48 =>
+      val vs = d.u.slice(32, 40)
+      val ks = d.u.slice(40, 48)
+      if (!java.util.Arrays.equals(
+        hashR6(Array.emptyByteArray, vs, Array.emptyByteArray),
+        d.u.take(32))) None
+      else d.ue.filter(_.length == 32).map { ue =>
+        aesCbc(encrypt = false,
+          hashR6(Array.emptyByteArray, ks, Array.emptyByteArray),
+          new Array[Byte](16), ue)
+      }
+    case _ => None
   }
 
   /** ENCRYPTION CENSUS: handler kind, V/R, key length, and whether the
@@ -1439,36 +1557,28 @@ object PdfCodec {
   def encryptMeta(b: Array[Byte]): Option[PdfEncryptMeta] =
     try {
       val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-      encryptDict(s).map { case (v, r, lenBytes, p, o, u, id0) =>
-        val open = (v == 1 || v == 2) && (r == 2 || r == 3) && {
-          val key = stdFileKey(r, lenBytes, o, p, id0, Array.emptyByteArray)
-          val u2 = stdUEntry(r, key, id0)
-          if (r == 2) java.util.Arrays.equals(u2, u)
-          else u.length >= 16 &&
-            java.util.Arrays.equals(u2.take(16), u.take(16))
-        }
-        PdfEncryptMeta(v, r, lenBytes * 8, standard = true, open)
+      encryptDict(s).map { d =>
+        PdfEncryptMeta(d.v, d.r, d.lenBytes * 8, standard = true,
+          authEmptyUser(d).isDefined)
       }
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
 
-  /** Decrypt an RC4 standard-handler document with an EMPTY user
-    * password: every stream is RC4-decrypted in place (same length, so
-    * all offsets stay valid) and the decrypted bytes feed the normal
-    * extraction stack. None when not encrypted, not RC4/Standard, or
-    * the empty password does not authenticate. */
+  /** Decrypt a standard-security-handler document with an EMPTY user
+    * password — RC4 (V1/V2), AESV2 (V4/AES-128-CBC, per-object keys)
+    * or AESV3 (V5/R6, AES-256): every stream is decrypted in place.
+    * RC4 preserves length; AES plaintext is shorter (IV + padding), so
+    * the freed tail is space-filled — whitespace is inert in content
+    * streams and past-the-end for Flate/ObjStm payloads, so every
+    * offset stays valid. None when not encrypted, not a supported
+    * handler, or the empty password does not authenticate. */
   def decryptPdf(b: Array[Byte]): Option[Array[Byte]] =
     try {
       val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val (v, r, lenBytes, p, o, u, id0) = encryptDict(s).getOrElse(return None)
-      if (!((v == 1 || v == 2) && (r == 2 || r == 3))) return None
-      val key = stdFileKey(r, lenBytes, o, p, id0, Array.emptyByteArray)
-      val u2 = stdUEntry(r, key, id0)
-      val authed =
-        if (r == 2) java.util.Arrays.equals(u2, u)
-        else u.length >= 16 && java.util.Arrays.equals(u2.take(16), u.take(16))
-      if (!authed) return None
+      val d = encryptDict(s).getOrElse(return None)
+      val key = authEmptyUser(d).getOrElse(return None)
+      val aes = d.v >= 4
       val out = b.clone()
       val objRe = java.util.regex.Pattern
         .compile("(?s)(\\d+)\\s+(\\d+)\\s+obj(.*?)endobj").matcher(s)
@@ -1495,9 +1605,21 @@ object PdfCodec {
               val e = s.indexOf("endstream", ds)
               if (e < 0) return None else e
           }
-          val dec = rc4(objectKey(key, num, gen),
-            java.util.Arrays.copyOfRange(b, ds, end))
-          System.arraycopy(dec, 0, out, ds, dec.length)
+          val ct = java.util.Arrays.copyOfRange(b, ds, end)
+          if (!aes) {
+            val dec = rc4(objectKey(key, num, gen), ct)
+            System.arraycopy(dec, 0, out, ds, dec.length)
+          } else {
+            // AES: 16-byte IV prefix, CBC body, PKCS#5 padding; the
+            // plaintext is shorter, so space-fill the freed tail
+            if (ct.length < 32 || ct.length % 16 != 0) return None
+            val objKey =
+              if (d.v == 5) key else objectKeyAes(key, num, gen)
+            val dec = pkcs5Strip(aesCbc(encrypt = false, objKey,
+              ct.take(16), ct.drop(16))).getOrElse(return None)
+            System.arraycopy(dec, 0, out, ds, dec.length)
+            java.util.Arrays.fill(out, ds + dec.length, end, ' '.toByte)
+          }
         }
       }
       Some(out)
@@ -1563,6 +1685,98 @@ object PdfCodec {
     obj(s"<< /Filter /Standard /V ${if (r == 2) 1 else 2} /R $r " +
       (if (r == 3) s"/Length $lenBits " else "") +
       s"/P $pFlags /O <${hex(oEntry)}> /U <${hex(uEntry)}> >>")
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${offsets.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(of => sb.append(f"$of%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R " +
+      s"/Encrypt ${offsets.length} 0 R " +
+      s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(iso)
+  }
+
+  /** Fixture writer: AES standard-handler encryption. `v5 = false` →
+    * AESV2 (V4/R4, AES-128-CBC, per-object keys via the "sAlT" MD5);
+    * `v5 = true` → AESV3 (V5/R6, AES-256, SHA-2 hardened hash,
+    * U/UE/O/OE/Perms per ISO 32000-2). The EMPTY user password
+    * authenticates; `ownerPwd` seeds /O (and /OE). Streams carry a
+    * per-object deterministic IV + PKCS#5-padded CBC ciphertext. */
+  def writePdfEncryptedAes(version: String, texts: Seq[String],
+                           ownerPwd: String, v5: Boolean,
+                           flate: Boolean = false): Array[Byte] = {
+    val nPages = texts.length
+    require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val pFlags = -44
+    val id0 = md5(texts.mkString("|").getBytes(iso)).take(16)
+    def hex(a: Array[Byte]): String = a.map("%02X".format(_)).mkString
+    // --- handler material
+    val none = Array.emptyByteArray
+    var encryptDictBody = ""
+    var fileKey: Array[Byte] = null
+    if (!v5) {
+      val oEntry = stdOEntry(3, 16, ownerPwd.getBytes(iso), none)
+      fileKey = stdFileKey(3, 16, oEntry, pFlags, id0, none)
+      val uEntry = stdUEntry(3, fileKey, id0)
+      encryptDictBody = "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        "/StmF /StdCF /StrF /StdCF " +
+        s"/P $pFlags /O <${hex(oEntry)}> /U <${hex(uEntry)}> >>"
+    } else {
+      fileKey = sha("SHA-256", "graft-aesv3-key".getBytes(iso),
+        texts.mkString("|").getBytes(iso))
+      val vs = md5(Array('v'.toByte), id0).take(8)
+      val ks = md5(Array('k'.toByte), id0).take(8)
+      val u48 = hashR6(none, vs, none) ++ vs ++ ks
+      val ue = aesCbc(encrypt = true, hashR6(none, ks, none),
+        new Array[Byte](16), fileKey)
+      val op = ownerPwd.getBytes(iso)
+      val ovs = md5(Array('V'.toByte), id0).take(8)
+      val oks = md5(Array('K'.toByte), id0).take(8)
+      val o48 = hashR6(op, ovs, u48) ++ ovs ++ oks
+      val oe = aesCbc(encrypt = true, hashR6(op, oks, u48),
+        new Array[Byte](16), fileKey)
+      val permsPlain = leInt(pFlags) ++
+        Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) ++
+        "Tadb".getBytes(iso) ++ md5(id0).take(4)
+      val perms = aesEcbEncrypt(fileKey, permsPlain)
+      encryptDictBody = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+        "/StmF /StdCF /StrF /StdCF " +
+        s"/P $pFlags /O <${hex(o48)}> /U <${hex(u48)}> " +
+        s"/OE <${hex(oe)}> /UE <${hex(ue)}> /Perms <${hex(perms)}> >>"
+    }
+    // --- document body (the writePdfWithText layout)
+    val sb = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(body: String): Unit = {
+      offsets += sb.length
+      sb.append(s"${offsets.length} 0 obj\n$body\nendobj\n")
+    }
+    sb.append(s"%PDF-$version\n")
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until nPages).map(k => s"${3 + k} 0 R").mkString(" ")
+    obj(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+    val fontObj = 3 + 2 * nPages
+    for (k <- 0 until nPages)
+      obj(s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+        s"/Contents ${3 + nPages + k} 0 R " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> >>")
+    for ((t, k) <- texts.zipWithIndex) {
+      val ops = s"BT /F1 12 Tf 72 720 Td (${escape(t)}) Tj ET"
+      val plain =
+        if (flate) deflate(ops.getBytes(iso)) else ops.getBytes(iso)
+      val objNum = 3 + nPages + k
+      val objKey = if (v5) fileKey else objectKeyAes(fileKey, objNum, 0)
+      val iv = md5(leInt(objNum), id0) // deterministic per object
+      val enc = iv ++ aesCbc(encrypt = true, objKey, iv, pkcs5Pad(plain))
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      obj(s"<< /Length ${enc.length}$filter >>\nstream\n" +
+        new String(enc, iso) + "\nendstream")
+    }
+    obj("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(encryptDictBody)
     val xrefAt = sb.length
     sb.append(s"xref\n0 ${offsets.length + 1}\n")
     sb.append("0000000000 65535 f \n")

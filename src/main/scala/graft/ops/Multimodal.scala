@@ -1951,13 +1951,14 @@ object Multimodal {
       |FROM t
       |""".stripMargin
 
-  /** ENCRYPTED-PDF extraction: each doc is an RC4 standard-security-
-    * handler document (R2 40-bit / R3 128-bit rotating, flate rotating,
-    * per-doc owner password) whose text is reachable ONLY after
-    * empty-user-password authentication (algorithm 6) and per-object
-    * RC4 stream decryption — the decrypt is in place (RC4 preserves
-    * length), then the normal extraction stack runs. The census arm
-    * (`r`, `len_bits`, `open`) rides along per page. Map-only. */
+  /** ENCRYPTED-PDF extraction across all four standard-security-handler
+    * generations, rotating by doc id: RC4 R2 (40-bit), RC4 R3
+    * (128-bit), AESV2 (V4/R4, AES-128-CBC per-object keys), AESV3
+    * (V5/R6, AES-256 + the SHA-2 hardened hash). Text is reachable
+    * ONLY after empty-user-password authentication and in-place stream
+    * decryption (AES space-fills the freed IV/padding tail), then the
+    * normal extraction stack runs. The census arm (`r`, `len_bits`,
+    * `open`) rides along per page. Map-only. */
   def pdfEncryptedQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.docIds(spark, dir)
@@ -1965,10 +1966,17 @@ object Multimodal {
         ids.flatMap { id =>
           val texts = (0 until (id % 3).toInt + 1).map(p =>
             s"rc4 locked doc $id page $p official")
-          val r = 2 + (id % 2).toInt
-          val len = if (r == 2) 40 else 128
-          val pdf = graft.functions.PdfCodec.writePdfEncryptedText(
-            "1.4", texts, s"owner-$id", r, len, flate = id % 3 == 0)
+          val flate = id % 3 == 0
+          val (pdf, r, len) = (id % 4) match {
+            case 0 => (graft.functions.PdfCodec.writePdfEncryptedText(
+              "1.4", texts, s"owner-$id", 2, 40, flate), 2, 40)
+            case 1 => (graft.functions.PdfCodec.writePdfEncryptedText(
+              "1.4", texts, s"owner-$id", 3, 128, flate), 3, 128)
+            case 2 => (graft.functions.PdfCodec.writePdfEncryptedAes(
+              "1.6", texts, s"owner-$id", v5 = false, flate), 4, 128)
+            case _ => (graft.functions.PdfCodec.writePdfEncryptedAes(
+              "1.7", texts, s"owner-$id", v5 = true, flate), 6, 256)
+          }
           val meta = graft.functions.PdfCodec.encryptMeta(pdf)
           graft.functions.PdfCodec.extractTextEncrypted(pdf).toSeq
             .flatMap { pages =>
@@ -1998,9 +2006,10 @@ object Multimodal {
       |SELECT doc_id, CAST(p AS INT) AS page_id,
       |       CAST(length(txt) AS BIGINT) AS n_chars,
       |       md5(txt) AS text_md5,
-      |       CAST(2 + doc_id % 2 AS INT) AS r,
-      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 40 ELSE 128 END AS INT)
-      |         AS len_bits,
+      |       CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3
+      |                 WHEN 2 THEN 4 ELSE 6 END AS INT) AS r,
+      |       CAST(CASE doc_id % 4 WHEN 0 THEN 40 WHEN 3 THEN 256
+      |                 ELSE 128 END AS INT) AS len_bits,
       |       TRUE AS open
       |FROM t
       |""".stripMargin

@@ -131,7 +131,11 @@ class InteropSmokeSpec extends AnyFunSuite {
     for ((pdf, tag) <- Seq(
       PdfCodec.writePdfWithText("1.4", texts) -> "plain",
       PdfCodec.writePdfObjStm("1.6", texts) -> "objstm",
-      PdfCodec.writePdfEncryptedText("1.4", texts, "owner") -> "rc4")) {
+      PdfCodec.writePdfEncryptedText("1.4", texts, "owner") -> "rc4",
+      PdfCodec.writePdfEncryptedAes("1.6", texts, "owner",
+        v5 = false) -> "aesv2",
+      PdfCodec.writePdfEncryptedAes("1.7", texts, "owner",
+        v5 = true) -> "aesv3")) {
       val in = tmp(".pdf"); val out = tmp(".txt")
       java.nio.file.Files.write(in.toPath, pdf)
       assert(run(Seq(cmd.get, in.getAbsolutePath,
