@@ -363,6 +363,43 @@ object BrotliCodec {
     prefix ++ core ++ suffix
   }
 
+  // ------------------------------------------------- stored encoder
+
+  /** STORED-mode encoder: a valid RFC 7932 stream of uncompressed
+    * meta-blocks (§9.2 ISUNCOMPRESSED) — no entropy coding, so it
+    * needs none of the encoder machinery this object deliberately
+    * lacks. Decodable by any conformant brotli (and by [[decode]],
+    * which the spec pins). Used by fixture writers that need to wrap
+    * arbitrary bytes in real brotli framing (e.g. WOFF2 containers). */
+  def encodeStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8 +
+      4 * (data.length / 65536 + 1))
+    var acc = 0
+    var nbits = 0
+    def put(v: Int, n: Int): Unit = {
+      acc |= v << nbits
+      nbits += n
+      while (nbits >= 8) { out.write(acc & 0xff); acc >>>= 8; nbits -= 8 }
+    }
+    def alignByte(): Unit =
+      if (nbits > 0) { out.write(acc & 0xff); acc = 0; nbits = 0 }
+    put(0, 1) // WBITS = 16
+    var at = 0
+    while (at < data.length) {
+      val chunk = math.min(1 << 16, data.length - at)
+      put(0, 1) // ISLAST = 0
+      put(0, 2) // MNIBBLES = 4
+      put(chunk - 1, 16) // MLEN - 1
+      put(1, 1) // ISUNCOMPRESSED
+      alignByte()
+      out.write(data, at, chunk)
+      at += chunk
+    }
+    put(1, 1); put(1, 1) // ISLAST, ISLASTEMPTY
+    alignByte()
+    out.toByteArray
+  }
+
   // ------------------------------------------------------- decoder
 
   /** Decode a complete brotli stream. None on malformed/hostile input

@@ -74,4 +74,225 @@ object Woff2Fixtures {
     Fixture(W4, 3, 297, "c89264fc6028ad81caeedffa70de35b5", Seq("cmap", "name", "head")),
     Fixture(W5, 4, 462, "fcd269e12ebf554cb27e710313e92b84", Seq("name", "OS/2", "XGFF", "kern")),
   )
+
+  // ============== transformed-glyf fixtures (spec §5.1, round 13) ====
+  //
+  // woff2_compress's DEFAULT output transforms glyf/loca, so real fonts
+  // need the reconstruction path. These fixtures are built at runtime:
+  // a deterministic glyph set → transformed streams (every triplet
+  // class, 255UInt16 arms, bbox bitmap both ways, composite records,
+  // overlap bitmap) → a container whose blob is wrapped in STORED-mode
+  // brotli ([[BrotliCodec.encodeStored]] — real RFC 7932 framing).
+
+  /** One model glyph: simple = contours of absolute on/off points;
+    * composite = raw component records + instructions. */
+  final case class GlyphModel(contours: Seq[Seq[(Int, Int, Boolean)]],
+                              instructions: Array[Byte],
+                              explicitBbox: Option[(Int, Int, Int, Int)],
+                              composite: Option[(Seq[(Int, Int, Array[Byte])],
+                                Array[Byte])])
+
+  private[functions] final class W {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u8((v >> 24).toInt); u8((v >> 16).toInt)
+      u8((v >> 8).toInt); u8(v.toInt) }
+    def bytes(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  /** 255UInt16 encoder; `arm` forces a specific coding for values that
+    * admit several (the decoder must accept all). */
+  private[functions] def write255(w: W, v: Int, arm: Int = -1): Unit = {
+    require(v >= 0 && v <= 0xffff)
+    arm match {
+      case 0 => require(v < 253); w.u8(v)
+      case 1 => w.u8(253); w.u16(v) // word code, always legal
+      case 2 => require(v >= 253 && v <= 253 + 255); w.u8(255); w.u8(v - 253)
+      case 3 => require(v >= 506 && v <= 506 + 255); w.u8(254); w.u8(v - 506)
+      case _ => if (v < 253) w.u8(v) else { w.u8(253); w.u16(v) }
+    }
+  }
+
+  /** Triplet encoder — the exact inverse of the decoder's class rules,
+    * picking the smallest applicable class. */
+  private def writeTriplet(flags: W, data: W, dx: Int, dy: Int,
+                           onCurve: Boolean): Unit = {
+    val ax = math.abs(dx); val ay = math.abs(dy)
+    val sx = if (dx >= 0) 1 else 0
+    val sy = if (dy >= 0) 1 else 0
+    val (flag: Int, emit: (() => Unit)) =
+      if (dx == 0 && ay <= 2047)
+        ((((ay >> 8) << 1) | sy, () => data.u8(ay & 0xff)))
+      else if (dy == 0 && ax <= 2047)
+        ((10 + (((ax >> 8) << 1) | sx), () => data.u8(ax & 0xff)))
+      else if (ax >= 1 && ax <= 64 && ay >= 1 && ay <= 64)
+        ((20 + ((((ax - 1) >> 4) << 4) | (((ay - 1) >> 4) << 2) |
+          (sy << 1) | sx),
+          () => data.u8((((ax - 1) & 0xf) << 4) | ((ay - 1) & 0xf))))
+      else if (ax >= 1 && ax <= 768 && ay >= 1 && ay <= 768)
+        ((84 + ((ax - 1) >> 8) * 12 + (((ay - 1) >> 8) << 2) +
+          (sy << 1) + sx,
+          () => { data.u8((ax - 1) & 0xff); data.u8((ay - 1) & 0xff) }))
+      else if (ax <= 4095 && ay <= 4095)
+        ((120 + (sy << 1) + sx, () => {
+          data.u8(ax >> 4); data.u8(((ax & 0xf) << 4) | (ay >> 8))
+          data.u8(ay & 0xff)
+        }))
+      else
+        ((124 + (sy << 1) + sx, () => {
+          data.u8(ax >> 8); data.u8(ax & 0xff)
+          data.u8(ay >> 8); data.u8(ay & 0xff)
+        }))
+    flags.u8(flag | (if (onCurve) 0 else 0x80))
+    emit()
+  }
+
+  private def uintBase128(w: W, v: Long): Unit = {
+    val bytes = scala.collection.mutable.ArrayBuffer[Int](
+      (v & 0x7f).toInt)
+    var r = v >> 7
+    while (r != 0) { bytes.prepend(((r & 0x7f) | 0x80).toInt); r >>= 7 }
+    bytes.foreach(w.u8)
+  }
+
+  /** Deterministic glyph set: per seed, 4 + seed%3 glyphs cycling
+    * empty / small-simple / wide-simple (explicit bbox) / composite —
+    * every triplet class and both bbox paths get coverage. */
+  def glyphModels(seed: Long): Seq[GlyphModel] = {
+    val n = 4 + (seed % 3).toInt
+    (0 until n).map { g =>
+      (g % 4) match {
+        case 0 => GlyphModel(Nil, Array.emptyByteArray, None, None)
+        case 1 =>
+          val k = 3 + ((seed + g) % 4).toInt
+          val pts = (0 until k).map { j =>
+            (10 + (g % 5) + 7 * j, 20 + 11 * j, j != 1)
+          }
+          GlyphModel(Seq(pts), Array.tabulate(2 + g % 3)(_.toByte), None,
+            None)
+        case 2 =>
+          // two contours: mid-range, 12-bit and 16-bit deltas
+          val c1 = Seq((300, 700, true), (1000, 900, true), (300, 1200, true))
+          val c2 = Seq((3000, 100, true), (7995, 4000, false),
+            (-6000, 4100, true))
+          GlyphModel(Seq(c1, c2), Array.emptyByteArray,
+            Some((-6001, 99, 8000, 4101)), None)
+        case _ =>
+          val comp = Seq(
+            // ARG_1_AND_2_ARE_WORDS | MORE_COMPONENTS
+            (0x0021, 1, Array[Byte](0, 50, 0, 60)),
+            // plain byte args + WE_HAVE_INSTRUCTIONS
+            (0x0100, 1, Array[Byte](5, 6)))
+          GlyphModel(Nil, Array.emptyByteArray, Some((0, 0, 500, 600)),
+            Some((comp, Array.tabulate(3)(i => (i + 9).toByte))))
+      }
+    }
+  }
+
+  /** Build a WOFF2 container whose glyf/loca are TRANSFORMED (version
+    * 0), with an untransformed head carrying indexToLocFormat. */
+  def writeTransformedWoff2(seed: Long, shortLoca: Boolean,
+                            overlapBitmap: Boolean = false): Array[Byte] = {
+    val glyphs = glyphModels(seed)
+    val n = glyphs.length
+    val nContourS = new W; val nPointsS = new W; val flagS = new W
+    val glyphS = new W; val compositeS = new W; val bboxValsS = new W
+    val instrS = new W
+    val bboxBitmap = new Array[Byte](((n + 31) >> 5) << 2)
+    val overlap = new Array[Byte]((n + 7) / 8)
+    glyphs.zipWithIndex.foreach { case (gm, g) =>
+      gm.composite match {
+        case Some((comps, instrs)) =>
+          nContourS.u16(0xffff) // -1
+          bboxBitmap(g >> 3) = (bboxBitmap(g >> 3) |
+            (0x80 >> (g & 7))).toByte
+          val (x0, y0, x1, y1) = gm.explicitBbox.get
+          bboxValsS.u16(x0); bboxValsS.u16(y0)
+          bboxValsS.u16(x1); bboxValsS.u16(y1)
+          comps.foreach { case (fl, idx, args) =>
+            compositeS.u16(fl); compositeS.u16(idx)
+            compositeS.bytes(args)
+          }
+          if (comps.exists(c => (c._1 & 0x0100) != 0)) {
+            write255(glyphS, instrs.length)
+            instrS.bytes(instrs)
+          }
+        case None if gm.contours.isEmpty =>
+          nContourS.u16(0)
+        case None =>
+          nContourS.u16(gm.contours.length)
+          gm.contours.foreach { c =>
+            // use the word-code arm for one contour per font so the
+            // decoder's 253 path stays exercised
+            write255(nPointsS, c.size, arm = if (g == 1) 1 else -1)
+          }
+          var px = 0; var py = 0
+          gm.contours.flatten.foreach { case (x, y, on) =>
+            writeTriplet(flagS, glyphS, x - px, y - py, on)
+            px = x; py = y
+          }
+          write255(glyphS, gm.instructions.length)
+          instrS.bytes(gm.instructions)
+          gm.explicitBbox.foreach { case (x0, y0, x1, y1) =>
+            bboxBitmap(g >> 3) = (bboxBitmap(g >> 3) |
+              (0x80 >> (g & 7))).toByte
+            bboxValsS.u16(x0); bboxValsS.u16(y0)
+            bboxValsS.u16(x1); bboxValsS.u16(y1)
+          }
+          if (overlapBitmap && gm.contours.nonEmpty)
+            overlap(g >> 3) = (overlap(g >> 3) | (0x80 >> (g & 7))).toByte
+      }
+    }
+    // assemble the transformed glyf table
+    val t = new W
+    t.u16(0) // reserved
+    t.u16(if (overlapBitmap) 1 else 0)
+    t.u16(n)
+    t.u16(if (shortLoca) 0 else 1)
+    val bboxStream = bboxBitmap ++ bboxValsS.result
+    val streams = Seq(nContourS.result, nPointsS.result, flagS.result,
+      glyphS.result, compositeS.result, bboxStream, instrS.result)
+    streams.foreach(s => t.u32(s.length.toLong))
+    streams.foreach(t.bytes)
+    if (overlapBitmap) t.bytes(overlap)
+    val transformedGlyf = t.result
+    // head (54 bytes) with indexToLocFormat at offset 50
+    val head = new W
+    head.u32(0x00010000L); head.u32(0x00010000L) // version, fontRevision
+    head.u32(0); head.u32(0x5f0f3cf5L) // checksumAdj, magic
+    head.u16(0); head.u16(1000) // flags, unitsPerEm
+    (0 until 16).foreach(_ => head.u8(0)) // dates
+    head.u16(0); head.u16(0); head.u16(1000); head.u16(1000) // bbox
+    head.u16(0); head.u16(8); head.u16(2) // macStyle, lowestRec, direction
+    head.u16(if (shortLoca) 0 else 1) // indexToLocFormat
+    head.u16(0) // glyphDataFormat
+    val headBytes = head.result
+    // blob: head, transformed glyf, loca (zero bytes), stored-brotli
+    val blob = headBytes ++ transformedGlyf
+    val compressed = BrotliCodec.encodeStored(blob)
+    // directory: head (idx 1, untransformed), glyf (idx 10, transform
+    // 0 = transformed), loca (idx 11, transform 0, stored length 0)
+    val dir = new W
+    dir.u8(1); uintBase128(dir, headBytes.length.toLong)
+    dir.u8(10); uintBase128(dir, 4096L) // orig length (unvalidated)
+    uintBase128(dir, transformedGlyf.length.toLong)
+    dir.u8(11); uintBase128(dir, ((n + 1) * (if (shortLoca) 2 else 4)).toLong)
+    uintBase128(dir, 0L)
+    val dirBytes = dir.result
+    val w = new W
+    w.bytes("wOF2".getBytes("ISO-8859-1"))
+    w.u32(0x00010000L) // flavor
+    w.u32((48 + dirBytes.length + compressed.length).toLong)
+    w.u16(3); w.u16(0) // numTables, reserved
+    w.u32(4096L) // totalSfntSize (advisory)
+    w.u32(compressed.length.toLong)
+    w.u16(1); w.u16(0) // version
+    w.u32(0); w.u32(0); w.u32(0) // meta
+    w.u32(0); w.u32(0) // priv
+    w.bytes(dirBytes)
+    w.bytes(compressed)
+    w.result
+  }
 }

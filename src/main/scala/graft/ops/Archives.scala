@@ -644,6 +644,58 @@ object Archives {
        |""".stripMargin
   }
 
+  /** TRANSFORMED-glyf reconstruction census (round 13): each doc is a
+    * WOFF2 whose glyf/loca use transform version 0 — woff2_compress's
+    * default — so extraction must run the spec §5.1 reconstruction
+    * (triplet coordinates, 255UInt16 point counts, bbox bitmap,
+    * composite passthrough, loca resynthesis). Features are counted
+    * from the REBUILT TrueType tables and are formula-predictable per
+    * doc id. Map-only. */
+  def woff2GlyfQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Woff2Codec, Woff2Fixtures}
+    Tables.docIds(spark, dir)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val shortLoca = id % 2 == 0
+          val woff = Woff2Fixtures.writeTransformedWoff2(id, shortLoca,
+            overlapBitmap = id % 5 == 0)
+          for {
+            glyf <- Woff2Codec.extractTable(woff, "glyf")
+            loca <- Woff2Codec.extractTable(woff, "loca")
+            f <- Woff2Codec.glyfFeatures(glyf, loca, shortLoca)
+          } yield (id, f.nGlyphs, f.nContours, f.nPoints.toLong,
+            f.nComposites, f.nEmpty)
+        }
+      }
+      .toDF("doc_id", "n_glyphs", "n_contours", "n_points",
+        "n_composites", "n_empty")
+      .select(col("doc_id"), col("n_glyphs").cast("int").as("n_glyphs"),
+        col("n_contours").cast("int").as("n_contours"), col("n_points"),
+        col("n_composites").cast("int").as("n_composites"),
+        col("n_empty").cast("int").as("n_empty"))
+  }
+
+  val woff2GlyfOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, gi
+      |  FROM documents,
+      |       unnest(generate_series(0, CAST(3 + doc_id % 3 AS INT))) t(gi))
+      |SELECT doc_id,
+      |       CAST(4 + doc_id % 3 AS INT) AS n_glyphs,
+      |       CAST(SUM(CASE WHEN gi % 4 = 1 THEN 1
+      |                     WHEN gi % 4 = 2 THEN 2 ELSE 0 END) AS INT)
+      |         AS n_contours,
+      |       CAST(SUM(CASE WHEN gi % 4 = 1 THEN 3 + (doc_id + gi) % 4
+      |                     WHEN gi % 4 = 2 THEN 6 ELSE 0 END) AS BIGINT)
+      |         AS n_points,
+      |       CAST(SUM(CASE WHEN gi % 4 = 3 THEN 1 ELSE 0 END) AS INT)
+      |         AS n_composites,
+      |       CAST(SUM(CASE WHEN gi % 4 = 0 THEN 1 ELSE 0 END) AS INT)
+      |         AS n_empty
+      |FROM g GROUP BY doc_id
+      |""".stripMargin
+
   // -------------------------------------------------- charset round-trip
 
   /** Per-mode non-ASCII marker text (unicode escapes, NOT literals, so

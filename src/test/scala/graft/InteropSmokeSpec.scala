@@ -101,6 +101,33 @@ class InteropSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("brotli STORED-mode writer: the reference decoder accepts it") {
+    val pkg = new java.io.File("/root/miniconda/pkgs")
+    val cffi = Option(pkg.listFiles())
+      .flatMap(_.find(_.getName.startsWith("brotlicffi-")))
+      .map(d => d.getAbsolutePath + "/lib/python3.13/site-packages")
+    assume(cffi.isDefined, "brotlicffi not present")
+    val rnd = new scala.util.Random(19)
+    for (n <- Seq(0, 1, 1000, 65537)) {
+      val payload = Array.fill(n)(rnd.nextInt(256).toByte)
+      val stream = graft.functions.BrotliCodec.encodeStored(payload)
+      val in = tmp(".br"); val outF = tmp(".bin")
+      java.nio.file.Files.write(in.toPath, stream)
+      val py = Seq("/root/miniconda/bin/python3", "python3")
+        .find(p => p == "python3" || new java.io.File(p).exists()).get
+      val pb = new ProcessBuilder(py, "-c",
+        s"import brotlicffi;" +
+          s"open('${outF.getAbsolutePath}','wb').write(" +
+          s"brotlicffi.decompress(open('${in.getAbsolutePath}','rb')" +
+          s".read()))")
+      pb.environment().put("PYTHONPATH", cffi.get)
+      assert(pb.inheritIO().start().waitFor() == 0,
+        s"reference decoder rejected our stored stream (n=$n)")
+      val back = java.nio.file.Files.readAllBytes(outF.toPath)
+      assert(java.util.Arrays.equals(back, payload), s"n=$n mismatch")
+    }
+  }
+
   // ------------------------------------------------- deploy-gated
 
   test("libvorbis interop: oggdec decodes our encoder's stream") {
