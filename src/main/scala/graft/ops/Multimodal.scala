@@ -1209,7 +1209,13 @@ object Multimodal {
   /** AVIF/HEIF census — brand, ispe dimensions, pixi bit depth, iinf
     * item count over formula-built containers ([[graft.functions
     * .IsoBmff.writeAvif]]): the fastest-growing image container joins
-    * the format-census family. Header-only, map-only. */
+    * the format-census family. Header-only, map-only.
+    *
+    * SCOPE (stated here because this row is what a consumer reads):
+    * AV1 PAYLOAD decode is out of scope — an intra-frame AV1 decoder
+    * is a VP8-scale project; AVIF routes to census + metadata dedup
+    * (dimensions, depth, item inventory), and pixel-level neardup for
+    * AVIF returns None honestly rather than decoding garbage. */
   def avifCensusQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.IsoBmff
@@ -1594,7 +1600,15 @@ object Multimodal {
     * otherwise), FLAC header, Ogg Vorbis, Ogg Opus — the five
     * containers a crawled audio corpus is actually made of. Each
     * parameter is a doc_id formula so the census is
-    * oracle-predictable. */
+    * oracle-predictable.
+    *
+    * SCOPE (stated here because this row is what a consumer reads):
+    * Opus coverage is container-level — census, OpusTags, duration
+    * from the granule clock. SILK/CELT SAMPLE synthesis is out of
+    * scope (a codec-scale project with no in-container reference to
+    * gate it); Opus payloads route to census + dedup-by-tags/duration,
+    * never to silent garbage — the same honest-refusal pattern as the
+    * AVIF census's AV1 stance. */
   def audioFormatPayloads(spark: SparkSession, dir: String)
       : Dataset[(Long, Array[Byte])] = {
     import spark.implicits._

@@ -424,8 +424,17 @@ object UrlOps {
     * The rule tables come from the vendored
     * [[graft.functions.PslData]] snapshot, compiled into per-length
     * membership literals — pure codegen'd array ops, no UDF, no join;
-    * the complete publicsuffix.org file drops into PslData verbatim. */
-  def registrableDomain(host: Column): Column = {
+    * the complete publicsuffix.org file drops into PslData verbatim.
+    *
+    * `includePrivate` (round 13, default OFF) also applies the PSL's
+    * PRIVATE section ([[graft.functions.PslPrivateData]] — github.io,
+    * blogspot.*, S3 buckets, ...): a deployment policy switch between
+    * site-level grouping (on — each github.io user is its own
+    * "registrable" site) and registrant-level grouping (off — all of
+    * github.io folds into github.io's registrant). Same compiled-InSet
+    * probe shape either way. */
+  def registrableDomain(host: Column,
+                        includePrivate: Boolean = false): Column = {
     import graft.functions.PslData
     val labels = split(lower(host), "\\.")
     val n = size(labels)
@@ -441,9 +450,11 @@ object UrlOps {
     def inSet(c: Column, set: Seq[String]): Column =
       if (set.isEmpty) lit(false) else c.isin(set: _*)
     // exception rules prevail: registrable = the rule itself
-    val excArm = (PslData.maxExcLen to 1 by -1).foldLeft(Option.empty[(Column, Column)]) {
+    val excArm = (PslData.maxExcLen(includePrivate) to 1 by -1)
+      .foldLeft(Option.empty[(Column, Column)]) {
       case (acc, e) =>
-        val cond = n >= e && inSet(lastK(e), PslData.exceptionsByLen(e))
+        val cond = n >= e &&
+          inSet(lastK(e), PslData.exceptionsByLen(e, includePrivate))
         acc match {
           case None => Some((cond, lastK(e)))
           case Some((c0, v0)) => Some((c0 || cond, when(c0, v0).otherwise(lastK(e))))
@@ -452,11 +463,13 @@ object UrlOps {
     // non-exception: longest public suffix p wins; wildcard base b
     // yields p = b+1; registrable = last p+1 labels, null if host == ps
     var result: Column = when(n > 1, lastK(2)).otherwise(lit(null)) // implicit *
-    for (p <- 1 to PslData.maxPsLen) {
+    for (p <- 1 to PslData.maxPsLen(includePrivate)) {
       val wildcardHit =
-        if (p >= 2) n >= p && inSet(lastK(p - 1), PslData.wildcardBasesByLen(p - 1))
+        if (p >= 2) n >= p &&
+          inSet(lastK(p - 1), PslData.wildcardBasesByLen(p - 1, includePrivate))
         else lit(false)
-      val isPs = (n >= p && inSet(lastK(p), PslData.normalByLen(p))) || wildcardHit
+      val isPs = (n >= p &&
+        inSet(lastK(p), PslData.normalByLen(p, includePrivate))) || wildcardHit
       result = when(isPs, when(n > p, lastK(p + 1)).otherwise(lit(null)))
         .otherwise(result)
     }

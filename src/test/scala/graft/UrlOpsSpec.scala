@@ -118,6 +118,28 @@ class UrlOpsSpec extends SparkSpec {
     assert(byId.size == rows.length)
   }
 
+  test("registrableDomain: private section activates ONLY via the flag") {
+    import spark.implicits._
+    def reg(includePrivate: Boolean, hosts: String*): Seq[Option[String]] =
+      hosts.toDF("h")
+        .select(UrlOps.registrableDomain(col("h"), includePrivate))
+        .as[Option[String]].collect().toSeq
+    val hosts = Seq("user.github.io", "page.user.github.io",
+      "me.blogspot.com", "bucket.s3.amazonaws.com", "github.io",
+      "www.example.com")
+    // default / off: registrant-level grouping — private boundaries
+    // are ordinary subdomains
+    assert(reg(includePrivate = false, hosts: _*) == Seq(
+      Some("github.io"), Some("github.io"), Some("blogspot.com"),
+      Some("amazonaws.com"), Some("github.io"), Some("example.com")))
+    // on: site-level grouping — each private-suffix tenant is its own
+    // registrable site, and a bare private suffix has none
+    assert(reg(includePrivate = true, hosts: _*) == Seq(
+      Some("user.github.io"), Some("user.github.io"),
+      Some("me.blogspot.com"), Some("bucket.s3.amazonaws.com"), None,
+      Some("example.com")))
+  }
+
   test("registrableDomain: full PSL rule-kind table") {
     import spark.implicits._
     def reg(hosts: String*): Seq[Option[String]] =
