@@ -183,10 +183,14 @@ object Validator {
     * declared.
     *
     * Scale shape: each side first collapses to its DISTINCT key set
-    * (map-side combined, key-cardinality rows — never fact-sized), the
-    * probe is a LEFT SEMI equi-join between the two distinct sets, and
-    * the output is candidate-count-sized. Nothing here is quadratic in
-    * columns: the candidate list is declared, not all column pairs. */
+    * (map-side combined, key-cardinality rows — never fact-sized); ONE
+    * left OUTER join between the two distinct sets feeds a single
+    * aggregation producing both the denominator and the hit count —
+    * each table is scanned once per edge (round 13: previously the
+    * denominator and the semi-join probe each rescanned the child, the
+    * registry's scan-heaviest plan). Output is candidate-count-sized.
+    * Nothing here is quadratic in columns: the candidate list is
+    * declared, not all column pairs. */
   def fkDiscovery(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
     import graft.core.Tables
@@ -194,14 +198,15 @@ object Validator {
       val child = Tables.load(spark, dir, ct).select(col(cc).as("v"))
         .na.drop().distinct()
       val parent = Tables.load(spark, dir, pt).select(col(pc).as("v"))
-        .na.drop().distinct()
-      val n = child.agg(count(lit(1)).as("n_child_distinct"))
-      val hits = child.join(parent, Seq("v"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      n.crossJoin(hits).select(
-        lit(s"$ct.$cc->$pt.$pc").as("edge"),
-        col("n_child_distinct"), col("n_hits"),
-        expr("n_hits * 1000000 DIV n_child_distinct").as("containment_micro"))
+        .na.drop().distinct().withColumn("hit", lit(1))
+      child.join(parent, Seq("v"), "left_outer")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          count(col("hit")).as("n_hits"))
+        .select(
+          lit(s"$ct.$cc->$pt.$pc").as("edge"),
+          col("n_child_distinct"), col("n_hits"),
+          expr("n_hits * 1000000 DIV n_child_distinct")
+            .as("containment_micro"))
     }.reduce(_ unionByName _)
   }
 
