@@ -316,4 +316,25 @@ class PlanGuardSpec extends SparkSpec {
     assert(h1 == h2, "join strategy must not change host rank values")
     spark.catalog.clearCache()
   }
+
+  test("fk discovery: one scan per side per edge, no cartesian") {
+    val p = plan(graft.validate.Validator.fkDiscovery(spark, sf))
+    // 6 edges x (child + parent) = 12 scans; the round-13 rewrite
+    // removed the double child scan and the one-row crossJoin
+    assert("Scan parquet".r.findAllIn(p).length <= 12,
+      "fk discovery must not rescan the child per probe")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "counts ride the outer join, not a cross of one-row aggs")
+  }
+
+  test("woff2 glyf reconstruction: scan-shaped, no aggregation shuffle") {
+    val p = plan(graft.ops.Archives.woff2GlyfQuery(spark, sf))
+    // the only exchange allowed is Tables.docIds' deliberate id-spread
+    // repartition (the split-bound serialization fix)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1 && (exchanges == 0 ||
+      p.contains("REPARTITION_BY_NUM")),
+      "per-doc reconstruction must stay map-only past the id spread")
+  }
 }
