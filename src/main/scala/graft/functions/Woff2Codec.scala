@@ -142,6 +142,10 @@ object Woff2Codec {
             if (!transformed)
               return Some(java.util.Arrays.copyOfRange(blob, off.toInt,
                 (off + t.storedLength).toInt))
+            if (tag == "hmtx" && t.transform == 1)
+              return reconstructHmtx(meta, blob,
+                java.util.Arrays.copyOfRange(blob, off.toInt,
+                  (off + t.storedLength).toInt))
             if (!isGlyfLoca || t.transform != 0) return None
             // transformed loca has zero stored bytes: its content is a
             // by-product of the glyf reconstruction — find the glyf
@@ -204,6 +208,86 @@ object Woff2Codec {
     } catch {
       case _: IndexOutOfBoundsException => None
     }
+
+  /** xMin per glyph from a (reconstructed) glyf/loca pair — what the
+    * hmtx transform derives omitted left side bearings from. Empty
+    * glyphs get 0. */
+  private def glyfXMins(glyf: Array[Byte], loca: Array[Byte],
+                        shortLoca: Boolean): Option[Array[Int]] = {
+    val entryW = if (shortLoca) 2 else 4
+    if (loca.length % entryW != 0 || loca.length < 2 * entryW) return None
+    val n = loca.length / entryW - 1
+    def off(i: Int): Int =
+      if (shortLoca) u16(loca, i * 2) * 2 else u32(loca, i * 4).toInt
+    val out = new Array[Int](n)
+    var g = 0
+    while (g < n) {
+      val a = off(g); val b = off(g + 1)
+      if (a > b || b > glyf.length) return None
+      if (b > a) {
+        if (a + 4 > glyf.length) return None
+        out(g) = u16(glyf, a + 2).toShort.toInt
+      }
+      g += 1
+    }
+    Some(out)
+  }
+
+  /** Reconstruct a TRANSFORMED hmtx (spec §5.4, transform version 1):
+    * flags byte (bit 0 = proportional lsb[] omitted, bit 1 = monospace
+    * leftSideBearing[] omitted — omitted values equal the glyph's
+    * glyf xMin), advanceWidth[numHMetrics], then whichever lsb arrays
+    * were retained. Needs hhea (numHMetrics) and the reconstructed
+    * glyf/loca for the xMins, so the glyf transform must be present —
+    * the only shape woff2_compress emits transformed hmtx in. */
+  private def reconstructHmtx(meta: Woff2Meta, blob: Array[Byte],
+                              t: Array[Byte]): Option[Array[Byte]] = {
+    // locate hhea (untransformed) and the transformed glyf slice
+    var hheaOff = -1L; var hheaLen = 0L
+    var glyfOff = -1L
+    var glyfT: Woff2Table = null
+    var at = 0L
+    meta.tables.foreach { tb =>
+      if (tb.tag == "hhea" && hheaOff < 0) { hheaOff = at; hheaLen = tb.storedLength }
+      if (tb.tag == "glyf" && glyfT == null) { glyfT = tb; glyfOff = at }
+      at += tb.storedLength
+    }
+    if (hheaOff < 0 || hheaLen < 36 || glyfT == null ||
+      glyfT.transform != 0) return None
+    val numHMetrics = u16(blob, hheaOff.toInt + 34)
+    val (glyf, loca) = reconstructGlyfLoca(java.util.Arrays.copyOfRange(
+      blob, glyfOff.toInt, (glyfOff + glyfT.storedLength).toInt))
+      .getOrElse(return None)
+    // index format from the transformed glyf header
+    val shortLoca = u16(blob, glyfOff.toInt + 6) == 0
+    val xMins = glyfXMins(glyf, loca, shortLoca).getOrElse(return None)
+    val numGlyphs = xMins.length
+    if (numHMetrics < 1 || numHMetrics > numGlyphs) return None
+    try {
+      val r = new Rd(t, 0, t.length)
+      val flags = r.u8()
+      if ((flags & 0xfc) != 0) return None // reserved bits
+      val hasProportional = (flags & 0x01) == 0
+      val hasMonospace = (flags & 0x02) == 0
+      val advances = Array.fill(numHMetrics)(r.u16())
+      val lsbProp =
+        if (hasProportional) Array.fill(numHMetrics)(r.i16())
+        else xMins.take(numHMetrics)
+      val lsbMono =
+        if (hasMonospace) Array.fill(numGlyphs - numHMetrics)(r.i16())
+        else xMins.drop(numHMetrics)
+      if (r.remaining != 0) return None
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      var i = 0
+      while (i < numHMetrics) { w16(advances(i)); w16(lsbProp(i) & 0xffff); i += 1 }
+      i = 0
+      while (i < numGlyphs - numHMetrics) { w16(lsbMono(i) & 0xffff); i += 1 }
+      Some(out.toByteArray)
+    } catch {
+      case _: IndexOutOfBoundsException => None
+    }
+  }
 
   // -------------------- transformed glyf reconstruction (spec §5.1)
 

@@ -191,10 +191,29 @@ object Woff2Fixtures {
     }
   }
 
+  /** Model xMin per glyph (what omitted hmtx lsbs must come back as). */
+  def modelXMins(seed: Long): Seq[Int] = glyphModels(seed).map { gm =>
+    gm.explicitBbox match {
+      case Some((x0, _, _, _)) => x0
+      case None if gm.contours.nonEmpty => gm.contours.flatten.map(_._1).min
+      case None => 0
+    }
+  }
+
+  /** Model advance widths; numHMetrics = numGlyphs - 1 so the
+    * monospace tail array has one entry. */
+  def modelAdvances(seed: Long): Seq[Int] =
+    (0 until glyphModels(seed).length - 1).map(i => 500 + 10 * i)
+
   /** Build a WOFF2 container whose glyf/loca are TRANSFORMED (version
-    * 0), with an untransformed head carrying indexToLocFormat. */
+    * 0), with an untransformed head carrying indexToLocFormat.
+    * `withHmtx` adds an untransformed hhea + a TRANSFORMED hmtx
+    * (version 1): flags 3 (both lsb arrays omitted → derived from glyf
+    * xMins) when seed is even, flags 1 (monospace tail retained, set
+    * to xMin+7 to prove the stream is read, not re-derived) when odd. */
   def writeTransformedWoff2(seed: Long, shortLoca: Boolean,
-                            overlapBitmap: Boolean = false): Array[Byte] = {
+                            overlapBitmap: Boolean = false,
+                            withHmtx: Boolean = false): Array[Byte] = {
     val glyphs = glyphModels(seed)
     val n = glyphs.length
     val nContourS = new W; val nPointsS = new W; val flagS = new W
@@ -269,23 +288,55 @@ object Woff2Fixtures {
     head.u16(if (shortLoca) 0 else 1) // indexToLocFormat
     head.u16(0) // glyphDataFormat
     val headBytes = head.result
-    // blob: head, transformed glyf, loca (zero bytes), stored-brotli
-    val blob = headBytes ++ transformedGlyf
+    // hhea (36 bytes): numHMetrics in the last u16
+    val numHMetrics = n - 1
+    val hhea = new W
+    hhea.u32(0x00010000L) // version
+    hhea.u16(800); hhea.u16(0xff38); hhea.u16(90) // ascent/descent/gap
+    hhea.u16(1000); hhea.u16(0); hhea.u16(0); hhea.u16(1000) // widths/lsbs
+    hhea.u16(1); hhea.u16(0) // caret slope
+    (0 until 5).foreach(_ => hhea.u16(0)) // caret offset + reserved
+    hhea.u16(0) // metricDataFormat
+    hhea.u16(numHMetrics)
+    val hheaBytes = hhea.result
+    // transformed hmtx (version 1): flags + advances (+ retained tail)
+    val xMins = modelXMins(seed)
+    val hmtxT = new W
+    if (withHmtx) {
+      val flags = if (seed % 2 == 0) 3 else 1
+      hmtxT.u8(flags)
+      modelAdvances(seed).foreach(hmtxT.u16)
+      if (flags == 1) // monospace tail retained: xMin + 7
+        (numHMetrics until n).foreach(g => hmtxT.u16(xMins(g) + 7))
+    }
+    val hmtxBytes = hmtxT.result
+    // blob in directory order: head, [hhea,] transformed glyf, loca(0)
+    // [, transformed hmtx]; stored-brotli framing
+    val blob =
+      if (withHmtx) headBytes ++ hheaBytes ++ transformedGlyf ++ hmtxBytes
+      else headBytes ++ transformedGlyf
     val compressed = BrotliCodec.encodeStored(blob)
-    // directory: head (idx 1, untransformed), glyf (idx 10, transform
-    // 0 = transformed), loca (idx 11, transform 0, stored length 0)
+    // directory: head (idx 1, untransformed), [hhea (idx 2),] glyf
+    // (idx 10, transform 0 = transformed), loca (idx 11, transform 0,
+    // stored length 0) [, hmtx (idx 3, transform VERSION 1)]
     val dir = new W
     dir.u8(1); uintBase128(dir, headBytes.length.toLong)
+    if (withHmtx) { dir.u8(2); uintBase128(dir, hheaBytes.length.toLong) }
     dir.u8(10); uintBase128(dir, 4096L) // orig length (unvalidated)
     uintBase128(dir, transformedGlyf.length.toLong)
     dir.u8(11); uintBase128(dir, ((n + 1) * (if (shortLoca) 2 else 4)).toLong)
     uintBase128(dir, 0L)
+    if (withHmtx) {
+      dir.u8(3 | (1 << 6)) // hmtx, preTransform 1
+      uintBase128(dir, (4L * numHMetrics + 2L * (n - numHMetrics)))
+      uintBase128(dir, hmtxBytes.length.toLong)
+    }
     val dirBytes = dir.result
     val w = new W
     w.bytes("wOF2".getBytes("ISO-8859-1"))
     w.u32(0x00010000L) // flavor
     w.u32((48 + dirBytes.length + compressed.length).toLong)
-    w.u16(3); w.u16(0) // numTables, reserved
+    w.u16(if (withHmtx) 5 else 3); w.u16(0) // numTables, reserved
     w.u32(4096L) // totalSfntSize (advisory)
     w.u32(compressed.length.toLong)
     w.u16(1); w.u16(0) // version

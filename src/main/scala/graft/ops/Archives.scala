@@ -659,21 +659,32 @@ object Archives {
         ids.flatMap { id =>
           val shortLoca = id % 2 == 0
           val woff = Woff2Fixtures.writeTransformedWoff2(id, shortLoca,
-            overlapBitmap = id % 5 == 0)
+            overlapBitmap = id % 5 == 0, withHmtx = true)
           for {
             glyf <- Woff2Codec.extractTable(woff, "glyf")
             loca <- Woff2Codec.extractTable(woff, "loca")
             f <- Woff2Codec.glyfFeatures(glyf, loca, shortLoca)
-          } yield (id, f.nGlyphs, f.nContours, f.nPoints.toLong,
-            f.nComposites, f.nEmpty)
+            hmtx <- Woff2Codec.extractTable(woff, "hmtx")
+          } yield {
+            // sum of reconstructed advance widths (hmtx transform v1)
+            val nh = f.nGlyphs - 1
+            var adv = 0L
+            var i = 0
+            while (i < nh) {
+              adv += ((hmtx(4 * i) & 0xff) << 8) | (hmtx(4 * i + 1) & 0xff)
+              i += 1
+            }
+            (id, f.nGlyphs, f.nContours, f.nPoints.toLong,
+              f.nComposites, f.nEmpty, adv)
+          }
         }
       }
       .toDF("doc_id", "n_glyphs", "n_contours", "n_points",
-        "n_composites", "n_empty")
+        "n_composites", "n_empty", "adv_sum")
       .select(col("doc_id"), col("n_glyphs").cast("int").as("n_glyphs"),
         col("n_contours").cast("int").as("n_contours"), col("n_points"),
         col("n_composites").cast("int").as("n_composites"),
-        col("n_empty").cast("int").as("n_empty"))
+        col("n_empty").cast("int").as("n_empty"), col("adv_sum"))
   }
 
   val woff2GlyfOracle: String =
@@ -692,7 +703,10 @@ object Archives {
       |       CAST(SUM(CASE WHEN gi % 4 = 3 THEN 1 ELSE 0 END) AS INT)
       |         AS n_composites,
       |       CAST(SUM(CASE WHEN gi % 4 = 0 THEN 1 ELSE 0 END) AS INT)
-      |         AS n_empty
+      |         AS n_empty,
+      |       CAST(500 * (3 + doc_id % 3) +
+      |            10 * (2 + doc_id % 3) * (3 + doc_id % 3) // 2 AS BIGINT)
+      |         AS adv_sum
       |FROM g GROUP BY doc_id
       |""".stripMargin
 

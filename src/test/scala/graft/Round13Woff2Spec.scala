@@ -190,6 +190,36 @@ class Round13Woff2Spec extends AnyFunSuite {
     assert(decode(enc(600, 1)) == 600)
   }
 
+  test("transformed hmtx reconstructs: derived lsbs = glyf xMins, " +
+    "retained tail read from the stream") {
+    for (seed <- Seq(0L, 1L, 2L)) { // even = flags 3, odd = flags 1
+      val woff = Woff2Fixtures.writeTransformedWoff2(seed,
+        shortLoca = seed % 2 == 0, withHmtx = true)
+      val hmtx = Woff2Codec.extractTable(woff, "hmtx")
+        .getOrElse(fail(s"hmtx reconstruction refused seed=$seed"))
+      val xMins = Woff2Fixtures.modelXMins(seed)
+      val advances = Woff2Fixtures.modelAdvances(seed)
+      val n = xMins.length
+      val numHMetrics = n - 1
+      assert(hmtx.length == 4 * numHMetrics + 2 * (n - numHMetrics))
+      def u16(i: Int) = ((hmtx(i) & 0xff) << 8) | (hmtx(i + 1) & 0xff)
+      for (i <- 0 until numHMetrics) {
+        assert(u16(4 * i) == advances(i), s"seed=$seed advance $i")
+        assert(u16(4 * i + 2).toShort.toInt == xMins(i),
+          s"seed=$seed lsb $i (proportional lsbs omitted → xMin)")
+      }
+      val tail = u16(4 * numHMetrics).toShort.toInt
+      if (seed % 2 == 0)
+        assert(tail == xMins(n - 1), "flags 3: monospace lsb = xMin")
+      else
+        assert(tail == xMins(n - 1) + 7,
+          "flags 1: retained monospace lsb comes from the stream")
+      // glyf/loca still reconstruct on the 5-table container
+      assert(Woff2Codec.extractTable(woff, "glyf").isDefined)
+      assert(Woff2Codec.extractTable(woff, "hhea").exists(_.length == 36))
+    }
+  }
+
   test("hostile input: truncations and bit flips never throw") {
     val woff = Woff2Fixtures.writeTransformedWoff2(1L, shortLoca = false)
     val rnd = new scala.util.Random(3)
