@@ -458,6 +458,81 @@ object Archives {
 
   // ------------------------------------------ HTTP content encodings
 
+  /** HTTP `Transfer-Encoding: chunked` decode (RFC 9112 §7.1) — the
+    * step BEFORE Content-Encoding: raw-capture WARCs store response
+    * bodies exactly as sent, and HTTP/1.1 responses are routinely
+    * chunked. Chunk-size lines are hex (either case) with optional
+    * `;ext` chunk extensions dropped; each chunk body ends in CRLF;
+    * the 0-size last chunk may carry trailer fields (ignored) up to
+    * the final empty line — tolerated missing on truncated captures
+    * after a complete 0-chunk. Hostile/malformed → None, never
+    * throws; output gated at 2^26 bytes. */
+  private[graft] def dechunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    def readLine(): String = {
+      val start = p
+      while (p + 1 < body.length &&
+        !(body(p) == '\r' && body(p + 1) == '\n')) {
+        p += 1
+        if (p - start > 1024) return null // hostile long line
+      }
+      if (p + 1 >= body.length) return null
+      val s = new String(body, start, p - start,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      p += 2
+      s
+    }
+    while (true) {
+      val line = readLine()
+      if (line == null) return None
+      val sizeStr = line.takeWhile(_ != ';').trim
+      if (sizeStr.isEmpty ||
+        !sizeStr.forall(c => Character.digit(c, 16) >= 0)) return None
+      if (sizeStr.length > 7) return None // > 2^28: hostile
+      val size = Integer.parseInt(sizeStr, 16)
+      if (size == 0) {
+        // trailer section: fields until the empty line (or clean EOF)
+        var t = readLine()
+        while (t != null && t.nonEmpty) t = readLine()
+        return Some(out.toByteArray)
+      }
+      if (p + size + 2 > body.length) return None
+      out.write(body, p, size)
+      p += size
+      if (!(body(p) == '\r' && body(p + 1) == '\n')) return None
+      p += 2
+      if (out.size > (1 << 26)) return None
+    }
+    None // unreachable
+  }
+
+  /** Chunked-framing writer (fixture side): varying chunk sizes, an
+    * uppercase-hex arm, a chunk extension, and a trailer field — the
+    * parser surface real origins exercise. */
+  private[graft] def chunkFrame(body: Array[Byte], seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    var p = 0
+    var i = 0
+    while (p < body.length) {
+      val n = math.min(body.length - p,
+        Seq(777, 1, 4096, 63)((i + seed.toInt % 4).abs % 4))
+      val hexStr = if (i % 2 == 0) n.toHexString else n.toHexString.toUpperCase
+      val ext = if (i == 1) ";graft=1" else ""
+      w(s"$hexStr$ext\r\n")
+      out.write(body, p, n)
+      w("\r\n")
+      p += n
+      i += 1
+    }
+    w("0\r\n")
+    if (seed % 2 == 0) w("X-Trailer: graft\r\n")
+    w("\r\n")
+    out.toByteArray
+  }
+
   /** HTTP `Content-Encoding` dispatch — the decode step between a WARC
     * response and its body that a crawl pipeline runs on every record:
     * identity, gzip (multi-member tolerated), deflate (zlib-wrapped,
@@ -539,9 +614,17 @@ object Archives {
           }
           val encHeader =
             if (enc == "identity") "" else s"Content-Encoding: $enc\r\n"
+          // every other doc ships Transfer-Encoding: chunked on top of
+          // the content coding (RFC order: dechunk FIRST) — chunked
+          // responses carry no Content-Length
+          val chunked = id % 2 == 0
+          val wire = if (chunked) chunkFrame(body, id) else body
+          val framing =
+            if (chunked) "Transfer-Encoding: chunked\r\n"
+            else s"Content-Length: ${body.length}\r\n"
           val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-            encHeader + s"Content-Length: ${body.length}\r\n\r\n")
-            .getBytes("UTF-8") ++ body
+            encHeader + framing + "\r\n")
+            .getBytes("UTF-8") ++ wire
           val resp = warcRecord("response",
             Seq("WARC-Target-URI" -> s"http://example.com/doc/$id",
                 "Content-Type" -> "application/http; msgtype=response"),
@@ -553,20 +636,24 @@ object Archives {
             if (cut < 0) None
             else {
               val head = new String(payload, 0, cut, "ISO-8859-1")
-              val ce = head.linesIterator
-                .find(_.toLowerCase.startsWith("content-encoding:"))
-                .map(_.split(":", 2)(1).trim).getOrElse("identity")
-              decodeContentEncoding(ce,
-                java.util.Arrays.copyOfRange(payload, cut + 4,
-                  payload.length)).map { content =>
-                (id, ce, content.length.toLong,
+              def header(name: String): Option[String] = head.linesIterator
+                .find(_.toLowerCase.startsWith(name + ":"))
+                .map(_.split(":", 2)(1).trim)
+              val ce = header("content-encoding").getOrElse("identity")
+              val te = header("transfer-encoding")
+                .exists(_.toLowerCase.contains("chunked"))
+              val raw = java.util.Arrays.copyOfRange(payload, cut + 4,
+                payload.length)
+              val deframed = if (te) dechunk(raw) else Some(raw)
+              deframed.flatMap(decodeContentEncoding(ce, _)).map { content =>
+                (id, ce, te, content.length.toLong,
                   md.digest(content).map("%02x".format(_)).mkString)
               }
             }
           }
         }
       }
-      .toDF("doc_id", "encoding", "content_len", "content_md5")
+      .toDF("doc_id", "encoding", "chunked", "content_len", "content_md5")
   }
 
   val warcContentEncodingOracle: String = {
@@ -586,6 +673,7 @@ object Archives {
        |SELECT h.doc_id,
        |       CASE h.doc_id % 4 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
        |            WHEN 2 THEN 'deflate' ELSE 'br' END AS encoding,
+       |       h.doc_id % 2 = 0 AS chunked,
        |       CASE WHEN h.doc_id % 4 = 3 THEN e.content_len
        |            ELSE CAST(length(html) AS BIGINT) END AS content_len,
        |       CASE WHEN h.doc_id % 4 = 3 THEN e.content_md5
