@@ -458,6 +458,119 @@ object Archives {
 
   // ------------------------------------------ HTTP content encodings
 
+  /** SHA-1 payload digest in the WARC convention (RFC 4648 base32,
+    * uppercase — 20 bytes → exactly 32 chars, no padding), the value
+    * `WARC-Payload-Digest: sha1:...` carries. */
+  private[graft] def sha1Base32(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(b)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val out = new StringBuilder(32)
+    var acc = 0L
+    var nbits = 0
+    d.foreach { byte =>
+      acc = (acc << 8) | (byte & 0xff)
+      nbits += 8
+      while (nbits >= 5) {
+        out.append(alphabet(((acc >> (nbits - 5)) & 31).toInt))
+        nbits -= 5
+      }
+    }
+    out.toString // 160 bits / 5 = 32 symbols exactly
+  }
+
+  /** WARC REVISIT dedup resolution — how real crawls (the Common Crawl
+    * layout) express payload dedup: a later fetch of identical content
+    * is stored as a `revisit` record carrying `WARC-Payload-Digest:
+    * sha1:<base32>` + `WARC-Refers-To-Target-URI`, with NO body. Per
+    * doc: one `response` (full HTTP body) plus doc_id%3 revisit
+    * records referring to it; the walk recomputes the response's
+    * payload digest (over the HTTP body, not the record) and checks
+    * every revisit resolves — digest match AND refers-to URI match.
+    * Map-only per doc; at corpus scale the digest is the join key
+    * that collapses refetches without touching bodies. */
+  def warcRevisitQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val html = htmlOf(id, text).getBytes("UTF-8")
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+            s"Content-Length: ${html.length}\r\n\r\n").getBytes("UTF-8") ++
+            html
+          val digest = "sha1:" + sha1Base32(html)
+          val uri = s"http://example.com/doc/$id"
+          val resp = warcRecord("response",
+            Seq("WARC-Target-URI" -> uri,
+                "WARC-Payload-Digest" -> digest,
+                "Content-Type" -> "application/http; msgtype=response"),
+            http)
+          val headOnly = ("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+            "\r\n\r\n").getBytes("UTF-8")
+          val revisits = (0 until (id % 3).toInt).map { r =>
+            warcRecord("revisit",
+              Seq("WARC-Target-URI" -> s"$uri?refetch=$r",
+                "WARC-Refers-To-Target-URI" -> uri,
+                "WARC-Payload-Digest" -> digest,
+                "WARC-Profile" ->
+                  "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                "Content-Type" -> "application/http; msgtype=response"),
+              headOnly)
+          }
+          val warc = gzipMember(resp) ++
+            revisits.map(gzipMember).fold(Array.emptyByteArray)(_ ++ _)
+          // ---- read side: recompute + resolve
+          val recs = warcRecordsOf(warc)
+          var respDigest: String = null
+          var respUri: String = null
+          var nResp = 0
+          var nRev = 0
+          var digestOk = true
+          var refersOk = true
+          recs.foreach { case (headers, payload) =>
+            def h(k: String): Option[String] = headers.get(k.toLowerCase)
+            h("WARC-Type").getOrElse("") match {
+              case "response" =>
+                nResp += 1
+                val cut = headBodyCut(payload)
+                if (cut < 0) digestOk = false
+                else {
+                  val body = java.util.Arrays.copyOfRange(payload,
+                    cut + 4, payload.length)
+                  respDigest = "sha1:" + sha1Base32(body)
+                  respUri = h("WARC-Target-URI").orNull
+                  // the record's own declared digest must match too
+                  if (!h("WARC-Payload-Digest").contains(respDigest))
+                    digestOk = false
+                }
+              case "revisit" =>
+                nRev += 1
+                if (!h("WARC-Payload-Digest").contains(respDigest))
+                  digestOk = false
+                if (!h("WARC-Refers-To-Target-URI").contains(respUri))
+                  refersOk = false
+              case _ =>
+            }
+          }
+          Some((id, nResp, nRev, digestOk, refersOk))
+        }
+      }
+      .toDF("doc_id", "n_responses", "n_revisits", "digest_ok", "refers_ok")
+      .select(col("doc_id"),
+        col("n_responses").cast("int").as("n_responses"),
+        col("n_revisits").cast("int").as("n_revisits"),
+        col("digest_ok"), col("refers_ok"))
+  }
+
+  val warcRevisitOracle: String =
+    """SELECT doc_id,
+      |       CAST(1 AS INT) AS n_responses,
+      |       CAST(doc_id % 3 AS INT) AS n_revisits,
+      |       TRUE AS digest_ok,
+      |       TRUE AS refers_ok
+      |FROM documents
+      |""".stripMargin
+
   /** HTTP `Transfer-Encoding: chunked` decode (RFC 9112 §7.1) — the
     * step BEFORE Content-Encoding: raw-capture WARCs store response
     * bodies exactly as sent, and HTTP/1.1 responses are routinely

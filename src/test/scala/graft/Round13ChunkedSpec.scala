@@ -62,6 +62,16 @@ class Round13ChunkedSpec extends AnyFunSuite {
     }
   }
 
+  test("sha1-base32 payload digest matches the reference coding") {
+    // vectors cross-checked against python hashlib + base64.b32encode
+    assert(Archives.sha1Base32(Array.emptyByteArray) ==
+      "3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    assert(Archives.sha1Base32("abc".getBytes("UTF-8")) ==
+      "VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+    assert(Archives.sha1Base32("the quick brown fox".getBytes("UTF-8")) ==
+      "Z3LR7JZDKIY35U4D7LH5YQOE3XGCF3HR")
+  }
+
   test("dechunk precedes Content-Encoding: gzip-inside-chunked decodes") {
     val payload = "the quick brown fox".getBytes("UTF-8")
     val gz = {
