@@ -177,32 +177,44 @@ class InteropSmokeSpec extends AnyFunSuite {
     val cmd = sys.env.get("GRAFT_MPG123_CMD")
     assume(cmd.isDefined, "set GRAFT_MPG123_CMD to run")
     import graft.functions.Mp3Layer3
-    val (pcm, mp3) = Mp3Layer3.writeMp3Fixture(44100, 1, 8, 77L,
-      Mp3Layer3.Mp3Opts(reservoir = true))
-    val in = tmp(".mp3"); val out = tmp(".wav")
-    java.nio.file.Files.write(in.toPath, mp3)
-    assert(run(Seq(cmd.get, "-q", "-w", out.getAbsolutePath,
-      in.getAbsolutePath)) == 0)
-    val wav = graft.functions.AudioCodec.decodeSamples(
-      java.nio.file.Files.readAllBytes(out.toPath)).getOrElse(
-      fail("mpg123 output unreadable"))
-    // alignment differs by the decoder's own delay convention: gate on
-    // normalized cross-correlation peak instead of exact samples
-    val ref = pcm(0)
-    val dec = wav.samples.map(_.toDouble)
-    var best = 0.0
-    for (lag <- -2000 to 2000) {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < ref.length) {
-        val j = i + lag
-        if (j >= 0 && j < dec.length) {
-          dot += ref(i) * dec(j); na += ref(i) * ref(i); nb += dec(j) * dec(j)
+    // arm 1: the count1-grid encoder; arm 2 (round 13): a BIG-VALUE
+    // stream through the vendored Table B.7 tables — at deployment
+    // this is THE external check that the vendored codeword DATA
+    // (attested in-container only by structural laws + own-encoder
+    // round trips) matches the spec: a reference decoder reproducing
+    // the expected PCM cannot happen with swapped or wrong codes
+    val arms = Seq(
+      "count1-grid" -> Mp3Layer3.writeMp3Fixture(44100, 1, 8, 77L,
+        Mp3Layer3.Mp3Opts(reservoir = true)),
+      "big-value" -> Mp3Layer3.writeMp3BigFixture(44100, 1, 8, 99L,
+        (7, 10, 12)))
+    for ((tag, (pcm, mp3)) <- arms) {
+      val in = tmp(".mp3"); val out = tmp(".wav")
+      java.nio.file.Files.write(in.toPath, mp3)
+      assert(run(Seq(cmd.get, "-q", "-w", out.getAbsolutePath,
+        in.getAbsolutePath)) == 0, s"$tag: mpg123 rejected the stream")
+      val wav = graft.functions.AudioCodec.decodeSamples(
+        java.nio.file.Files.readAllBytes(out.toPath)).getOrElse(
+        fail(s"$tag: mpg123 output unreadable"))
+      // alignment differs by the decoder's own delay convention: gate
+      // on normalized cross-correlation peak instead of exact samples
+      val ref = pcm(0)
+      val dec = wav.samples.map(_.toDouble)
+      var best = 0.0
+      for (lag <- -2000 to 2000) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < ref.length) {
+          val j = i + lag
+          if (j >= 0 && j < dec.length) {
+            dot += ref(i) * dec(j); na += ref(i) * ref(i)
+            nb += dec(j) * dec(j)
+          }
+          i += 1
         }
-        i += 1
+        if (na > 0 && nb > 0) best = math.max(best, dot / math.sqrt(na * nb))
       }
-      if (na > 0 && nb > 0) best = math.max(best, dot / math.sqrt(na * nb))
+      assert(best > 0.98, f"$tag: cross-correlation peak $best%.4f")
     }
-    assert(best > 0.98, f"cross-correlation peak $best%.4f")
   }
 }
