@@ -257,9 +257,13 @@ object BrotliCodec {
           }
         }
       }
-      // under-full is legal ONLY as a single-symbol code (§3.5): one
-      // nonzero length decodes with zero bits; any other deficit bails
-      if (symSpace != 0 && lengths.count(_ > 0) != 1) bail("L257")
+      // §3.5: complex SYMBOL codes must be exactly full — the
+      // single-code under-full exception applies only to the
+      // code-length code (the numCodes != 1 branch above). The
+      // reference decoder rejects an under-full complex code even
+      // when one symbol remains (ERROR_FORMAT_HUFFMAN_SPACE); a
+      // single-symbol code is expressible only via the simple form.
+      if (symSpace != 0) bail("L257")
       new Prefix(lengths)
     }
   }

@@ -381,6 +381,58 @@ object Mp3Layer3 {
       registered = Map.empty
     }
 
+    /** Serialize one table in the attested-file format
+      * ([[graft.tools.Mp3Attest]]): a `table id xlen ylen linbits`
+      * line followed by the row-major `len:code` hex pairs. */
+    def formatTable(t: BvTable): String = {
+      val data = (0 until t.xlen * t.ylen).map(i =>
+        f"${t.lens(i)}%x:${t.codes(i)}%x").mkString(",")
+      s"table ${t.id} ${t.xlen} ${t.ylen} ${t.linbits}\n" +
+        data.grouped(72).mkString("\n")
+    }
+
+    /** Parse a candidate/attested table file: `# comment` and blank
+      * lines ignored; each `table id xlen ylen linbits` header is
+      * followed by its comma-separated `len:code` pairs until the next
+      * header. CONSTRUCTION runs the Kraft/prefix-free gates — a
+      * malformed candidate throws here, before anything registers. */
+    def parseTables(text: String): Seq[BvTable] = {
+      val out = scala.collection.mutable.ArrayBuffer[BvTable]()
+      var header: Option[(Int, Int, Int, Int)] = None
+      val data = new StringBuilder
+      def flush(): Unit = header.foreach { case (id, xl, yl, lin) =>
+        out += new BvTable(id, xl, yl, lin, data.toString)
+        header = None
+        data.clear()
+      }
+      text.linesIterator.map(_.trim).foreach { line =>
+        if (line.isEmpty || line.startsWith("#")) ()
+        else if (line.startsWith("table ")) {
+          flush()
+          val p = line.split("\\s+")
+          require(p.length == 5, s"bad table header: $line")
+          header = Some((p(1).toInt, p(2).toInt, p(3).toInt, p(4).toInt))
+        } else {
+          // data lines concatenate verbatim: the writer's 72-char wrap
+          // may split mid-pair, and rejoining without a separator
+          // restores the original string exactly
+          require(header.isDefined, s"data before any table header")
+          data.append(line)
+        }
+      }
+      flush()
+      out.toSeq
+    }
+
+    /** The deploy seam, file-level: parse an ATTESTED table file (the
+      * [[graft.tools.Mp3Attest]] output) and register every table.
+      * Returns the number registered. */
+    def loadAttested(text: String): Int = {
+      val ts = parseTables(text)
+      ts.foreach(register)
+      ts.size
+    }
+
     /** linbits for the shared-code ESC families (spec structure):
       * 16-23 share table 16's codes, 24-31 share table 24's. */
     private val Linbits16 = Array(1, 2, 3, 4, 6, 8, 10, 13)
@@ -453,18 +505,37 @@ object Mp3Layer3 {
 
   // ------------------------------------------------ LSF (MPEG-2/2.5)
 
-  /** MPEG-2 LSF long-block scalefactor-band widths (ISO 13818-3 Table
-    * B.2). VENDORED under the same honesty line as the Huffman
-    * registry: only the 22.05 kHz pair met the attestation bar (each
-    * width table self-checks — long sums to 576, short to 192); other
-    * LSF rates refuse when a granule actually needs band boundaries
-    * (silence granules decode at any rate — p23 = 0 reads no tables). */
-  val SfbLongLsf: Map[Int, Array[Int]] = Map(
-    22050 -> Array(6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32,
-      38, 46, 54, 62, 70, 76, 36))
+  /** MPEG-2/2.5 LSF long-block scalefactor-band widths (ISO 13818-3
+    * Table B.2). VENDORED under the same honesty line as the Huffman
+    * registry. Each row self-checks (long sums to 576, short to 192)
+    * — but the sum law alone cannot distinguish adjacent rows (the
+    * round-13 slip shipped the 24 kHz row under the 22.05 kHz key and
+    * both summed green), so the EXTERNAL gate is the env-gated mpg123
+    * interop arm: a non-silent fixture per vendored rate,
+    * cross-correlated against the reference decoder's PCM. Rates not
+    * vendored here (11025, 12000) refuse when a granule actually
+    * needs band boundaries (silence granules decode at any rate —
+    * p23 = 0 reads no tables). 16 kHz shares the 22.05 kHz long row
+    * per the spec (libmad aliases sfb_16000_long). */
+  val SfbLongLsf: Map[Int, Array[Int]] = {
+    val l22 = Array(6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32,
+      38, 46, 52, 60, 68, 58, 54)
+    Map(
+      22050 -> l22,
+      24000 -> Array(6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32,
+        38, 46, 54, 62, 70, 76, 36),
+      16000 -> l22,
+      // MPEG-2.5, 8 kHz: the distinctive wide-then-degenerate row
+      // (five trailing 2-line bands above the 3.4 kHz voice ceiling)
+      8000 -> Array(12, 12, 12, 12, 12, 12, 16, 20, 24, 28, 32, 40, 48,
+        56, 64, 76, 90, 2, 2, 2, 2, 2))
+  }
 
   val SfbShortLsf: Map[Int, Array[Int]] = Map(
-    22050 -> Array(4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18))
+    22050 -> Array(4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18),
+    24000 -> Array(4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12),
+    16000 -> Array(4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18),
+    8000 -> Array(8, 8, 8, 12, 16, 20, 24, 28, 36, 2, 2, 2, 26))
 
   locally {
     SfbLongLsf.values.foreach(w => require(w.length == 22 && w.sum == 576))
@@ -1685,7 +1756,15 @@ object Mp3Layer3 {
           g * 1013904223L + c * 31L
         sf(g)(c)(b) = math.floorMod(h >> 8, if (b < 11) 8 else 2).toInt
         val tab = Mp3Huffman.resolve(tableAt(at))
-        val vmax = tab.map(t => math.min(t.xlen, t.ylen) - 1).getOrElse(0)
+        // ESC tables (linbits > 0, 16-wide): let magnitudes run past
+        // 15 so the escape field itself carries nonzero excess — the
+        // attestation harness needs the linbits READ path externally
+        // cross-checked, not just the codeword data
+        val vmax = tab.map { t =>
+          val m = math.min(t.xlen, t.ylen) - 1
+          if (t.linbits > 0 && m >= 15) 15 + math.min(7, (1 << t.linbits) - 1)
+          else m
+        }.getOrElse(0)
         val nLines = 1 + math.floorMod(h >> 16, math.min(4, widths(b))).toInt
         var i = 0
         while (i < nLines && vmax > 0) {
@@ -1744,8 +1823,15 @@ object Mp3Layer3 {
           if (tid != 0) {
             val tab = Mp3Huffman.resolve(tid).get
             val x = magG(line); val y = magG(line + 1)
-            tab.encodeSym(bw, math.abs(x), math.abs(y))
+            val xa = math.abs(x); val ya = math.abs(y)
+            // §2.4.3.4.6 field order mirrors the decoder: code,
+            // x-linbits, x-sign, y-linbits, y-sign (escape at 15)
+            val xs = if (tab.linbits > 0 && xa >= 15) 15 else xa
+            val ys = if (tab.linbits > 0 && ya >= 15) 15 else ya
+            tab.encodeSym(bw, xs, ys)
+            if (xs == 15 && tab.linbits > 0) bw.write(xa - 15, tab.linbits)
             if (x != 0) bw.writeBit(if (x < 0) 1 else 0)
+            if (ys == 15 && tab.linbits > 0) bw.write(ya - 15, tab.linbits)
             if (y != 0) bw.writeBit(if (y < 0) 1 else 0)
           }
           line += 2
@@ -1763,16 +1849,19 @@ object Mp3Layer3 {
     (pcm, mp3)
   }
 
-  /** LSF (MPEG-2, 22.05 kHz) fixture: 1-granule frames, the LSF
-    * scalefactor algorithm (scalefac_compress = 399 → slen {4,4,3,3}
-    * over sfb groups {6,5,5,5}), count1 TABLE A quadruples — the
-    * stream-level gate on the whole LSF read path plus the count1 A
-    * codes. Content is on the ±1 count1 grid over the vendored
-    * 22.05 kHz band table. Returns (expected PCM, stream). */
-  def writeMp3LsfFixture(channels: Int, nGranules: Int, seed: Long)
+  /** LSF (MPEG-2/2.5) fixture: 1-granule frames, the LSF scalefactor
+    * algorithm (scalefac_compress = 399 → slen {4,4,3,3} over sfb
+    * groups {6,5,5,5}), count1 TABLE A quadruples — the stream-level
+    * gate on the whole LSF read path plus the count1 A codes. Content
+    * is on the ±1 count1 grid over the vendored band table for
+    * `sampleRate` (22050/24000/16000 → MPEG-2; 8000 → MPEG-2.5).
+    * Returns (expected PCM, stream). */
+  def writeMp3LsfFixture(channels: Int, nGranules: Int, seed: Long,
+                         sampleRate: Int = 22050)
       : (Array[Array[Double]], Array[Byte]) = {
     require(nGranules >= 4 && nGranules <= 128, "granule count")
-    val sampleRate = 22050
+    val v25 = SampleRatesV25.contains(sampleRate)
+    require(v25 || SampleRatesV2.contains(sampleRate), "LSF rate")
     val widths = SfbLongLsf(sampleRate)
     // deterministic on-grid spectra (±1 per line, per-band sf)
     val sf = Array.ofDim[Int](nGranules, channels, 22)
@@ -1873,9 +1962,13 @@ object Mp3Layer3 {
     val out = new java.io.ByteArrayOutputStream(nGranules * frameSize)
     for (g <- 0 until nGranules) {
       val hdr = new Array[Byte](4)
+      val srIdx =
+        if (v25) SampleRatesV25.indexOf(sampleRate)
+        else SampleRatesV2.indexOf(sampleRate)
       hdr(0) = 0xff.toByte
-      hdr(1) = 0xf3.toByte // MPEG-2, Layer III, no CRC
-      hdr(2) = ((brIdx << 4) | (0 << 2)).toByte // 22050 = srIdx 0
+      // Layer III, no CRC; version bits 10 (MPEG-2) or 00 (MPEG-2.5)
+      hdr(1) = (if (v25) 0xe3 else 0xf3).toByte
+      hdr(2) = ((brIdx << 4) | (srIdx << 2)).toByte
       hdr(3) = (if (channels == 1) 3 << 6 else 0).toByte
       val sbw = new BitWriter
       writeSideInfoLsf(sbw, sideInfos(g), channels)

@@ -1470,6 +1470,7 @@ object PdfCodec {
   private final case class EncDict(v: Int, r: Int, lenBytes: Int, p: Int,
                                    o: Array[Byte], u: Array[Byte],
                                    ue: Option[Array[Byte]],
+                                   oe: Option[Array[Byte]],
                                    id0: Array[Byte], cfm: String)
 
   /** Locate and parse the /Encrypt dictionary + the first /ID string. */
@@ -1513,39 +1514,95 @@ object PdfCodec {
       else ""
     }
     for (o <- hexStr("/O"); u <- hexStr("/U"))
-      yield EncDict(v, r, lenBits / 8, p, o, u, hexStr("/UE"), id0, cfm)
+      yield EncDict(v, r, lenBits / 8, p, o, u, hexStr("/UE"),
+        hexStr("/OE"), id0, cfm)
   }
 
   /** Empty-user-password authentication + file-key recovery across the
     * standard handler generations: RC4 R2/R3, AESV2 (V4/R4), AESV3
     * (V5/R6). None = not authenticated or out-of-scope handler. */
-  private def authEmptyUser(d: EncDict): Option[Array[Byte]] = d.v match {
+  private def authEmptyUser(d: EncDict): Option[Array[Byte]] =
+    authPassword(d, Array.emptyByteArray)
+
+  /** Algorithm-6 user check for the RC4/AESV2 generations: derive the
+    * file key from a (padded-on-entry) user password and compare the
+    * recomputed /U. `r` here is the KEY-DERIVATION revision (V4/AESV2
+    * uses the R3 math under its own R4 label). */
+  private def authUserRc4(r: Int, d: EncDict, pwd: Array[Byte])
+      : Option[Array[Byte]] = {
+    val key = stdFileKey(r, d.lenBytes, d.o, d.p, d.id0, pwd)
+    val u2 = stdUEntry(r, key, d.id0)
+    val ok =
+      if (r == 2) java.util.Arrays.equals(u2, d.u)
+      else d.u.length >= 16 &&
+        java.util.Arrays.equals(u2.take(16), d.u.take(16))
+    if (ok) Some(key) else None
+  }
+
+  /** Algorithm 7 owner check for RC4/AESV2: the owner key un-RC4s /O
+    * back to the PADDED user password, which then authenticates via
+    * Algorithm 6 (pad32 is idempotent on a 32-byte input). */
+  private def authOwnerRc4(r: Int, d: EncDict, pwd: Array[Byte])
+      : Option[Array[Byte]] = {
+    if (d.o.length != 32) return None
+    var h = md5(pad32(pwd))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h); i += 1 }
+    }
+    val okey = h.take(d.lenBytes)
+    var userPad = d.o
+    if (r >= 3) {
+      var i = 19
+      while (i >= 1) {
+        userPad = rc4(okey.map(b => (b ^ i).toByte), userPad)
+        i -= 1
+      }
+    }
+    userPad = rc4(okey, userPad)
+    authUserRc4(r, d, userPad)
+  }
+
+  /** Supplied-password authentication + file-key recovery — ISO
+    * 32000-1 Algorithms 6/7 (RC4, AESV2) and ISO 32000-2 Algorithm
+    * 2.A (AESV3): the USER branch first, then the OWNER branch, so a
+    * caller's password list may mix both kinds. V5 passwords are
+    * UTF-8, truncated to 127 bytes per 2.A (SASLprep normalization out
+    * of scope — ASCII passwords, the fixture surface, are unaffected).
+    * None = not authenticated or out-of-scope handler. */
+  private def authPassword(d: EncDict, pwd: Array[Byte])
+      : Option[Array[Byte]] = d.v match {
     case 1 | 2 if d.r == 2 || d.r == 3 =>
-      val key = stdFileKey(d.r, d.lenBytes, d.o, d.p, d.id0,
-        Array.emptyByteArray)
-      val u2 = stdUEntry(d.r, key, d.id0)
-      val ok =
-        if (d.r == 2) java.util.Arrays.equals(u2, d.u)
-        else d.u.length >= 16 &&
-          java.util.Arrays.equals(u2.take(16), d.u.take(16))
-      if (ok) Some(key) else None
+      authUserRc4(d.r, d, pwd) orElse authOwnerRc4(d.r, d, pwd)
     case 4 if d.r == 4 && d.cfm == "AESV2" =>
-      val key = stdFileKey(3, d.lenBytes, d.o, d.p, d.id0,
-        Array.emptyByteArray)
-      val u2 = stdUEntry(3, key, d.id0)
-      if (d.u.length >= 16 &&
-        java.util.Arrays.equals(u2.take(16), d.u.take(16))) Some(key)
-      else None
+      authUserRc4(3, d, pwd) orElse authOwnerRc4(3, d, pwd)
     case 5 if d.r == 6 && d.cfm == "AESV3" && d.u.length >= 48 =>
-      val vs = d.u.slice(32, 40)
-      val ks = d.u.slice(40, 48)
-      if (!java.util.Arrays.equals(
-        hashR6(Array.emptyByteArray, vs, Array.emptyByteArray),
-        d.u.take(32))) None
-      else d.ue.filter(_.length == 32).map { ue =>
-        aesCbc(encrypt = false,
-          hashR6(Array.emptyByteArray, ks, Array.emptyByteArray),
-          new Array[Byte](16), ue)
+      val p = pwd.take(127)
+      val user = {
+        val vs = d.u.slice(32, 40)
+        val ks = d.u.slice(40, 48)
+        if (!java.util.Arrays.equals(hashR6(p, vs, Array.emptyByteArray),
+          d.u.take(32))) None
+        else d.ue.filter(_.length == 32).map { ue =>
+          aesCbc(encrypt = false, hashR6(p, ks, Array.emptyByteArray),
+            new Array[Byte](16), ue)
+        }
+      }
+      user orElse {
+        // owner branch: salts live in /O, the full 48-byte /U is the
+        // extra hash input, the key unwraps /OE
+        if (d.o.length < 48) None
+        else {
+          val u48 = d.u.take(48)
+          val ovs = d.o.slice(32, 40)
+          val oks = d.o.slice(40, 48)
+          if (!java.util.Arrays.equals(hashR6(p, ovs, u48), d.o.take(32)))
+            None
+          else d.oe.filter(_.length == 32).map { oe =>
+            aesCbc(encrypt = false, hashR6(p, oks, u48),
+              new Array[Byte](16), oe)
+          }
+        }
       }
     case _ => None
   }
@@ -1573,11 +1630,26 @@ object PdfCodec {
     * streams and past-the-end for Flate/ObjStm payloads, so every
     * offset stays valid. None when not encrypted, not a supported
     * handler, or the empty password does not authenticate. */
-  def decryptPdf(b: Array[Byte]): Option[Array[Byte]] =
+  def decryptPdf(b: Array[Byte]): Option[Array[Byte]] = decryptPdf(b, Nil)
+
+  /** [[decryptPdf]] with a caller-supplied password list: the empty
+    * password is tried first (the decryptable-majority fast path),
+    * then each candidate through BOTH the user and owner branches
+    * (Algorithms 6/7; ISO 32000-2 Algorithm 2.A for AESV3). Password
+    * bytes are Latin-1 for the legacy handlers, UTF-8 (≤127 bytes)
+    * for V5, per spec. None = no candidate authenticates. */
+  def decryptPdf(b: Array[Byte], passwords: Seq[String])
+      : Option[Array[Byte]] =
     try {
       val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
       val d = encryptDict(s).getOrElse(return None)
-      val key = authEmptyUser(d).getOrElse(return None)
+      val pwdCharset =
+        if (d.v >= 5) java.nio.charset.StandardCharsets.UTF_8
+        else java.nio.charset.StandardCharsets.ISO_8859_1
+      val key = (Array.emptyByteArray +:
+        passwords.map(_.getBytes(pwdCharset)))
+        .view.flatMap(authPassword(d, _)).headOption
+        .getOrElse(return None)
       val aes = d.v >= 4
       val out = b.clone()
       val objRe = java.util.regex.Pattern
@@ -1632,15 +1704,22 @@ object PdfCodec {
   def extractTextEncrypted(b: Array[Byte]): Option[Seq[String]] =
     decryptPdf(b).flatMap(extractText)
 
+  /** Extraction through encryption with a supplied password list. */
+  def extractTextEncrypted(b: Array[Byte], passwords: Seq[String])
+      : Option[Seq[String]] =
+    decryptPdf(b, passwords).flatMap(extractText)
+
   /** Fixture writer: the [[writePdfWithText]] layout with REAL RC4
     * standard-handler encryption — content streams encrypted with
     * per-object keys, /O from the owner password, /U authenticating
-    * the EMPTY user password, /ID present. `r` 2 (40-bit) or 3
+    * `userPwd` (default empty — the decryptable majority), /ID
+    * present. `r` 2 (40-bit) or 3
     * (variable length, default 128-bit). */
   def writePdfEncryptedText(version: String, texts: Seq[String],
                             ownerPwd: String, r: Int = 3,
                             lenBits: Int = 128,
-                            flate: Boolean = false): Array[Byte] = {
+                            flate: Boolean = false,
+                            userPwd: String = ""): Array[Byte] = {
     val nPages = texts.length
     require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
     require(r == 2 || r == 3, "R2 or R3")
@@ -1651,9 +1730,9 @@ object PdfCodec {
     val pFlags = -44
     val id0 = md5(texts.mkString("|").getBytes(iso)).take(16)
     val oEntry = stdOEntry(r, lenBytes, ownerPwd.getBytes(iso),
-      Array.emptyByteArray)
+      userPwd.getBytes(iso))
     val fileKey = stdFileKey(r, lenBytes, oEntry, pFlags, id0,
-      Array.emptyByteArray)
+      userPwd.getBytes(iso))
     val uEntry = stdUEntry(r, fileKey, id0)
     def hex(a: Array[Byte]): String = a.map("%02X".format(_)).mkString
     val sb = new StringBuilder
@@ -1699,12 +1778,14 @@ object PdfCodec {
   /** Fixture writer: AES standard-handler encryption. `v5 = false` →
     * AESV2 (V4/R4, AES-128-CBC, per-object keys via the "sAlT" MD5);
     * `v5 = true` → AESV3 (V5/R6, AES-256, SHA-2 hardened hash,
-    * U/UE/O/OE/Perms per ISO 32000-2). The EMPTY user password
-    * authenticates; `ownerPwd` seeds /O (and /OE). Streams carry a
+    * U/UE/O/OE/Perms per ISO 32000-2). `userPwd` (default empty — the
+    * decryptable majority) authenticates /U and wraps /UE; `ownerPwd`
+    * seeds /O (and /OE). Streams carry a
     * per-object deterministic IV + PKCS#5-padded CBC ciphertext. */
   def writePdfEncryptedAes(version: String, texts: Seq[String],
                            ownerPwd: String, v5: Boolean,
-                           flate: Boolean = false): Array[Byte] = {
+                           flate: Boolean = false,
+                           userPwd: String = ""): Array[Byte] = {
     val nPages = texts.length
     require(nPages >= 1 && nPages <= 999, s"bad page count $nPages")
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -1716,8 +1797,10 @@ object PdfCodec {
     var encryptDictBody = ""
     var fileKey: Array[Byte] = null
     if (!v5) {
-      val oEntry = stdOEntry(3, 16, ownerPwd.getBytes(iso), none)
-      fileKey = stdFileKey(3, 16, oEntry, pFlags, id0, none)
+      val oEntry = stdOEntry(3, 16, ownerPwd.getBytes(iso),
+        userPwd.getBytes(iso))
+      fileKey = stdFileKey(3, 16, oEntry, pFlags, id0,
+        userPwd.getBytes(iso))
       val uEntry = stdUEntry(3, fileKey, id0)
       encryptDictBody = "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
         "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
@@ -1726,10 +1809,12 @@ object PdfCodec {
     } else {
       fileKey = sha("SHA-256", "graft-aesv3-key".getBytes(iso),
         texts.mkString("|").getBytes(iso))
+      val up = userPwd
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
       val vs = md5(Array('v'.toByte), id0).take(8)
       val ks = md5(Array('k'.toByte), id0).take(8)
-      val u48 = hashR6(none, vs, none) ++ vs ++ ks
-      val ue = aesCbc(encrypt = true, hashR6(none, ks, none),
+      val u48 = hashR6(up, vs, none) ++ vs ++ ks
+      val ue = aesCbc(encrypt = true, hashR6(up, ks, none),
         new Array[Byte](16), fileKey)
       val op = ownerPwd.getBytes(iso)
       val ovs = md5(Array('V'.toByte), id0).take(8)

@@ -571,6 +571,215 @@ object Archives {
       |FROM documents
       |""".stripMargin
 
+  /** Gzip MEMBER boundaries of a multi-member .warc.gz: (offset,
+    * compressedLength) per member, in file order — the geometry a CDX
+    * index records so a consumer can range-request one record without
+    * reading the file. Parses each member header (RFC 1952: magic,
+    * FLG-driven optional fields), then inflates raw deflate to find
+    * the compressed end via `Inflater.getBytesRead`, plus the 8-byte
+    * CRC/ISIZE trailer. Truncated or hostile input ends the walk with
+    * the members found so far (rejects side-channel, like
+    * [[warcRecordsOf]]); total inflated bytes gated at 2^26. */
+  private[graft] def gzipMemberSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var p = 0
+    var totalOut = 0L
+    while (p + 10 <= b.length && (b(p) & 0xff) == 0x1f &&
+      (b(p + 1) & 0xff) == 0x8b && b(p + 2) == 8) {
+      val flg = b(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (q + 2 > b.length) return out.toSeq
+        val xlen = (b(q) & 0xff) | ((b(q + 1) & 0xff) << 8)
+        q += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME, NUL-terminated
+        while (q < b.length && b(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (q < b.length && b(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      if (q >= b.length) return out.toSeq
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, q, b.length - q)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          totalOut += n
+          if (totalOut > (1L << 26)) return out.toSeq
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return out.toSeq // truncated / FDICT: refuse, never hang
+        }
+        val end = q + inf.getBytesRead.toInt + 8 // + CRC32 + ISIZE
+        if (end > b.length) return out.toSeq
+        out += ((p, end - p))
+        p = end
+      } catch {
+        case _: java.util.zip.DataFormatException => return out.toSeq
+      } finally inf.end()
+    }
+    out.toSeq
+  }
+
+  /** CDX INDEX GENERATION (`q_warc_cdx`) — the Common Crawl CDX-JSON
+    * line per indexable record (responses + revisits; warcinfo is
+    * container metadata): `urlkey` (SURT via
+    * [[graft.ops.UrlOps.surtKey]] — LAWED against the same in-plan
+    * `canonicalizeUrl` every URL query uses), 14-digit timestamp from
+    * WARC-Date, original URL, HTTP status parsed from the stored
+    * payload, mime (`warc/revisit` for revisits, per convention), the
+    * warcinfo filename, and the record's gzip-member geometry proven
+    * by CONSUMPTION: `slice_ok` re-decompresses ONLY the
+    * [offset, offset+length) slice — the range request a CDX consumer
+    * issues — and checks it re-parses to the same record (type, URI,
+    * digest); `digest_ok` recomputes the response payload sha1-base32
+    * and resolves every revisit against it. Fixture URLs are messy
+    * (upper-case scheme/host, default port, tracking params, fragment)
+    * so the urlkey column exercises canonicalization; id%11==5 docs
+    * carry a real non-default port that SURT must keep; id%9==4 docs
+    * return 404. Map-only decode + one codegen'd projection for the
+    * key: at 100 TB this is the scan-shaped indexing pass CC runs. */
+  def warcCdxQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { docs =>
+        docs.flatMap { case (id, text) =>
+          // ---- fixture: one .warc.gz per doc (warcinfo + response +
+          // id%3 revisits, every record its own gzip member)
+          val g = id % 7
+          val port = if (id % 11 == 5) ":8080" else ":80"
+          val url = s"HTTP://WWW.Example$g.COM$port/doc/$id" +
+            "?utm_source=x&b=2&a=1#frag"
+          val statusLine = if (id % 9 == 4) "404 Not Found" else "200 OK"
+          val html = htmlOf(id, text).getBytes("UTF-8")
+          val http = (s"HTTP/1.1 $statusLine\r\nContent-Type: text/html" +
+            s"\r\nContent-Length: ${html.length}\r\n\r\n")
+            .getBytes("UTF-8") ++ html
+          val digest = "sha1:" + sha1Base32(html)
+          val info = warcRecord("warcinfo",
+            Seq("WARC-Filename" -> s"crawl-$id.warc.gz"),
+            "software: graft-crawler/1.0\r\n".getBytes("UTF-8"))
+          val resp = warcRecord("response",
+            Seq("WARC-Target-URI" -> url,
+              "WARC-Payload-Digest" -> digest,
+              "Content-Type" -> "application/http; msgtype=response"),
+            http)
+          val headOnly = ("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+            "\r\n\r\n").getBytes("UTF-8")
+          val revisits = (0 until (id % 3).toInt).map { _ =>
+            warcRecord("revisit",
+              Seq("WARC-Target-URI" -> url,
+                "WARC-Refers-To-Target-URI" -> url,
+                "WARC-Payload-Digest" -> digest,
+                "WARC-Profile" ->
+                  "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                "Content-Type" -> "application/http; msgtype=response"),
+              headOnly)
+          }
+          val warc = (Seq(info, resp) ++ revisits).map(gzipMember)
+            .fold(Array.emptyByteArray)(_ ++ _)
+          // ---- index: member spans + sequential record walk
+          val spans = gzipMemberSpans(warc)
+          val recs = warcRecordsOf(warc)
+          if (spans.length != recs.length) Iterator.empty
+          else {
+            var filename = ""
+            var respDigest = ""
+            var seq = 0
+            spans.zip(recs).iterator.flatMap { case ((off, clen), (hs, payload)) =>
+              def h(k: String): Option[String] = hs.get(k.toLowerCase)
+              val typ = h("WARC-Type").getOrElse("")
+              // consumption proof: the slice alone must re-parse to
+              // the same record
+              val slice = java.util.Arrays.copyOfRange(warc, off, off + clen)
+              val re = warcRecordsOf(slice)
+              val sliceOk = re.length == 1 &&
+                re.head._1.get("warc-type").contains(typ) &&
+                re.head._1.get("warc-target-uri") == h("WARC-Target-URI") &&
+                re.head._1.get("warc-payload-digest") == h("WARC-Payload-Digest") &&
+                java.util.Arrays.equals(re.head._2, payload)
+              typ match {
+                case "warcinfo" =>
+                  filename = h("WARC-Filename").getOrElse("")
+                  if (!sliceOk) filename = "" // poisons every row's filename
+                  None
+                case "response" =>
+                  val cut = headBodyCut(payload)
+                  val status = new String(payload, 0,
+                    math.max(0, math.min(payload.length, 12)), "UTF-8")
+                    .split(" ").lift(1).getOrElse("-")
+                  val body = if (cut < 0) Array.emptyByteArray
+                  else java.util.Arrays.copyOfRange(payload, cut + 4,
+                    payload.length)
+                  respDigest = "sha1:" + sha1Base32(body)
+                  val digestOk = cut >= 0 &&
+                    h("WARC-Payload-Digest").contains(respDigest)
+                  val row = (id, seq, "response",
+                    h("WARC-Target-URI").getOrElse(""),
+                    h("WARC-Date").getOrElse(""), status, "text/html",
+                    filename, sliceOk, digestOk)
+                  seq += 1
+                  Some(row)
+                case "revisit" =>
+                  val status = new String(payload, 0,
+                    math.max(0, math.min(payload.length, 12)), "UTF-8")
+                    .split(" ").lift(1).getOrElse("-")
+                  val digestOk =
+                    h("WARC-Payload-Digest").contains(respDigest) &&
+                      h("WARC-Refers-To-Target-URI") == h("WARC-Target-URI")
+                  val row = (id, seq, "revisit",
+                    h("WARC-Target-URI").getOrElse(""),
+                    h("WARC-Date").getOrElse(""), status, "warc/revisit",
+                    filename, sliceOk, digestOk)
+                  seq += 1
+                  Some(row)
+                case _ => None
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "seq", "rec_type", "url", "warc_date", "status",
+        "mime", "filename", "slice_ok", "digest_ok")
+    rows.select(col("doc_id"), col("seq").cast("int").as("seq"),
+      col("rec_type"),
+      graft.ops.UrlOps.surtKey(col("url")).as("urlkey"),
+      col("url"),
+      date_format(to_timestamp(col("warc_date"),
+        "yyyy-MM-dd'T'HH:mm:ssX"), "yyyyMMddHHmmss").as("ts"),
+      col("status"), col("mime"), col("filename"),
+      col("slice_ok"), col("digest_ok"))
+  }
+
+  val warcCdxOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, s
+      |  FROM documents, unnest(generate_series(0, CAST(doc_id % 3 AS INT))) u(s))
+      |SELECT doc_id, CAST(s AS INT) AS seq,
+      |       CASE WHEN s = 0 THEN 'response' ELSE 'revisit' END AS rec_type,
+      |       'com,example' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         CASE WHEN doc_id % 11 = 5 THEN ':8080' ELSE '' END ||
+      |         ')/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS urlkey,
+      |       'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+      |         CASE WHEN doc_id % 11 = 5 THEN ':8080' ELSE ':80' END ||
+      |         '/doc/' || CAST(doc_id AS VARCHAR) ||
+      |         '?utm_source=x&b=2&a=1#frag' AS url,
+      |       '20240601000000' AS ts,
+      |       CASE WHEN s > 0 THEN '200'
+      |            WHEN doc_id % 9 = 4 THEN '404' ELSE '200' END AS status,
+      |       CASE WHEN s = 0 THEN 'text/html'
+      |            ELSE 'warc/revisit' END AS mime,
+      |       'crawl-' || CAST(doc_id AS VARCHAR) || '.warc.gz' AS filename,
+      |       TRUE AS slice_ok,
+      |       TRUE AS digest_ok
+      |FROM t
+      |""".stripMargin
+
   /** HTTP `Transfer-Encoding: chunked` decode (RFC 9112 §7.1) — the
     * step BEFORE Content-Encoding: raw-capture WARCs store response
     * bodies exactly as sent, and HTTP/1.1 responses are routinely

@@ -1969,10 +1969,15 @@ object Multimodal {
     * generations, rotating by doc id: RC4 R2 (40-bit), RC4 R3
     * (128-bit), AESV2 (V4/R4, AES-128-CBC per-object keys), AESV3
     * (V5/R6, AES-256 + the SHA-2 hardened hash). Text is reachable
-    * ONLY after empty-user-password authentication and in-place stream
-    * decryption (AES space-fills the freed IV/padding tail), then the
-    * normal extraction stack runs. The census arm (`r`, `len_bits`,
-    * `open`) rides along per page. Map-only. */
+    * ONLY after authentication and in-place stream decryption (AES
+    * space-fills the freed IV/padding tail), then the normal
+    * extraction stack runs. Round 14: docs with id%5==2 carry a
+    * NON-EMPTY user password (opened via a supplied password list,
+    * Algorithms 6 / 2.A-user) and id%5==4 docs are opened via the
+    * OWNER password alone (Algorithms 7 / 2.A-owner) — both arms
+    * rotate across all four handler generations. The census arm (`r`,
+    * `len_bits`, `open` = empty password suffices) rides along per
+    * page. Map-only. */
   def pdfEncryptedQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.docIds(spark, dir)
@@ -1981,18 +1986,30 @@ object Multimodal {
           val texts = (0 until (id % 3).toInt + 1).map(p =>
             s"rc4 locked doc $id page $p official")
           val flate = id % 3 == 0
+          val userPwd = (id % 5) match {
+            case 2 => s"user-$id"
+            case 4 => s"hidden-$id" // never supplied: owner-branch arm
+            case _ => ""
+          }
           val (pdf, r, len) = (id % 4) match {
             case 0 => (graft.functions.PdfCodec.writePdfEncryptedText(
-              "1.4", texts, s"owner-$id", 2, 40, flate), 2, 40)
+              "1.4", texts, s"owner-$id", 2, 40, flate, userPwd), 2, 40)
             case 1 => (graft.functions.PdfCodec.writePdfEncryptedText(
-              "1.4", texts, s"owner-$id", 3, 128, flate), 3, 128)
+              "1.4", texts, s"owner-$id", 3, 128, flate, userPwd), 3, 128)
             case 2 => (graft.functions.PdfCodec.writePdfEncryptedAes(
-              "1.6", texts, s"owner-$id", v5 = false, flate), 4, 128)
+              "1.6", texts, s"owner-$id", v5 = false, flate, userPwd),
+              4, 128)
             case _ => (graft.functions.PdfCodec.writePdfEncryptedAes(
-              "1.7", texts, s"owner-$id", v5 = true, flate), 6, 256)
+              "1.7", texts, s"owner-$id", v5 = true, flate, userPwd),
+              6, 256)
+          }
+          val pwds = (id % 5) match {
+            case 2 => Seq("wrong-pwd", s"user-$id")
+            case 4 => Seq(s"owner-$id")
+            case _ => Nil
           }
           val meta = graft.functions.PdfCodec.encryptMeta(pdf)
-          graft.functions.PdfCodec.extractTextEncrypted(pdf).toSeq
+          graft.functions.PdfCodec.extractTextEncrypted(pdf, pwds).toSeq
             .flatMap { pages =>
               val md = java.security.MessageDigest.getInstance("MD5")
               pages.zipWithIndex.map { case (t, p) =>
@@ -2024,7 +2041,7 @@ object Multimodal {
       |                 WHEN 2 THEN 4 ELSE 6 END AS INT) AS r,
       |       CAST(CASE doc_id % 4 WHEN 0 THEN 40 WHEN 3 THEN 256
       |                 ELSE 128 END AS INT) AS len_bits,
-      |       TRUE AS open
+      |       doc_id % 5 NOT IN (2, 4) AS open
       |FROM t
       |""".stripMargin
 
@@ -2913,8 +2930,12 @@ object Multimodal {
       (pcm, mp3, 8, channels, sr)
     } else if (id % 11 == 7) {
       val nG = 8 + (id % 3).toInt * 2
-      val (pcm, mp3) = Mp3Layer3.writeMp3LsfFixture(channels, nG, id)
-      (pcm, mp3, nG, channels, 22050)
+      // round 14: rotate across every vendored LSF rate — MPEG-2 at
+      // 22.05/16/24 kHz plus MPEG-2.5 at 8 kHz — so the census gates
+      // all four band tables at three scales
+      val sr = Array(22050, 16000, 8000, 24000, 22050)((id % 5).toInt)
+      val (pcm, mp3) = Mp3Layer3.writeMp3LsfFixture(channels, nG, id, sr)
+      (pcm, mp3, nG, channels, sr)
     } else {
       val nG = 8 + (id % 3).toInt * 2
       val sr = Array(44100, 48000, 32000)((id % 3).toInt)
@@ -3007,7 +3028,11 @@ object Multimodal {
 
   val mp3DecodeCensusOracle: String =
     """SELECT doc_id,
-      |       CAST(CASE WHEN doc_id % 11 = 7 THEN 22050
+      |       CAST(CASE WHEN doc_id % 11 = 7 THEN
+      |                   CASE WHEN doc_id % 5 = 1 THEN 16000
+      |                        WHEN doc_id % 5 = 2 THEN 8000
+      |                        WHEN doc_id % 5 = 3 THEN 24000
+      |                        ELSE 22050 END
       |                 WHEN doc_id % 3 = 0 THEN 44100
       |                 WHEN doc_id % 3 = 1 THEN 48000
       |                 ELSE 32000 END AS INT) AS sr,

@@ -53,6 +53,26 @@ object UrlOps {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
+  /** SURT (Sort-friendly URI Reordering Transform) key — the `urlkey`
+    * of a Common Crawl CDX index line: canonicalize first (THE law —
+    * the same [[canonicalizeUrl]] plan every URL query uses), then
+    * drop the scheme, strip a leading `www.`, reverse the host labels
+    * comma-joined, keep a non-default port, and append `)` before the
+    * canonical path?query. `http://www.Example.COM:80/a?b=2&a=1` →
+    * `com,example)/a?a=1&b=2`. Pure column expressions — codegen'd,
+    * map-only at any scale. */
+  def surtKey(u: Column): Column = {
+    val c = canonicalizeUrl(u)
+    val host = regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+    val port = regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/?#]*?:(\\d+)(?:[/?#]|$)", 1)
+    val rev = array_join(reverse(split(regexp_replace(host, "^www\\.", ""),
+      "\\.")), ",")
+    val tail = regexp_extract(c, "^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    concat(rev,
+      when(port === "", lit("")).otherwise(concat(lit(":"), port)),
+      lit(")"), tail)
+  }
+
   /** Deterministic messy-URL fixture: docs arrive in groups of three
     * (`doc_id div 3` is the page), each carrying a DIFFERENT messy
     * rendering of the same page URL — uppercase scheme/host + default

@@ -183,11 +183,20 @@ class InteropSmokeSpec extends AnyFunSuite {
     // (attested in-container only by structural laws + own-encoder
     // round trips) matches the spec: a reference decoder reproducing
     // the expected PCM cannot happen with swapped or wrong codes
+    // LSF arms (round 14): non-silent fixtures at every vendored LSF
+    // rate — the EXTERNAL check on the band-width tables themselves.
+    // The round-13 advice proved the sum law cannot tell adjacent
+    // Table B.2 rows apart (the 24 kHz row shipped under the 22.05
+    // key and every own-encoder round trip stayed green); a reference
+    // decoder reproducing the expected PCM can only happen with the
+    // true band boundaries, because requantization walks them.
     val arms = Seq(
       "count1-grid" -> Mp3Layer3.writeMp3Fixture(44100, 1, 8, 77L,
         Mp3Layer3.Mp3Opts(reservoir = true)),
       "big-value" -> Mp3Layer3.writeMp3BigFixture(44100, 1, 8, 99L,
-        (7, 10, 12)))
+        (7, 10, 12))) ++
+      Seq(22050, 24000, 16000, 8000).map(sr =>
+        s"lsf-$sr" -> Mp3Layer3.writeMp3LsfFixture(1, 8, 83L, sr))
     for ((tag, (pcm, mp3)) <- arms) {
       val in = tmp(".mp3"); val out = tmp(".wav")
       java.nio.file.Files.write(in.toPath, mp3)

@@ -105,9 +105,15 @@ class Round13AdviceSpec extends AnyFunSuite {
     while (i >= 0) { w.put((code >> i) & 1, 1); i -= 1 }
   }
 
-  test("complex prefix code with exactly ONE symbol is a zero-bit code") {
+  test("complex prefix code with exactly ONE symbol REFUSES (under-full; " +
+    "reference decoder: ERROR_FORMAT_HUFFMAN_SPACE)") {
     // CL tree {sym0→len1, sym1→len2, sym17→len2}: space 16+8+8 = 32
-    // (complete); canonical: 0→"0", 1→"10", 17→"11"
+    // (complete); canonical: 0→"0", 1→"10", 17→"11". The SYMBOL code
+    // then carries one symbol at length 1 — 16384 of 32768, under-full.
+    // RFC 7932 §3.5's single-code exception is only for the
+    // code-length code; brotlicffi rejects this stream (round-13
+    // advice, verified empirically), so we must too: a single-symbol
+    // code is expressible only via the simple form.
     val w = new BitSink
     w.put(0, 2) // hskip = 0 → complex form
     // ClOrder walk: sym1=2, sym2..4=0, sym0=1, sym5=0, sym17=2
@@ -118,11 +124,10 @@ class Round13AdviceSpec extends AnyFunSuite {
     while (i < 255) { putCode(w, 0x0, 1); i += 1 } // 255 explicit zeros
     w.put(0, 8) // slack so decode never hits end-of-input
     val br = new BrotliCodec.BitReader(w.toBytes)
-    val code = BrotliCodec.readPrefixCode(br, 256)
-    assert(code.single == 0, "expected single-symbol code for symbol 0")
-    val before = br.pos
-    assert(code.decode(br) == 0)
-    assert(br.pos == before, "single-symbol decode must consume zero bits")
+    intercept[RuntimeException] {
+      BrotliCodec.readPrefixCode(br, 256)
+    }
+    assert(BrotliCodec.lastBail == "L257")
   }
 
   test("complex prefix code under-full with TWO symbols still bails") {
