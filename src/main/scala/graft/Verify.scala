@@ -21,11 +21,24 @@ object Verify {
     // local-iteration filter, same contract as Bench: comma-separated
     // substrings; unset = everything (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // exclusion twin of ONLY, same contract as Bench: contains-match,
+    // used by scale runs to drop families whose fixtures are invalid
+    // at that scale (the ScaleGen embedding-clone note)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet)
+    // default single-file output (the driver's layout); =0 keeps the
+    // query's own partitioning so compute stays parallel — the knob
+    // that makes a full-registry sf1 verify a half-hour instead of
+    // hours (coalesce(1) pulls the whole plan into ONE task)
+    val coalesce1 = sys.env.get("SPARK_GRAFT_VERIFY_COALESCE").forall(_ != "0")
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .filter { case (n, _) => !skip.exists(_.exists(n.contains)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

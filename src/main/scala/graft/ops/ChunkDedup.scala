@@ -54,6 +54,18 @@ object ChunkDedup {
 
   private[graft] def headerLen(id: Long): Int = 37 + (id % 101).toInt
 
+  /** Header bytes for a twin. The seed's HIGH BIT pins headers into
+    * their own seed space: content seeds (`id·1009+7`) are small, so
+    * without the separation the affine collision `1009a+7 = 2017b+13`
+    * (solvable at a ≈ 2b, one hit per ~2017 ids) makes doc b's header
+    * byte-identical to a PREFIX of doc a's content — whenever a chunk
+    * boundary lands inside that prefix the two payloads legitimately
+    * share a chunk and the "exactly the twin pairs" oracle breaks
+    * (measured: 5 such pairs at 100k payloads in the sf1 sweep, 0 at
+    * 10k — a fixture defect only visible at scale). */
+  private[graft] def headerBytes(id: Long): Array[Byte] =
+    prngBytes((id * 2017 + 13) | Long.MinValue, headerLen(id))
+
   /** Per document: the raw payload and its shifted twin. */
   def payloads(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
@@ -61,21 +73,37 @@ object ChunkDedup {
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val content = prngBytes(id * 1009 + 7, ContentLen)
-          val header = prngBytes(id * 2017 + 13, headerLen(id))
-          Seq((id, content), (id + TwinSpace, header ++ content))
+          Seq((id, content), (id + TwinSpace, headerBytes(id) ++ content))
         }
       }
   }
 
   /** (doc_id, chunk_md5) rows — distinct per doc — for an arbitrary
-    * payload set; the reusable grain of the dedup join. */
+    * payload set; the reusable grain of the dedup join.
+    *
+    * Only FULL-SIZED chunks (length ≥ [[CdcChunker.MinChunk]]) enter
+    * the index, with one exception: a chunk that IS the whole payload
+    * (so exact duplicates of sub-MinChunk payloads still pair). The
+    * chunker's final fragment can be arbitrarily short — 1..63 bytes of
+    * residue after the last content boundary — and a fragment that
+    * small has too little entropy to be a dedup signal: any two
+    * payloads ending in the same byte would "share a chunk", which is
+    * a Θ(N²/256^len) spurious-pair explosion at corpus scale (measured:
+    * 237 spurious pairs at 100k payloads — the sf1 oracle sweep caught
+    * it — trending quadratic; legitimate duplicate regions longer than
+    * 2·MaxChunk + GearWindow always share a full-sized chunk, so
+    * detection loses nothing). */
   def chunkIndexOf(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads
       .mapPartitions { rows =>
         rows.flatMap { case (id, b) =>
-          CdcChunker.chunks(b).iterator.map { case (_, _, h) => (id, h) }
+          CdcChunker.chunks(b).iterator.collect {
+            case (off, len, h)
+                if len >= CdcChunker.MinChunk ||
+                  (off == 0 && len == b.length) => (id, h)
+          }
         }
       }
       .toDF("doc_id", "chunk_md5")

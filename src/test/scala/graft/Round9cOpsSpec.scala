@@ -65,11 +65,39 @@ class Round9cOpsSpec extends SparkSpec {
       }.toSet
     for (id <- 0L to 20L) {
       val content = ChunkDedup.prngBytes(id * 1009 + 7, ChunkDedup.ContentLen)
-      val twin = ChunkDedup.prngBytes(id * 2017 + 13, ChunkDedup.headerLen(id)) ++ content
+      val twin = ChunkDedup.headerBytes(id) ++ content
       assert(blocks(content).intersect(blocks(twin)).isEmpty)
       assert(CdcChunker.chunks(content).map(_._3).toSet
         .intersect(CdcChunker.chunks(twin).map(_._3).toSet).size >= 3)
     }
+  }
+
+  test("undersized tail fragments never pair; sub-MinChunk exact dups still do") {
+    import spark.implicits._
+    // two UNRELATED payloads, each cut at one of its own natural
+    // boundaries with the same single byte appended: the chunker emits
+    // that byte as a 1-byte tail fragment in both, which before the
+    // round-14 fix made them "share a chunk" (the sf1 oracle sweep
+    // measured 237 such spurious pairs at 100k payloads)
+    def withTinyTail(seed: Long): Array[Byte] = {
+      val content = ChunkDedup.prngBytes(seed, 4096)
+      val cut = CdcChunker.boundaries(content)
+        .filter(_ < content.length).last
+      content.slice(0, cut) :+ 0x07.toByte
+    }
+    val p1 = withTinyTail(11); val p2 = withTinyTail(222)
+    // a payload smaller than MinChunk is ONE whole-payload chunk — an
+    // exact duplicate of it must still enter the index and pair
+    val tiny = ChunkDedup.prngBytes(9, 40)
+    val idx = ChunkDedup.chunkIndexOf(spark.createDataset(Seq(
+        (1L, p1), (2L, p2), (3L, tiny), (4L, tiny.clone()))))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def hashes(id: Long) = idx.collect { case (`id`, h) => h }.toSet
+    assert(hashes(1L).nonEmpty && hashes(2L).nonEmpty)
+    assert(hashes(1L).intersect(hashes(2L)).isEmpty,
+      "1-byte tail fragments must not be dedup signals")
+    assert(hashes(3L) == hashes(4L) && hashes(3L).size == 1,
+      "sub-MinChunk exact duplicates must still share their whole-payload chunk")
   }
 
   test("chunk dedup detects exactly the twin pairs at sf0.001") {
