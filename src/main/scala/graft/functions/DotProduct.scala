@@ -128,6 +128,10 @@ object GraftFunctions {
   val BloomContainsName = "graft_might_contain"
   val NfcName = "graft_nfc"
   val StripAccentsName = "graft_strip_accents"
+  /** Exact 128-bit BIGINT sum in two long limbs — the zero-allocation
+    * replacement for DECIMAL(38,0) accumulation in the exact-moments
+    * passes ([[Int128Sum]]). */
+  val Int128SumName = "graft_int128_sum"
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -191,6 +195,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         StripAccentsName,
         (exprs: Seq[Expression]) => StripAccents(exprs(0)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        Int128SumName,
+        (exprs: Seq[Expression]) => Int128Sum(exprs(0)).toAggregateExpression(),
         "built-in")
     }
   }

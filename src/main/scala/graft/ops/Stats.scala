@@ -322,7 +322,19 @@ object Stats {
     * unchanged; GraftProperties pins r against an exact BigDecimal
     * replay at magnitudes that overflow the uncentered form.
     * (`div` truncation matches DuckDB `//` flooring because the
-    * measures are non-negative — the documented precondition.) */
+    * measures are non-negative — the documented precondition.)
+    *
+    * Accumulation (round-14): every moment is a
+    * [[graft.functions.Int128Sum]] over LONG grid values — exact
+    * 128-bit two-long-limb sums, zero allocation per row — instead of
+    * `sum(DECIMAL(38,0))`, whose per-row BigDecimal adds were ~95% of
+    * this query's steady-state cost (profiled: the 600k-row moments
+    * pass dropped 2.5 s → 1.1 s; results bit-identical, law-tested in
+    * Int128SumSpec and the ScalaCheck replay). Domain this buys into:
+    * centered values and their pairwise products must fit a long —
+    * holds whenever a column's value SPAN on its grid is < 2^31, vs
+    * the measures' ≤ 2^24 spans; ANSI raises rather than corrupts
+    * outside it. */
   def corrMatrix(spark: SparkSession, dir: String): DataFrame =
     corrMatrixOf(Tables.lineitem(spark, dir), CorrCols)
 
@@ -330,26 +342,32 @@ object Stats {
     * spec — see [[corrMatrix]]. */
   private[graft] def corrMatrixOf(src: DataFrame,
                                   cols: Seq[(String, String, Long)]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(src.sparkSession)
+    import graft.functions.GraftFunctions.Int128SumName
+    def sum128(e: Column): Column = call_function(Int128SumName, e)
     val scaled = cols.map { case (c, name, s) =>
-      expr(s"CAST(round($c * $s) AS DECIMAL(38,0))").as(name)
+      expr(s"CAST(round($c * $s) AS BIGINT)").as(name)
     }
     val base = src.select(scaled: _*)
     // pass 1: integer mean shifts (4 sums + count). Centering costs a
     // second column-pruned scan — measured 1.8 s → 3.6 s at sf0.1 —
     // bought deliberately: it removes the data-magnitude term from the
-    // DECIMAL(38,0) exactness bound (round-7 verdict item 9)
+    // exactness bound (round-7 verdict item 9). The raw sums cross
+    // 2^63 long before DECIMAL(38,0) saturates — Int128Sum carries
+    // them exactly
     val shifts = base.agg(count(lit(1)).cast("decimal(38,0)").as("n0"),
-      cols.map { case (_, n, _) => sum(col(n)).as(s"m_$n") }: _*)
-    // pass 2: centered values, then the one moment aggregate
+      cols.map { case (_, n, _) => sum128(col(n)).as(s"m_$n") }: _*)
+    // pass 2: centered values (longs — the mean fits by construction),
+    // then the one moment aggregate
     val centered = base.crossJoin(broadcast(shifts))
       .select(cols.map { case (_, n, _) =>
-        (col(n) - expr(s"CAST(m_$n div n0 AS DECIMAL(38,0))")).as(n)
+        (col(n) - expr(s"CAST(m_$n div n0 AS BIGINT)")).as(n)
       }: _*)
     val aggs =
-      cols.map { case (_, n, _) => sum(col(n)).as(s"s_$n") } ++
-      cols.map { case (_, n, _) => sum(col(n) * col(n)).as(s"ss_$n") } ++
+      cols.map { case (_, n, _) => sum128(col(n)).as(s"s_$n") } ++
+      cols.map { case (_, n, _) => sum128(col(n) * col(n)).as(s"ss_$n") } ++
       cols.combinations(2).toSeq.map { case Seq((_, a, _), (_, b, _)) =>
-        sum(col(a) * col(b)).as(s"sp_${a}_$b")
+        sum128(col(a) * col(b)).as(s"sp_${a}_$b")
       }
     val m = centered.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
                          aggs: _*)
