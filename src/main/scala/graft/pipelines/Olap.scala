@@ -25,17 +25,34 @@ object Olap {
 
   private val Q1Cutoff = "1998-09-02"
 
-  /** TPC-H Q1 shape: pricing summary by (returnflag, linestatus). */
+  /** TPC-H Q1 shape: pricing summary by (returnflag, linestatus).
+    *
+    * The disc-price and charge sums run on EXACT INTEGER GRIDS (cents ×
+    * discount/tax basis points → e6/e10 units, accumulated through
+    * [[graft.functions.Int128Sum]]) rather than per-row
+    * double→DECIMAL(18,6) casts. The round-14 sf1 oracle sweep caught
+    * why: the charge is a triple product on a 10-dp rational grid, and
+    * for rows landing on the 7th-decimal midpoint Spark's double→decimal
+    * cast (rounds the double's SHORTEST DECIMAL representation) and
+    * DuckDB's (rounds the binary value) disagree by 1e-6 — ~3 rows in
+    * 6M, invisible at the gate scales. On the integer grid both engines
+    * compute identical integers; the only float step is one
+    * cast-and-divide on the per-group total, identical IEEE on both. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def sum128(c: org.apache.spark.sql.Column) =
+      call_function(graft.functions.GraftFunctions.Int128SumName, c)
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(s"$Q1Cutoff 00:00:00")))
-    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val centsE = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val discBp = lit(10000L) - expr("CAST(round(l_discount * 10000) AS BIGINT)")
+    val taxBp = lit(10000L) + expr("CAST(round(l_tax * 10000) AS BIGINT)")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-        sum(Exp.money(disc)).cast("double").as("sum_disc_price"),
-        sum(Exp.money(disc * (lit(1.0) + col("l_tax")))).cast("double").as("sum_charge"),
+        (sum128(centsE * discBp).cast("double") / lit(1e6)).as("sum_disc_price"),
+        (sum128(centsE * discBp * taxBp).cast("double") / lit(1e10)).as("sum_charge"),
         round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
               count(lit(1)), 6).as("avg_qty"),
         round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
@@ -49,8 +66,13 @@ object Olap {
     s"""SELECT l_returnflag, l_linestatus,
        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       |       CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+       |                (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+       |         / 1e6 AS sum_disc_price,
+       |       CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT) *
+       |                (10000 - CAST(round(l_discount * 10000) AS BIGINT)) *
+       |                (10000 + CAST(round(l_tax * 10000) AS BIGINT))) AS DOUBLE)
+       |         / 1e10 AS sum_charge,
        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
        |       round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
