@@ -202,9 +202,14 @@ object Graph {
     // (half the naive b≠c volume), and the closing edge — if it exists —
     // is necessarily oriented b→c, so one equi-probe decides it
     val apexSide = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    // the apex self-join hashes the edge-sized build side per partition
+    // at EVERY scale (round-14 opt: the unhinted branch planned a
+    // SortMergeJoin here — two sorts of the edge table for nothing;
+    // broadcast variants were measured SLOWER locally: the driver-serial
+    // broadcast build of the edge table costs more than the partitioned
+    // exchange it saves, see OPTIMIZATION_r14.md)
     val wedges = oriented.as("x")
-      .join(if (large) apexSide.hint("shuffle_hash").as("y") else apexSide.as("y"),
-            Seq("a"))
+      .join(apexSide.hint("shuffle_hash").as("y"), Seq("a"))
       .filter(col("db") < col("dc") ||
               (col("db") === col("dc") && col("b") < col("c")))
       .select(col("a"), col("b"), col("c"))
