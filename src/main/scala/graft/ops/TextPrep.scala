@@ -628,8 +628,14 @@ object TextPrep {
     * corpus-linear, nothing quadratic. */
   def spanRemovalFrom(docs: DataFrame, sampleDenom: Int = 1): DataFrame = {
     require(sampleDenom >= 1, s"bad sample denominator $sampleDenom")
+    import graft.core.Caches.TrackedDataset
+    // three consumers (span windows, token positions, final doc lengths):
+    // unpersisted, the scan + regex tokenization replayed once per
+    // consumer (round-14 opt — measured 3 full tokenize passes in the
+    // plan; at corpus scale that is 3 reads of every document)
     val d = docs.select(col("doc_id"),
       graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .trackPersist()
     // 1-based window start s → span hash (same md5-60 device as the
     // detection kernel, but WITH positions — removal needs offsets)
     val wAll = d.filter(size(col("tk")) >= SpanN)
@@ -644,8 +650,12 @@ object TextPrep {
     // coverage is a SUBSET of full coverage per document (a span either
     // participates everywhere or nowhere), so sampled removal never
     // drops a token the full pass would keep — spec-lawed
-    val w = if (sampleDenom == 1) wAll
-      else wAll.filter(col("span_hash") % sampleDenom === 0)
+    // two consumers (repeated-span derivation, coverage): unpersisted,
+    // the per-window md5 kernel — the hottest expression in this
+    // operator — evaluated twice over every span position
+    val w = (if (sampleDenom == 1) wAll
+      else wAll.filter(col("span_hash") % sampleDenom === 0))
+      .trackPersist()
     val rep = w.select(col("doc_id"), col("span_hash")).distinct()
       .groupBy(col("span_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
