@@ -351,10 +351,17 @@ object TextPrep {
          org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)]) = {
     val spark = words.sparkSession
     import spark.implicits._
+    // LAZY local checkpoints throughout the loop (round-14 opt): the
+    // eager form materialized each state in its own job and the
+    // delta/count aggregate then ran a second job over it — 2 driver
+    // round-trips per merge. Lazy checkpointing folds materialization
+    // into the aggregate's job (the aggregate reads every partition
+    // anyway), halving the loop's job count; lineage is still cut at
+    // every iteration exactly as before.
     var cur: org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)] =
       words.as[(String, Long)]
         .map { case (w, f) => (w.map(_.toString).toIndexedSeq, f) }
-        .localCheckpoint()
+        .localCheckpoint(false)
     val counts = scala.collection.mutable.HashMap[(String, String), Long]()
     cur.flatMap { case (s, f) =>
         s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, f))
@@ -370,7 +377,8 @@ object TextPrep {
       val next = cur.map { case (syms, f) =>
         val merged = mergeSyms(syms, aa, bb)
         (merged, f, if (merged.length != syms.length) syms else null)
-      }.localCheckpoint() // ONE rewrite job; lineage stays flat
+      }.localCheckpoint(false) // materialized by the delta collect below;
+                               // lineage stays flat
       // delta aggregate over changed words only (old pairs −f, new +f)
       val deltas = next.filter(_._3 != null)
         .flatMap { case (nw, f, ow) =>
