@@ -59,6 +59,13 @@ object Dedup {
   /** (doc_id, h) exploded hashed shingles for an arbitrary frame. */
   private[ops] def explodedShinglesOf(spark: SparkSession, d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    // no Spread here (round-14 opt, measured and REJECTED): round-robin
+    // repartitioning the raw text before the kernel cost +0.3-0.4 s on
+    // every signature consumer at sf0.1 (minhash_lsh 1.03 → 1.41,
+    // skeleton_minhash 1.08 → 1.42 isolated min-of-5) — the downstream
+    // groupBy already re-parallelizes everything after the kernel, and
+    // the kernel's single-task window at fixture scale is smaller than
+    // the exchange + extra planning pass Spread adds
     d.select(
       col("doc_id"),
       explode(call_function(graft.functions.GraftFunctions.ShingleName,
@@ -176,22 +183,59 @@ object Dedup {
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesOf(spark, docs(spark, dir))
 
-  /** Same, over an arbitrary (doc_id, text) frame. */
+  /** Same, over an arbitrary (doc_id, text) frame.
+    *
+    * Map-only (round-14 opt): [[graft.functions.ShingleHash]] already
+    * emits the DISTINCT shingle set per document, so the old
+    * explode → groupBy(collect_set, count) spelling re-built in a full
+    * shuffle exactly the array the kernel had just produced — `sgl` is
+    * the kernel output and `n` its size, one projection, zero exchanges.
+    * Zero-shingle docs (fewer than [[ShingleN]] tokens) surface here as
+    * empty-array rows where the old groupBy dropped them; every consumer
+    * explodes `sgl`, which drops empties identically. */
   private def docShinglesOf(spark: SparkSession, d: DataFrame): DataFrame =
     explodedShinglesOf(spark, d)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("sgl"), count(lit(1)).as("n"))
+  // NOTE (round-14 opt, measured and REJECTED): a map-only spelling
+  // (ShingleHash already emits the distinct set, so sgl/n are one
+  // projection) removes this groupBy exchange — but measured SLOWER at
+  // sf0.1 (q_dedup_jaccard isolated min-of-5: 0.87 → 1.04 s even with
+  // the kernel spread and single-evaluated): the regrouped aggregate is
+  // what spreads the cached inverted index across cores here, and the
+  // replacement round-robin exchange + extra planning pass cost more
+  // than the collect_set it saves. Details in OPTIMIZATION_r14.md.
 
   /** All-pairs exact n-gram Jaccard ≥ 0.8 via inverted shingle index:
     * docs sharing a shingle meet once per shared shingle; the group count
     * IS the intersection size (shingle sets are distinct). */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsFromSets(docShingles(spark, dir))
+
+  /** (doc_id, n, s) inverted-index rows of a (doc_id, sgl) set frame.
+    * CONTRACT: `sgl` must be an aggregate/cache ATTRIBUTE, not an alias
+    * over the shingle kernel — InferFiltersFromGenerate inserts
+    * `size(sgl) > 0 AND isnotnull(sgl)` below the Generate, and with an
+    * aliased kernel expression predicate pushdown substitutes the kernel
+    * into that filter, tripling its cost (measured at sf0.1:
+    * q_dedup_jaccard 0.81 → 1.90 s in a rejected map-only spelling —
+    * see OPTIMIZATION_r14.md). Every current caller passes a
+    * collect_set output, where the inferred filter is a cheap
+    * attribute test. */
+  private def invertedShingles(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), size(col("sgl")).cast("long").as("n"),
+        explode(col("sgl")).as("s"))
+
+  /** [[jaccardPairs]] core over any (doc_id, sgl) shingle-set frame —
+    * callers that already hold a materialized set table (e.g.
+    * [[lshRecall]]'s signature frame) feed it directly instead of
+    * re-scanning and re-shingling the corpus (round-14 opt). */
+  private[ops] def jaccardPairsFromSets(sets: DataFrame): DataFrame = {
     // both sides of the self-join consume the inverted index; Spark does
     // not reuse the exchange across the aliased sides (verified in the
     // physical plan: 2 scans, 0 ReusedExchange), so persist the index —
     // it is the operator's natural materialized artifact
-    val inv = docShingles(spark, dir)
-      .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
+    val inv = invertedShingles(sets)
       .trackPersist()
     val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
@@ -225,8 +269,7 @@ object Dedup {
   def jaccardPairsCapped(spark: SparkSession, d: DataFrame,
                          maxDf: Int): CappedPairs = {
     require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 shingle joins nothing), got $maxDf")
-    val inv = docShinglesOf(spark, d)
-      .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
+    val inv = invertedShingles(docShinglesOf(spark, d))
       .trackPersist()
     val dfCounts = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .trackPersist()
@@ -291,8 +334,7 @@ object Dedup {
     containmentPairsOf(spark, docs(spark, dir))
 
   private[graft] def containmentPairsOf(spark: SparkSession, d: DataFrame): DataFrame = {
-    val inv = docShinglesOf(spark, d)
-      .select(col("doc_id"), col("n"), explode(col("sgl")).as("s"))
+    val inv = invertedShingles(docShinglesOf(spark, d))
       .trackPersist()
     val a = inv.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
@@ -499,12 +541,16 @@ object Dedup {
     * just a different grouping of them). At corpus scale the truth side
     * runs on a document sample; the measurement plumbing is unchanged. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-      .trackPersist() // one consumer per sweep row
     // ONE signature table at the 64-component ceiling serves every
     // config: a narrower config just tiles a prefix of the components
     val sig = signatures(spark, docs(spark, dir), MaxHashes)
       .trackPersist()
+    // the exact-Jaccard truth re-uses the signature table's shingle sets
+    // (round-14 opt: the old spelling re-scanned the corpus and re-ran
+    // the shingle kernel for a set column `sig` already carries)
+    val truth = jaccardPairsFromSets(sig.select(col("doc_id"), col("sgl")))
+      .select(col("doc_a"), col("doc_b"))
+      .trackPersist() // one consumer per sweep row
     BandSweep.map { case (label, bands, rpb) =>
       val approx = minhashLshFrom(sig, bands, rpb)
         .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
@@ -930,8 +976,14 @@ object Dedup {
   def consensus(spark: SparkSession, dir: String): DataFrame = {
     def tag(df: DataFrame, m: String) =
       df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
-    tag(jaccardPairs(spark, dir), "jaccard")
-      .unionByName(tag(minhashLsh(spark, dir), "minhash_lsh"))
+    // ONE signature build serves both shingle-based methods (round-14
+    // opt): the exact-Jaccard arm reads the persisted table's shingle
+    // sets instead of re-scanning + re-shingling the corpus, and the
+    // MinHash arm bands the same table — simhash is a different kernel
+    // and keeps its own scan
+    val sig = signatures(spark, docs(spark, dir)).trackPersist()
+    tag(jaccardPairsFromSets(sig.select(col("doc_id"), col("sgl"))), "jaccard")
+      .unionByName(tag(minhashLshFrom(sig, Bands, RowsPerBand), "minhash_lsh"))
       .unionByName(tag(simhashPairs(spark, dir), "simhash"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_methods"),

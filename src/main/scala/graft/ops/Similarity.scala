@@ -379,12 +379,17 @@ object Similarity {
     * Σ_c |probe_c|·|list_c| pair volume instead of n². */
   private def ivfTopKFrom(ranked: DataFrame, nprobe: Int): DataFrame = {
     val index = ranked.filter(col("crank") === 1) // each vector lives in ONE list
+    // no dedup needed: the index side carries exactly ONE row per vector
+    // (its home list), and the probe side one row per (vec_id, centroid),
+    // so a (query, neighbor) pair matches the equi-join at most once —
+    // the old `.distinct()` here was a full candidate-volume exchange +
+    // aggregate that removed nothing (round-14 opt; the SQL oracle keeps
+    // its DISTINCT spelling, values identical by construction)
     val pairs = ranked.filter(col("crank") <= nprobe).as("a").join(index.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
               cosine().as("cos"))
-      .distinct() // a neighbor can appear via several probed lists
     topK(pairs)
   }
 
@@ -487,7 +492,9 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         (dot(col("a.v"), col("b.vhat")) /
           sqrt(col("a.n2") * col("b.vn2"))).as("acos"))
-      .distinct() // a neighbor can appear via several probed lists
+      // no `.distinct()`: one index row per neighbor (home list) × one
+      // probe row per (vec_id, centroid) ⇒ pairs are unique by
+      // construction (same argument as [[ivfTopKFrom]], round-14 opt)
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("neighbor_id"))
     val shortlist = cand.withColumn("srank", row_number().over(wShort))

@@ -300,8 +300,14 @@ object TextAnalysis {
   val QnormB = 10
 
   def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    // persist the scored cut (round-14 opt): both global and per-source
+    // rank pipelines consume it, and each [[Rnk.globalRank]] call starts
+    // its own jobs — unpersisted, the quality-scoring kernel (regex
+    // tokenization + stopword filter over every document) replayed once
+    // per consumer (isolated min-of-5 at sf0.1: see OPTIMIZATION_r14.md)
     val scored = quality(spark, dir).select(col("doc_id"), col("quality_score"))
       .join(docs(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .trackPersist()
     val g = Rnk.globalRank(scored, Seq(col("quality_score"), col("doc_id")),
       "grank").trackPersist()
     val tot = g.agg(count(lit(1)).as("n"))
