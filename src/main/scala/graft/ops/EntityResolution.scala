@@ -75,7 +75,13 @@ object EntityResolution {
   private def linkCond: Column =
     col("a.blk") === col("b.blk") &&
       abs(length(col("a.name")) - length(col("b.name"))) <= MaxDistance &&
-      levenshtein(col("a.name"), col("b.name")) <= MaxDistance
+      // thresholded levenshtein (round-14 opt): with a bound k the DP
+      // early-exits at O(k·min(len)) cells instead of O(len²) — ~15×
+      // fewer cells at k=2 on ~35-char part names. Returns -1 when the
+      // distance exceeds the bound, so `>= 0` ≡ the old `<= MaxDistance`
+      // (distances are never negative); values for surviving pairs are
+      // identical, and the SQL oracle keeps the unbounded spelling
+      levenshtein(col("a.name"), col("b.name"), MaxDistance) >= 0
 
   /** Distinct-name dictionary with block keys: (name, node_id, blk). */
   private def dictOf(recs: DataFrame): DataFrame =
@@ -170,8 +176,12 @@ object EntityResolution {
     // without this each action re-canonicalizes the blocked fuzzy-join
     // tree and the composed plan re-plans it per consumer (measured
     // 76 s → ~6 s end-to-end at sf0.1)
-    val delta = newOld.unionByName(newNew).localCheckpoint()
-    val labels = Dedup.components(delta).localCheckpoint()
+    // lazy checkpoints (round-14 opt, same rationale as the BPE merge
+    // loop): eager ones ran a dedicated materialization job each before
+    // any consumer — the closure's edge persist (for delta) and the
+    // relabel joins (for labels) materialize them in their own first job
+    val delta = newOld.unionByName(newNew).localCheckpoint(false)
+    val labels = Dedup.components(delta).localCheckpoint(false)
     // registry entities touched by a merge get relabeled to the merged min
     val entRelabel = labels
       .join(regNameEnt.select(col("entity_id")).distinct(),

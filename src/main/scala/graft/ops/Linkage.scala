@@ -45,8 +45,13 @@ object Linkage {
       .orderBy(col("distance"), col("clean_name"))
     d.join(c, Seq("blk"))
       .filter(abs(length(col("dirty_name")) - length(col("clean_name"))) <= MaxDistance)
-      .withColumn("distance", levenshtein(col("dirty_name"), col("clean_name")))
-      .filter(col("distance") <= MaxDistance)
+      // thresholded levenshtein (round-14 opt): O(k·min(len)) early-exit
+      // DP instead of the full O(len²) table; -1 flags distance > k, so
+      // `>= 0` ≡ the old `<= MaxDistance`, and the reported distance for
+      // surviving rows is the true value either way
+      .withColumn("distance",
+        levenshtein(col("dirty_name"), col("clean_name"), MaxDistance))
+      .filter(col("distance") >= 0)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("dirty_name"), col("clean_name"), col("distance"))
