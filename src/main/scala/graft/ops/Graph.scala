@@ -91,11 +91,18 @@ object Graph {
     // distinct-count job runs; with neither hint the exact count runs
     val large = largeGraph.getOrElse(
       nodeCountHint.getOrElse(n.count()) > BroadcastNodeLimit)
+    // persist the aggregated edge list BEFORE deriving out-weights
+    // (round-14 opt): `out` is edge-derived, so without this cut the
+    // whole pair-expansion + (u,v) aggregate subtree executed twice in
+    // the e-build job — once under the broadcast out-weight build and
+    // once on the stream side (2 Generate nodes in the plan, 0
+    // ReusedExchange). Edge-sized cache, same size class as `e` below.
+    val eg = edges.trackPersist()
     // the out-weight table is node-sized too — same threshold rule
-    val out = edges.groupBy(col("u")).agg(sum(col("w")).as("outw"))
+    val out = eg.groupBy(col("u")).agg(sum(col("w")).as("outw"))
     // every iteration re-reads the edge table — persist the built graph
     // once instead of re-running the self-join+aggregate subtree per step
-    val e = nodeJoin(edges, out, Seq("u"), large).trackPersist()
+    val e = nodeJoin(eg, out, Seq("u"), large).trackPersist()
     val r0 = n.select(col("p"), lit(1000000L).as("r"))
     (1 to iters).foldLeft(r0)((r, _) => step(n, e, r, large))
   }

@@ -354,18 +354,28 @@ object Sketches {
     * Returns (grp, q_pct, value_cents). */
   def groupedExactQuantiles(df: DataFrame, group: Column, value: Column,
                             percents: Seq[Int], bits: Int = 24,
-                            k: Int = 1024): DataFrame = {
-    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
-      s"percents must be in [1,100], got $percents")
-    val spark = df.sparkSession
-    import spark.implicits._
-    // Spread + persist: the digest build is per-row JVM work, so an
-    // under-split local scan would serialize it on one core (see
-    // [[graft.core.Spread]]); both passes reuse the same narrow cut
-    val valued = graft.core.Spread(
+                            k: Int = 1024): DataFrame =
+    groupedExactQuantilesOf(valuedCut(df, group, value), percents, bits, k)
+
+  /** The Spread + persisted (grp, v) cut both quantile passes read —
+    * exposed (round-14 opt) so callers that ALSO scan the values
+    * afterwards ([[graft.ops.Stats.equiDepthHistogram]]'s bucketing
+    * pass) reuse one cut instead of re-scanning the source. */
+  private[ops] def valuedCut(df: DataFrame, group: Column,
+                             value: Column): DataFrame =
+    graft.core.Spread(
         df.select(group.cast("string").as("grp"),
                   value.cast("long").as("v")).na.drop())
       .trackPersist()
+
+  /** [[groupedExactQuantiles]] over a pre-built [[valuedCut]] frame. */
+  private[ops] def groupedExactQuantilesOf(valued: DataFrame,
+                                           percents: Seq[Int], bits: Int = 24,
+                                           k: Int = 1024): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100], got $percents")
+    val spark = valued.sparkSession
+    import spark.implicits._
 
     // pass 1: per-partition per-group digests, folded per group on the
     // driver — traffic is groups × partitions × (≤3k nodes), never data
@@ -434,7 +444,12 @@ object Sketches {
       .where(col("cum") >= col("need"))
       .groupBy(col("wgrp").as("grp"), col("q_pct"))
       .agg(min(col("v")).as("value_cents"))
-      .orderBy(col("grp"), col("q_pct"))
+      // total order on a ≤ groups×percents-row result without orderBy's
+      // range exchange (round-14 opt: RangePartitioner adds a sampling
+      // pass + an exchange for a frame this size); coalesce(1) merges
+      // the final aggregate into one task and the in-task sort is total
+      .coalesce(1)
+      .sortWithinPartitions(col("grp"), col("q_pct"))
   }
 
   /** Oracle-gated query: exact price percentiles (cents grid) on

@@ -156,9 +156,13 @@ object Stats {
     * is [[qualityHistogram]]. */
   def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val value = expr("CAST(round(l_extendedprice * 100) AS LONG)")
-    val edges = Sketches.exactQuantiles(Tables.lineitem(spark, dir), value,
-        (10 to 90 by 10))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // ONE persisted (grp, v) cut serves the quantile passes AND the
+    // bucketing scan below (round-14 opt: the bucketing pass previously
+    // re-scanned lineitem and re-evaluated the cents cast per row)
+    val valued = Sketches.valuedCut(Tables.lineitem(spark, dir), lit("_"),
+      value)
+    val edges = Sketches.groupedExactQuantilesOf(valued, (10 to 90 by 10))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
     val v = col("v")
     val bucket = edges.map { case (_, e) =>
       when(v > lit(e), 1).otherwise(0): Column
@@ -166,7 +170,7 @@ object Stats {
     val lowerEdge = edges.foldLeft(lit(null).cast("long")) {
       case (acc, (pct, e)) => when(col("bucket") * 10 === pct, lit(e)).otherwise(acc)
     }
-    Tables.lineitem(spark, dir).select(value.as("v")).na.drop()
+    valued.select(col("v"))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
       .withColumn("lower_edge_cents", lowerEdge)
